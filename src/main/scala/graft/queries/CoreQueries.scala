@@ -1,0 +1,412 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Relational.{naturalJoin, antiJoin, semiJoin}
+
+/** The 24 declared oracle queries of SURVEY.md §2.3 (Q01-Q24), each mapped to
+  * the reference operator rows it covers (§2.1). Every query is a lazy
+  * DataFrame program — Catalyst handles pushdown/pruning/join-strategy; we add
+  * `broadcast` hints on dimension tables only where the small side is known by
+  * construction (region/nation/customer-class inputs stay broadcast-sized even
+  * at 100 TB fact scale).
+  *
+  * Determinism: total ORDER BY on a unique key, ROUND(float aggs, 6), exact
+  * median — so DuckDB and Spark hash-match at sf0.01.
+  */
+object CoreQueries {
+  import QueryDef.sql
+
+  // Q01 — A1/A4, B1, C1: project + literal filter (reference shape: event
+  // filters in Metric Building and Evaluation.R:28,34).
+  val q01 = sql(
+    "q01_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // Q02 — C2, C3: IN-list + compound predicate (MB:22,63-64 %in% filters).
+  val q02 = sql(
+    "q02_inlist_compound",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderstatus IN ('F','P') AND o_totalprice > 150000.0
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("F", "P") && col("o_totalprice") > 150000.0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  // Q03 — D1, D8: 3-way star join (Data Load and Cleaning.R:25-27 chain).
+  // nation/region are broadcast dims at any scale.
+  val q03 = sql(
+    "q03_star_join",
+    """SELECT c_custkey, c_name, n_name, r_name FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey", "c_name", "n_name", "r_name")
+      .orderBy("c_custkey")
+  }
+
+  // Q04 — D3, D4, J10: left join + NA→0 backfill (MB:134-137,144-145 idiom).
+  val q04 = sql(
+    "q04_left_join_fill",
+    """SELECT c_custkey, ROUND(COALESCE(SUM(o_totalprice), 0.0), 6) AS total_spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(round(coalesce(sum("o_totalprice"), lit(0.0)), 6).as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
+  // Q05 — D6: anti join (DL:47 exclude_plays removal).
+  val q05 = sql(
+    "q05_anti_join",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    antiJoin(
+      Tables.customer(s, d).withColumnRenamed("c_custkey", "o_custkey"),
+      Tables.orders(s, d), Seq("o_custkey"))
+      .withColumnRenamed("o_custkey", "c_custkey")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // Q06 — D7, E8: semi join against distinct keys (MB:140-141 blocked-by-OL).
+  val q06 = sql(
+    "q06_semi_join",
+    """SELECT p_partkey, p_name FROM part p
+      |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    semiJoin(
+      Tables.part(s, d).withColumnRenamed("p_partkey", "l_partkey"),
+      Tables.lineitem(s, d), Seq("l_partkey"))
+      .withColumnRenamed("l_partkey", "p_partkey")
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+  }
+
+  // Q07 — D5, D9: join on differently-named keys with explicit CAST
+  // (EPA_Comparison.R:7-11 numeric-vs-string gameId join).
+  val q07 = sql(
+    "q07_cast_join",
+    """SELECT s_suppkey, s_name, n_name FROM supplier
+      |JOIN nation ON CAST(s_nationkey AS BIGINT) = CAST(n_nationkey AS BIGINT)
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey").cast("long") === col("n_nationkey").cast("long"))
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_suppkey")
+  }
+
+  // Q08 — E1-E4, E7: TPC-H-Q1-style multi-aggregate in one pass
+  // (Model Outputs.R:17-18 sum+n+median shape).
+  val q08 = sql(
+    "q08_multi_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |  ROUND(SUM(l_quantity), 6) AS sum_qty,
+      |  ROUND(SUM(l_extendedprice), 6) AS sum_price,
+      |  ROUND(AVG(l_discount), 6) AS avg_disc,
+      |  COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 6).as("sum_qty"),
+        round(sum("l_extendedprice"), 6).as("sum_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // Q09 — E8, E9: count-distinct (MB:122-132 blockers-per-rusher two-step).
+  val q09 = sql(
+    "q09_count_distinct",
+    """SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_supp
+      |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(countDistinct("l_suppkey").as("n_supp"))
+      .orderBy("l_partkey")
+  }
+
+  // Q10 — E5: exact per-group median (MB:161-167, MO:18,24,28,34).
+  val q10 = sql(
+    "q10_median",
+    """SELECT l_returnflag, ROUND(MEDIAN(l_extendedprice), 6) AS med_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(median(col("l_extendedprice")), 6).as("med_price"))
+      .orderBy("l_returnflag")
+  }
+
+  // Q11 — C7, E3: HAVING on a count (MO:18 rush_attempts >= 50).
+  val q11 = sql(
+    "q11_having",
+    """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+      |GROUP BY o_custkey HAVING COUNT(*) >= 3 ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 3)
+      .orderBy("o_custkey")
+  }
+
+  // Q12 — G1, G2: pivot as conditional aggregation (reshape::cast at MB:96;
+  // absent combos sum to 0 exactly like cast's fun.aggregate=sum over ∅).
+  val q12 = sql(
+    "q12_pivot",
+    """SELECT user_id,
+      |  ROUND(SUM(CASE WHEN event_type = 'click'    THEN value ELSE 0.0 END), 6) AS click_value,
+      |  ROUND(SUM(CASE WHEN event_type = 'view'     THEN value ELSE 0.0 END), 6) AS view_value,
+      |  ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 6) AS purchase_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    def piv(t: String) =
+      round(sum(when(col("event_type") === t, col("value")).otherwise(lit(0.0))), 6)
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        piv("click").as("click_value"),
+        piv("view").as("view_value"),
+        piv("purchase").as("purchase_value"))
+      .orderBy("user_id")
+  }
+
+  private val userFrameOrder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+  // Q13 — F1, H1: per-group lag first difference (MB:49 a_direction; clean
+  // partitioned-window semantics per the F1 fidelity note).
+  val q13 = sql(
+    "q13_lag_diff",
+    """SELECT event_id, user_id,
+      |  ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS dvalue
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("dvalue", round(col("value") - lag("value", 1).over(userFrameOrder), 6))
+      .select("event_id", "user_id", "dvalue")
+      .orderBy("event_id")
+  }
+
+  // Q14 — F2, J1, J8: second-order lag + boolean flag (MB:50 s_direction).
+  val q14 = sql(
+    "q14_second_diff",
+    """WITH d AS (
+      |  SELECT event_id, user_id, ts,
+      |    value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d1
+      |  FROM events)
+      |SELECT event_id, user_id, ROUND(d1, 6) AS d1,
+      |  CASE WHEN d1 > LAG(d1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |         AND d1 > 0 THEN 1 ELSE 0 END AS accel_flag
+      |FROM d ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("d1_raw", col("value") - lag("value", 1).over(userFrameOrder))
+      .withColumn("accel_flag",
+        when(col("d1_raw") > lag("d1_raw", 1).over(userFrameOrder) && col("d1_raw") > 0, 1)
+          .otherwise(0))
+      .withColumn("d1", round(col("d1_raw"), 6))
+      .select("event_id", "user_id", "d1", "accel_flag")
+      .orderBy("event_id")
+  }
+
+  // Q15 — F3, E2: earliest qualifying event per group, joined back
+  // (MB:39,52,54-55,85-86 filter→min(frameId) shape).
+  val q15 = sql(
+    "q15_first_qualifying",
+    """SELECT e.event_id, e.user_id, f.first_ts
+      |FROM events e
+      |JOIN (SELECT user_id, MIN(ts) AS first_ts FROM events
+      |      WHERE value > 50.0 GROUP BY user_id) f
+      |  ON e.user_id = f.user_id
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val firsts = ev.filter(col("value") > 50.0)
+      .groupBy("user_id").agg(min("ts").as("first_ts"))
+    ev.join(firsts, Seq("user_id"))
+      .select("event_id", "user_id", "first_ts")
+      .orderBy("event_id")
+  }
+
+  // Q16 — F5, H2, H4: top-k by aggregate with deterministic tie-break
+  // (MO:17-19 rankings).
+  val q16 = sql(
+    "q16_topk",
+    """SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 6) AS total
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY total DESC, c_custkey LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(round(sum("o_totalprice"), 6).as("total"))
+      .orderBy(desc("total"), col("c_custkey"))
+      .limit(10)
+  }
+
+  // Q17 — I1: UNION ALL of disjoint slices, re-aggregated (DL:22 bind_rows).
+  val q17 = sql(
+    "q17_union_all",
+    """SELECT l_returnflag, ROUND(SUM(l_quantity), 6) AS sum_qty, COUNT(*) AS cnt
+      |FROM (
+      |  SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber <= 3
+      |  UNION ALL
+      |  SELECT l_returnflag, l_quantity FROM lineitem WHERE l_linenumber > 3
+      |) u GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select("l_returnflag", "l_quantity", "l_linenumber")
+    val lo = li.filter(col("l_linenumber") <= 3).drop("l_linenumber")
+    val hi = li.filter(col("l_linenumber") > 3).drop("l_linenumber")
+    lo.unionByName(hi)
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 6).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+  }
+
+  // Q18 — J1-J12: scalar expression pipeline — Chebyshev greatest/abs (MB:77),
+  // cap-at-1 least (MB:103), nested CASE (MB:81-82), round(3) (MO:20-21).
+  val q18 = sql(
+    "q18_scalar_pipeline",
+    """SELECT l_orderkey, l_linenumber,
+      |  ROUND(GREATEST(ABS(l_quantity - 25.0), ABS(l_discount * 100.0 - 5.0)), 3) AS cheb,
+      |  ROUND(LEAST(l_quantity / 50.0, 1.0), 3) AS capped,
+      |  CASE WHEN l_quantity > 40.0 THEN 'high'
+      |       WHEN l_quantity > 20.0 THEN 'mid'
+      |       ELSE 'low' END AS bucket
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .withColumn("cheb",
+        round(greatest(abs(col("l_quantity") - 25.0), abs(col("l_discount") * 100.0 - 5.0)), 3))
+      .withColumn("capped", round(least(col("l_quantity") / 50.0, lit(1.0)), 3))
+      .withColumn("bucket",
+        when(col("l_quantity") > 40.0, "high")
+          .when(col("l_quantity") > 20.0, "mid")
+          .otherwise("low"))
+      .select("l_orderkey", "l_linenumber", "cheb", "capped", "bucket")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // Q19 — C8, E11: frequency-based subset then per-category median
+  // (WIP.R:278-279,291-293 keep-categories-with-count>k).
+  val q19 = sql(
+    "q19_freq_subset",
+    """SELECT event_type, ROUND(MEDIAN(value), 6) AS med_value, COUNT(*) AS n
+      |FROM events
+      |WHERE event_type IN (SELECT event_type FROM events
+      |                     GROUP BY event_type HAVING COUNT(*) >= 100)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val frequent = ev.groupBy("event_type").count().filter(col("count") >= 100)
+    semiJoin(ev, frequent, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(round(median(col("value")), 6).as("med_value"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  // Q20 — F4, C5: per-group bounds clamp — join bounds, BETWEEN filter, count
+  // (MB:72-75 snap/play-end frame clamp).
+  val q20 = sql(
+    "q20_bounds_clamp",
+    """WITH b AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS t0,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS t1
+      |  FROM events GROUP BY user_id)
+      |SELECT e.user_id, COUNT(*) AS n_in_window
+      |FROM events e JOIN b ON e.user_id = b.user_id
+      |WHERE b.t0 IS NOT NULL AND b.t1 IS NOT NULL AND e.ts BETWEEN b.t0 AND b.t1
+      |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val bounds = ev.groupBy("user_id").agg(
+      min(when(col("event_type") === "signup", col("ts"))).as("t0"),
+      max(when(col("event_type") === "purchase", col("ts"))).as("t1"))
+    ev.join(bounds, Seq("user_id"))
+      .filter(col("t0").isNotNull && col("t1").isNotNull && col("ts").between(col("t0"), col("t1")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_in_window"))
+      .orderBy("user_id")
+  }
+
+  // Q21 — E10: five-number-ish summary (summary() at MB:153).
+  val q21 = sql(
+    "q21_summary_stats",
+    """SELECT COUNT(*) AS n,
+      |  ROUND(AVG(o_totalprice), 6) AS avg_price,
+      |  ROUND(STDDEV_SAMP(o_totalprice), 6) AS sd_price,
+      |  ROUND(MIN(o_totalprice), 6) AS min_price,
+      |  ROUND(MAX(o_totalprice), 6) AS max_price
+      |FROM orders""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).agg(
+      count(lit(1)).as("n"),
+      round(avg("o_totalprice"), 6).as("avg_price"),
+      round(stddev_samp("o_totalprice"), 6).as("sd_price"),
+      round(min("o_totalprice"), 6).as("min_price"),
+      round(max("o_totalprice"), 6).as("max_price"))
+  }
+
+  // Q22 — J13: string functions (WIP.R:25-33 paste/str_sub/str_locate/str_trim).
+  val q22 = sql(
+    "q22_string_funcs",
+    """SELECT c_custkey,
+      |  CONCAT(SUBSTRING(c_name, 1, 1), '.', TRIM(c_name)) AS abbrev,
+      |  CAST(POSITION('#' IN c_name) AS INTEGER) AS hash_pos
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .withColumn("abbrev", concat(substring(col("c_name"), 1, 1), lit("."), trim(col("c_name"))))
+      .withColumn("hash_pos", instr(col("c_name"), "#"))
+      .select("c_custkey", "abbrev", "hash_pos")
+      .orderBy("c_custkey")
+  }
+
+  // Q23 — C9/H4: deterministic ordered slice (MO:38 df[1:157,]).
+  val q23 = sql(
+    "q23_ordered_slice",
+    """SELECT event_id, user_id, event_type, value FROM events
+      |ORDER BY event_id LIMIT 157""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+      .limit(157)
+  }
+
+  // Q24 — E6, D2: per-group mean joined back by natural key
+  // (EPA_Comparison.R:10-11 mean %PZ/s per play ⋈ epa).
+  val q24 = sql(
+    "q24_mean_join_back",
+    """SELECT e.event_id, e.user_id,
+      |  ROUND(m.avg_value, 6) AS avg_value,
+      |  ROUND(e.value - ROUND(m.avg_value, 6), 6) AS dev
+      |FROM events e
+      |JOIN (SELECT user_id, AVG(value) AS avg_value FROM events GROUP BY user_id) m
+      |  ON e.user_id = m.user_id
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val means = ev.groupBy("user_id").agg(avg("value").as("avg_value_raw"))
+    // Round the mean BEFORE differencing: value − round(avg,6) is then the
+    // same float op on the same inputs in Spark and DuckDB, so the outer
+    // round can't straddle an ulp-divergent boundary (SURVEY.md §7.3).
+    naturalJoin(ev, means)
+      .withColumn("avg_value", round(col("avg_value_raw"), 6))
+      .withColumn("dev", round(col("value") - col("avg_value"), 6))
+      .select("event_id", "user_id", "avg_value", "dev")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
+    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
+}
