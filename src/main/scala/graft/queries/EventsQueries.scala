@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream operators over the `events` table (batch form; the streaming
+  * module runs the same shapes under Structured Streaming). JSON property
+  * extraction, time-bucketed aggregation, and gap-based sessionization —
+  * the core of an ingest pipeline's enrichment stage.
+  */
+object EventsQueries {
+  import QueryDef.sql
+
+  /** JSON property extraction from the `props` column. */
+  val jsonExtract = sql(
+    "x14_ev_json_extract",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .select("event_id", "k")
+      .orderBy("event_id")
+  }
+
+  /** Tumbling-window (hourly) aggregation — the batch twin of the streaming
+    * windowed agg. Partial aggregation happens map-side; the shuffle key
+    * (hour, event_type) is low-cardinality and unskewed. */
+  val timeBucket = sql(
+    "x15_ev_time_bucket",
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Gap-based sessionization: a new session starts after a >30 min silence.
+    * One shuffle (window partition by user); gap arithmetic on exact integer
+    * microseconds so both engines agree bit-for-bit. */
+  val sessionize = sql(
+    "x16_ev_sessionize",
+    """WITH g AS (
+      |  SELECT event_id, user_id, ts,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |FROM g ORDER BY event_id""".stripMargin) { (s, d) =>
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(order))
+      .withColumn("session_id",
+        sum(when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1).otherwise(0)).over(cum))
+      .select("event_id", "user_id", "session_id")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize)
+}

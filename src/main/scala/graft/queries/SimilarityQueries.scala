@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim unit-norm float
+  * vectors).
+  *
+  * Scale stance (100 TB): the query set is always the SMALL side and is
+  * broadcast — the corpus is never shuffled for brute force. The ANN variant
+  * (random-hyperplane LSH) prunes candidates with an equi-join on a bucket
+  * key so per-query work is bucket-sized, not corpus-sized. Dot products are
+  * codegen'd higher-order functions (`zip_with` + `aggregate`) over the
+  * native array column — no UDF, no MLlib vector conversion in the hot path.
+  */
+object SimilarityQueries {
+  import QueryDef.{sql, rowsOnly}
+
+  /** Left-fold double dot product — same operation order as DuckDB's
+    * list_sum(list_transform(...)), so oracle-checked variants hash-match. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** L2 norm per vector (oracle-checked: deterministic sequential fold in
+    * both engines). */
+  val embNorm = sql(
+    "x10_emb_norm",
+    """SELECT vec_id,
+      |  ROUND(sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .withColumn("l2_norm", round(norm(col("embedding")), 6))
+      .select("vec_id", "l2_norm")
+      .orderBy("vec_id")
+  }
+
+  /** Cosine between consecutive ids — oracle-checked pairwise kernel. */
+  val embPairCosine = sql(
+    "x11_emb_pair_cosine",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |  6) AS cos
+      |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      |ORDER BY id_a""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a")
+  }
+
+  /** Brute-force cosine top-k: the exact baseline. Query set (vec_id < 10)
+    * broadcast against the corpus; per-query ranking via window. At cluster
+    * scale this is one corpus scan per query batch — the right exact plan. */
+  val simBruteTopk = rowsOnly("x12_sim_brute_topk") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("q_emb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "vec_id", "cos", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  /** ANN via random-hyperplane LSH: 8 deterministic ±1 hyperplanes → 8 sign
+    * bits → 256 buckets; candidates = corpus rows sharing the query's bucket;
+    * exact cosine + top-k within candidates only.
+    *
+    * Hyperplanes are derived from a fixed LCG (no RNG state), embedded as
+    * array literals — identical on every executor with zero coordination.
+    * The recall/cost trade is tuned by bits and by multi-probing; the plan
+    * (bucket equi-join instead of cross join) is what survives 100 TB.
+    */
+  val simLshTopk = rowsOnly("x13_sim_lsh_topk") { (s, d) =>
+    val dim = 64
+    val nBits = 8
+    def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
+    val planes: Seq[Seq[Double]] = (0 until nBits).map { j =>
+      var h = lcg(j.toLong + 1)
+      (0 until dim).map { _ => h = lcg(h); if (h > 0) 1.0 else -1.0 }
+    }
+    def bucket(e: Column): Column =
+      (0 until nBits).map { j =>
+        shiftleft(when(dot(e, typedLit(planes(j))) > 0, 1L).otherwise(0L), j)
+      }.reduce(_ bitwiseOR _)
+
+    val emb = Tables.embeddings(s, d).withColumn("bucket", bucket(col("embedding")))
+    // Multi-probe: each query also probes the nBits buckets one bit-flip away
+    // (standard LSH recall boost — widens candidates ~9× without touching the
+    // corpus side or adding a shuffle; queries stay the broadcast side).
+    val probes = (0 until nBits).map(j => col("bucket").bitwiseXOR(lit(1L << j))) :+ col("bucket")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(array(probes: _*)).as("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+    emb.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("q_emb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "vec_id", "cos", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  val all: Seq[QueryDef] = Seq(embNorm, embPairCosine, simBruteTopk, simLshTopk)
+}

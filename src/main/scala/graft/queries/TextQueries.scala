@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data-pipeline text operators over the `documents` table:
+  * exact/near dedup (hash, bag-of-words, MinHash+LSH banding, SimHash,
+  * n-gram Jaccard), token counting, quality scoring, language ID, and
+  * document fingerprinting.
+  *
+  * Scale stance (100 TB): every operator here is row-local expressions plus
+  * at most ONE shuffle (a groupBy on a derived key or an equi-join on an LSH
+  * bucket). No cross joins, no driver-side collection; candidate generation
+  * is always banded/bucketed so the pairwise work is proportional to true
+  * near-duplicate density, not n². All hot-path functions are Catalyst
+  * built-ins (codegen'd higher-order functions + xxhash64) — no UDFs.
+  */
+object TextQueries {
+  import QueryDef.{sql, rowsOnly}
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  private val tokens: Column = split(col("text"), " ")
+
+  /** Distinct 3-token shingle hashes — the unit set for Jaccard similarity. */
+  private val shingleHashes: Column = array_distinct(
+    transform(
+      sequence(lit(0), greatest(size(tokens) - 3, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(tokens, i + 1, lit(3))))))
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup: group identical payloads, keep lowest id. One hash shuffle
+    * on the full text (at scale: on xxhash64(text) instead — same plan shape).
+    */
+  val dedupExact = sql(
+    "x01_dedup_exact",
+    """SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+  }
+
+  /** Near-dedup by canonical bag-of-words key (sorted distinct tokens):
+    * catches token-reordered copies with a single groupBy shuffle.
+    */
+  val dedupBow = sql(
+    "x02_dedup_bow",
+    """SELECT array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS bow_key,
+      |  MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .withColumn("bow_key", array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+      .groupBy("bow_key")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy("keep_id")
+  }
+
+  /** MinHash + LSH near-dup pairs (shingle → 32-hash signature → 8 bands of 4
+    * → bucket self-join → exact Jaccard on candidates only).
+    *
+    * The signature/banding is pure row-local expressions; the only shuffles
+    * are the band-bucket equi-join (candidate generation ∝ collisions, not
+    * n²) and the two id-joins that fetch shingle sets for the exact check.
+    * This is the standard web-scale near-dedup plan (cf. Broder's MinHash).
+    */
+  val dedupMinhash = rowsOnly("x03_dedup_minhash") { (s, d) =>
+    val base = docs(s, d).select(col("doc_id"), shingleHashes.as("sh"))
+    val sig = transform(
+      sequence(lit(0), lit(31)),
+      j => array_min(transform(col("sh"), h => xxhash64(h, j))))
+    val bands = base
+      .withColumn("sig", sig)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), lit(7)),
+          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh")))).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+    val candidates = bands.as("l")
+      .join(bands.as("r"), Seq("band", "bh"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = candidates
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    withSets
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast("double") / size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs: 64-bit per-doc signature (sign of per-bit vote
+    * sums over token hashes), banded into 4×16-bit chunks; pairs agreeing on
+    * ≥1 chunk are checked by true Hamming distance (bit_count of xor).
+    * Signature construction is row-local (no shuffle); candidate join is one
+    * equi-join on the chunk value.
+    */
+  val dedupSimhash = rowsOnly("x04_dedup_simhash") { (s, d) =>
+    val tokHashes = transform(array_distinct(tokens), t => xxhash64(t))
+    val bitCols: Seq[Column] = (0 until 64).map { i =>
+      when(
+        aggregate(tokHashes, lit(0L),
+          (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0,
+        lit(1L)).otherwise(lit(0L))
+    }
+    val simhash = bitCols.zipWithIndex.map { case (b, i) => shiftleft(b, i) }.reduce(_ bitwiseOR _)
+    val base = docs(s, d).select(col("doc_id"), simhash.as("simhash"))
+    val chunks = base.select(col("doc_id"), col("simhash"), explode(
+      array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.chunk"), col("c.cv"))
+    chunks.as("l").join(chunks.as("r"), Seq("chunk", "cv"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** n-gram Jaccard near-dup: candidates share a min-shingle fingerprint
+    * (cheap 1-band LSH), then exact 3-gram Jaccard. */
+  val dedupNgram = rowsOnly("x05_dedup_ngram_jaccard") { (s, d) =>
+    val base = docs(s, d).select(col("doc_id"), shingleHashes.as("sh"))
+      .withColumn("fp", array_min(col("sh")))
+    val candidates = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("fp")).as("l")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("fp")).as("r"), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+    candidates
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast("double") / size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= 0.3)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------------- analysis
+
+  /** Token counting: whitespace tokens + a BPE-ish word/number/symbol regex
+    * count (rough LLM-token estimator). Row-local, fully codegen'd. */
+  val textTokens = sql(
+    "x06_text_tokens",
+    """SELECT doc_id,
+      |  CAST(length(text) AS INTEGER) AS n_chars_text,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpeish
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .withColumn("n_chars_text", length(col("text")))
+      .withColumn("n_ws_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("n_bpeish", regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")))
+      .select("doc_id", "n_chars_text", "n_ws_tokens", "n_bpeish")
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: alphabetic ratio, whitespace ratio, mean token length —
+    * the length/punctuation heuristics of C4/Gopher-style filters. */
+  val textQuality = sql(
+    "x07_text_quality",
+    """SELECT doc_id,
+      |  ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+      |        / length(text), 6) AS alpha_ratio,
+      |  ROUND(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+      |        / length(text), 6) AS space_ratio,
+      |  ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |        / len(string_split_regex(trim(text), '\s+')), 6) AS mean_tok_len
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val txt = col("text")
+    docs(s, d)
+      .withColumn("alpha_ratio",
+        round(length(regexp_replace(txt, "[^a-z]", "")).cast("double") / length(txt), 6))
+      .withColumn("space_ratio",
+        round((length(txt) - length(regexp_replace(txt, " ", ""))).cast("double") / length(txt), 6))
+      .withColumn("mean_tok_len",
+        round(length(regexp_replace(txt, " ", "")).cast("double")
+          / size(split(trim(txt), "\\s+")), 6))
+      .select("doc_id", "alpha_ratio", "space_ratio", "mean_tok_len")
+      .orderBy("doc_id")
+  }
+
+  /** Language ID by stopword-hit heuristic: score = |tokens ∩ stopwords(L)|
+    * per language, argmax via struct ordering; CJK-character ratio overrides
+    * to zh. Row-local; the stopword lists ride along as literals. */
+  val textLangid = rowsOnly("x08_text_langid") { (s, d) =>
+    val stop: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"),
+      "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "pour", "que", "dans"),
+      "es" -> Seq("el", "los", "de", "que", "y", "en", "un", "es", "por", "con"))
+    val toks = array_distinct(tokens)
+    val scored = array_max(array(stop.map { case (lang, words) =>
+      struct(size(array_intersect(toks, typedLit(words))).as("score"), lit(lang).as("lang"))
+    }: _*))
+    val cjkRatio = (length(col("text")) -
+      length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))).cast("double") /
+      greatest(length(col("text")), lit(1))
+    docs(s, d)
+      .withColumn("best", scored)
+      .withColumn("pred_lang",
+        when(cjkRatio > 0.3, "zh")
+          .when(col("best.score") > 0, col("best.lang"))
+          .otherwise("und"))
+      .select(col("doc_id"), col("pred_lang"), col("best.score").as("stopword_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: whole-text xxhash64 plus min/max shingle hashes
+    * (a 3-value winnowing-style sketch) — the keys an incremental-ingest
+    * dedup would store. */
+  val textFingerprint = rowsOnly("x09_text_fingerprint") { (s, d) =>
+    docs(s, d)
+      .withColumn("fp_exact", xxhash64(col("text")))
+      .withColumn("sh", shingleHashes)
+      .withColumn("fp_min_shingle", array_min(col("sh")))
+      .withColumn("fp_max_shingle", array_max(col("sh")))
+      .select("doc_id", "fp_exact", "fp_min_shingle", "fp_max_shingle")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
+    textTokens, textQuality, textLangid, textFingerprint)
+}
