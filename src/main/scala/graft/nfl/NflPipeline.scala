@@ -1,0 +1,56 @@
+package graft.nfl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** End-to-end orchestration of the reference pipeline (DL → MB), with the
+  * explicit intermediate-reuse points the reference gets for free from R's
+  * eager evaluation (SURVEY.md §4): `main_df` feeds ~10 branches and the
+  * bounds/metric tables feed 3+ each, so they are persisted once instead of
+  * recomputed per action.
+  *
+  * Everything is lazily declared; nothing executes until a caller takes an
+  * action on one of the exposed tables.
+  */
+final class NflPipeline(
+    tracking: DataFrame,
+    pff: DataFrame,
+    plays: DataFrame,
+    players: DataFrame,
+    storage: StorageLevel = StorageLevel.MEMORY_AND_DISK) {
+
+  /** DL: cleaned tracking-grain fact. */
+  lazy val mainDf: DataFrame =
+    NflIngest.buildMainDf(tracking, pff, plays, players).persist(storage)
+
+  /** MB:22-30 play bounds (tiny per-play tables, reused by 3+ branches). */
+  lazy val playStart: DataFrame = PlayBounds.playStart(mainDf).persist(storage)
+  lazy val playEnd: DataFrame = PlayBounds.playEnd(mainDf).persist(storage)
+
+  /** MB:34-58 QB set points. */
+  lazy val setPoints: DataFrame = QbSetPoint.setPoints(mainDf, playStart, playEnd)
+
+  /** MB:63-91 frame-grain rusher table (also the MO:37 plot feed). */
+  lazy val rusherFrames: DataFrame =
+    PressureZone.rusherFrames(mainDf, setPoints, playStart, playEnd)
+
+  /** MB:93-108 per-rusher-play metric. */
+  lazy val metric: DataFrame = PressureZone.metric(rusherFrames)
+
+  /** MB:134-145 final rusher table (blocker counts, OL gate, play-action). */
+  lazy val rushersFinal: DataFrame =
+    Blockers.finalizeRushers(metric, mainDf, pff).persist(storage)
+
+  /** MB:113-118 blocker dimension. */
+  lazy val passBlockers: DataFrame = Blockers.passBlockers(mainDf)
+
+  /** MB:148-149 blockers with their rushers' metric attached. */
+  lazy val blockersWithMetric: DataFrame =
+    Blockers.attachMetric(passBlockers, rushersFinal)
+
+  /** WIP:73-77 time-to-throw. */
+  lazy val timeToThrow: DataFrame = TimeToThrow.compute(mainDf)
+
+  def unpersistAll(): Unit =
+    Seq(mainDf, playStart, playEnd, rushersFinal).foreach(_.unpersist(false))
+}

@@ -72,15 +72,18 @@ object CoreQueries {
       .orderBy("c_custkey")
   }
 
-  // Q05 — D6: anti join (DL:47 exclude_plays removal).
+  // Q05 — D6: anti join (DL:47 exclude_plays removal). The excluded set is
+  // restricted (status 'P') so the result is non-empty at every sf — an
+  // all-rows-removed anti join would be a vacuous check.
   val q05 = sql(
     "q05_anti_join",
     """SELECT c_custkey, c_name FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
     antiJoin(
       Tables.customer(s, d).withColumnRenamed("c_custkey", "o_custkey"),
-      Tables.orders(s, d), Seq("o_custkey"))
+      Tables.orders(s, d).filter(col("o_orderstatus") === "P"), Seq("o_custkey"))
       .withColumnRenamed("o_custkey", "c_custkey")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.Suite
+
+/** Shared local SparkSession for all suites (one JVM-wide session — Spark's
+  * getOrCreate makes cross-suite reuse safe and keeps the test run fast). */
+trait SparkTestBase extends BeforeAndAfterAll { self: Suite =>
+
+  lazy val spark: SparkSession = SparkTestBase.session
+
+  implicit def sqlContextForImplicits: org.apache.spark.sql.SQLContext = spark.sqlContext
+}
+
+object SparkTestBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
