@@ -1,0 +1,143 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression, RandomForestRegressor}
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Expected-%PZ/s models (`Final_Scripts/Model Construction.R`): caret's
+  * lm / rf / xgbTree / xgbLinear stack re-expressed as Spark MLlib pipelines
+  * (SURVEY.md §2.1 K1-K10).
+  *
+  * Mapping notes:
+  *  - `preProcess="scale"` → StandardScaler after VectorAssembler (K5).
+  *  - `repeatedcv 10×3` → CrossValidator(numFolds = 10) repeated over three
+  *    seeds; MLlib has no native repeatedcv (K1).
+  *  - `lmStepAIC` → plain LinearRegression: the reference formula already is
+  *    the two-feature model stepAIC would select from (K2).
+  *  - `xgbTree` → GBTRegressor; `xgbLinear` → ridge LinearRegression (K4).
+  *  - Scoring + residual: `xPZs = predict; dPZs = actual − xPZs` (K7).
+  *
+  * Scale: training data is play-grain (≪ tracking); MLlib's distributed
+  * regressors handle it without collecting to the driver. Scoring is a
+  * `transform` — one map-side pass, no shuffle.
+  */
+object PzModel {
+
+  val labelCol = "Percent_to_Pressure_Zone_per_s"
+  val defaultFeatures: Seq[String] = Seq("Blockers_All", "is_play_action")
+
+  /** VectorAssembler → StandardScaler → estimator (MC:19-24's shared shape). */
+  def pipeline(estimatorName: String, features: Seq[String] = defaultFeatures,
+      seed: Long = 99L): Pipeline = {
+    val assembler = new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("rawFeatures")
+    val scaler = new StandardScaler()
+      .setInputCol("rawFeatures").setOutputCol("features")
+      .setWithMean(false).setWithStd(true)
+    val est = estimatorName match {
+      case "linear" =>
+        new LinearRegression().setLabelCol(labelCol).setFeaturesCol("features")
+      case "rf" =>
+        new RandomForestRegressor().setLabelCol(labelCol).setFeaturesCol("features")
+          .setNumTrees(100).setSeed(seed)
+      case "gbt" =>
+        new GBTRegressor().setLabelCol(labelCol).setFeaturesCol("features")
+          .setMaxIter(50).setSeed(seed)
+      case "ridge" => // xgbLinear's closest MLlib native: L2-regularized lm
+        new LinearRegression().setLabelCol(labelCol).setFeaturesCol("features")
+          .setRegParam(0.1).setElasticNetParam(0.0)
+      case other => throw new IllegalArgumentException(s"unknown estimator: $other")
+    }
+    new Pipeline().setStages(Array(assembler, scaler, est))
+  }
+
+  /** K-fold CV RMSE for one pipeline (MC:16's trainControl); `repeats` seeds
+    * emulate caret's repeatedcv (K1). Returns mean RMSE across repeats. */
+  def cvRmse(df: DataFrame, estimatorName: String, numFolds: Int = 10,
+      repeats: Int = 3, seed: Long = 99L): Double = {
+    val evaluator = new RegressionEvaluator()
+      .setLabelCol(labelCol).setPredictionCol("prediction").setMetricName("rmse")
+    val rmses = (0 until repeats).map { r =>
+      val cv = new CrossValidator()
+        .setEstimator(pipeline(estimatorName, seed = seed + r))
+        .setEvaluator(evaluator)
+        .setEstimatorParamMaps(new ParamGridBuilder().build())
+        .setNumFolds(numFolds)
+        .setSeed(seed + r)
+      cv.fit(df).avgMetrics.head
+    }
+    rmses.sum / rmses.size
+  }
+
+  /** MC:27-30 `resamples` comparison: one row per model with its CV RMSE. */
+  def compareModels(df: DataFrame, models: Seq[String] = Seq("linear", "rf", "gbt", "ridge"),
+      numFolds: Int = 10, repeats: Int = 1, seed: Long = 99L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    models.map(m => (m, cvRmse(df, m, numFolds, repeats, seed)))
+      .toDF("model", "cv_rmse")
+  }
+
+  /** MC:33-35: fit, score, and attach the residual — `xPZs` is the model's
+    * expectation, `dPZs = actual − expected` is the player's value-add. */
+  def scoreResiduals(df: DataFrame, estimatorName: String = "rf",
+      seed: Long = 99L): (PipelineModel, DataFrame) = {
+    val model = pipeline(estimatorName, seed = seed).fit(df)
+    val scored = model.transform(df)
+      .withColumnRenamed("prediction", "xPZs")
+      .withColumn("dPZs", col(labelCol) - col("xPZs"))
+      .drop("rawFeatures", "features")
+    (model, scored)
+  }
+
+  /** WIP:255-262 80/20 split with a pinned seed (K8). */
+  def trainTestSplit(df: DataFrame, seed: Long = 5675L): (DataFrame, DataFrame) = {
+    val Array(train, test) = df.randomSplit(Array(0.8, 0.2), seed)
+    (train, test)
+  }
+
+  /** WIP:241-274 recursive feature elimination over subset sizes (K9):
+    * evaluates each leading subset of `features` (ranked by RF importance)
+    * by CV RMSE and returns (subsetSize, features, rmse) rows. */
+  def rfe(df: DataFrame, features: Seq[String], numFolds: Int = 5,
+      seed: Long = 99L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val full = pipeline("rf", features, seed).fit(df)
+    val importances = full.stages.last
+      .asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressionModel]
+      .featureImportances.toArray
+    val ranked = features.zip(importances).sortBy(-_._2).map(_._1)
+    (1 to ranked.size).map { k =>
+      val subset = ranked.take(k)
+      val evaluator = new RegressionEvaluator()
+        .setLabelCol(labelCol).setPredictionCol("prediction").setMetricName("rmse")
+      val cv = new CrossValidator()
+        .setEstimator(pipeline("rf", subset, seed))
+        .setEvaluator(evaluator)
+        .setEstimatorParamMaps(new ParamGridBuilder().build())
+        .setNumFolds(numFolds).setSeed(seed)
+      (k, subset.mkString(","), cv.fit(df).avgMetrics.head)
+    }.toDF("n_features", "features", "cv_rmse")
+  }
+
+  /** MC:36-41: attach display names and play context, then propagate dPZs to
+    * blockers (the by.x/by.y join of MC:39-40). */
+  def attachContext(scored: DataFrame, players: DataFrame, plays: DataFrame): DataFrame =
+    scored
+      .join(players.select("nflId", "displayName"), Seq("nflId"))
+      .join(plays.select("gameId", "playId", "down", "yardsToGo").distinct(),
+        Seq("gameId", "playId"))
+
+  def blockersWithResidual(blockers: DataFrame, rushersScored: DataFrame,
+      players: DataFrame): DataFrame =
+    blockers
+      .join(rushersScored.select(
+        col("playId"), col("gameId"), col("nflId").as("pff_nflIdBlockedPlayer"), col("dPZs")),
+        Seq("playId", "gameId", "pff_nflIdBlockedPlayer"))
+      .join(players.select("nflId", "displayName"), Seq("nflId"))
+}
