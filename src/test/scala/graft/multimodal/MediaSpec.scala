@@ -1,0 +1,48 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** The Spark-side multimodal plumbing is real even though the codec is a
+  * stub: schema, batch shape, determinism, and column pruning are all
+  * asserted here. */
+class MediaSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private lazy val media = Media.syntheticMedia(spark, 30).cache()
+
+  test("feature extraction emits fixed-width vectors per payload") {
+    val f = Media.extractFeatures(media, dim = 16)
+    f.count() shouldBe 30
+    val row = f.orderBy("media_id").collect()(0)
+    row.getSeq[Float](3).length shouldBe 16
+    row.getAs[Int]("n_bytes") shouldBe 64
+  }
+
+  test("extraction is deterministic (stable across retries)") {
+    val a = Media.extractFeatures(media).orderBy("media_id").collect()
+    val b = Media.extractFeatures(media).orderBy("media_id").collect()
+    a.map(_.getLong(2)).toSeq shouldBe b.map(_.getLong(2)).toSeq
+    a.map(_.getSeq[Float](3).toList).toSeq shouldBe b.map(_.getSeq[Float](3).toList).toSeq
+  }
+
+  test("video frame sampling explodes k offsets per video") {
+    val frames = Media.sampleVideoFrames(media, framesPerVideo = 4)
+    val perVideo = frames.groupBy("media_id").count().collect()
+    all(perVideo.map(_.getLong(1))) shouldBe 4L
+    // uniform stride: first sample of a 1000 ms video sits at 125 ms
+    Media.DecodeStub.sampleFrames(1000L, 4).toSeq shouldBe Seq(125L, 375L, 625L, 875L)
+  }
+
+  test("metadata stats never touch the payload column (pruning)") {
+    val stats = Media.mediaStats(media)
+    stats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("image" -> 10L, "audio" -> 10L, "video" -> 10L)
+    // the pruning Project extracts only meta fields, never `content`
+    val projectLine = stats.queryExecution.optimizedPlan.toString
+      .linesIterator.find(_.trim.startsWith("+- Project")).get
+    projectLine should include("meta#")
+    projectLine should not include "content#"
+  }
+}

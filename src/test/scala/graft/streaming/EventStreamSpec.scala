@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** MemoryStream micro-batch tests for the streaming twins (SURVEY.md §2.1 L):
+  * same results as the batch operators on the same rows. */
+class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowed aggregation with watermark (streaming x15 twin)") {
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF.toDF("event_id", "ts", "event_type", "value")
+    val q = EventStream.timeBucket(events)
+      .writeStream.format("memory").queryName("tb").outputMode("update").start()
+    try {
+      input.addData(
+        (1L, ts(5), "click", 1.0), (2L, ts(10), "click", 2.0), (3L, ts(20), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("tb")
+        .select(col("event_type"), col("n"), col("sum_value")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      rows shouldBe Set(("click", 2L, 3.0), ("view", 1L, 5.0))
+    } finally q.stop()
+  }
+
+  test("watermarked dedup drops replayed event ids (idempotent ingest)") {
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF.toDF("event_id", "ts", "event_type", "value")
+    val q = EventStream.dedupe(events)
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      input.addData((1L, ts(5), "click", 1.0), (2L, ts(6), "view", 2.0))
+      q.processAllAvailable()
+      input.addData((1L, ts(5), "click", 1.0), (3L, ts(7), "click", 3.0)) // replay of 1
+      q.processAllAvailable()
+      spark.table("dd").select("event_id").collect().map(_.getLong(0)).sorted shouldBe
+        Seq(1L, 2L, 3L)
+    } finally q.stop()
+  }
+
+  test("stateful gap sessionization across micro-batches (streaming x16 twin)") {
+    import spark.implicits._
+    val input = MemoryStream[EventStream.SessionInput]
+    val q = EventStream.sessionize(input.toDS(), gapSeconds = 600) // 10 min gap
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // batch 1: user 1 events at 10:00, 10:05 (one session)
+      input.addData(
+        EventStream.SessionInput(1L, 1L, ts(0)),
+        EventStream.SessionInput(2L, 1L, ts(5)))
+      q.processAllAvailable()
+      // batch 2: 10:08 continues session 1; 10:30 starts session 2 (>10 min
+      // after 10:08); user 2 starts their own session 1.
+      input.addData(
+        EventStream.SessionInput(3L, 1L, ts(8)),
+        EventStream.SessionInput(4L, 1L, ts(30)),
+        EventStream.SessionInput(5L, 2L, ts(9)))
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      rows shouldBe Set(
+        (1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L), (4L, 1L, 2L), (5L, 2L, 1L))
+    } finally q.stop()
+  }
+}
