@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{MinHashSignature, ShingleHashes, SimHash64}
+
+/** SparkSessionExtensions registering the engine's native expressions, so
+  * they are callable from SQL and `expr(...)` alike:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions    (or builder.withExtensions)
+  *
+  *   graft_shingles(text, n)  → ARRAY<BIGINT> distinct n-gram shingle hashes
+  *   graft_minhash(hashes, k) → ARRAY<BIGINT> MinHash signature
+  *   graft_simhash(hashes)    → BIGINT 64-bit SimHash
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, n) => ShingleHashes(text, intLit(n, "shingle width"))
+        case _ => throw new IllegalArgumentException("graft_shingles(text, n)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(hashes, k) => MinHashSignature(hashes, intLit(k, "signature length"))
+        case _ => throw new IllegalArgumentException("graft_minhash(hashes, k)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(hashes) => SimHash64(hashes)
+        case _ => throw new IllegalArgumentException("graft_simhash(hashes)")
+      }))
+  }
+}

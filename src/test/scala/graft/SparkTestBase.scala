@@ -16,6 +16,7 @@ trait SparkTestBase extends BeforeAndAfterAll { self: Suite =>
 object SparkTestBase {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
