@@ -27,6 +27,11 @@ object NflIngest {
   def readPlayers(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").schema(NflSchemas.players).csv(path)
 
+  /** The external nflfastR play-by-play feed (EPA:3) is distributed as
+    * parquet — A3's curated-feed scan. */
+  def readPbp(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(NflSchemas.pbp).parquet(path)
+
   /** The dropback types removed at DL:31-35. The `'NA'` entry is the literal
     * string — real NULLs are also dropped here (SQL 3VL; the reference's
     * base-R `!=` chain drops NA rows too, as each comparison yields NA which

@@ -20,14 +20,15 @@ object Rankings {
       .agg(median(col(metricCol)).as(s"median_$metricCol"), count(lit(1)).as("n"))
       .orderBy(flag)
 
-  /** MO:17-21: per-player rusher rankings on the model residual, ≥50 rushes,
-    * best (most positive median dPZs) first. */
-  def rusherRankings(rushersScored: DataFrame): DataFrame =
+  /** MO:17-21: per-player rusher rankings on the model residual, ≥50 rushes
+    * (the reference threshold; parameterized for small inputs), best (most
+    * positive median dPZs) first. */
+  def rusherRankings(rushersScored: DataFrame, minAttempts: Long = 50L): DataFrame =
     rushersScored
       .groupBy("displayName", "team")
       .agg(sum("dPZs").as("sum_dPZs"), count(lit(1)).as("rush_attempts"),
         median(col("dPZs")).as("median_dPZs"))
-      .filter(col("rush_attempts") >= 50)
+      .filter(col("rush_attempts") >= minAttempts)
       .withColumn("sum_dPZs", round(col("sum_dPZs"), 3))
       .withColumn("median_dPZs", round(col("median_dPZs"), 3))
       .orderBy(desc("median_dPZs"), col("displayName"))
@@ -40,13 +41,14 @@ object Rankings {
         median(col("dPZs")).as("median_dPZs"))
       .orderBy(desc("sum_dPZs"), col("team"))
 
-  /** MO:27-30: per-blocker rankings, >50 snaps, worst (lowest median) first. */
-  def blockerRankings(blockersScored: DataFrame): DataFrame =
+  /** MO:27-30: per-blocker rankings, >50 snaps (reference threshold,
+    * parameterized), worst (lowest median) first. */
+  def blockerRankings(blockersScored: DataFrame, minSnapsExclusive: Long = 50L): DataFrame =
     blockersScored
       .groupBy("displayName", "team", "pff_positionLinedUp")
       .agg(sum("dPZs").as("sum_dPZs"), count(lit(1)).as("snaps"),
         median(col("dPZs")).as("median_dPZs"))
-      .filter(col("snaps") > 50)
+      .filter(col("snaps") > minSnapsExclusive)
       .withColumn("sum_dPZs", round(col("sum_dPZs"), 3))
       .withColumn("median_dPZs", round(col("median_dPZs"), 3))
       .orderBy(col("median_dPZs"), col("displayName"))
@@ -58,6 +60,14 @@ object Rankings {
       .agg(sum("dPZs").as("sum_dPZs"), count(lit(1)).as("snaps"),
         median(col("dPZs")).as("median_dPZs"))
       .orderBy(col("sum_dPZs"), col("team"))
+
+  /** MB:153-156: histogram plot-input table — fixed-width binning of a
+    * metric column; the client draws, the engine aggregates (K13). */
+  def histogram(df: DataFrame, valueCol: String, binWidth: Double): DataFrame =
+    df.groupBy(floor(col(valueCol) / binWidth).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_start", col("bucket") * binWidth)
+      .orderBy("bucket")
 
   /** MO:37-38: the animated-plot feed — one play's rusher frames, first 157
     * rows in frame order (the reference's `[1:157,]` slice made

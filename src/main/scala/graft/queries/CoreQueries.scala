@@ -409,7 +409,20 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  // Q25 — K13: histogram plot-input table (MB:154's hist(breaks) emitted as
+  // the binned aggregate a plotting client consumes; the engine never draws).
+  val q25 = sql(
+    "q25_histogram",
+    """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
+    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
 }

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Output sinks (SURVEY.md §2.1 A4). The reference only prints/plots; a real
+  * engine needs durable, re-readable outputs — parquet, optionally
+  * partitioned, with file counts controlled so 1000 executors don't emit
+  * 1000 tiny files per partition value.
+  */
+object Sinks {
+
+  /** Plain parquet snapshot (the Verify dump uses this shape). */
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Hive-style partitioned parquet. `filesPerPartition` repartitions by the
+    * partition columns first so each directory gets a bounded file count —
+    * the difference between a queryable lake layout and a small-file mess at
+    * 100 TB. */
+  def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String],
+      filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cols = partitionCols.map(col)
+    df.repartition(
+        math.max(filesPerPartition, 1) *
+          math.max(df.sparkSession.sparkContext.defaultParallelism / 4, 1),
+        cols: _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** Single-file CSV export for small result tables (rankings, summaries) —
+    * coalesce(1) is only safe because ranking outputs are aggregate-sized. */
+  def smallCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+}

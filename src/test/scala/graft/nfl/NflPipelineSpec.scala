@@ -165,6 +165,60 @@ class NflPipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
     bySack(0)._2 shouldBe 4L
   }
 
+  test("full MC->MO chain: model, residuals, rankings on fixtures") {
+    import graft.ml.PzModel
+    val plays = NflIngest.readPlays(spark, s"$dir/plays.csv")
+    val players = NflIngest.readPlayers(spark, s"$dir/players.csv")
+    val (_, scored) = PzModel.scoreResiduals(pipeline.rushersFinal, "linear", seed = 99L)
+    val withCtx = PzModel.attachContext(scored, players, plays)
+    withCtx.count() shouldBe 5
+    withCtx.columns should contain allOf ("displayName", "down", "yardsToGo", "dPZs")
+
+    // thresholds relaxed to fixture scale (reference defaults are 50)
+    // (displayName, team) grain: Rush One appears for DEF1 and DEF2 → 2 rows,
+    // Rush Two for DEF1 → 1 row
+    val rushers = Rankings.rusherRankings(withCtx, minAttempts = 1L)
+    rushers.count() shouldBe 3
+    val teams = Rankings.teamRushRankings(withCtx)
+      .collect().map(_.getAs[String]("team")).toSet
+    teams shouldBe Set("DEF1", "DEF2")
+
+    val blockers = PzModel.blockersWithResidual(
+      pipeline.blockersWithMetric, withCtx, players)
+    val blockerRank = Rankings.blockerRankings(blockers, minSnapsExclusive = 0L)
+    blockerRank.collect().map(_.getAs[String]("displayName")).toSet shouldBe
+      Set("Block Left", "Block Right")
+  }
+
+  test("histogram plot feed bins the metric (MB:153-156, K13)") {
+    val h = Rankings.histogram(pipeline.rushersFinal,
+      "Percent_to_Pressure_Zone_per_s", 0.5)
+    val buckets = h.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // PZs values: 2×(1/1.1≈0.909 → bucket 1), 3×(0.41666 → bucket 0)
+    buckets shouldBe Map(0L -> 3L, 1L -> 2L)
+  }
+
+  test("partitioned parquet sink round-trips (A4)") {
+    import graft.sources.Sinks
+    val out = Files.createTempDirectory("sink-test").toString + "/rushers"
+    Sinks.partitionedParquet(pipeline.rushersFinal, out, Seq("gameId"))
+    val back = spark.read.parquet(out)
+    back.count() shouldBe 5
+    back.select("gameId").distinct().count() shouldBe 2
+    new java.io.File(out).listFiles().map(_.getName).count(_.startsWith("gameId=")) shouldBe 2
+  }
+
+  test("typed Dataset views expose the stage boundaries (SURVEY §1.3)") {
+    import graft.nfl.model._
+    val sp = pipeline.setPointsDs.collect()
+    sp.map(_.frameId).toSet shouldBe Set(12)
+    val m = pipeline.metricDs.collect()
+    m.length shouldBe 6
+    all(m.map(_.Percent_to_Pressure_Zone)) should (be >= 0.0 and be <= 1.0)
+    val t = pipeline.timeToThrowDs.collect()
+    t.map(_.seconds_to_throw).foreach(_ shouldBe 1.5 +- eps)
+  }
+
   test("EPA comparison joins on the cast string game id (EPA:3-15)") {
     import org.apache.spark.sql.functions.col
     val pbpRows = Seq(
