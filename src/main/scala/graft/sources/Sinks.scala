@@ -34,4 +34,16 @@ object Sinks {
     * coalesce(1) is only safe because ranking outputs are aggregate-sized. */
   def smallCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Bucketed managed table: co-locates future joins/aggregations on
+    * `bucketCols` — two tables bucketed the same way join with ZERO
+    * exchanges. This is the storage-layout half of the 100 TB shuffle
+    * budget: pay the clustering once at write time, reuse it every query. */
+  def bucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }
