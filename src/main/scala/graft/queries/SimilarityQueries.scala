@@ -123,5 +123,50 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
-  val all: Seq[QueryDef] = Seq(embNorm, embPairCosine, simBruteTopk, simLshTopk)
+  /** ANN via IVF (inverted-file index): KMeans partitions the corpus into
+    * `nCells` cells once (the index build — a real job, like any index);
+    * each query probes its `nProbe` nearest centroids and ranks exact
+    * cosine only within those cells.
+    *
+    * Scale shape: corpus→cell assignment is one map pass; the probe join is
+    * an equi-join on the cell id with the query side broadcast, so per-query
+    * work is (nProbe / nCells) of the corpus. Centroids ride along as plan
+    * literals — no coordination at scoring time.
+    */
+  val simIvfTopk = rowsOnly("x17_sim_ivf_topk") { (s, d) =>
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nCells = 16
+    val nProbe = 4
+    val emb = Tables.embeddings(s, d)
+    val vecs = emb.select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5).fit(vecs)
+    val corpus = model.transform(vecs)
+      .select(col("vec_id"), col("prediction").as("cell"))
+      .join(emb, Seq("vec_id"))
+
+    // nProbe nearest centroids per query, via literal centroid arrays:
+    // (squared L2 distance, cell) structs → sort_array → slice → explode.
+    val centroids: Seq[Seq[Double]] = model.clusterCenters.toSeq.map(_.toArray.toSeq)
+    def sqDist(e: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(e, typedLit(c), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val probeCells = explode(slice(
+      sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(sqDist(col("embedding"), c).as("d"), lit(i).as("cell"))
+      }: _*)), 1, nProbe)("cell")).as("cell")
+
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), probeCells)
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+    corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("q_emb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "vec_id", "cos", "rank")
+      .orderBy("q_id", "rank")
+  }
+
+  val all: Seq[QueryDef] = Seq(embNorm, embPairCosine, simBruteTopk, simLshTopk, simIvfTopk)
 }
