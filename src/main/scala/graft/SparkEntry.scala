@@ -2,14 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, EventsQueries, QueryDef, SimilarityQueries, TextQueries}
+import graft.queries.{CoreQueries, EventsQueries, MediaQueries, QueryDef, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** All registered engine queries (core oracle set + extensions). */
   def defs: Seq[QueryDef] =
-    CoreQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++ EventsQueries.all
+    CoreQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++ EventsQueries.all ++
+      MediaQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
