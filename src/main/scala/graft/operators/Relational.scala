@@ -31,4 +31,26 @@ object Relational {
   /** Keep rows of `a` whose key does NOT appear in `b` (dplyr `anti_join`). */
   def antiJoin(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
     a.join(b.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Inner equi-join with key salting for heavy hitters: the skewed (big)
+    * side gets a deterministic salt in [0, factor); the small side is
+    * replicated across all salts; the join key becomes (keys, salt), so one
+    * hot key spreads over `factor` shuffle partitions.
+    *
+    * Result-equivalent to `big.join(small, keys)` (inner). Use when AQE's
+    * skew-join splitting isn't available (e.g., the skewed side feeds an
+    * aggregation that pins the partitioning) — otherwise prefer AQE.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      factor: Int): DataFrame = {
+    require(factor >= 1, "salt factor must be >= 1")
+    import org.apache.spark.sql.functions.{explode, lit, pmod, sequence, spark_partition_id,
+      monotonically_increasing_id, xxhash64}
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id(), spark_partition_id()), lit(factor))
+        .cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -83,6 +83,22 @@ class RelationalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     })
   }
 
+  test("property: salted join ≡ plain inner join on skewed keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c, sum => ssum}
+    // 90% of big-side rows hit one hot key
+    val gen = Gen.listOfN(60, Gen.frequency(9 -> Gen.const(1L), 1 -> Gen.chooseNum(2L, 5L)))
+    check(Prop.forAll(gen) { (ks: List[Long]) =>
+      val big = ks.zipWithIndex.toDF("k", "idx")
+      val small = (1L to 5L).map(k => (k, k * 10)).toDF("k", "dim")
+      val plain = big.join(small, Seq("k"))
+      val salted = saltedJoin(big, small, Seq("k"), factor = 4)
+      salted.count() == plain.count() &&
+        salted.agg(ssum(c("idx") + c("dim"))).collect()(0).getLong(0) ==
+          plain.agg(ssum(c("idx") + c("dim"))).collect()(0).getLong(0)
+    }, cases = 5)
+  }
+
   test("property: lag of a constant column is constant after the first row (F1)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
