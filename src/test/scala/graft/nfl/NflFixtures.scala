@@ -22,6 +22,9 @@ import java.nio.charset.StandardCharsets
   *   - play 104: DESIGNED_RUN → dropBackType filter.
   *   - play 105: foulNFLId1 set → penalty filter.
   *   - play 106: dropBackType literal string "NA" → filter.
+  *   - play 107: dropBackType truly NULL (empty CSV field) → dropped under
+  *     SQL 3VL; base-R keeps it only as an unjoinable all-NA row, so the
+  *     net result matches (SURVEY.md §1.4 delta note).
   *   - play 2699: dropped by the as-written outlier filter (any game).
   *   - play 201 (game 1002): TRADITIONAL completion, rusher 20 on the slow
   *     curve (no pressure); rusher 22 blocked ONLY by TE 32 → OL gate drops
@@ -95,6 +98,7 @@ object NflFixtures {
     stubPlayRows(1001, 104, "OFF1") ++
     stubPlayRows(1001, 105, "OFF1") ++
     stubPlayRows(1001, 106, "OFF1") ++
+    stubPlayRows(1001, 107, "OFF1") ++
     stubPlayRows(1001, 2699, "OFF1"))).mkString("\n") + "\n"
 
   def trackingWeek2: String = (trackingHeader +: (
@@ -112,6 +116,7 @@ object NflFixtures {
       |1001,104,DESIGNED_RUN,C,3,,1,10,fixture play 104
       |1001,105,TRADITIONAL,C,9,999,1,10,fixture play 105
       |1001,106,NA,C,2,,2,5,fixture play 106
+      |1001,107,,C,6,,1,10,fixture play 107 null dropback
       |1001,2699,TRADITIONAL,C,4,,1,10,fixture outlier
       |1002,201,TRADITIONAL,C,5,,1,10,fixture play 201
       |""".stripMargin
@@ -140,7 +145,7 @@ object NflFixtures {
       block(1001, 102, 32, "TE", 21, "PP"),
       qb(1001, 103),
       rush(1001, 103, 20, "RE", 0, 0, 0),
-      qb(1001, 104), qb(1001, 105), qb(1001, 106), qb(1001, 2699),
+      qb(1001, 104), qb(1001, 105), qb(1001, 106), qb(1001, 107), qb(1001, 2699),
       qb(1002, 201),
       rush(1002, 201, 20, "RE", 0, 0, 0),
       rush(1002, 201, 22, "DRT", 0, 0, 0),
