@@ -18,6 +18,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** File-source ingest: tail a directory of event parquet files as an
+    * unbounded stream (the batch twin is `Tables.events`). Explicit schema —
+    * streaming sources cannot infer. `maxFilesPerTrigger` bounds micro-batch
+    * size so a backlog of files doesn't produce one giant batch. */
+  def readEvents(spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
   /** Hourly tumbling-window counts/sums per event type with late-data
     * tolerance — the streaming form of x15_ev_time_bucket. Watermark bounds
     * the state store; partial aggregation still happens map-side. */

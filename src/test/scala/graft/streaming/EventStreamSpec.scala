@@ -48,6 +48,28 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-source end-to-end: readStream dir -> window agg -> memory sink") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ev-stream").toString
+    // first file lands before the stream starts, second while it runs
+    Seq((1L, ts(5), 7L, "click", 1.0, "{}"), (2L, ts(10), 7L, "click", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/batch1")
+    val q = EventStream.timeBucket(EventStream.readEvents(spark, s"$dir/batch*"))
+      .writeStream.format("memory").queryName("fileagg").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      Seq((3L, ts(20), 8L, "view", 5.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/batch2")
+      q.processAllAvailable()
+      val rows = spark.table("fileagg")
+        .select(col("event_type"), col("n"), col("sum_value")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      rows shouldBe Set(("click", 2L, 3.0), ("view", 1L, 5.0))
+    } finally q.stop()
+  }
+
   test("stateful gap sessionization across micro-batches (streaming x16 twin)") {
     import spark.implicits._
     val input = MemoryStream[EventStream.SessionInput]
