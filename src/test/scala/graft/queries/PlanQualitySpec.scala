@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** Plan-quality regression guards: the physical-plan properties PLANS.md
+  * documents must keep holding — a correctness-preserving change that
+  * silently drops a pushdown or broadcast would pass every value test and
+  * still be a scale bug. */
+class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: QueryDef): String =
+    q.run(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: filter pushed to the parquet scan, schema pruned") {
+    val plan = planOf(CoreQueries.q01)
+    plan should include("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]")
+    plan should include("ReadSchema")
+    plan should not include "l_shipdate" // untouched column must not be read
+  }
+
+  test("q03: both dimension joins are broadcast (fact never shuffles for dims)") {
+    val plan = planOf(CoreQueries.q03)
+    "BroadcastHashJoin".r.findAllIn(plan).size shouldBe 2
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q16: top-k avoids a global sort (TakeOrderedAndProject)") {
+    planOf(CoreQueries.q16) should include("TakeOrderedAndProject")
+  }
+
+  test("q13: the lag window costs exactly one exchange before the output sort") {
+    val plan = planOf(CoreQueries.q13)
+    // one shuffle for the window partition + the final rangepartitioning sort
+    "Exchange".r.findAllIn(plan).size should be <= 2
+    plan should include("Window")
+  }
+
+  test("q08: aggregation is partial-final (map-side combine before shuffle)") {
+    val plan = planOf(CoreQueries.q08)
+    "HashAggregate".r.findAllIn(plan).size should be >= 2
+  }
+
+  test("x12: corpus side is broadcast-nested-loop; per-partition top-k prunes early") {
+    val plan = planOf(SimilarityQueries.simBruteTopk)
+    plan should include("BroadcastNestedLoopJoin")
+    plan should include("WindowGroupLimit")
+  }
+}
