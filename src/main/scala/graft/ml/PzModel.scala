@@ -55,32 +55,55 @@ object PzModel {
     new Pipeline().setStages(Array(assembler, scaler, est))
   }
 
-  /** K-fold CV RMSE for one pipeline (MC:16's trainControl); `repeats` seeds
-    * emulate caret's repeatedcv (K1). Returns mean RMSE across repeats. */
-  def cvRmse(df: DataFrame, estimatorName: String, numFolds: Int = 10,
-      repeats: Int = 3, seed: Long = 99L): Double = {
+  /** caret `resamples` analog (MC:27-30, K1/K6): per-(model, repeat, fold)
+    * RMSE rows — the bwplot/dotplot feed that compares DISTRIBUTIONS of
+    * fold errors, not just means. Fold assignment is seeded per repeat and
+    * SHARED across models (caret's resamples contract: every model is
+    * evaluated on the same resample set, so fold-level differences are
+    * paired). `repeats` seeds emulate caret's repeatedcv.
+    *
+    * Scale: each fold's train/test split is a filter on a precomputed fold
+    * column (no reshuffle per fold); the fold-assigned frame is cached for
+    * the duration of one repeat and released after. */
+  def resamples(df: DataFrame, models: Seq[String] = Seq("linear", "rf", "gbt", "ridge"),
+      numFolds: Int = 10, repeats: Int = 3, seed: Long = 99L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val evaluator = new RegressionEvaluator()
       .setLabelCol(labelCol).setPredictionCol("prediction").setMetricName("rmse")
-    val rmses = (0 until repeats).map { r =>
-      val cv = new CrossValidator()
-        .setEstimator(pipeline(estimatorName, seed = seed + r))
-        .setEvaluator(evaluator)
-        .setEstimatorParamMaps(new ParamGridBuilder().build())
-        .setNumFolds(numFolds)
-        .setSeed(seed + r)
-      cv.fit(df).avgMetrics.head
+    val rows = (0 until repeats).flatMap { r =>
+      val folded = df.withColumn("__fold",
+        floor(rand(seed + r) * numFolds).cast("int")).persist()
+      try {
+        (0 until numFolds).flatMap { k =>
+          val train = folded.filter(col("__fold") =!= k).drop("__fold")
+          val test = folded.filter(col("__fold") === k).drop("__fold")
+          models.map { m =>
+            val fitted = pipeline(m, seed = seed + r).fit(train)
+            (m, r, k, evaluator.evaluate(fitted.transform(test)))
+          }
+        }
+      } finally { folded.unpersist(); () }
     }
+    rows.toDF("model", "repeat", "fold", "rmse")
+  }
+
+  /** K-fold CV RMSE for one pipeline (MC:16's trainControl): the mean of the
+    * `resamples` fold RMSEs (same fold machinery, so `compareModels` rows
+    * average exactly to this) across `repeats` seeds (K1). */
+  def cvRmse(df: DataFrame, estimatorName: String, numFolds: Int = 10,
+      repeats: Int = 3, seed: Long = 99L): Double = {
+    val rmses = resamples(df, Seq(estimatorName), numFolds, repeats, seed)
+      .select("rmse").collect().map(_.getDouble(0))
     rmses.sum / rmses.size
   }
 
-  /** MC:27-30 `resamples` comparison: one row per model with its CV RMSE. */
+  /** MC:27-30 `resamples` comparison feed: one row per model × repeat ×
+    * fold with its RMSE (see `resamples`); `groupBy("model").avg("rmse")`
+    * reproduces the one-row-per-model mean table. */
   def compareModels(df: DataFrame, models: Seq[String] = Seq("linear", "rf", "gbt", "ridge"),
-      numFolds: Int = 10, repeats: Int = 1, seed: Long = 99L): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    models.map(m => (m, cvRmse(df, m, numFolds, repeats, seed)))
-      .toDF("model", "cv_rmse")
-  }
+      numFolds: Int = 10, repeats: Int = 1, seed: Long = 99L): DataFrame =
+    resamples(df, models, numFolds, repeats, seed)
 
   /** MC:33-35: fit, score, and attach the residual — `xPZs` is the model's
     * expectation, `dPZs = actual − expected` is the player's value-add. */

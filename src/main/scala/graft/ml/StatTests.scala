@@ -43,29 +43,77 @@ object StatTests {
       .toDF("group_a", "group_b", "t", "df", "p_raw", "p_adj")
   }
 
-  /** Kruskal-Wallis H (kruskalmc's omnibus stat, WIP:296): mid-ranks via a
-    * global value ordering — `rank()` gives the min rank of a tie group and
-    * a per-value count converts it to the average rank; H from per-group
-    * rank sums with the standard tie correction. The only wide operation is
-    * the rank window (one shuffle on the value column). Returns (H, df, p). */
+  /** Scale-safe mid-ranks over a (value, count) table: range-partition the
+    * DISTINCT values, prefix-sum the per-range-partition totals on the driver
+    * (one tiny row per partition), then a PARTITIONED window adds the
+    * partition-local running count — no unpartitioned window anywhere, so
+    * the wide work is over |distinct values| spread across all executors,
+    * never a single-task global sort (the classic distributed ranking plan).
+    *
+    * `f` receives a (valueCol, countCol, rk) DataFrame where `rk` is the
+    * mid-rank (average of the tie block's ranks) of each distinct value; the
+    * range-partitioned input is cached for the duration of `f` and released
+    * afterwards (the loan pattern keeps the cache from outliving the call). */
+  def withValueRanks[T](valueCounts: DataFrame, valueCol: String, countCol: String)
+      (f: DataFrame => T): T = {
+    val spark = valueCounts.sparkSession
+    import spark.implicits._
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val ranged = valueCounts.repartitionByRange(parts, col(valueCol))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    try {
+      val partTotals = ranged.groupBy("pid").agg(sum(countCol).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val offsets = partTotals.toSeq.map { case (pid, c) =>
+        val row = (pid, acc); acc += c; row
+      }
+      val offsetDf = offsets.toDF("pid", "rank_offset")
+      val w = Window.partitionBy("pid").orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranks = ranged.join(broadcast(offsetDf), Seq("pid"))
+        .withColumn("cum_before", coalesce(sum(countCol).over(w), lit(0L)))
+        .withColumn("rk",
+          col("rank_offset") + col("cum_before") + 1.0 + (col(countCol) - 1) / 2.0)
+        .select(col(valueCol), col(countCol), col("rk"))
+      f(ranks)
+    } finally { ranged.unpersist(); () }
+  }
+
+  /** Kruskal-Wallis H (kruskalmc's omnibus stat, WIP:296). The only
+    * full-data shuffle is ONE groupBy on (group, value); everything after
+    * operates on the distinct-value table: mid-ranks come from
+    * `withValueRanks` (range partition + partitioned prefix-sum window — no
+    * unpartitioned window, no global sort of the raw rows), and per-group
+    * rank sums weight each distinct value's mid-rank by its (group, value)
+    * count. H from rank sums with the standard tie correction.
+    * Returns (H, df, p). */
   def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String): (Double, Long, Double) = {
-    val ranked = df
-      .withColumn("rk_min", rank().over(Window.orderBy(valueCol)))
-      .withColumn("tie_n", count(lit(1)).over(Window.partitionBy(valueCol)))
-      .withColumn("rk", col("rk_min") + (col("tie_n") - 1) / 2.0)
-    val n = df.count().toDouble
-    val groups = ranked.groupBy(groupCol)
-      .agg(count(lit(1)).as("n_i"), sum("rk").as("r_i"))
-      .collect().map(r => (r.getLong(1).toDouble, r.getDouble(2)))
-    val ties = ranked.groupBy(valueCol).count()
-      .agg(sum(pow(col("count"), 3) - col("count"))).collect()(0).getDouble(0)
-    val hRaw = 12.0 / (n * (n + 1)) * groups.map { case (ni, ri) => ri * ri / ni }.sum -
-      3.0 * (n + 1)
-    val correction = 1.0 - ties / (n * n * n - n)
-    val h = hRaw / correction
-    val dfH = groups.length - 1L
-    val p = 1.0 - breeze.stats.distributions.ChiSquared(dfH.toDouble)(
-      breeze.stats.distributions.Rand).cdf(h)
-    (h, dfH, p)
+    val gv = df.groupBy(groupCol, valueCol).agg(count(lit(1)).as("n_gv")).persist()
+    try {
+      val dv = gv.groupBy(valueCol).agg(sum("n_gv").as("tie_n"))
+      withValueRanks(dv, valueCol, "tie_n") { ranks =>
+        val rk = ranks.withColumnRenamed(valueCol, "__rank_value")
+        val totals = rk.agg(
+          sum("tie_n").cast("double").as("n"),
+          sum(pow(col("tie_n"), 3) - col("tie_n")).cast("double").as("ties"))
+          .collect()(0)
+        val n = totals.getDouble(0)
+        val ties = totals.getDouble(1)
+        val groups = gv.join(rk, gv(valueCol) <=> rk("__rank_value"))
+          .groupBy(groupCol)
+          .agg(sum("n_gv").as("n_i"), sum(col("n_gv") * col("rk")).as("r_i"))
+          .collect().map(r => (r.getLong(1).toDouble, r.getDouble(2)))
+        val hRaw = 12.0 / (n * (n + 1)) * groups.map { case (ni, ri) => ri * ri / ni }.sum -
+          3.0 * (n + 1)
+        val correction = 1.0 - ties / (n * n * n - n)
+        val h = hRaw / correction
+        val dfH = groups.length - 1L
+        val p = 1.0 - breeze.stats.distributions.ChiSquared(dfH.toDouble)(
+          breeze.stats.distributions.Rand).cdf(h)
+        (h, dfH, p)
+      }
+    } finally { gv.unpersist(); () }
   }
 }

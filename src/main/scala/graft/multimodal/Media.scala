@@ -87,13 +87,21 @@ object Media {
   }
 
   /** Frame sampling for video rows: explodes k deterministic frame offsets
-    * per payload — plumbing for a frame-level training table. */
+    * per payload — plumbing for a frame-level training table.
+    *
+    * The offsets are pure integer arithmetic (`durationMs*(2i+1)/(2n)`,
+    * same formula as `DecodeStub.sampleFrames`), so they're built from
+    * codegen'd Catalyst expressions (`transform(sequence(...))` + `div`) —
+    * no UDF, no serialization boundary in the hot path. Rows with null or
+    * non-positive duration produce no frames (matching the stub). */
   def sampleVideoFrames(media: DataFrame, framesPerVideo: Int = 4): DataFrame = {
-    val sampleUdf = udf((durationMs: Long) =>
-      DecodeStub.sampleFrames(durationMs, framesPerVideo))
+    require(framesPerVideo >= 1, s"framesPerVideo must be >= 1, got $framesPerVideo")
     media
-      .filter(col("meta.media_type") === "video")
-      .withColumn("frame_ms", explode(sampleUdf(col("meta.duration_ms"))))
+      .filter(col("meta.media_type") === "video" &&
+        col("meta.duration_ms").isNotNull && col("meta.duration_ms") > 0)
+      .withColumn("frame_ms", explode(expr(
+        s"transform(sequence(0L, ${framesPerVideo - 1}L), " +
+          s"i -> meta.duration_ms * (2L * i + 1L) div ${2L * framesPerVideo}L)")))
       .select("media_id", "frame_ms")
   }
 

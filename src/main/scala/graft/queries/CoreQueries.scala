@@ -344,13 +344,17 @@ object CoreQueries {
       .orderBy("user_id")
   }
 
-  // Q21 — E10: five-number-ish summary (summary() at MB:153).
+  // Q21 — E10: full five-number summary (summary() at MB:153): min/Q1/mean/
+  // median-adjacent quartiles/max. Exact interpolated percentiles (Spark
+  // `percentile` ≡ DuckDB `quantile_cont`, both R type-7).
   val q21 = sql(
     "q21_summary_stats",
     """SELECT COUNT(*) AS n,
       |  ROUND(AVG(o_totalprice), 6) AS avg_price,
       |  ROUND(STDDEV_SAMP(o_totalprice), 6) AS sd_price,
       |  ROUND(MIN(o_totalprice), 6) AS min_price,
+      |  ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY o_totalprice), 6) AS q1_price,
+      |  ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY o_totalprice), 6) AS q3_price,
       |  ROUND(MAX(o_totalprice), 6) AS max_price
       |FROM orders""".stripMargin) { (s, d) =>
     Tables.orders(s, d).agg(
@@ -358,6 +362,8 @@ object CoreQueries {
       round(avg("o_totalprice"), 6).as("avg_price"),
       round(stddev_samp("o_totalprice"), 6).as("sd_price"),
       round(min("o_totalprice"), 6).as("min_price"),
+      round(percentile(col("o_totalprice"), lit(0.25)), 6).as("q1_price"),
+      round(percentile(col("o_totalprice"), lit(0.75)), 6).as("q3_price"),
       round(max("o_totalprice"), 6).as("max_price"))
   }
 

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.multimodal.Media
 
 /** Multimodal plumbing exposed as driver-checkable queries. The payloads are
@@ -7,20 +9,77 @@ import graft.multimodal.Media
   * Media.DecodeStub documents the swap point), so these validate the
   * Spark-side schema/batch/pruning machinery, not codecs. `dir` is unused:
   * the media table is generated, not read from the sf directory.
+  *
+  * Both queries carry full DuckDB oracles: DecodeStub is pure 64-bit FNV-1a
+  * arithmetic over deterministically generated payload bytes, replicated in
+  * SQL with HUGEINT mod-2^64 recursion (x18) / integer division (x19).
   */
 object MediaQueries {
-  import QueryDef.rowsOnly
+  import QueryDef.sql
 
-  /** Batched per-partition feature extraction over binary payloads. */
-  val mediaFeatures = rowsOnly("x18_media_features") { (s, _) =>
-    Media.extractFeatures(Media.syntheticMedia(s, 300), dim = 16)
+  private val N = 300
+
+  /** Batched per-partition feature extraction over binary payloads.
+    *
+    * Output is driver-hashable scalars only: the raw ARRAY<FLOAT> feature
+    * vector is digested to `feat_sum` (sum of the per-dim values rounded to
+    * 6 dp — the oracle-portable float contract), alongside the byte count
+    * and the FNV-1a content hash. The oracle recomputes byte `j` of payload
+    * `i` as `(i*31 + j*7) % 251` (see Media.syntheticMedia) and folds the
+    * same FNV chain in HUGEINT arithmetic. */
+  val mediaFeatures = sql(
+    "x18_media_features",
+    s"""WITH RECURSIVE
+      |ch(id, j, len, h) AS (
+      |  SELECT i::BIGINT, 0::BIGINT, (64 + i % 32)::BIGINT, 14695981039346656037::HUGEINT
+      |  FROM range($N) t(i)
+      |  UNION ALL
+      |  SELECT id, j+1, len,
+      |    (xor(h, ((id*31 + j*7) % 251)::HUGEINT) * 1099511628211::HUGEINT)
+      |      % 18446744073709551616::HUGEINT
+      |  FROM ch WHERE j < len
+      |),
+      |chash AS (SELECT id, len, h FROM ch WHERE j = len),
+      |fh(id, len, k, h, fsum) AS (
+      |  SELECT i::BIGINT, (64 + i % 32)::BIGINT, 0::BIGINT,
+      |    14695981039346656037::HUGEINT, 0.0::DOUBLE
+      |  FROM range($N) t(i)
+      |  UNION ALL
+      |  SELECT id, len, k+1,
+      |    (xor(h, (((id*31 + ((k % len)*7)) % 251) + k)::HUGEINT) * 1099511628211::HUGEINT)
+      |      % 18446744073709551616::HUGEINT,
+      |    fsum + ROUND(CAST(CAST(
+      |      (((xor(h, (((id*31 + ((k % len)*7)) % 251) + k)::HUGEINT) * 1099511628211::HUGEINT)
+      |        % 18446744073709551616::HUGEINT) // 2048::HUGEINT) AS DOUBLE)
+      |      / 9007199254740992.0 AS FLOAT)::DOUBLE, 6)
+      |  FROM fh WHERE k < 16
+      |),
+      |feats AS (SELECT id, fsum FROM fh WHERE k = 16)
+      |SELECT c.id AS media_id, c.len::INTEGER AS n_bytes,
+      |  CASE WHEN c.h >= 9223372036854775808::HUGEINT
+      |       THEN (c.h - 18446744073709551616::HUGEINT)::BIGINT ELSE c.h::BIGINT END
+      |    AS content_hash,
+      |  ROUND(f.fsum, 6) AS feat_sum
+      |FROM chash c JOIN feats f USING (id) ORDER BY media_id""".stripMargin) { (s, _) =>
+    Media.extractFeatures(Media.syntheticMedia(s, N), dim = 16)
+      .select(
+        col("media_id"), col("n_bytes"), col("content_hash"),
+        round(aggregate(col("features"), lit(0.0),
+          (acc, x) => acc + round(x.cast("double"), 6)), 6).as("feat_sum"))
       .orderBy("media_id")
   }
 
-  /** Metadata-only aggregate (scan must prune the payload column) plus the
-    * exploded video-frame sampling feed. */
-  val mediaFrames = rowsOnly("x19_media_frames") { (s, _) =>
-    Media.sampleVideoFrames(Media.syntheticMedia(s, 300), framesPerVideo = 4)
+  /** Exploded video-frame sampling feed. Frame offsets are pure integer
+    * arithmetic, so the oracle regenerates them directly: video rows are
+    * `i % 3 = 2` with duration `1000*(i%10+1)` ms (Media.syntheticMedia). */
+  val mediaFrames = sql(
+    "x19_media_frames",
+    s"""SELECT i::BIGINT AS media_id,
+      |  ((1000*(i%10+1))::BIGINT * (2*k+1)) // 8 AS frame_ms
+      |FROM range($N) t(i), range(4) u(k)
+      |WHERE i % 3 = 2
+      |ORDER BY media_id, frame_ms""".stripMargin) { (s, _) =>
+    Media.sampleVideoFrames(Media.syntheticMedia(s, N), framesPerVideo = 4)
       .orderBy("media_id", "frame_ms")
   }
 

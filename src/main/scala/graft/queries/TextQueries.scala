@@ -74,13 +74,17 @@ object TextQueries {
     // mitigation for web-scale near-dedup.
     val reps = docs(s, d)
       .groupBy("text").agg(min("doc_id").as("doc_id"))
-    // Materialize the per-doc shingle sets ONCE. Without the persist
+    // Materialize the per-doc shingle sets ONCE. Without the lineage
     // boundary, Catalyst's projection collapse inlines the shingle-array
     // expression into each of the 32 signature lambdas → a 32× recompute of
     // the shingling per row (measured 93 s → ~3 s at sf0.1). At cluster
     // scale this materialization is the signature table you'd write to
     // storage between the sketch and pairwise stages anyway.
-    val base = reps.select(col("doc_id"), shingleHashes.as("sh")).persist()
+    // localCheckpoint (not persist): blocks are released by the
+    // ContextCleaner when the query's DataFrames go out of scope, so
+    // repeated runs in one session don't accumulate cached tables.
+    val base = reps.select(col("doc_id"), shingleHashes.as("sh"))
+      .localCheckpoint(eager = false)
     val sig = expr("graft_minhash(sh, 32)")
     val bands = base
       .withColumn("sig", sig)
@@ -88,7 +92,8 @@ object TextQueries {
         transform(sequence(lit(0), lit(7)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh")))).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bh"))
-      .persist() // both sides of the self-join read this; don't re-sketch
+      // both sides of the self-join read this; don't re-sketch (GC-scoped)
+      .localCheckpoint(eager = false)
     val candidates = bands.as("l")
       .join(bands.as("r"), Seq("band", "bh"))
       .filter(col("l.doc_id") < col("r.doc_id"))
@@ -114,12 +119,12 @@ object TextQueries {
     */
   val dedupSimhash = rowsOnly("x04_dedup_simhash") { (s, d) =>
     // Native expressions: distinct token hashes (1-gram shingles) → one-pass
-    // 64-bit vote loop. Persisted because both sides of the chunk self-join
-    // read the signature table.
+    // 64-bit vote loop. Materialized (GC-scoped localCheckpoint) because
+    // both sides of the chunk self-join read the signature table.
     val base = docs(s, d)
       .select(col("doc_id"),
         expr("graft_simhash(graft_shingles(text, 1))").as("simhash"))
-      .persist()
+      .localCheckpoint(eager = false)
     val chunks = base.select(col("doc_id"), col("simhash"), explode(
       array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
@@ -139,7 +144,8 @@ object TextQueries {
   val dedupNgram = rowsOnly("x05_dedup_ngram_jaccard") { (s, d) =>
     val base = docs(s, d).select(col("doc_id"), shingleHashes.as("sh"))
       .withColumn("fp", array_min(col("sh")))
-      .persist() // shingle sets reused by both join sides + the exact check
+      // shingle sets reused by both join sides + the exact check (GC-scoped)
+      .localCheckpoint(eager = false)
     val candidates = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("fp")).as("l")
       .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("fp")).as("r"), Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
@@ -236,16 +242,43 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** Document fingerprinting: whole-text xxhash64 plus min/max shingle hashes
-    * (a 3-value winnowing-style sketch) — the keys an incremental-ingest
-    * dedup would store. */
-  val textFingerprint = rowsOnly("x09_text_fingerprint") { (s, d) =>
+  /** Document fingerprinting: whole-text digest plus min/max hashed 3-token
+    * shingles (a 3-value winnowing-style sketch) — the keys an
+    * incremental-ingest dedup would store.
+    *
+    * Uses md5 (codegen'd built-in, portable to the DuckDB oracle) so the row
+    * is hash-checked end-to-end; at cluster scale you'd swap in xxhash64 /
+    * graft_shingles (same plan shape, cheaper hash — that path is exercised
+    * by x03/x04/x05). Everything is row-local: no shuffle at all before the
+    * oracle-mandated output sort. */
+  val textFingerprint = sql(
+    "x09_text_fingerprint",
+    """WITH t AS (SELECT doc_id, md5(text) AS fp_md5, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id, fp_md5,
+      |    list_transform(range(1, len(toks) - 1),
+      |      i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t)
+      |SELECT doc_id, fp_md5,
+      |  list_aggregate(sh, 'min') AS fp_min_shingle,
+      |  list_aggregate(sh, 'max') AS fp_max_shingle
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // `toks` must be an ALIASED column, not a reused Column val: a val
+    // splices the split() subtree into every element_at of the lambda,
+    // re-tokenizing the doc per shingle position (O(tokens²) — measured
+    // 0.3 s → 8 s at sf0.1). An alias is split once per row.
+    val t = col("toks")
     docs(s, d)
-      .withColumn("fp_exact", xxhash64(col("text")))
-      .withColumn("sh", shingleHashes)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", when(size(t) >= 3,
+        transform(sequence(lit(1), size(t) - 2), i =>
+          md5(concat_ws(" ",
+            element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("fp_md5", md5(col("text")))
       .withColumn("fp_min_shingle", array_min(col("sh")))
       .withColumn("fp_max_shingle", array_max(col("sh")))
-      .select("doc_id", "fp_exact", "fp_min_shingle", "fp_max_shingle")
+      .select("doc_id", "fp_md5", "fp_min_shingle", "fp_max_shingle")
       .orderBy("doc_id")
   }
 

@@ -60,30 +60,50 @@ object EventStream {
     * new session. Custom keyed state via flatMapGroupsWithState — the Spark
     * primitive for reference-less stateful operators (SURVEY.md §7.1).
     *
+    * State is BOUNDED: an event-time timeout fires once the watermark
+    * (`lateness` behind max event time) passes `gapSeconds` after a user's
+    * last event — at that point no on-time event can extend the session, so
+    * the per-user state is removed and executors hold O(users active within
+    * the gap horizon), not O(all users ever seen). A user reappearing after
+    * expiry restarts the per-user session counter at 1 (the batch twin,
+    * which sees all history, would keep counting — stable cross-run ids at
+    * scale would key sessions by start timestamp instead).
+    *
     * Within one micro-batch the group iterator is NOT time-ordered, so
     * events are sorted per key before state is applied (correct as long as a
     * user's events arrive in-batch or in order across batches; a production
     * variant would buffer a watermark's worth of events in state).
     */
-  def sessionize(events: Dataset[SessionInput], gapSeconds: Long = 1800):
-      Dataset[SessionAssignment] = {
+  def sessionize(events: Dataset[SessionInput], gapSeconds: Long = 1800,
+      lateness: String = "10 minutes"): Dataset[SessionAssignment] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionAssignment](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
-          val out = sorted.map { e =>
-            val tsMicros = e.ts.getTime * 1000L
-            val newSession = st.sessionId == 0L ||
-              tsMicros - st.lastTsMicros > gapSeconds * 1000000L
-            st = SessionState(if (newSession) st.sessionId + 1 else st.sessionId, tsMicros)
-            SessionAssignment(e.event_id, user, st.sessionId)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+            val out = sorted.map { e =>
+              val tsMicros = e.ts.getTime * 1000L
+              val newSession = st.sessionId == 0L ||
+                tsMicros - st.lastTsMicros > gapSeconds * 1000000L
+              st = SessionState(if (newSession) st.sessionId + 1 else st.sessionId, tsMicros)
+              SessionAssignment(e.event_id, user, st.sessionId)
+            }
+            state.update(st)
+            // Expire once no on-time event can continue this session. The
+            // timeout must sit strictly past the current watermark, so late
+            // stragglers inside the allowed lateness can't set one in the past.
+            val gapEndMs = st.lastTsMicros / 1000L + gapSeconds * 1000L
+            state.setTimeoutTimestamp(math.max(gapEndMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 }

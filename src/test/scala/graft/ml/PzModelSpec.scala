@@ -52,12 +52,20 @@ class PzModelSpec extends AnyFunSuite with Matchers with SparkTestBase {
     train2.select("id").except(train.select("id")).count() shouldBe 0
   }
 
-  test("model comparison table covers the caret stack (MC:27-30, K6)") {
+  test("model comparison emits the per-fold resamples feed (MC:27-30, K6)") {
     val cmp = PzModel.compareModels(training, Seq("linear", "ridge"),
       numFolds = 3, repeats = 1).collect()
+    // one row per model × fold (× repeat): caret's bwplot/dotplot input
+    cmp.length shouldBe 6
     cmp.map(_.getString(0)).toSet shouldBe Set("linear", "ridge")
-    all(cmp.map(_.getDouble(1))) should be >= 0.0
-    all(cmp.map(_.getDouble(1))) should be < 0.1 // near-deterministic label
+    cmp.map(r => (r.getString(0), r.getInt(1), r.getInt(2))).distinct.length shouldBe 6
+    all(cmp.map(_.getDouble(3))) should be >= 0.0
+    all(cmp.map(_.getDouble(3))) should be < 0.1 // near-deterministic label
+    // folds are shared across models (paired resamples, caret contract):
+    // and the per-model mean reproduces cvRmse exactly (same machinery)
+    val linFolds = cmp.filter(_.getString(0) == "linear").map(_.getDouble(3))
+    val linMean = linFolds.sum / linFolds.length
+    linMean shouldBe PzModel.cvRmse(training, "linear", numFolds = 3, repeats = 1) +- 1e-12
   }
 
   test("RFE ranks and scores feature subsets (WIP:241-274, K9)") {
@@ -90,5 +98,16 @@ class PzModelSpec extends AnyFunSuite with Matchers with SparkTestBase {
     h shouldBe 7.2 +- 1e-9
     dof shouldBe 2L
     p shouldBe 0.027323722447292566 +- 1e-9
+  }
+
+  test("Kruskal-Wallis handles ties via mid-ranks (tie-corrected H)") {
+    import spark.implicits._
+    // R: kruskal.test(list(c(1,1,2), c(2,3,3))) → H = 3.3333..., p ≈ 0.06789
+    val df = Seq(("a", 1.0), ("a", 1.0), ("a", 2.0),
+      ("b", 2.0), ("b", 3.0), ("b", 3.0)).toDF("g", "v")
+    val (h, dof, p) = StatTests.kruskalWallis(df, "g", "v")
+    h shouldBe 3.3333333333333 +- 1e-9
+    dof shouldBe 1L
+    p shouldBe 0.06788915486182917 +- 1e-6
   }
 }

@@ -33,6 +33,12 @@ class MediaSpec extends AnyFunSuite with Matchers with SparkTestBase {
     all(perVideo.map(_.getLong(1))) shouldBe 4L
     // uniform stride: first sample of a 1000 ms video sits at 125 ms
     Media.DecodeStub.sampleFrames(1000L, 4).toSeq shouldBe Seq(125L, 375L, 625L, 875L)
+    // the Catalyst expression path reproduces the stub's arithmetic exactly
+    // (media_id 2 is a video with duration 3000 ms)
+    import org.apache.spark.sql.functions.col
+    frames.filter(col("media_id") === 2).orderBy("frame_ms")
+      .collect().map(_.getLong(1)).toSeq shouldBe
+      Media.DecodeStub.sampleFrames(3000L, 4).toSeq
   }
 
   test("metadata stats never touch the payload column (pruning)") {

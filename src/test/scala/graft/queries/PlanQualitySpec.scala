@@ -50,4 +50,27 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("BroadcastNestedLoopJoin")
     plan should include("WindowGroupLimit")
   }
+
+  test("x19: frame sampling is pure Catalyst — no UDF / serialization boundary") {
+    val plan = planOf(MediaQueries.mediaFrames)
+    plan should not include "BatchEvalPython"
+    plan should not include "UDF"
+  }
+
+  test("KW mid-ranks: no unpartitioned window (single-task rank is a driver-killer)") {
+    import spark.implicits._
+    val counts = Seq((1.0, 3L), (2.0, 2L), (5.0, 1L)).toDF("v", "c")
+    graft.ml.StatTests.withValueRanks(counts, "v", "c") { ranks =>
+      val plan = ranks.queryExecution.executedPlan.toString
+      plan should include("Window") // the prefix-sum window exists...
+      // ...but every windowspecdefinition is partitioned by the range
+      // partition id (first argument `pid#`), never global.
+      "windowspecdefinition\\(([a-zA-Z_]+)#".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSet shouldBe Set("pid")
+      // and the mid-ranks are right: 3×1.0 → ranks 1..3 → 2.0;
+      // 2×2.0 → ranks 4,5 → 4.5; 1×5.0 → rank 6.
+      val got = ranks.orderBy("v").collect().map(r => (r.getDouble(0), r.getDouble(2)))
+      got.toSeq shouldBe Seq((1.0, 2.0), (2.0, 4.5), (5.0, 6.0))
+    }
+  }
 }

@@ -94,4 +94,33 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
         (1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L), (4L, 1L, 2L), (5L, 2L, 1L))
     } finally q.stop()
   }
+
+  test("session state expires once the watermark passes the gap horizon") {
+    import spark.implicits._
+    def at(hour: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
+    val input = MemoryStream[EventStream.SessionInput]
+    val q = EventStream.sessionize(input.toDS(), gapSeconds = 600, lateness = "1 minute")
+      .writeStream.format("memory").queryName("sessExp").outputMode("append").start()
+    try {
+      // b1: user 1 @10:00 → session 1; timeout armed for 10:10.
+      input.addData(EventStream.SessionInput(1L, 1L, at(10, 0)))
+      q.processAllAvailable()
+      // b2: user 2 @11:00 → advances the watermark to 10:59 (> 10:10).
+      input.addData(EventStream.SessionInput(2L, 2L, at(11, 0)))
+      q.processAllAvailable()
+      // b3: another user-2 event; user 1 has no data, its timeout fires →
+      // state removed (bounded-state guarantee).
+      input.addData(EventStream.SessionInput(3L, 2L, at(11, 5)))
+      q.processAllAvailable()
+      // b4: user 1 reappears @11:30 — fresh state, counter restarts at 1
+      // (would be 2 had the state survived).
+      input.addData(EventStream.SessionInput(4L, 1L, at(11, 30)))
+      q.processAllAvailable()
+      val rows = spark.table("sessExp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      rows shouldBe Set(
+        (1L, 1L, 1L), (2L, 2L, 1L), (3L, 2L, 1L), (4L, 1L, 1L))
+    } finally q.stop()
+  }
 }
