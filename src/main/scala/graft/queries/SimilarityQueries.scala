@@ -105,23 +105,67 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Deterministic ±1 hyperplanes from a fixed LCG (no RNG state) — embedded
+    * as plan/SQL literals, identical on every executor with zero
+    * coordination. `seedOffset` decorrelates independent plane sets. */
+  private def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
+  private[queries] def signPlanes(nBits: Int, dim: Int = 64, seedOffset: Long = 1L): Seq[Seq[Double]] =
+    (0 until nBits).map { j =>
+      var h = lcg(j.toLong + seedOffset)
+      (0 until dim).map { _ => h = lcg(h); if (h > 0) 1.0 else -1.0 }
+    }
+
+  /** DuckDB SQL fragment: the literal planes as a list-of-lists. */
+  private def planesSqlLiteral(planes: Seq[Seq[Double]]): String =
+    planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
   /** ANN via random-hyperplane LSH: 8 deterministic ±1 hyperplanes → 8 sign
     * bits → 256 buckets; candidates = corpus rows sharing the query's bucket;
     * exact cosine + top-k within candidates only.
     *
-    * Hyperplanes are derived from a fixed LCG (no RNG state), embedded as
-    * array literals — identical on every executor with zero coordination.
     * The recall/cost trade is tuned by bits and by multi-probing; the plan
     * (bucket equi-join instead of cross join) is what survives 100 TB.
+    *
+    * Oracle-checked: the whole pipeline (sign buckets from the literal
+    * planes, 1-bit-flip multi-probe, exact cosine, rounded ranking) is
+    * deterministic arithmetic, replicated in DuckDB SQL below.
     */
-  val simLshTopk = rowsOnly("x13_sim_lsh_topk") { (s, d) =>
-    val dim = 64
-    val nBits = 8
-    def lcg(seed: Long): Long = seed * 6364136223846793005L + 1442695040888963407L
-    val planes: Seq[Seq[Double]] = (0 until nBits).map { j =>
-      var h = lcg(j.toLong + 1)
-      (0 until dim).map { _ => h = lcg(h); if (h > 0) 1.0 else -1.0 }
-    }
+  private val lshBits = 8
+  private val lshPlanes: Seq[Seq[Double]] = signPlanes(lshBits)
+
+  private val lshOracle: String = {
+    val flips = (0 until lshBits).map(j => s"xor(bucket, ${1L << j})").mkString(", ")
+    s"""WITH c AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(range(0, $lshBits), j ->
+      |      CASE WHEN list_sum(list_transform(range(1, 65), i ->
+      |        CAST(embedding[i] AS DOUBLE) * (${planesSqlLiteral(lshPlanes)})[j+1][i])) > 0
+      |      THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS bucket
+      |  FROM embeddings),
+      |probes AS (
+      |  SELECT vec_id AS q_id, embedding AS q_emb,
+      |    unnest([bucket, $flips]) AS bucket
+      |  FROM c WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT p.q_id, c.vec_id,
+      |    ROUND(
+      |      list_sum(list_transform(range(1, 65),
+      |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.q_emb[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(p.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |    6) AS cos
+      |  FROM c JOIN probes p USING (bucket) WHERE c.vec_id <> p.q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
+      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  val simLshTopk = sql("x13_sim_lsh_topk", lshOracle) { (s, d) =>
+    val nBits = lshBits
+    val planes = lshPlanes
     def bucket(e: Column): Column =
       (0 until nBits).map { j =>
         shiftleft(when(dot(e, typedLit(planes(j))) > 0, 1L).otherwise(0L), j)
@@ -207,5 +251,88 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
-  val all: Seq[QueryDef] = Seq(embNorm, embPairCosine, simBruteTopk, simLshTopk, simIvfTopk)
+  /** Exact embedding-cosine near-dup, incremental-ingest shape: the 50
+    * newest vectors (the "incoming batch") are checked against everything
+    * before them (and each other). The batch side is broadcast; the corpus
+    * is scanned once and never shuffled — the exact-dedup plan that scales
+    * with corpus × batch, not corpus². Full-corpus all-pairs is the LSH
+    * variant (x21). τ=0.30 suits the synthetic embeddings (no planted
+    * duplicates; max pairwise cosine ≈ 0.51). */
+  val dedupEmbedding = sql(
+    "x20_dedup_embedding",
+    """WITH m AS (SELECT max(vec_id) AS mx FROM embeddings),
+      |b AS (SELECT vec_id AS id_b, embedding AS eb FROM embeddings, m WHERE vec_id > mx - 50),
+      |p AS (SELECT a.vec_id AS id_a, id_b,
+      |  ROUND(
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |  6) AS cos
+      |  FROM embeddings a JOIN b ON a.vec_id < id_b)
+      |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.30 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    // Norms are per-ROW, so compute them before the pair join — one fold per
+    // vector instead of one per pair (same arithmetic, 3× fewer HOF folds;
+    // the oracle's inline form produces identical doubles).
+    val emb = Tables.embeddings(s, d).withColumn("nrm", norm(col("embedding")))
+    val batch = emb.crossJoin(broadcast(emb.agg(max("vec_id").as("mx"))))
+      .filter(col("vec_id") > col("mx") - 50)
+      .select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nrm_b"))
+    emb.join(broadcast(batch), col("vec_id") < col("id_b"))
+      .withColumn("cos",
+        round(dot(col("embedding"), col("eb")) / (col("nrm") * col("nrm_b")), 6))
+      .filter(col("cos") >= 0.30)
+      .select(col("vec_id").as("id_a"), col("id_b"), col("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Banded sign-LSH near-dup pairs over the WHOLE corpus — the scale path
+    * for embedding-cosine dedup (x20's exact plan is corpus×batch; all-pairs
+    * exact would be corpus²). `bands`×`bitsPerBand` hyperplane sign bits;
+    * candidate pairs agree on at least one full band (equi-join on the band
+    * value, work ∝ collision density); exact cosine verifies candidates, so
+    * precision is 1.0 and only recall is approximate (tune bands/bits:
+    * P(candidate) = 1-(1-p^bits)^bands, p = 1-θ/π). Recall is gated on
+    * planted duplicates in SimilaritySpec. */
+  def embeddingNearDupPairs(emb: DataFrame, tau: Double,
+      bands: Int = 4, bitsPerBand: Int = 8): DataFrame = {
+    val planes = signPlanes(bands * bitsPerBand, seedOffset = 101L)
+    def bandVal(b: Int): Column =
+      (0 until bitsPerBand).map { k =>
+        shiftleft(when(dot(col("embedding"), typedLit(planes(b * bitsPerBand + k))) > 0, 1L)
+          .otherwise(0L), k)
+      }.reduce(_ bitwiseOR _)
+    // id→band table: the only thing the self-join shuffles (ids + small ints,
+    // never the vectors); GC-scoped materialization, both join sides read it.
+    val banded = emb.select(col("vec_id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandVal(b).as("bv"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.band"), col("x.bv"))
+      .localCheckpoint(eager = false)
+    val cand = banded.as("l").join(banded.as("r"), Seq("band", "bv"))
+      .filter(col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"))
+      .distinct()
+    // fetch vectors (with precomputed per-row norms — one fold per vector,
+    // not per candidate pair) only for surviving candidates, verify exactly
+    val withNorm = emb.withColumn("nrm", norm(col("embedding")))
+    cand
+      .join(withNorm.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(withNorm.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cos", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= tau)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** x21: the banded-LSH near-dup pairs on the testdata corpus (rows-only —
+    * recall is probabilistic by design; the planted-duplicate gate lives in
+    * SimilaritySpec, and precision is exact by construction). */
+  val dedupEmbLsh = rowsOnly("x21_dedup_emb_lsh") { (s, d) =>
+    embeddingNearDupPairs(Tables.embeddings(s, d), tau = 0.30)
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(embNorm, embPairCosine, simBruteTopk, simLshTopk, simIvfTopk,
+    dedupEmbedding, dedupEmbLsh)
 }

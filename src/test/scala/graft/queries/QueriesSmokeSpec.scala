@@ -13,7 +13,8 @@ class QueriesSmokeSpec extends AnyFunSuite with Matchers with SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
 
   // Queries whose result can legitimately be small/empty at tiny scale.
-  private val mayBeEmpty = Set("x03_dedup_minhash", "x04_dedup_simhash", "x05_dedup_ngram_jaccard")
+  private val mayBeEmpty = Set("x03_dedup_minhash", "x04_dedup_simhash", "x05_dedup_ngram_jaccard",
+    "x21_dedup_emb_lsh") // LSH recall on sub-threshold "near"-dups can be 0 at tiny SF
 
   SparkEntry.defs.foreach { q =>
     test(s"${q.name} runs at sf0.001") {

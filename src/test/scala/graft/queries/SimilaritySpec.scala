@@ -61,6 +61,40 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     all(perQuery.values) should be <= 5
   }
 
+  test("x21 banded-LSH pair dedup: planted duplicates are recovered") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 100 seeded random unit-ish vectors + 20 perturbed copies (ids 100+i is
+    // a near-dup of id i, cosine ≈ 0.97-0.99); random-random pairs sit far
+    // below the 0.9 threshold, so the true-pair set is exactly the plants
+    // (verified from exact cosines below, not assumed).
+    val rnd = new scala.util.Random(7L)
+    val base = (0 until 100).map(i => i.toLong -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val dups = (0 until 20).map { i =>
+      val (_, v) = base(i)
+      (100L + i) -> v.map(x => x + 0.12f * rnd.nextGaussian().toFloat)
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val vecs = (base ++ dups).toMap
+    val truePairs = (for {
+      a <- vecs.keys; b <- vecs.keys if a < b
+      if cosLocal(vecs(a), vecs(b)) >= 0.9
+    } yield (a, b)).toSet
+    truePairs.size should be >= 15 // the plants really are near-dups
+    val found = SimilarityQueries.embeddingNearDupPairs(df, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet // (id_a, id_b)
+    // precision is 1.0 by construction (exact verify); recall is the gate
+    found.subsetOf(truePairs) shouldBe true
+    val recall = (found & truePairs).size.toDouble / truePairs.size
+    info(f"x21 planted recall: $recall%.2f (${found.size}/${truePairs.size})")
+    recall should be >= 0.8
+  }
+
   test("recall report: IVF/LSH vs brute (informational floor)") {
     val lsh = pairs(SimilarityQueries.simLshTopk).keySet
     val ivf = pairs(SimilarityQueries.simIvfTopk).keySet
