@@ -51,6 +51,18 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("WindowGroupLimit")
   }
 
+  test("x20: batch side broadcasts; corpus side never shuffles for the pair join") {
+    val plan = planOf(SimilarityQueries.dedupEmbedding)
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("x21: candidate generation is a band-bucket equi-join, never all-pairs") {
+    val plan = planOf(SimilarityQueries.dedupEmbLsh)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("x19: frame sampling is pure Catalyst — no UDF / serialization boundary") {
     val plan = planOf(MediaQueries.mediaFrames)
     plan should not include "BatchEvalPython"
