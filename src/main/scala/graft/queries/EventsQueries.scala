@@ -62,5 +62,23 @@ object EventsQueries {
       .orderBy("event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize)
+  /** Sketch aggregates — what a 100 TB pipeline actually runs for cardinality
+    * and quantile reporting: HyperLogLog++ distinct counts and quantile
+    * sketches are mergeable partial aggregates (map-side combine, fixed-size
+    * state per group), where exact distinct/percentile would buffer whole
+    * groups. rows-only by design: sketch internals are engine-specific, so
+    * no cross-engine oracle exists — ApproxStatsSpec gates accuracy against
+    * the exact answers instead (HLL++ rsd ≤ 5 %, quantile rank error ≤ 1 %).
+    */
+  val approxStats = QueryDef.rowsOnly("x22_ev_approx_stats") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats)
 }
