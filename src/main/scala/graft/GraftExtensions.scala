@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinHashSignature, ShingleHashes, SimHash64}
+import graft.functions.{DotProduct, MinHashSignature, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions registering the engine's native expressions, so
   * they are callable from SQL and `expr(...)` alike:
@@ -14,6 +14,7 @@ import graft.functions.{MinHashSignature, ShingleHashes, SimHash64}
   *   graft_shingles(text, n)  → ARRAY<BIGINT> distinct n-gram shingle hashes
   *   graft_minhash(hashes, k) → ARRAY<BIGINT> MinHash signature
   *   graft_simhash(hashes)    → BIGINT 64-bit SimHash
+  *   graft_dot(a, b)          → DOUBLE sequential-fold dot product
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -44,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(hashes) => SimHash64(hashes)
         case _ => throw new IllegalArgumentException("graft_simhash(hashes)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException("graft_dot(a, b)")
       }))
   }
 }

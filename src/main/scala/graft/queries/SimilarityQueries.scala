@@ -19,15 +19,16 @@ import graft.Tables
 object SimilarityQueries {
   import QueryDef.{sql, rowsOnly}
 
-  /** Left-fold double dot product — same operation order as DuckDB's
-    * list_sum(list_transform(...)), so oracle-checked variants hash-match. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Left-fold double dot product — the native codegen'd kernel
+    * (graft.functions.DotProduct): one JVM loop instead of 2·d interpreted
+    * HOF lambda frames per evaluation, with the same operation order as
+    * `aggregate(zip_with(...))` and DuckDB's list_sum(list_transform(...)),
+    * so oracle-checked variants hash-match. */
+  private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  /** `sqrt(Σ x²)` via the same kernel (identical cast/multiply/add sequence
+    * as the transform-then-fold it replaces — bit-identical doubles). */
+  private def norm(a: Column): Column = sqrt(call_function("graft_dot", a, a))
 
   private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -225,15 +226,16 @@ object SimilarityQueries {
     val nProbe = 4
     val centroids = ivfCentroids(s, d, nCells)
 
-    // nearest-centroid cells via literal centroid arrays:
-    // (squared L2 distance, cell) structs → sort_array → slice → the same
-    // expression assigns corpus rows (k=1) and query probes (k=nProbe).
-    def sqDist(e: Column, c: Seq[Double]): Column =
-      aggregate(zip_with(e, typedLit(c), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, x) => acc + x)
+    // nearest-centroid cells via literal centroid arrays, ranked by the
+    // standard IVF score |c|² − 2·x·c (monotone in ‖x−c‖²: the row's ‖x‖²
+    // is constant across cells, so the argmin is identical) — one native
+    // graft_dot per centroid instead of a zip_with squared-distance fold.
+    // (score, cell) structs → sort_array → slice → the same expression
+    // assigns corpus rows (k=1) and query probes (k=nProbe).
     def nearestCells(e: Column, k: Int): Column = slice(
       sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(sqDist(e, c).as("d"), lit(i).as("cell"))
+        val cNormSq = c.map(x => x * x).sum
+        struct((lit(cNormSq) - lit(2.0) * dot(e, typedLit(c))).as("d"), lit(i).as("cell"))
       }: _*)), 1, k)("cell")
 
     val emb = Tables.embeddings(s, d)
