@@ -51,6 +51,17 @@ object EventStream {
       .withWatermark("ts", horizon)
       .dropDuplicates("event_id", "ts")
 
+  /** Streaming sketch aggregates (the streaming twin of x22): HLL++
+    * distinct users per hourly window — the sketch state is a mergeable,
+    * fixed-size partial aggregate, so map-side combine still applies and
+    * per-window state never grows with user cardinality (exact
+    * countDistinct in a stream would buffer every key). */
+  def approxUsers(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour").as("hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"))
+
   case class SessionInput(event_id: Long, user_id: Long, ts: Timestamp)
   case class SessionState(sessionId: Long, lastTsMicros: Long)
   case class SessionAssignment(event_id: Long, user_id: Long, session_id: Long)

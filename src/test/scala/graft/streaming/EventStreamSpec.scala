@@ -70,6 +70,26 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sketch aggregate: HLL++ distinct users per window (x22 twin)") {
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val events = input.toDF.toDF("event_id", "ts", "user_id", "event_type")
+    val q = EventStream.approxUsers(events)
+      .writeStream.format("memory").queryName("au").outputMode("update").start()
+    try {
+      // 3 distinct users for click (7 twice), 1 for view — HLL++ at rsd 0.05
+      // is exact at this cardinality
+      input.addData(
+        (1L, ts(5), 7L, "click"), (2L, ts(10), 7L, "click"), (3L, ts(12), 8L, "click"),
+        (4L, ts(15), 9L, "click"), (5L, ts(20), 9L, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("au")
+        .select(col("event_type"), col("approx_users")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      rows shouldBe Set(("click", 3L), ("view", 1L))
+    } finally q.stop()
+  }
+
   test("stateful gap sessionization across micro-batches (streaming x16 twin)") {
     import spark.implicits._
     val input = MemoryStream[EventStream.SessionInput]
