@@ -61,6 +61,27 @@ object Media {
     def sampleFrames(durationMs: Long, n: Int): Array[Long] =
       if (durationMs <= 0 || n <= 0) Array.empty
       else Array.tabulate(n)(i => durationMs * (2L * i + 1) / (2L * n))
+
+    /** "Resize" a srcW×srcH image payload to outW×outH by nearest-neighbor
+      * sampling of the deterministic fake pixel grid pixel(p) = bytes[p mod
+      * len] — the same signature a real resampler (which would decode and
+      * interpolate actual pixels) drops into. */
+    def resizeImage(bytes: Array[Byte], srcW: Int, srcH: Int,
+        outW: Int, outH: Int): Array[Byte] = {
+      val out = new Array[Byte](outW * outH)
+      var r = 0
+      while (r < outH) {
+        val sr = r * srcH / outH
+        var c = 0
+        while (c < outW) {
+          val sc = c * srcW / outW
+          out(r * outW + c) = bytes((sr * srcW + sc) % bytes.length)
+          c += 1
+        }
+        r += 1
+      }
+      out
+    }
   }
 
   /** Per-partition batched feature extraction: binary content → fixed-width
@@ -103,6 +124,36 @@ object Media {
         s"transform(sequence(0L, ${framesPerVideo - 1}L), " +
           s"i -> meta.duration_ms * (2L * i + 1L) div ${2L * framesPerVideo}L)")))
       .select("media_id", "frame_ms")
+  }
+
+  /** Per-partition batched image resize: image rows → fixed-size thumbnail
+    * payloads (nearest-neighbor over the stubbed pixel grid; a real build
+    * swaps `DecodeStub.resizeImage` for a codec-backed resampler with the
+    * same signature). Output: (media_id, out_w, out_h, pixels BINARY,
+    * px_sum) — px_sum is the unsigned byte sum, the driver-hashable digest
+    * of the thumbnail. Same mapPartitions batch shape as extractFeatures. */
+  def resizeImages(media: DataFrame, outW: Int = 8, outH: Int = 8): DataFrame = {
+    require(outW >= 1 && outH >= 1, "output dims must be >= 1")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("pixels", BinaryType, nullable = false),
+      StructField("px_sum", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media
+      .filter(col("meta.media_type") === "image" &&
+        col("meta.width").isNotNull && col("meta.height").isNotNull)
+      .select(col("media_id"), col("content"), col("meta.width"), col("meta.height"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val px = DecodeStub.resizeImage(bytes, r.getInt(2), r.getInt(3), outW, outH)
+          var sum = 0L
+          px.foreach(b => sum += (b & 0xff))
+          Row(r.getLong(0), outW, outH, px, sum)
+        }
+      }(enc)
   }
 
   /** Metadata-only stats — shows pruning: reads `meta`, never `content`. */

@@ -83,5 +83,22 @@ object MediaQueries {
       .orderBy("media_id", "frame_ms")
   }
 
-  val all: Seq[QueryDef] = Seq(mediaFeatures, mediaFrames)
+  /** Batched image resize feed. Image rows are `i % 3 = 0` with a 32×32
+    * fake pixel grid; nearest-neighbor 8×8 samples source pixel
+    * p = 128r + 4c, whose stub value is `(i*31 + (p mod len)*7) mod 251`
+    * (see Media.syntheticMedia / DecodeStub.resizeImage) — so the oracle
+    * regenerates the thumbnail byte sum in pure SQL. */
+  val mediaResize = sql(
+    "x23_media_resize",
+    s"""SELECT i::BIGINT AS media_id, 8 AS out_w, 8 AS out_h,
+      |  CAST(SUM((i*31 + ((128*r + 4*c) % (64 + i%32))*7) % 251) AS BIGINT) AS px_sum
+      |FROM range($N) t(i), range(8) rr(r), range(8) cc(c)
+      |WHERE i % 3 = 0
+      |GROUP BY i ORDER BY media_id""".stripMargin) { (s, _) =>
+    Media.resizeImages(Media.syntheticMedia(s, N), outW = 8, outH = 8)
+      .select("media_id", "out_w", "out_h", "px_sum")
+      .orderBy("media_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(mediaFeatures, mediaFrames, mediaResize)
 }

@@ -41,6 +41,16 @@ class MediaSpec extends AnyFunSuite with Matchers with SparkTestBase {
       Media.DecodeStub.sampleFrames(3000L, 4).toSeq
   }
 
+  test("image resize emits fixed-size thumbnails matching the stub kernel") {
+    val t = Media.resizeImages(media, outW = 8, outH = 8)
+    t.count() shouldBe 10 // only the image rows
+    val row = t.orderBy("media_id").collect()(0) // media_id 0: 64-byte payload
+    val payload = Array.tabulate[Byte](64)(j => ((j * 7) % 251).toByte)
+    val expected = Media.DecodeStub.resizeImage(payload, 32, 32, 8, 8)
+    row.getAs[Array[Byte]]("pixels").toSeq shouldBe expected.toSeq
+    row.getAs[Long]("px_sum") shouldBe expected.map(_ & 0xff).map(_.toLong).sum
+  }
+
   test("metadata stats never touch the payload column (pruning)") {
     val stats = Media.mediaStats(media)
     stats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
