@@ -154,9 +154,12 @@ object CoreQueries {
     "q10_median",
     """SELECT l_returnflag, ROUND(MEDIAN(l_extendedprice), 6) AS med_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(round(median(col("l_extendedprice")), 6).as("med_price"))
+    // scale-safe exact median (spillable counts+window plan, identical
+    // interpolation — see operators.Quantiles) instead of the builtin's
+    // buffer-the-whole-group ObjectHashAggregate
+    graft.operators.Quantiles.groupMedian(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")
+      .select(col("l_returnflag"), round(col("median"), 6).as("med_price"))
       .orderBy("l_returnflag")
   }
 

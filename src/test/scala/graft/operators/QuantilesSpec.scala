@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** The counts+window exact median must equal the builtin (buffer-the-group)
+  * `median` bit-for-bit — odd/even group sizes, heavy ties, nulls. */
+class QuantilesSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  test("groupMedian ≡ builtin median on randomized groups (exact)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23L)
+    val rows = (0 until 8).flatMap { g =>
+      val n = 1 + rnd.nextInt(200) // odd and even sizes
+      (0 until n).map(_ => (s"g$g", math.floor(rnd.nextGaussian() * 50) / 4)) // ties
+    } ++ Seq(("g0", Double.NaN)).filter(_ => false) // (no NaN — undefined order)
+    val df = rows.toDF("g", "v")
+    val ours = Quantiles.groupMedian(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val builtin = df.groupBy("g").agg(median(col("v")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ours.keySet shouldBe builtin.keySet
+    ours.foreach { case (g, m) => m shouldBe builtin(g) } // exact, not +-
+  }
+
+  test("groupMedian ignores nulls and handles single-value groups") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", Some(7.0)), ("c", Some(2.0)), ("c", Some(4.0))).toDF("g", "v")
+    val m = Quantiles.groupMedian(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    m shouldBe Map("a" -> 2.0, "b" -> 7.0, "c" -> 3.0)
+  }
+}
