@@ -69,6 +69,7 @@ object Media {
     def resizeImage(bytes: Array[Byte], srcW: Int, srcH: Int,
         outW: Int, outH: Int): Array[Byte] = {
       val out = new Array[Byte](outW * outH)
+      if (bytes.isEmpty) return out // blank thumbnail for an empty payload
       var r = 0
       while (r < outH) {
         val sr = r * srcH / outH

@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
 object Quantiles {
 
   /** Exact per-group median of `valueCol` (nulls ignored, like the builtin).
-    * Output: (groupCol, median DOUBLE). */
+    * Output: (groupCol, median DOUBLE). One delta from the builtin: a group
+    * whose values are ALL null is omitted from the output (the builtin
+    * would emit it with a null median). */
   def groupMedian(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val gv = df
       .filter(col(valueCol).isNotNull)
