@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, MinHashSignature, ShingleHashes, SimHash64}
+import graft.functions.{ChunkHashes, DotProduct, MinHashSignature, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions registering the engine's native expressions, so
   * they are callable from SQL and `expr(...)` alike:
@@ -14,6 +14,7 @@ import graft.functions.{DotProduct, MinHashSignature, ShingleHashes, SimHash64}
   *   graft_shingles(text, n)  → ARRAY<BIGINT> distinct n-gram shingle hashes
   *   graft_minhash(hashes, k) → ARRAY<BIGINT> MinHash signature
   *   graft_simhash(hashes)    → BIGINT 64-bit SimHash
+  *   graft_chunks(text, b, m) → ARRAY<BIGINT> content-defined chunk hashes
   *   graft_dot(a, b)          → DOUBLE sequential-fold dot product
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -45,6 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(hashes) => SimHash64(hashes)
         case _ => throw new IllegalArgumentException("graft_simhash(hashes)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_chunks"),
+      new ExpressionInfo(classOf[ChunkHashes].getName, "graft_chunks"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, mb, ml) =>
+          ChunkHashes(text, intLit(mb, "maskBits"), intLit(ml, "minLen"))
+        case _ => throw new IllegalArgumentException("graft_chunks(text, maskBits, minLen)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),

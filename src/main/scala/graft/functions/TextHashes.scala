@@ -96,6 +96,51 @@ object TextHashes {
     new GenericArrayData(out)
   }
 
+  /** Content-defined chunk fingerprints (Rabin-style rolling hash): a
+    * 16-char polynomial rolling hash walks the text; positions where
+    * `h & mask == 0` (and the chunk has ≥ minLen chars) cut a chunk
+    * boundary, and each chunk's content FNV is emitted (sorted distinct).
+    *
+    * Because boundaries depend only on LOCAL content, an edit re-chunks
+    * only its neighborhood — unlike fixed-width shingles/blocks, the chunks
+    * before and after an insertion keep their hashes (shift-resistant
+    * dedup, the CDC property backup/dedup systems rely on). `maskBits`
+    * sets the expected chunk length (~2^maskBits chars). */
+  def chunkData(text: UTF8String, maskBits: Int, minLen: Int): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val mask = (1L << maskBits) - 1
+    val W = 16
+    val B = 257L
+    // B^(W-1) for the rolling removal
+    var bw = 1L
+    var p = 0
+    while (p < W - 1) { bw *= B; p += 1 }
+    val out = new Array[Long](n / math.max(minLen, 1) + 1)
+    var nOut = 0
+    var h = 0L
+    var chunkStart = 0
+    var i = 0
+    while (i < n) {
+      h = h * B + s.charAt(i)
+      if (i - chunkStart >= W) h -= bw * B * s.charAt(i - W)
+      val atEnd = i == n - 1
+      if (atEnd || (i - chunkStart + 1 >= minLen && (mix64(h) & mask) == 0L)) {
+        out(nOut) = tokenHash(s, chunkStart, i + 1)
+        nOut += 1
+        chunkStart = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    val trimmed = java.util.Arrays.copyOf(out, nOut)
+    java.util.Arrays.sort(trimmed)
+    var w = 0
+    var r = 0
+    while (r < nOut) { if (r == 0 || trimmed(r) != trimmed(r - 1)) { trimmed(w) = trimmed(r); w += 1 }; r += 1 }
+    new GenericArrayData(java.util.Arrays.copyOf(trimmed, w))
+  }
+
   /** 64-bit SimHash from a token-hash array (branch-free vote loop). */
   def simhashData(hashes: ArrayData): Long = {
     val arr = hashes.toLongArray()
@@ -128,6 +173,24 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "graft_shingles"
+}
+
+/** `graft_chunks(text, maskBits, minLen)` → sorted distinct ARRAY<BIGINT>
+  * content-defined chunk fingerprints (shift-resistant CDC dedup keys). */
+case class ChunkHashes(child: Expression, maskBits: Int, minLen: Int) extends UnaryExpression {
+  require(maskBits >= 1 && maskBits <= 30, "maskBits must be in [1, 30]")
+  require(minLen >= 1, "minLen must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"graft_chunks needs STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.chunkData(input.asInstanceOf[UTF8String], maskBits, minLen)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.chunkData($c, $maskBits, $minLen)")
+  override protected def withNewChildInternal(newChild: Expression): ChunkHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_chunks"
 }
 
 /** `graft_minhash(hashes, k)` → ARRAY<BIGINT> MinHash signature. */

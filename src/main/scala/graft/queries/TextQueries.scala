@@ -282,7 +282,35 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Shift-resistant near-dup via content-defined chunking (Rabin rolling
+    * hash, graft_chunks): candidate pairs share at least one chunk
+    * fingerprint (equi-join on the chunk hash — work ∝ shared-chunk
+    * density), verified by exact chunk-set Jaccard. Where shingle-based
+    * sketches compare token windows, CDC boundaries re-synchronize after an
+    * edit, so documents differing by an insertion still share most chunk
+    * hashes (invariance property-tested in TextHashesSpec). rows-only:
+    * the chunk hashes are engine-native. */
+  val dedupChunks = rowsOnly("x24_dedup_chunks") { (s, d) =>
+    val base = docs(s, d)
+      .select(col("doc_id"), expr("graft_chunks(text, 5, 16)").as("ch"))
+      .localCheckpoint(eager = false) // both join sides + the exact check
+    val exploded = base.select(col("doc_id"), explode(col("ch")).as("chunk"))
+    val cand = exploded.as("l").join(exploded.as("r"), Seq("chunk"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("ch").as("ch_a")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("ch").as("ch_b")), Seq("doc_b"))
+      .withColumn("overlap",
+        round(size(array_intersect(col("ch_a"), col("ch_b"))).cast("double")
+          / size(array_union(col("ch_a"), col("ch_b"))), 6))
+      .filter(col("overlap") >= 0.5)
+      .select("doc_a", "doc_b", "overlap")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
-    textTokens, textQuality, textLangid, textFingerprint)
+    textTokens, textQuality, textLangid, textFingerprint, dedupChunks)
 }

@@ -58,6 +58,25 @@ class TextHashesSpec extends AnyFunSuite with Matchers with SparkTestBase {
     java.lang.Long.bitCount(a ^ far) should be > 16
   }
 
+  test("graft_chunks: content-defined boundaries survive an insertion (CDC)") {
+    // deterministic pseudo-text, long enough for ~20 chunks at maskBits 5
+    val rnd = new scala.util.Random(41L)
+    def word() = (0 until (3 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val original = (0 until 250).map(_ => word()).mkString(" ")
+    val half = original.length / 2
+    val edited = original.substring(0, half) + " inserted span of new text " +
+      original.substring(half)
+    def chunks(t: String) = one("graft_chunks(text, 5, 16)", t).getSeq[Long](0).toSet
+    val a = chunks(original)
+    val b = chunks(edited)
+    a.size should be >= 10 // the mask actually cuts chunks
+    a shouldBe chunks(original) // deterministic
+    // the edit re-chunks only its neighborhood: most fingerprints survive
+    val shared = (a & b).size.toDouble / a.size
+    info(f"CDC chunk survival after mid-document insertion: $shared%.2f")
+    shared should be >= 0.7
+  }
+
   test("interpreted eval and codegen agree") {
     import spark.implicits._
     val df = Seq("a b c d e", "lorem ipsum dolor sit amet", "x").toDF("text")

@@ -14,7 +14,8 @@ class QueriesSmokeSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   // Queries whose result can legitimately be small/empty at tiny scale.
   private val mayBeEmpty = Set("x03_dedup_minhash", "x04_dedup_simhash", "x05_dedup_ngram_jaccard",
-    "x21_dedup_emb_lsh") // LSH recall on sub-threshold "near"-dups can be 0 at tiny SF
+    "x21_dedup_emb_lsh", // LSH recall on sub-threshold "near"-dups can be 0 at tiny SF
+    "x24_dedup_chunks")  // sf0.001 documents have no duplicated texts at all
 
   SparkEntry.defs.foreach { q =>
     test(s"${q.name} runs at sf0.001") {
