@@ -19,17 +19,23 @@ import org.apache.spark.sql.types._
   * sequence as the `transform`-then-fold it replaces.
   */
 object VectorKernels {
-  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Null result (boxed) mirrors the HOF's SQL semantics exactly: length
+    * mismatch → NULL (zip_with pads with null, null poisons the sum) and a
+    * null element in either operand → NULL. The null-slot probes are bitset
+    * lookups on UnsafeArrayData — negligible next to the multiply-adds. */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 }
 
@@ -52,6 +58,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true // ragged / null-element inputs → NULL
+
   private lazy val aFloat = elemOf(left).contains(FloatType)
   private lazy val bFloat = elemOf(right).contains(FloatType)
 
@@ -59,8 +67,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (c1, c2) =>
-      s"graft.functions.VectorKernels.dot($c1, $c2, $aFloat, $bFloat)")
+    nullSafeCodeGen(ctx, ev, (c1, c2) => s"""
+      java.lang.Double ${ev.value}_r =
+        graft.functions.VectorKernels.dot($c1, $c2, $aFloat, $bFloat);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =

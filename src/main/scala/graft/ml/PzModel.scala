@@ -78,7 +78,11 @@ object PzModel {
         (0 until numFolds).flatMap { k =>
           val train = folded.filter(col("__fold") =!= k).drop("__fold")
           val test = folded.filter(col("__fold") === k).drop("__fold")
-          models.map { m =>
+          // rand-based assignment is multinomial, not a strict partition: on
+          // tiny inputs a fold can come up empty — skip it (an empty test
+          // fold would make the evaluator throw/NaN and poison the mean)
+          if (test.isEmpty || train.isEmpty) Seq.empty
+          else models.map { m =>
             val fitted = pipeline(m, seed = seed + r).fit(train)
             (m, r, k, evaluator.evaluate(fitted.transform(test)))
           }

@@ -63,7 +63,7 @@ object StatTests {
       .withColumn("pid", spark_partition_id())
       .persist()
     try {
-      val partTotals = ranged.groupBy("pid").agg(sum(countCol).as("cnt"))
+      val partTotals = ranged.groupBy("pid").agg(sum(countCol).cast("long").as("cnt"))
         .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
       var acc = 0L
       val offsets = partTotals.toSeq.map { case (pid, c) =>

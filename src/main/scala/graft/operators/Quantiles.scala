@@ -13,19 +13,26 @@ import org.apache.spark.sql.functions._
   * a map-side-combinable groupBy, then a per-group cumulative window over
   * the distinct-value table, which Spark executes with its spillable
   * external sort — memory-bounded at any group size, and cheaper whenever
-  * values repeat.
+  * values repeat. All requested percentiles come out of ONE pass over the
+  * cumulative table.
   *
-  * Interpolation matches `percentile(v, 0.5)` exactly (0-based fractional
-  * rank pos = (n−1)·p; result = lo + (hi − lo)·frac), so swapping it into
-  * an oracle-checked query changes no results.
+  * Interpolation matches `percentile(v, p)` BIT-exactly — Spark's own
+  * formula `(higher − pos)·lo + (pos − lower)·hi` with the lower==higher
+  * short-circuit, not the algebraically-equal-but-FP-different
+  * `lo + (hi − lo)·frac` — so swapping it into an oracle-checked query
+  * changes no results.
   */
 object Quantiles {
 
-  /** Exact per-group median of `valueCol` (nulls ignored, like the builtin).
-    * Output: (groupCol, median DOUBLE). One delta from the builtin: a group
-    * whose values are ALL null is omitted from the output (the builtin
-    * would emit it with a null median). */
-  def groupMedian(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  /** Exact per-group percentiles of `valueCol` (nulls ignored, like the
+    * builtin). Output: (groupCol, q0, q1, … qk) — one DOUBLE column per
+    * requested p, in order. One delta from the builtin: a group whose
+    * values are ALL null is omitted from the output (the builtin would
+    * emit it with a null result). */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0, 1], got $ps")
     val gv = df
       .filter(col(valueCol).isNotNull)
       .groupBy(groupCol, valueCol)
@@ -33,24 +40,37 @@ object Quantiles {
     val ordered = Window.partitionBy(groupCol).orderBy(valueCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(groupCol)
-    // 1-based rank interval [prev+1, cum] occupied by each distinct value;
-    // pos = 1 + (n−1)·0.5 is the (fractional, 1-based) median rank.
-    val pos = lit(1.0) + (col("n") - 1) * 0.5
-    val t1 = floor(pos)
-    val t2 = ceil(pos)
-    val frac = pos - t1
     val v = col(valueCol).cast("double")
+    // 1-based rank interval [prev+1, cum] occupied by each distinct value;
+    // pos_p = 1 + (n−1)·p is the (fractional, 1-based) target rank of p.
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
+      // 0-based fractional target (Spark's Percentile): pos0 = (n−1)·p;
+      // ranks are 1-based, so the bracketing ranks are pos0+1 rounded down/up
+      val pos0 = (col("n") - 1) * p
+      val t1 = floor(pos0) + 1
+      val t2 = ceil(pos0) + 1
+      Seq(
+        min(when(col("prev") < t1 && col("cum") >= t1, v)).as(s"lo_$i"),
+        min(when(col("prev") < t2 && col("cum") >= t2, v)).as(s"hi_$i"),
+        max(ceil(pos0) - pos0).as(s"wlo_$i"),
+        max(pos0 - floor(pos0)).as(s"whi_$i"))
+    }
     gv
       .withColumn("cum", sum("cnt").over(ordered))
       .withColumn("n", sum("cnt").over(whole))
       .withColumn("prev", col("cum") - col("cnt"))
-      .filter(col("cum") >= t1 && col("prev") < t2) // rows covering rank t1 or t2
       .groupBy(groupCol)
-      .agg(
-        min(when(col("prev") < t1 && col("cum") >= t1, v)).as("lo"),
-        min(when(col("prev") < t2 && col("cum") >= t2, v)).as("hi"),
-        max(frac).as("frac"))
-      .select(col(groupCol),
-        (col("lo") + (col("hi") - col("lo")) * col("frac")).as("median"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol) +: ps.indices.map { i =>
+        // lower==higher → lo, else Spark's weighted interpolation
+        when(col(s"whi_$i") === 0.0, col(s"lo_$i"))
+          .otherwise(col(s"wlo_$i") * col(s"lo_$i") + col(s"whi_$i") * col(s"hi_$i"))
+          .as(s"q$i")
+      }: _*)
   }
+
+  /** Exact per-group median (see groupQuantiles).
+    * Output: (groupCol, median DOUBLE). */
+  def groupMedian(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    groupQuantiles(df, groupCol, valueCol, Seq(0.5)).withColumnRenamed("q0", "median")
 }

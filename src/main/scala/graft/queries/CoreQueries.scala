@@ -360,14 +360,21 @@ object CoreQueries {
       |  ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY o_totalprice), 6) AS q3_price,
       |  ROUND(MAX(o_totalprice), 6) AS max_price
       |FROM orders""".stripMargin) { (s, d) =>
-    Tables.orders(s, d).agg(
+    val orders = Tables.orders(s, d)
+    // quartiles via the spillable counts+window plan (operators.Quantiles),
+    // not the builtin percentile's buffer-every-value ObjectHashAggregate;
+    // interpolation is bit-identical, so the oracle is unaffected.
+    val quartiles = graft.operators.Quantiles
+      .groupQuantiles(orders.withColumn("__g", lit(1)), "__g", "o_totalprice", Seq(0.25, 0.75))
+      .select(round(col("q0"), 6).as("q1_price"), round(col("q1"), 6).as("q3_price"))
+    orders.agg(
       count(lit(1)).as("n"),
       round(avg("o_totalprice"), 6).as("avg_price"),
       round(stddev_samp("o_totalprice"), 6).as("sd_price"),
       round(min("o_totalprice"), 6).as("min_price"),
-      round(percentile(col("o_totalprice"), lit(0.25)), 6).as("q1_price"),
-      round(percentile(col("o_totalprice"), lit(0.75)), 6).as("q3_price"),
       round(max("o_totalprice"), 6).as("max_price"))
+      .crossJoin(quartiles)
+      .select("n", "avg_price", "sd_price", "min_price", "q1_price", "q3_price", "max_price")
   }
 
   // Q22 — J13: string functions (WIP.R:25-33 paste/str_sub/str_locate/str_trim).

@@ -120,6 +120,14 @@ object SimilarityQueries {
   private def planesSqlLiteral(planes: Seq[Seq[Double]]): String =
     planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
+  /** Packed sign bits of `e` against each plane (bit j = 1 iff e·planes(j)
+    * > 0) — the one bucket builder behind both LSH paths (x13's top-k
+    * bucket and x21's band values), so they can't drift. */
+  private def signBits(e: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      shiftleft(when(dot(e, typedLit(p)) > 0, 1L).otherwise(0L), j)
+    }.reduce(_ bitwiseOR _)
+
   /** ANN via random-hyperplane LSH: 8 deterministic ±1 hyperplanes → 8 sign
     * bits → 256 buckets; candidates = corpus rows sharing the query's bucket;
     * exact cosine + top-k within candidates only.
@@ -166,11 +174,7 @@ object SimilarityQueries {
 
   val simLshTopk = sql("x13_sim_lsh_topk", lshOracle) { (s, d) =>
     val nBits = lshBits
-    val planes = lshPlanes
-    def bucket(e: Column): Column =
-      (0 until nBits).map { j =>
-        shiftleft(when(dot(e, typedLit(planes(j))) > 0, 1L).otherwise(0L), j)
-      }.reduce(_ bitwiseOR _)
+    def bucket(e: Column): Column = signBits(e, lshPlanes)
 
     val emb = Tables.embeddings(s, d).withColumn("bucket", bucket(col("embedding")))
     // Multi-probe: each query also probes the nBits buckets one bit-flip away
@@ -199,7 +203,11 @@ object SimilarityQueries {
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
 
-  /** Train (or fetch the memoized) IVF centroids for `dir`'s embeddings. */
+  /** Train (or fetch the memoized) IVF centroids for `dir`'s embeddings.
+    * Cache contract: keyed by directory — like any persisted index artifact
+    * it assumes corpus directories are immutable snapshots; if a path is
+    * rewritten in-place, call `clearIvfCache()` (or use a new path) to
+    * retrain, or cell assignments will reflect the old corpus. */
   def ivfCentroids(s: SparkSession, d: String, nCells: Int = 16): Seq[Seq[Double]] =
     ivfCache.computeIfAbsent(s"$d#$nCells", { _ =>
       import org.apache.spark.ml.clustering.KMeans
@@ -209,6 +217,9 @@ object SimilarityQueries {
       new KMeans().setK(nCells).setSeed(42L).setMaxIter(5).fit(vecs)
         .clusterCenters.toSeq.map(_.toArray.toSeq)
     })
+
+  /** Drop memoized IVF indexes (after rewriting a corpus path in-place). */
+  def clearIvfCache(): Unit = ivfCache.clear()
 
   /** ANN via IVF (inverted-file index): KMeans partitions the corpus into
     * `nCells` cells once (the memoized index build, see `ivfCentroids`);
@@ -300,10 +311,7 @@ object SimilarityQueries {
       bands: Int = 4, bitsPerBand: Int = 8): DataFrame = {
     val planes = signPlanes(bands * bitsPerBand, seedOffset = 101L)
     def bandVal(b: Int): Column =
-      (0 until bitsPerBand).map { k =>
-        shiftleft(when(dot(col("embedding"), typedLit(planes(b * bitsPerBand + k))) > 0, 1L)
-          .otherwise(0L), k)
-      }.reduce(_ bitwiseOR _)
+      signBits(col("embedding"), planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand))
     // id→band table: the only thing the self-join shuffles (ids + small ints,
     // never the vectors); GC-scoped materialization, both join sides read it.
     val banded = emb.select(col("vec_id"), explode(array((0 until bands).map(b =>

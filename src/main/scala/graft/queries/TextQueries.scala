@@ -82,7 +82,11 @@ object TextQueries {
     // storage between the sketch and pairwise stages anyway.
     // localCheckpoint (not persist): blocks are released by the
     // ContextCleaner when the query's DataFrames go out of scope, so
-    // repeated runs in one session don't accumulate cached tables.
+    // repeated runs in one session don't accumulate cached tables. Trade-off
+    // (applies to every localCheckpoint in this file): lineage is truncated,
+    // so losing an executor mid-query fails the job instead of recomputing —
+    // at cluster scale the signature table would be WRITTEN to storage
+    // between stages (the durable form of this same boundary).
     val base = reps.select(col("doc_id"), shingleHashes.as("sh"))
       .localCheckpoint(eager = false)
     val sig = expr("graft_minhash(sh, 32)")

@@ -61,4 +61,17 @@ class VectorKernelsSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .select(call_function("graft_dot", col("a"), col("b"))).collect()(0)
     r.isNullAt(0) shouldBe true
   }
+
+  test("ragged lengths and null elements yield null (HOF SQL semantics)") {
+    // zip_with pads the shorter array with nulls and null poisons the sum —
+    // graft_dot must agree, not silently truncate or zero-fill
+    val df = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(1.0D)) AS ragged,
+        |       graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS nullelem,
+        |       graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS ok""".stripMargin)
+    val r = df.collect()(0)
+    r.isNullAt(0) shouldBe true
+    r.isNullAt(1) shouldBe true
+    r.getDouble(2) shouldBe 11.0
+  }
 }

@@ -26,6 +26,24 @@ class QuantilesSpec extends AnyFunSuite with Matchers with SparkTestBase {
     ours.foreach { case (g, m) => m shouldBe builtin(g) } // exact, not +-
   }
 
+  test("groupQuantiles ≡ builtin percentile for arbitrary p, one pass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    val df = (0 until 3).flatMap { g =>
+      (0 until 50 + g).map(_ => (s"g$g", rnd.nextDouble() * 100)) // odd+even n
+    }.toDF("g", "v")
+    val ps = Seq(0.25, 0.5, 0.75, 0.9)
+    val ours = Quantiles.groupQuantiles(df, "g", "v", ps)
+      .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getDouble(i + 1))).toMap
+    val builtin = df.groupBy("g")
+      .agg(percentile(col("v"), typedLit(ps)).as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    ours.keySet shouldBe builtin.keySet
+    ours.foreach { case (g, qs) =>
+      qs.zip(builtin(g)).foreach { case (a, b) => a shouldBe b } // exact
+    }
+  }
+
   test("groupMedian ignores nulls and handles single-value groups") {
     import spark.implicits._
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
