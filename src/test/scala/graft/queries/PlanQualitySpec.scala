@@ -51,6 +51,17 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("WindowGroupLimit")
   }
 
+  test("registry-wide: no query plans a CartesianProduct or a UDF eval node") {
+    graft.SparkEntry.defs.foreach { q =>
+      val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+      withClue(s"${q.name}: ") {
+        plan should not include "CartesianProduct"
+        plan should not include "BatchEvalPython"
+        plan should not include "ScalaUDF"
+      }
+    }
+  }
+
   test("x20: batch side broadcasts; corpus side never shuffles for the pair join") {
     val plan = planOf(SimilarityQueries.dedupEmbedding)
     plan should include("BroadcastNestedLoopJoin")
