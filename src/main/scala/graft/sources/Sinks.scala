@@ -35,6 +35,23 @@ object Sinks {
   def smallCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Range-sorted parquet: repartition by range on `sortCols` then sort
+    * within partitions before writing, so each file (and row group) covers
+    * a tight, disjoint min/max interval of the sort key. Readers filtering
+    * on that key then skip whole files/row groups from parquet statistics
+    * alone — the write-time half of predicate pushdown at 100 TB (the scan
+    * half is `PushedFilters`, see PLANS.md). */
+  def sortedParquet(df: DataFrame, path: String, sortCols: Seq[String],
+      numFiles: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cols = sortCols.map(col)
+    val n = if (numFiles > 0) numFiles
+      else math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    df.repartitionByRange(n, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Bucketed managed table: co-locates future joins/aggregations on
     * `bucketCols` — two tables bucketed the same way join with ZERO
     * exchanges. This is the storage-layout half of the 100 TB shuffle

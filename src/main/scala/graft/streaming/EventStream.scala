@@ -51,6 +51,20 @@ object EventStream {
       .withWatermark("ts", horizon)
       .dropDuplicates("event_id", "ts")
 
+  /** Idempotent CONTENT-keyed ingest dedup (the streaming twin of the
+    * x01/x09 exact-dedup path): drops re-ingested payloads whose md5
+    * fingerprint was already seen within the watermark horizon. Unlike
+    * `dedupe` (which trusts an upstream event_id), this derives the dedup
+    * key from the payload itself — the corpus-ingestion form, where the
+    * same document re-arrives under fresh ids. State = one fingerprint per
+    * distinct payload inside the horizon, expired by the watermark. */
+  def dedupeByContent(docs: DataFrame, textCol: String = "text",
+      lateness: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp_md5", md5(col(textCol)))
+      .withWatermark("ts", lateness)
+      .dropDuplicates("fp_md5")
+
   /** Streaming sketch aggregates (the streaming twin of x22): HLL++
     * distinct users per hourly window — the sketch state is a mergeable,
     * fixed-size partial aggregate, so map-side combine still applies and

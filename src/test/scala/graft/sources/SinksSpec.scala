@@ -28,4 +28,26 @@ class SinksSpec extends AnyFunSuite with Matchers with SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS dims_b")
     }
   }
+
+  test("sortedParquet writes disjoint key ranges per file (data-skipping layout)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = new scala.util.Random(17L)
+      .shuffle((1L to 10000L).toList).map(i => (i, s"p$i")).toDF("k", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("sorted-sink").toString + "/t"
+    Sinks.sortedParquet(df, dir, Seq("k"), numFiles = 4)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    perFile.length should be >= 2 // range partitioning actually split files
+    perFile.map(_._3).sum shouldBe 10000L
+    // disjoint, ordered ranges: every file's min exceeds the previous max —
+    // exactly what parquet min/max stats need for whole-file skipping
+    perFile.sliding(2).foreach {
+      case Array((_, hiA, _), (loB, _, _)) => loB should be > hiA
+      case _ =>
+    }
+  }
 }

@@ -70,6 +70,23 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("content-keyed ingest dedup drops re-ingested payloads (x01/x09 twin)") {
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF.toDF("doc_id", "ts", "text")
+    val q = EventStream.dedupeByContent(docs)
+      .writeStream.format("memory").queryName("cdd").outputMode("append").start()
+    try {
+      input.addData((1L, ts(5), "the same payload"), (2L, ts(6), "a different payload"))
+      q.processAllAvailable()
+      // same text re-arrives under a FRESH id — must still be dropped
+      input.addData((3L, ts(7), "the same payload"), (4L, ts(8), "a third payload"))
+      q.processAllAvailable()
+      spark.table("cdd").select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+        Seq(1L, 2L, 4L)
+    } finally q.stop()
+  }
+
   test("streaming sketch aggregate: HLL++ distinct users per window (x22 twin)") {
     import spark.implicits._
     val input = MemoryStream[(Long, Timestamp, Long, String)]
