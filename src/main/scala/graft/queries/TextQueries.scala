@@ -314,7 +314,50 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Repetition ratios — the Gopher-style quality signals that catch
+    * boilerplate/spam BEFORE corpus-level dedup: fraction of repeated
+    * tokens and of repeated 3-gram shingles within the document, plus the
+    * modal token's share. Row-local and fully portable (string shingles,
+    * no hashing), so the row is oracle-checked. */
+  val textRepetition = sql(
+    "x25_text_repetition",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks,
+      |    list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+      |  FROM t)
+      |SELECT doc_id,
+      |  ROUND(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+      |    AS dup_token_ratio,
+      |  CASE WHEN len(toks) >= 3
+      |    THEN ROUND(1 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6)
+      |    ELSE CAST(0.0 AS DOUBLE) END AS dup_3gram_ratio,
+      |  ROUND(CAST(list_max(list_transform(list_distinct(toks),
+      |      tok -> len(list_filter(toks, x -> x = tok)))) AS DOUBLE)
+      |    / len(toks), 6) AS top_token_share
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = col("toks")
+    docs(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", when(size(t) >= 3,
+        transform(sequence(lit(1), size(t) - 2), i =>
+          concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("dup_token_ratio",
+        round(lit(1) - size(array_distinct(t)).cast("double") / size(t), 6))
+      .withColumn("dup_3gram_ratio",
+        when(size(t) >= 3,
+          round(lit(1) - size(array_distinct(col("sh"))).cast("double") / size(col("sh")), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("top_token_share",
+        round(array_max(transform(array_distinct(t),
+          tok => size(filter(t, x => x === tok)))).cast("double") / size(t), 6))
+      .select("doc_id", "dup_token_ratio", "dup_3gram_ratio", "top_token_share")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
-    textTokens, textQuality, textLangid, textFingerprint, dedupChunks)
+    textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
+    textRepetition)
 }
