@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{ChunkHashes, DotProduct, MinHashSignature, ShingleHashes, SimHash64}
+import graft.functions.{ChunkHashes, DotProduct, MinHashSignature, ShingleHashes, SimHash64, TokenStats}
 
 /** SparkSessionExtensions registering the engine's native expressions, so
   * they are callable from SQL and `expr(...)` alike:
@@ -15,6 +15,7 @@ import graft.functions.{ChunkHashes, DotProduct, MinHashSignature, ShingleHashes
   *   graft_minhash(hashes, k) → ARRAY<BIGINT> MinHash signature
   *   graft_simhash(hashes)    → BIGINT 64-bit SimHash
   *   graft_chunks(text, b, m) → ARRAY<BIGINT> content-defined chunk hashes
+  *   graft_token_stats(text)  → STRUCT token/shingle repetition counts
   *   graft_dot(a, b)          → DOUBLE sequential-fold dot product
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -54,6 +55,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text, mb, ml) =>
           ChunkHashes(text, intLit(mb, "maskBits"), intLit(ml, "minLen"))
         case _ => throw new IllegalArgumentException("graft_chunks(text, maskBits, minLen)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_token_stats"),
+      new ExpressionInfo(classOf[TokenStats].getName, "graft_token_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => TokenStats(text)
+        case _ => throw new IllegalArgumentException("graft_token_stats(text)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),

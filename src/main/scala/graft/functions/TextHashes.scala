@@ -141,6 +141,43 @@ object TextHashes {
     new GenericArrayData(java.util.Arrays.copyOf(trimmed, w))
   }
 
+  /** One-pass token statistics for the repetition-quality signals:
+    * (n_tokens, n_distinct, top_count, n_shingles, sh_distinct) where
+    * shingles are the 3-token windows as STRINGS (exact distinct — string
+    * equality, not hash equality, so the counts match a portable SQL
+    * formulation integer-for-integer). Single-space tokenizer, identical
+    * to `split(text, ' ')` including empty tokens. */
+  def tokenStatsData(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      val start = i
+      while (i < len && s.charAt(i) != ' ') i += 1
+      toks.add(s.substring(start, i))
+      i += 1
+    }
+    val n = toks.size()
+    val counts = new java.util.HashMap[String, Int]()
+    var top = 0
+    var t = 0
+    while (t < n) {
+      val c = counts.merge(toks.get(t), 1, Integer.sum)
+      if (c > top) top = c
+      t += 1
+    }
+    val nSh = math.max(n - 2, 0)
+    val shSet = new java.util.HashSet[String]()
+    var k = 0
+    while (k < nSh) {
+      shSet.add(toks.get(k) + " " + toks.get(k + 1) + " " + toks.get(k + 2))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, counts.size(), top, nSh, shSet.size()))
+  }
+
   /** 64-bit SimHash from a token-hash array (branch-free vote loop). */
   def simhashData(hashes: ArrayData): Long = {
     val arr = hashes.toLongArray()
@@ -191,6 +228,28 @@ case class ChunkHashes(child: Expression, maskBits: Int, minLen: Int) extends Un
   override protected def withNewChildInternal(newChild: Expression): ChunkHashes =
     copy(child = newChild)
   override def prettyName: String = "graft_chunks"
+}
+
+/** `graft_token_stats(text)` → STRUCT(n_tokens, n_distinct, top_count,
+  * n_shingles, sh_distinct) — one tight loop instead of the O(distinct·n)
+  * interpreted HOF scan the ratios would otherwise need. */
+case class TokenStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"graft_token_stats needs STRING, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_count", IntegerType, nullable = false),
+    StructField("n_shingles", IntegerType, nullable = false),
+    StructField("sh_distinct", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.tokenStatsData(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.tokenStatsData($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+  override def prettyName: String = "graft_token_stats"
 }
 
 /** `graft_minhash(hashes, k)` → ARRAY<BIGINT> MinHash signature. */

@@ -58,6 +58,23 @@ class TextHashesSpec extends AnyFunSuite with Matchers with SparkTestBase {
     java.lang.Long.bitCount(a ^ far) should be > 16
   }
 
+  test("graft_token_stats: counts match hand-computed repetition facts") {
+    val r = one("graft_token_stats(text)", "a b a b c a b c")
+    val st = r.getStruct(0)
+    // 8 tokens, 3 distinct, 'a'/'b' appear 3x, 6 shingles of which
+    // "a b a","b a b","a b c","b c a","c a b","a b c" → 5 distinct
+    st.getInt(0) shouldBe 8
+    st.getInt(1) shouldBe 3
+    st.getInt(2) shouldBe 3
+    st.getInt(3) shouldBe 6
+    st.getInt(4) shouldBe 5
+    // sub-shingle-width doc
+    val short = one("graft_token_stats(text)", "x y").getStruct(0)
+    short.getInt(0) shouldBe 2
+    short.getInt(3) shouldBe 0
+    short.getInt(4) shouldBe 0
+  }
+
   test("graft_chunks: content-defined boundaries survive an insertion (CDC)") {
     // deterministic pseudo-text, long enough for ~20 chunks at maskBits 5
     val rnd = new scala.util.Random(41L)
