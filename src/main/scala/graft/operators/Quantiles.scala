@@ -1,26 +1,38 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Scale-safe exact quantiles.
   *
   * Spark's builtin `median`/`percentile` aggregate buffers EVERY value of a
   * group inside one ObjectHashAggregate task — O(group size) memory in a
-  * single JVM, the classic driver-of-OOM for billion-row groups. This plan
-  * computes the identical exact result from per-(group, value) COUNTS:
-  * a map-side-combinable groupBy, then a per-group cumulative window over
-  * the distinct-value table, which Spark executes with its spillable
-  * external sort — memory-bounded at any group size, and cheaper whenever
-  * values repeat. All requested percentiles come out of ONE pass over the
-  * cumulative table.
+  * single JVM, the classic driver-of-OOM for billion-row groups. And even a
+  * counts+window formulation partitioned BY GROUP serializes each group's
+  * sort into one task — with few groups, a 1000-executor cluster sorts on 3
+  * cores.
+  *
+  * This plan parallelizes across the whole cluster regardless of group
+  * count, reusing the distributed-ranking scheme of
+  * `StatTests.withValueRanks`:
+  *
+  *   1. one map-side-combinable groupBy → per-(group, value) counts;
+  *   2. `repartitionByRange` on (group, value) → every partition holds a
+  *      contiguous slice of one-or-more groups' value ranges;
+  *   3. per-(partition, group) totals collected to the driver (≤ #partitions
+  *      + #groups tiny rows) → prefix offsets per group;
+  *   4. a window partitioned by (partition-id, group) adds the local running
+  *      count — so the only sorts are partition-local and spillable;
+  *   5. the bracketing distinct values for each requested rank are picked by
+  *      a broadcast join against the per-group target table and aggregated.
   *
   * Interpolation matches `percentile(v, p)` BIT-exactly — Spark's own
   * formula `(higher − pos)·lo + (pos − lower)·hi` with the lower==higher
-  * short-circuit, not the algebraically-equal-but-FP-different
-  * `lo + (hi − lo)·frac` — so swapping it into an oracle-checked query
-  * changes no results.
+  * short-circuit (the algebraically equal `lo + (hi−lo)·frac` differs by an
+  * ulp for p ≠ 0.5) — so swapping this into an oracle-checked query changes
+  * no results.
   */
 object Quantiles {
 
@@ -28,45 +40,98 @@ object Quantiles {
     * builtin). Output: (groupCol, q0, q1, … qk) — one DOUBLE column per
     * requested p, in order. One delta from the builtin: a group whose
     * values are ALL null is omitted from the output (the builtin would
-    * emit it with a null result). */
+    * emit it with a null result). Eager: collects per-(partition, group)
+    * totals (tiny) to compute rank offsets, like a distributed sort. */
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must be in [0, 1], got $ps")
+    val spark = df.sparkSession
     val gv = df
       .filter(col(valueCol).isNotNull)
       .groupBy(groupCol, valueCol)
       .agg(count(lit(1)).as("cnt"))
-    val ordered = Window.partitionBy(groupCol).orderBy(valueCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.partitionBy(groupCol)
-    val v = col(valueCol).cast("double")
-    // 1-based rank interval [prev+1, cum] occupied by each distinct value;
-    // pos_p = 1 + (n−1)·p is the (fractional, 1-based) target rank of p.
-    val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
-      // 0-based fractional target (Spark's Percentile): pos0 = (n−1)·p;
-      // ranks are 1-based, so the bracketing ranks are pos0+1 rounded down/up
-      val pos0 = (col("n") - 1) * p
-      val t1 = floor(pos0) + 1
-      val t2 = ceil(pos0) + 1
-      Seq(
-        min(when(col("prev") < t1 && col("cum") >= t1, v)).as(s"lo_$i"),
-        min(when(col("prev") < t2 && col("cum") >= t2, v)).as(s"hi_$i"),
-        max(ceil(pos0) - pos0).as(s"wlo_$i"),
-        max(pos0 - floor(pos0)).as(s"whi_$i"))
-    }
-    gv
-      .withColumn("cum", sum("cnt").over(ordered))
-      .withColumn("n", sum("cnt").over(whole))
-      .withColumn("prev", col("cum") - col("cnt"))
-      .groupBy(groupCol)
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(groupCol) +: ps.indices.map { i =>
-        // lower==higher → lo, else Spark's weighted interpolation
-        when(col(s"whi_$i") === 0.0, col(s"lo_$i"))
-          .otherwise(col(s"wlo_$i") * col(s"lo_$i") + col(s"whi_$i") * col(s"hi_$i"))
-          .as(s"q$i")
-      }: _*)
+      .persist()
+    try {
+      val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+      val ranged = gv.repartitionByRange(parts, col(groupCol), col(valueCol))
+        .withColumn("pid", spark_partition_id())
+        .persist()
+      try {
+        // per-(pid, group) totals: range partitioning on (g, v) keeps each
+        // partition a contiguous slice, so this is ≤ parts + #groups rows
+        val totals = ranged.groupBy("pid", groupCol)
+          .agg(sum("cnt").cast("long").as("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+        // per-group prefix offsets in pid order + per-group totals
+        val offsets = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Long)]
+        val nPerG = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        totals.sortBy(_._1).foreach { case (pid, g, c) =>
+          val acc = nPerG.getOrElse(g, 0L)
+          offsets += ((pid, g, acc))
+          nPerG(g) = acc + c
+        }
+        val gField = gv.schema(groupCol)
+        val offsetDf = spark.createDataFrame(
+          java.util.Arrays.asList(offsets.toSeq.map { case (pid, g, o) =>
+            Row(pid, g, o) }: _*),
+          StructType(Seq(StructField("o_pid", IntegerType, nullable = false),
+            gField.copy(name = "o_g"), StructField("rank_offset", LongType, nullable = false))))
+        // targets: one row per (group, p-index) with the bracketing 1-based
+        // ranks and Spark's interpolation weights, computed on the driver
+        // with the same double arithmetic as Percentile.getPercentile
+        val targets = nPerG.toSeq.flatMap { case (g, n) =>
+          ps.zipWithIndex.map { case (p, i) =>
+            val pos0 = (n - 1) * p
+            Row(g, i, math.floor(pos0).toLong + 1, math.ceil(pos0).toLong + 1,
+              math.ceil(pos0) - pos0, pos0 - math.floor(pos0))
+          }
+        }
+        val targetDf = spark.createDataFrame(
+          java.util.Arrays.asList(targets: _*),
+          StructType(Seq(gField.copy(name = "t_g"),
+            StructField("qi", IntegerType, nullable = false),
+            StructField("t1", LongType, nullable = false),
+            StructField("t2", LongType, nullable = false),
+            StructField("wlo", DoubleType, nullable = false),
+            StructField("whi", DoubleType, nullable = false))))
+        val w = Window.partitionBy("pid", groupCol).orderBy(valueCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val v = col(valueCol).cast("double")
+        val cum = ranged
+          .join(broadcast(offsetDf),
+            col("pid") === col("o_pid") && col(groupCol) <=> col("o_g"))
+          .withColumn("cum", col("rank_offset") + sum("cnt").over(w))
+          .withColumn("prev", col("cum") - col("cnt"))
+        val picked = cum
+          .join(broadcast(targetDf), col(groupCol) <=> col("t_g"))
+          .filter(col("prev") < col("t2") && col("cum") >= col("t1"))
+          .groupBy(col(groupCol), col("qi"))
+          .agg(
+            min(when(col("prev") < col("t1") && col("cum") >= col("t1"), v)).as("lo"),
+            min(when(col("prev") < col("t2") && col("cum") >= col("t2"), v)).as("hi"),
+            first("wlo").as("wlo"), first("whi").as("whi"))
+          .withColumn("q",
+            when(col("whi") === 0.0, col("lo"))
+              .otherwise(col("wlo") * col("lo") + col("whi") * col("hi")))
+        val pivoted = picked
+          .groupBy(groupCol)
+          .agg(
+            min(when(col("qi") === 0, col("q"))).as("q0"),
+            (1 until ps.length).map(i =>
+              min(when(col("qi") === i, col("q"))).as(s"q$i")): _*)
+        // MATERIALIZE before the finally-unpersist: the offsets were collected
+        // from THIS materialization of the range partitioning — a lazy result
+        // would recompute `ranged` after unpersist, and fresh range-boundary
+        // sampling need not reproduce the partition ids the offsets assume.
+        // The output is one row per group (this operator targets low-
+        // cardinality groupings — for high-cardinality groups the builtin's
+        // per-group plan is already parallel and right-sized).
+        spark.createDataFrame(
+          java.util.Arrays.asList(pivoted.collect(): _*), pivoted.schema)
+      } finally { ranged.unpersist(); () }
+    } finally { gv.unpersist(); () }
   }
 
   /** Exact per-group median (see groupQuantiles).

@@ -44,6 +44,24 @@ class QuantilesSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("groupQuantiles is exact when groups span many range partitions") {
+    // the failure mode: a group's distinct values split across multiple
+    // range partitions, where the driver-collected rank offsets must match
+    // the very materialization the result reads (recomputation after
+    // unpersist would re-sample range boundaries)
+    import spark.implicits._
+    val rnd = new scala.util.Random(47L)
+    val df = (0 until 2).flatMap { g =>
+      (0 until 20000).map(_ => (s"g$g", rnd.nextDouble() * 1e6))
+    }.toDF("g", "v")
+    val ours = Quantiles.groupQuantiles(df, "g", "v", Seq(0.25, 0.5))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val builtin = df.groupBy("g")
+      .agg(percentile(col("v"), lit(0.25)).as("a"), percentile(col("v"), lit(0.5)).as("b"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ours shouldBe builtin // exact, across multi-partition groups
+  }
+
   test("groupMedian ignores nulls and handles single-value groups") {
     import spark.implicits._
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
