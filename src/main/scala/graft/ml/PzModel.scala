@@ -99,6 +99,8 @@ object PzModel {
       repeats: Int = 3, seed: Long = 99L): Double = {
     val rmses = resamples(df, Seq(estimatorName), numFolds, repeats, seed)
       .select("rmse").collect().map(_.getDouble(0))
+    require(rmses.nonEmpty,
+      s"no usable folds for $estimatorName — input too small for $numFolds folds")
     rmses.sum / rmses.size
   }
 

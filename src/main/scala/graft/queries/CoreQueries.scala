@@ -367,13 +367,17 @@ object CoreQueries {
     val quartiles = graft.operators.Quantiles
       .groupQuantiles(orders.withColumn("__g", lit(1)), "__g", "o_totalprice", Seq(0.25, 0.75))
       .select(round(col("q0"), 6).as("q1_price"), round(col("q1"), 6).as("q3_price"))
+    // LEFT join, not crossJoin: on an empty input groupQuantiles emits no
+    // __g group at all, and a crossJoin would drop the aggregate row — SQL
+    // (and the oracle) still returns one row with n=0 and null quantiles.
     orders.agg(
       count(lit(1)).as("n"),
       round(avg("o_totalprice"), 6).as("avg_price"),
       round(stddev_samp("o_totalprice"), 6).as("sd_price"),
       round(min("o_totalprice"), 6).as("min_price"),
       round(max("o_totalprice"), 6).as("max_price"))
-      .crossJoin(quartiles)
+      .withColumn("__g", lit(1))
+      .join(quartiles.withColumn("__g", lit(1)), Seq("__g"), "left")
       .select("n", "avg_price", "sd_price", "min_price", "q1_price", "q3_price", "max_price")
   }
 

@@ -56,14 +56,23 @@ object EventStream {
     * fingerprint was already seen within the watermark horizon. Unlike
     * `dedupe` (which trusts an upstream event_id), this derives the dedup
     * key from the payload itself — the corpus-ingestion form, where the
-    * same document re-arrives under fresh ids. State = one fingerprint per
-    * distinct payload inside the horizon, expired by the watermark. */
+    * same document re-arrives under fresh ids.
+    *
+    * Eviction: plain `dropDuplicates("fp_md5")` would NEVER expire state —
+    * watermark cleanup only applies when the event-time column is one of
+    * the dedup keys — so a long-running ingest would accumulate one state
+    * row per distinct payload ever seen. `dropDuplicatesWithinWatermark`
+    * keys the state on the fingerprint alone but stamps each entry with its
+    * event time and evicts it once the watermark passes, so executors hold
+    * O(distinct payloads within the horizon), not O(corpus). Payloads
+    * re-arriving after the horizon are admitted again (at-least-once dedup
+    * with a bounded memory, the only contract a stream can honor). */
   def dedupeByContent(docs: DataFrame, textCol: String = "text",
       lateness: String = "1 hour"): DataFrame =
     docs
       .withColumn("fp_md5", md5(col(textCol)))
       .withWatermark("ts", lateness)
-      .dropDuplicates("fp_md5")
+      .dropDuplicatesWithinWatermark("fp_md5")
 
   /** Streaming sketch aggregates (the streaming twin of x22): HLL++
     * distinct users per hourly window — the sketch state is a mergeable,

@@ -87,6 +87,32 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("content-dedup state is evicted by the watermark (bounded memory)") {
+    import spark.implicits._
+    def at(hour: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF.toDF("doc_id", "ts", "text")
+    val q = EventStream.dedupeByContent(docs, lateness = "1 hour")
+      .writeStream.format("memory").queryName("cddExp").outputMode("append").start()
+    try {
+      input.addData((1L, at(10, 0), "payload A"))
+      q.processAllAvailable()
+      // inside the horizon: watermark still behind 10:00 + 1h → duplicate dropped
+      input.addData((2L, at(10, 30), "payload A"))
+      q.processAllAvailable()
+      // 12:30 advances the watermark to 11:30 > 11:00 → payload-A state evicted
+      input.addData((3L, at(12, 30), "payload B"))
+      q.processAllAvailable()
+      // past the horizon: payload A must be ADMITTED again — proves the state
+      // row was dropped, i.e. memory is O(horizon), not O(corpus)
+      input.addData((4L, at(12, 35), "payload A"))
+      q.processAllAvailable()
+      spark.table("cddExp").select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+        Seq(1L, 3L, 4L)
+    } finally q.stop()
+  }
+
   test("streaming sketch aggregate: HLL++ distinct users per window (x22 twin)") {
     import spark.implicits._
     val input = MemoryStream[(Long, Timestamp, Long, String)]
