@@ -19,8 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextHashes {
 
-  /** splitmix64 finalizer — a well-known public-domain 64-bit mixer. */
-  @inline private def mix64(z0: Long): Long = {
+  /** splitmix64 finalizer — a well-known public-domain 64-bit mixer.
+    * Package-visible so HashOracles derives its seed literals from the SAME
+    * arithmetic the engine runs (no constant drift between engine and oracle). */
+  @inline private[graft] def mix64(z0: Long): Long = {
     var z = z0
     z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
     z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L

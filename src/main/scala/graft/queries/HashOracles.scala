@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.functions.TextHashes
+
+/** DuckDB differential-oracle SQL for the engine-native hash-sketch queries
+  * (x03 MinHash+LSH, x04 SimHash, x05 min-shingle Jaccard, x24 CDC chunks).
+  *
+  * The engine computes these sketches with native 64-bit kernels
+  * (graft.functions.TextHashes: FNV-1a token hashes + the public-domain
+  * splitmix64 finalizer). Java `long` arithmetic wraps mod 2^64, which ANSI
+  * SQL BIGINT refuses (overflow error), so the oracle replicates every chain
+  * in DuckDB HUGEINT (INT128) arithmetic reduced mod 2^64 — the technique
+  * proven on x18's media FNV oracle (MediaQueries.scala). Three tricks keep
+  * it exact and fast:
+  *
+  *   - 64×64-bit multiply overflows even INT128, so products are computed as
+  *     split 32-bit halves: (a*c) mod 2^64 = (((a>>32)*c mod 2^32)<<32
+  *     + (a&0xffffffff)*c) mod 2^64 — every intermediate stays < 2^97.
+  *   - splitmix64 is applied via 5 chained CTE stages (xor-shift, multiply,
+  *     xor-shift, multiply, xor-shift) so each subexpression is evaluated
+  *     once per row; inlining it as one expression re-evaluates the inner
+  *     stages ~31× (measured 4.7× slower on the minhash path).
+  *   - Signed vs unsigned: the engine's mins/sorts compare Java longs
+  *     (signed), so HUGEINT values in [0, 2^64) are mapped to signed BIGINT
+  *     (v >= 2^63 → v - 2^64) before any MIN or output.
+  *
+  * Per-query notes:
+  *   - x03 bands: the engine buckets on xxhash64 of each 4-long signature
+  *     slice purely to shrink the shuffle key; two slices collide iff they
+  *     are equal (mod a ~2^-64 hash collision), so the oracle bands on the
+  *     slice values directly.
+  *   - x03 minhash seeds mix64(j + 0x5851f42d4c957f2d) are pure constants —
+  *     computed here by calling the engine's own TextHashes.mix64 and
+  *     embedded as literals (the x13 plane-literal precedent).
+  *   - x24 rolling hash: whenever the engine evaluates its cut test
+  *     (i - chunkStart + 1 >= 16 with window W = 16), the rolling hash
+  *     equals the hash of the *last 16 chars only*, independent of the
+  *     chunk start — so candidate cut positions are computable per position
+  *     (16 lag() terms), and only the greedy min-gap-16 cut selection needs
+  *     recursion (over the sparse candidate list, not every char).
+  */
+private[queries] object HashOracles {
+
+  private val M64 = "18446744073709551616::HUGEINT"
+  private val B32 = "4294967296::HUGEINT"
+  private val FNV_BASIS = "14695981039346656037::HUGEINT"
+  private val FNV_PRIME = "1099511628211::HUGEINT"
+
+  /** (a * c) mod 2^64 in INT128 without overflow (split 32-bit halves). */
+  private def mulmod(a: String, c: BigInt): String =
+    s"((($a) // $B32 * $c::HUGEINT) % $B32 * $B32 + ($a) % $B32 * $c::HUGEINT) % $M64"
+
+  /** splitmix64 applied to column `in` as 5 chained CTE stages; returns the
+    * CTE text fragment (leading comma included) and the final CTE name. */
+  private def mix64Stages(prefix: String, src: String, carry: Seq[String],
+                          in: String, out: String): (String, String) = {
+    val cols = if (carry.isEmpty) "" else carry.mkString(", ") + ", "
+    val m1 = mulmod("z1", BigInt("ff51afd7ed558ccd", 16))
+    val m2 = mulmod("z3", BigInt("c4ceb9fe1a85ec53", 16))
+    val fin = s"${prefix}_e"
+    val text = s""",
+${prefix}_a AS (SELECT ${cols}xor($in, ($in) // 8589934592::HUGEINT) AS z1 FROM $src),
+${prefix}_b AS (SELECT $cols$m1 AS z2 FROM ${prefix}_a),
+${prefix}_c AS (SELECT ${cols}xor(z2, z2 // 8589934592::HUGEINT) AS z3 FROM ${prefix}_b),
+${prefix}_d AS (SELECT $cols$m2 AS z4 FROM ${prefix}_c),
+$fin AS (SELECT ${cols}xor(z4, z4 // 8589934592::HUGEINT) AS $out FROM ${prefix}_d)"""
+    (text, fin)
+  }
+
+  private def signed(c: String): String =
+    s"CASE WHEN ($c) >= 9223372036854775808::HUGEINT THEN (($c) - $M64)::BIGINT ELSE ($c)::BIGINT END"
+
+  /** |A ∩ B| / |A ∪ B| over distinct-element lists, rounded to 6 dp. */
+  private def jaccard(a: String, b: String, out: String): String =
+    s"""ROUND(CAST(len(list_intersect($a, $b)) AS DOUBLE)
+       |    / (len($a) + len($b) - len(list_intersect($a, $b))), 6) AS $out""".stripMargin
+
+  /** Token FNV-1a + mix64 per (doc_id, pos): CTEs `t`..`the` with `the`
+    * holding (doc_id, pos, h) — the finalized unsigned token hash. */
+  private def tokenHashCtes(src: String): String = {
+    val (mixed, fin) = mix64Stages("th", "thx", Seq("doc_id", "pos"), "h", "h")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
+tok AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS pos, toks FROM t),
+tok2 AS (SELECT doc_id, pos, toks[pos] AS tk FROM tok),
+fnv(doc_id, pos, tk, j, h) AS (
+  SELECT doc_id, pos, tk, 0, $FNV_BASIS FROM tok2
+  UNION ALL
+  SELECT doc_id, pos, tk, j+1,
+    (xor(h, ascii(substring(tk, j+1, 1))::HUGEINT) * $FNV_PRIME) % $M64
+  FROM fnv WHERE j < length(tk)
+),
+thx AS (SELECT doc_id, pos, h FROM fnv WHERE j = length(tk))$mixed"""
+  }
+
+  /** 3-token shingle hashes (TextHashes.shingleData semantics, n = 3):
+    * chained mix64(h ^ (nextTokenHash + j·golden)) with the trailing sub-n
+    * shingle kept for short docs. Ends in `shset` (doc_id, sh BIGINT[]
+    * signed distinct) and `shsetu` (unsigned HUGEINT[] distinct). */
+  private def shingleCtes(src: String): String = {
+    val g1 = BigInt("9e3779b97f4a7c15", 16)
+    val g2 = (g1 * 2) % (BigInt(1) << 64)
+    val (mx1, f1) = mix64Stages("sh1", "sa", Seq("doc_id", "th", "n", "k", "x", "h"), "x", "mh")
+    val (mx2, f2) = mix64Stages("sh2", "sc", Seq("doc_id", "th", "n", "k", "x", "h"), "x", "mh")
+    s"""${tokenHashCtes(src)},
+tharr AS (SELECT doc_id, list(h ORDER BY pos) AS th, len(list(h)) AS n FROM th_e GROUP BY doc_id),
+shk AS (SELECT doc_id, th, n, unnest(range(1, greatest(n-2, 1)+1)) AS k FROM tharr),
+sa AS (SELECT doc_id, th, n, k,
+  CASE WHEN k+1 <= n THEN xor(th[k], (th[k+1] + $g1::HUGEINT) % $M64) ELSE NULL END AS x,
+  th[k] AS h FROM shk)$mx1,
+sb AS (SELECT doc_id, th, n, k, CASE WHEN x IS NULL THEN h ELSE mh END AS h FROM $f1),
+sc AS (SELECT doc_id, th, n, k,
+  CASE WHEN k+2 <= n THEN xor(h, (th[k+2] + $g2::HUGEINT) % $M64) ELSE NULL END AS x,
+  h FROM sb)$mx2,
+sd AS (SELECT doc_id, CASE WHEN x IS NULL THEN h ELSE mh END AS h FROM $f2),
+shset AS (SELECT doc_id, list(DISTINCT ${signed("h")}) AS sh FROM sd GROUP BY doc_id),
+shsetu AS (SELECT doc_id, list(DISTINCT h) AS shu FROM sd GROUP BY doc_id)"""
+  }
+
+  /** x03: exact-dup pre-collapse → 32-hash MinHash → 8 bands of 4 →
+    * band-value equi-join → exact Jaccard ≥ 0.5 on candidates. */
+  val dedupMinhash: String = {
+    val seeds = (0 until 32)
+      .map(j => TextHashes.mix64(j + 0x5851f42d4c957f2dL))
+      .map(s => s"${BigInt(java.lang.Long.toUnsignedString(s))}::HUGEINT")
+      .mkString("[", ",", "]")
+    val (mx, fin) = mix64Stages("mh", "mh3", Seq("doc_id", "j"), "x", "v")
+    s"""WITH RECURSIVE
+reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+${shingleCtes("reps")},
+mh1 AS (SELECT doc_id, unnest(shu) AS h FROM shsetu),
+mh2 AS (SELECT doc_id, h, unnest(range(0, 32)) AS j FROM mh1),
+mh3 AS (SELECT doc_id, j, xor(h, ($seeds)[j+1]) AS x FROM mh2)$mx,
+mh5 AS (SELECT doc_id, j, min(${signed("v")}) AS mv FROM $fin GROUP BY doc_id, j),
+sig AS (SELECT doc_id, list(mv ORDER BY j) AS sig FROM mh5 GROUP BY doc_id),
+bands AS (SELECT doc_id, unnest(range(0, 8)) AS b, sig FROM sig),
+bands2 AS (SELECT doc_id, b, array_to_string(sig[4*b+1:4*b+4], ',') AS bk FROM bands),
+cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands2 l JOIN bands2 r ON l.b = r.b AND l.bk = r.bk AND l.doc_id < r.doc_id),
+ws AS (SELECT doc_a, doc_b, p.sh AS sh_a, q.sh AS sh_b
+  FROM cand JOIN shset p ON p.doc_id = doc_a JOIN shset q ON q.doc_id = doc_b),
+jj AS (SELECT doc_a, doc_b, ${jaccard("sh_a", "sh_b", "jaccard")} FROM ws)
+SELECT doc_a, doc_b, jaccard FROM jj WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+  }
+
+  /** x04: 64-bit SimHash (per-bit votes over distinct token hashes) →
+    * 4×16-bit chunk equi-join → Hamming ≤ 3. */
+  val dedupSimhash: String = {
+    val pows = (0 until 64).map(b => s"${BigInt(1) << b}::HUGEINT").mkString("[", ",", "]")
+    val p16 = "[1::HUGEINT, 65536::HUGEINT, 4294967296::HUGEINT, 281474976710656::HUGEINT]"
+    s"""WITH RECURSIVE
+${tokenHashCtes("documents")},
+thset AS (SELECT doc_id, list(DISTINCT h) AS th FROM th_e GROUP BY doc_id),
+v1 AS (SELECT doc_id, unnest(th) AS h FROM thset),
+v2 AS (SELECT doc_id, h, unnest(range(0, 64)) AS b FROM v1),
+v3 AS (SELECT doc_id, b, SUM(CASE WHEN (h // ($pows)[b+1]) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM v2 GROUP BY doc_id, b),
+sg AS (SELECT doc_id, SUM(CASE WHEN vote > 0 THEN ($pows)[b+1] ELSE 0::HUGEINT END) AS sig
+  FROM v3 GROUP BY doc_id),
+sgs AS (SELECT doc_id, sig, ${signed("sig")} AS sigs FROM sg),
+ck AS (SELECT doc_id, sigs, unnest(range(0, 4)) AS c, sig FROM sgs),
+ck2 AS (SELECT doc_id, sigs, c, (sig // ($p16)[c+1]) % 65536::HUGEINT AS cv FROM ck),
+cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.sigs AS s_a, r.sigs AS s_b
+  FROM ck2 l JOIN ck2 r ON l.c = r.c AND l.cv = r.cv AND l.doc_id < r.doc_id),
+hm AS (SELECT doc_a, doc_b, CAST(bit_count(xor(s_a, s_b)) AS INTEGER) AS hamming FROM cand)
+SELECT doc_a, doc_b, hamming FROM hm WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
+  }
+
+  /** x05: min-shingle fingerprint (signed min, 1-band LSH) → equi-join →
+    * exact Jaccard ≥ 0.3. */
+  val dedupNgram: String =
+    s"""WITH RECURSIVE
+${shingleCtes("documents")},
+base AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS fp FROM shset),
+cand AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, l.sh AS sh_a, r.sh AS sh_b
+  FROM base l JOIN base r ON l.fp = r.fp AND l.doc_id < r.doc_id),
+jj AS (SELECT doc_a, doc_b, ${jaccard("sh_a", "sh_b", "jaccard")} FROM cand)
+SELECT doc_a, doc_b, jaccard FROM jj WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b"""
+
+  /** x24: CDC chunking (graft_chunks(text, 5, 16) semantics) → chunk-hash
+    * equi-join → chunk-set Jaccard ≥ 0.5. Window hashes via 16 lag() terms;
+    * greedy min-gap-16 cut selection via recursion over candidates only;
+    * per-chunk FNV recursion unrolled 16 chars/iteration (nested one-step
+    * subselects, so each step evaluates once — no exponential CASE blowup).
+    * The upstream CTEs feeding the recursive terms are MATERIALIZED, else
+    * DuckDB re-evaluates the whole candidate pipeline every iteration. */
+  val dedupChunks: String = {
+    val m = BigInt(1) << 64
+    val powTerms = ((0 until 15).map { t =>
+      s"lag(code, ${15 - t}) OVER w * ${BigInt(257).modPow(BigInt(15 - t), m)}::HUGEINT"
+    } :+ "code * 1::HUGEINT").mkString(" + ")
+    val unrolled = (1 to 16).foldLeft(
+      "SELECT doc_id, ck, j, h FROM cf WHERE j < length(ck)") { (inner, k) =>
+      s"""SELECT doc_id, ck, j, CASE WHEN j+$k <= length(ck) THEN
+  (xor(h, ascii(substring(ck, j+$k, 1))::HUGEINT) * $FNV_PRIME) % $M64
+  ELSE h END AS h FROM ($inner) u$k"""
+    }
+    val (mxCand, mxFin) = mix64Stages("cm", "whx2", Seq("doc_id", "i"), "wh", "m")
+    val (mxCh, chFin) = mix64Stages("ch", "cfx", Seq("doc_id"), "h", "h")
+    s"""WITH RECURSIVE
+d0 AS (SELECT doc_id, text, length(text) AS n FROM documents),
+cp AS MATERIALIZED (SELECT doc_id, n, unnest(range(1, n+1)) AS p,
+  unnest(list_transform(range(1, n+1), ii -> ascii(substring(text, CAST(ii AS INTEGER), 1)))) AS code
+  FROM d0),
+whx AS (SELECT doc_id, n, p, ($powTerms) % $M64 AS wh
+  FROM cp WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+whx2 AS (SELECT doc_id, p - 1 AS i, wh FROM whx WHERE p >= 16 AND p <= n - 1)$mxCand,
+cnd AS MATERIALIZED (SELECT doc_id, i FROM $mxFin WHERE m % 32 = 0),
+nx AS MATERIALIZED (SELECT a.doc_id, a.i, min(b.i) AS nxt
+  FROM cnd a LEFT JOIN cnd b ON b.doc_id = a.doc_id AND b.i >= a.i + 16
+  GROUP BY a.doc_id, a.i),
+cuts(doc_id, cut) AS (
+  SELECT doc_id, min(i) FROM cnd GROUP BY doc_id
+  UNION ALL
+  SELECT c.doc_id, nx.nxt FROM cuts c JOIN nx ON nx.doc_id = c.doc_id AND nx.i = c.cut
+  WHERE nx.nxt IS NOT NULL
+),
+bnd AS (SELECT doc_id, cut FROM cuts UNION ALL SELECT doc_id, n - 1 AS cut FROM d0),
+bord AS (SELECT doc_id, cut, lag(cut, 1, -1) OVER (PARTITION BY doc_id ORDER BY cut) AS prev FROM bnd),
+chnk AS MATERIALIZED (SELECT b.doc_id, substring(d.text, b.prev + 2, b.cut - b.prev) AS ck
+  FROM bord b JOIN d0 d USING (doc_id)),
+cf(doc_id, ck, j, h) AS (
+  SELECT doc_id, ck, 0, $FNV_BASIS FROM chnk
+  UNION ALL
+  SELECT doc_id, ck, least(j + 16, length(ck)), h FROM ($unrolled) unrolled
+),
+cfx AS (SELECT doc_id, h FROM cf WHERE j = length(ck))$mxCh,
+chsig AS (SELECT doc_id, ${signed("h")} AS h FROM $chFin),
+chset AS MATERIALIZED (SELECT doc_id, list(DISTINCT h) AS ch FROM chsig GROUP BY doc_id),
+ex AS (SELECT doc_id, unnest(ch) AS c FROM chset),
+cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM ex l JOIN ex r ON l.c = r.c AND l.doc_id < r.doc_id),
+ws AS (SELECT doc_a, doc_b, p.ch AS ch_a, q.ch AS ch_b
+  FROM cand JOIN chset p ON p.doc_id = doc_a JOIN chset q ON q.doc_id = doc_b),
+jj AS (SELECT doc_a, doc_b, ${jaccard("ch_a", "ch_b", "overlap")} FROM ws)
+SELECT doc_a, doc_b, overlap FROM jj WHERE overlap >= 0.5 ORDER BY doc_a, doc_b"""
+  }
+}

@@ -67,7 +67,7 @@ object TextQueries {
     * n²) and the two id-joins that fetch shingle sets for the exact check.
     * This is the standard web-scale near-dedup plan (cf. Broder's MinHash).
     */
-  val dedupMinhash = rowsOnly("x03_dedup_minhash") { (s, d) =>
+  val dedupMinhash = sql("x03_dedup_minhash", HashOracles.dedupMinhash) { (s, d) =>
     // Exact-dup pre-collapse: identical texts share one representative
     // (lowest doc_id), so a mega-cluster of byte-identical copies costs one
     // groupBy instead of an n² band-bucket blowup — the standard skew
@@ -121,7 +121,7 @@ object TextQueries {
     * Signature construction is row-local (no shuffle); candidate join is one
     * equi-join on the chunk value.
     */
-  val dedupSimhash = rowsOnly("x04_dedup_simhash") { (s, d) =>
+  val dedupSimhash = sql("x04_dedup_simhash", HashOracles.dedupSimhash) { (s, d) =>
     // Native expressions: distinct token hashes (1-gram shingles) → one-pass
     // 64-bit vote loop. Materialized (GC-scoped localCheckpoint) because
     // both sides of the chunk self-join read the signature table.
@@ -145,7 +145,7 @@ object TextQueries {
 
   /** n-gram Jaccard near-dup: candidates share a min-shingle fingerprint
     * (cheap 1-band LSH), then exact 3-gram Jaccard. */
-  val dedupNgram = rowsOnly("x05_dedup_ngram_jaccard") { (s, d) =>
+  val dedupNgram = sql("x05_dedup_ngram_jaccard", HashOracles.dedupNgram) { (s, d) =>
     val base = docs(s, d).select(col("doc_id"), shingleHashes.as("sh"))
       .withColumn("fp", array_min(col("sh")))
       // shingle sets reused by both join sides + the exact check (GC-scoped)
@@ -292,9 +292,9 @@ object TextQueries {
     * density), verified by exact chunk-set Jaccard. Where shingle-based
     * sketches compare token windows, CDC boundaries re-synchronize after an
     * edit, so documents differing by an insertion still share most chunk
-    * hashes (invariance property-tested in TextHashesSpec). rows-only:
-    * the chunk hashes are engine-native. */
-  val dedupChunks = rowsOnly("x24_dedup_chunks") { (s, d) =>
+    * hashes (invariance property-tested in TextHashesSpec). Oracle: the full
+    * rolling-hash/FNV chain replicated in DuckDB HUGEINT SQL (HashOracles). */
+  val dedupChunks = sql("x24_dedup_chunks", HashOracles.dedupChunks) { (s, d) =>
     val base = docs(s, d)
       .select(col("doc_id"), expr("graft_chunks(text, 5, 16)").as("ch"))
       .localCheckpoint(eager = false) // both join sides + the exact check
