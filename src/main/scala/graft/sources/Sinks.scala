@@ -13,18 +13,25 @@ object Sinks {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
-  /** Hive-style partitioned parquet. `filesPerPartition` repartitions by the
-    * partition columns first so each directory gets a bounded file count —
-    * the difference between a queryable lake layout and a small-file mess at
-    * 100 TB. */
+  /** Hive-style partitioned parquet with a bounded file count per directory.
+    *
+    * Repartitioning on the partition columns alone hashes each distinct
+    * partition value into exactly ONE task — every directory gets one file
+    * regardless of any multiplier, and a hot partition value funnels its
+    * entire data through a single task (the skew this sink exists to avoid).
+    * Instead the shuffle key is salted: `pmod(hash(allCols), n)` splits each
+    * partition value across up to `filesPerPartition` tasks, so a directory
+    * gets at most `filesPerPartition` files AND a hot value's rows spread
+    * over that many writers. The salt is a deterministic hash of the row
+    * (not rand()), so retried tasks re-produce the same placement. */
   def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String],
       filesPerPartition: Int = 1): Unit = {
-    import org.apache.spark.sql.functions.col
-    val cols = partitionCols.map(col)
+    import org.apache.spark.sql.functions.{col, hash, pmod, lit}
+    val n = math.max(filesPerPartition, 1)
+    val salt = pmod(hash(df.columns.map(col): _*), lit(n))
     df.repartition(
-        math.max(filesPerPartition, 1) *
-          math.max(df.sparkSession.sparkContext.defaultParallelism / 4, 1),
-        cols: _*)
+        n * math.max(df.sparkSession.sparkContext.defaultParallelism / 4, 1),
+        partitionCols.map(col) :+ salt: _*)
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)

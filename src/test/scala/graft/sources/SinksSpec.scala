@@ -29,6 +29,27 @@ class SinksSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("partitionedParquet bounds files per directory and spreads hot values over tasks") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // skewed fixture: value "hot" holds 95% of rows, three cold values share the rest
+    val df = (1L to 20000L)
+      .map(i => (if (i % 20 == 0) s"cold${i % 3}" else "hot", i, s"p$i"))
+      .toDF("part", "id", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("part-sink").toString + "/t"
+    Sinks.partitionedParquet(df, dir, Seq("part"), filesPerPartition = 4)
+    val stats = spark.read.parquet(dir)
+      .withColumn("f", input_file_name()) // project first: not allowed inside agg
+      .groupBy("part").agg(countDistinct(col("f")).as("nf"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    stats.map(_._3).sum shouldBe 20000L
+    val hot = stats.find(_._1 == "hot").get
+    // the hot value must be written by MORE than one task (skew spread)...
+    hot._2 should be > 1L
+    // ...and every directory's file count stays within the requested bound
+    stats.foreach { case (_, nf, _) => nf should be <= 4L }
+  }
+
   test("sortedParquet writes disjoint key ranges per file (data-skipping layout)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
