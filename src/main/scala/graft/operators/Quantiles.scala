@@ -36,16 +36,63 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructFiel
   */
 object Quantiles {
 
-  /** Exact per-group percentiles of `valueCol` (nulls ignored, like the
-    * builtin). Output: (groupCol, q0, q1, … qk) — one DOUBLE column per
-    * requested p, in order. One delta from the builtin: a group whose
-    * values are ALL null is omitted from the output (the builtin would
-    * emit it with a null result). Eager: collects per-(partition, group)
-    * totals (tiny) to compute rank offsets, like a distributed sort. */
+  /** Rows-per-group crossover between the two exact plans. The decision
+    * variable is per-group VOLUME, not group count: the builtin
+    * `percentile` aggregate buffers one OpenHashMap entry per distinct
+    * value per group inside a single task, so it is both correct and
+    * fastest as long as that buffer fits task memory — `QuantilesSoak`
+    * at 20M rows / local[8] measures it 0.4-1.5 s across 3 to 1M groups
+    * while the range-partitioned plan pays 16-46 s of exchange + driver
+    * overhead (PLANS.md). Above the threshold a group's values (worst
+    * case all distinct: ~48 B/entry, 2M ≈ 100 MB) stop fitting, the
+    * builtin becomes the classic single-task OOM, and the parallel plan —
+    * whose sort parallelism is the cluster's, not the group count's — is
+    * the only exact plan that survives. */
+  val builtinMaxRowsPerGroup: Long = 2000000L
+
+  /** Exact per-group percentiles of `valueCol` (nulls ignored). Output:
+    * (groupCol, q0, q1, … qk) — one DOUBLE column per requested p, in
+    * order. One delta from the builtin: a group whose values are ALL null
+    * is omitted from the output (the builtin would emit it with a null
+    * result).
+    *
+    * Plan choice: at or below [[builtinMaxRowsPerGroup]] average rows per
+    * group, the builtin `percentile` aggregate runs (lazy, one shuffle,
+    * per-group buffers); above it, the cluster-parallel range-partitioned
+    * plan (eager — collects tiny per-(partition, group) totals to compute
+    * rank offsets, like a distributed sort). Pass `rowsPerGroupHint` when
+    * the caller knows the shape — when absent, one combined
+    * count + approx_count_distinct pass (±5%ish, fine for an
+    * order-of-magnitude crossover) estimates it. Both paths interpolate
+    * BIT-identically (QuantilesSpec), so the choice never changes results. */
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-      ps: Seq[Double]): DataFrame = {
+      ps: Seq[Double], rowsPerGroupHint: Option[Long] = None): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must be in [0, 1], got $ps")
+    val rowsPerGroup = rowsPerGroupHint.getOrElse {
+      val r = df.filter(col(valueCol).isNotNull)
+        .agg(count(lit(1)), approx_count_distinct(groupCol)).head()
+      r.getLong(0) / math.max(r.getLong(1), 1L)
+    }
+    if (rowsPerGroup > builtinMaxRowsPerGroup) parallelQuantiles(df, groupCol, valueCol, ps)
+    else builtinQuantiles(df, groupCol, valueCol, ps)
+  }
+
+  /** The high-cardinality path: builtin `percentile` — per-group buffered
+    * aggregation, right when groups are many and individually small. */
+  private[graft] def builtinQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[Double]): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCol)
+      .agg(percentile(v, lit(ps.head)).as("q0"),
+        (1 until ps.length).map(i => percentile(v, lit(ps(i))).as(s"q$i")): _*)
+  }
+
+  /** The low-cardinality path: range-partitioned exact ranks (see the
+    * class doc); sort parallelism is the cluster's, not the group count's. */
+  private[graft] def parallelQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     val gv = df
       .filter(col(valueCol).isNotNull)
@@ -136,6 +183,8 @@ object Quantiles {
 
   /** Exact per-group median (see groupQuantiles).
     * Output: (groupCol, median DOUBLE). */
-  def groupMedian(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
-    groupQuantiles(df, groupCol, valueCol, Seq(0.5)).withColumnRenamed("q0", "median")
+  def groupMedian(df: DataFrame, groupCol: String, valueCol: String,
+      rowsPerGroupHint: Option[Long] = None): DataFrame =
+    groupQuantiles(df, groupCol, valueCol, Seq(0.5), rowsPerGroupHint)
+      .withColumnRenamed("q0", "median")
 }

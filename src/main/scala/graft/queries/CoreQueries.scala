@@ -157,6 +157,9 @@ object CoreQueries {
     // scale-safe exact median (spillable counts+window plan, identical
     // interpolation — see operators.Quantiles) instead of the builtin's
     // buffer-the-whole-group ObjectHashAggregate
+    // the rows-per-group crossover picks the plan: builtin percentile at
+    // bench scale (200k rows/group), the range-partitioned parallel plan
+    // once a return-flag group outgrows a task's buffer (the 100 TB case)
     graft.operators.Quantiles.groupMedian(
         Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")
       .select(col("l_returnflag"), round(col("median"), 6).as("med_price"))
@@ -361,11 +364,13 @@ object CoreQueries {
       |  ROUND(MAX(o_totalprice), 6) AS max_price
       |FROM orders""".stripMargin) { (s, d) =>
     val orders = Tables.orders(s, d)
-    // quartiles via the spillable counts+window plan (operators.Quantiles),
-    // not the builtin percentile's buffer-every-value ObjectHashAggregate;
-    // interpolation is bit-identical, so the oracle is unaffected.
+    // quartiles via operators.Quantiles: the rows-per-group crossover uses
+    // the builtin percentile here and switches to the spillable
+    // range-partitioned plan when the single group outgrows a task buffer;
+    // interpolation is bit-identical either way, so the oracle is unaffected.
     val quartiles = graft.operators.Quantiles
-      .groupQuantiles(orders.withColumn("__g", lit(1)), "__g", "o_totalprice", Seq(0.25, 0.75))
+      .groupQuantiles(orders.withColumn("__g", lit(1)), "__g", "o_totalprice",
+        Seq(0.25, 0.75))
       .select(round(col("q0"), 6).as("q1_price"), round(col("q1"), 6).as("q3_price"))
     // LEFT join, not crossJoin: on an empty input groupQuantiles emits no
     // __g group at all, and a crossJoin would drop the aggregate row — SQL

@@ -6,19 +6,26 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.SparkTestBase
 
-/** The counts+window exact median must equal the builtin (buffer-the-group)
-  * `median` bit-for-bit — odd/even group sizes, heavy ties, nulls. */
+/** The counts+window exact-quantile plan must equal the builtin
+  * (buffer-the-group) `median`/`percentile` bit-for-bit — odd/even group
+  * sizes, heavy ties, nulls — and the public API must route between the two
+  * plans on the rows-per-group crossover. The equivalence tests call
+  * `parallelQuantiles` directly: the public dispatch would send these
+  * small fixtures to the builtin and the comparison would be vacuous. */
 class QuantilesSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
-  test("groupMedian ≡ builtin median on randomized groups (exact)") {
+  private def parallelMedian(df: org.apache.spark.sql.DataFrame) =
+    Quantiles.parallelQuantiles(df, "g", "v", Seq(0.5))
+
+  test("parallel plan ≡ builtin median on randomized groups (exact)") {
     import spark.implicits._
     val rnd = new scala.util.Random(23L)
     val rows = (0 until 8).flatMap { g =>
       val n = 1 + rnd.nextInt(200) // odd and even sizes
       (0 until n).map(_ => (s"g$g", math.floor(rnd.nextGaussian() * 50) / 4)) // ties
-    } ++ Seq(("g0", Double.NaN)).filter(_ => false) // (no NaN — undefined order)
+    }
     val df = rows.toDF("g", "v")
-    val ours = Quantiles.groupMedian(df, "g", "v")
+    val ours = parallelMedian(df)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val builtin = df.groupBy("g").agg(median(col("v")).as("m"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -26,14 +33,14 @@ class QuantilesSpec extends AnyFunSuite with Matchers with SparkTestBase {
     ours.foreach { case (g, m) => m shouldBe builtin(g) } // exact, not +-
   }
 
-  test("groupQuantiles ≡ builtin percentile for arbitrary p, one pass") {
+  test("parallel plan ≡ builtin percentile for arbitrary p, one pass") {
     import spark.implicits._
     val rnd = new scala.util.Random(31L)
     val df = (0 until 3).flatMap { g =>
       (0 until 50 + g).map(_ => (s"g$g", rnd.nextDouble() * 100)) // odd+even n
     }.toDF("g", "v")
     val ps = Seq(0.25, 0.5, 0.75, 0.9)
-    val ours = Quantiles.groupQuantiles(df, "g", "v", ps)
+    val ours = Quantiles.parallelQuantiles(df, "g", "v", ps)
       .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getDouble(i + 1))).toMap
     val builtin = df.groupBy("g")
       .agg(percentile(col("v"), typedLit(ps)).as("qs"))
@@ -44,7 +51,7 @@ class QuantilesSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
-  test("groupQuantiles is exact when groups span many range partitions") {
+  test("parallel plan is exact when groups span many range partitions") {
     // the failure mode: a group's distinct values split across multiple
     // range partitions, where the driver-collected rank offsets must match
     // the very materialization the result reads (recomputation after
@@ -54,7 +61,7 @@ class QuantilesSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val df = (0 until 2).flatMap { g =>
       (0 until 20000).map(_ => (s"g$g", rnd.nextDouble() * 1e6))
     }.toDF("g", "v")
-    val ours = Quantiles.groupQuantiles(df, "g", "v", Seq(0.25, 0.5))
+    val ours = Quantiles.parallelQuantiles(df, "g", "v", Seq(0.25, 0.5))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val builtin = df.groupBy("g")
       .agg(percentile(col("v"), lit(0.25)).as("a"), percentile(col("v"), lit(0.5)).as("b"))
@@ -62,12 +69,32 @@ class QuantilesSpec extends AnyFunSuite with Matchers with SparkTestBase {
     ours shouldBe builtin // exact, across multi-partition groups
   }
 
-  test("groupMedian ignores nulls and handles single-value groups") {
+  test("both paths ignore nulls and handle single-value groups identically") {
     import spark.implicits._
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
       ("b", Some(7.0)), ("c", Some(2.0)), ("c", Some(4.0))).toDF("g", "v")
-    val m = Quantiles.groupMedian(df, "g", "v")
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    m shouldBe Map("a" -> 2.0, "b" -> 7.0, "c" -> 3.0)
+    val want = Map("a" -> 2.0, "b" -> 7.0, "c" -> 3.0)
+    // forced parallel (hint above the crossover)
+    Quantiles.groupMedian(df, "g", "v", rowsPerGroupHint = Some(Long.MaxValue))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap shouldBe want
+    // dispatch default → builtin path on this tiny input
+    Quantiles.groupMedian(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap shouldBe want
+  }
+
+  test("rows-per-group crossover picks builtin below, parallel above") {
+    import spark.implicits._
+    val df = (0 until 3).flatMap(g => (0 until 40).map(i => (s"g$g", i.toDouble)))
+      .toDF("g", "v")
+    // small rows/group (estimated) → lazy builtin percentile aggregate
+    val viaEstimate = Quantiles.groupQuantiles(df, "g", "v", Seq(0.5))
+    viaEstimate.queryExecution.analyzed.toString should include("percentile")
+    // hint above the crossover → eager parallel plan (materialized result)
+    val forced = Quantiles.groupQuantiles(df, "g", "v", Seq(0.5),
+      rowsPerGroupHint = Some(Quantiles.builtinMaxRowsPerGroup + 1))
+    (forced.queryExecution.analyzed.toString should not).include("percentile")
+    // and the two choices agree exactly
+    forced.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap shouldBe
+      viaEstimate.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
   }
 }
