@@ -221,6 +221,37 @@ object SimilarityQueries {
   /** Drop memoized IVF indexes (after rewriting a corpus path in-place). */
   def clearIvfCache(): Unit = ivfCache.clear()
 
+  /** Persist trained IVF centroids as a tiny parquet artifact
+    * (cell INT, centroid ARRAY<DOUBLE>) — the durable form of the index.
+    * A real deployment runs the KMeans build once, writes this, and every
+    * later session (and every other driver) probes from the artifact
+    * instead of re-paying the build. */
+  def saveIvfIndex(s: SparkSession, d: String, path: String, nCells: Int = 16): Unit = {
+    import s.implicits._
+    graft.sources.Sinks.parquet(
+      ivfCentroids(s, d, nCells).zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cell", "centroid"), path)
+  }
+
+  /** Read centroids back from a [[saveIvfIndex]] artifact (cell order). */
+  def loadIvfIndex(s: SparkSession, path: String): Seq[Seq[Double]] =
+    s.read.parquet(path).orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+
+  /** Build-or-load: return the centroids at `indexPath`, training and
+    * writing the artifact only if it does not exist yet. The in-JVM memo
+    * sits on top (keyed by the artifact path), so steady state is
+    * memo-hit → artifact-read → train, in that order. Probing from an
+    * existing artifact never touches the corpus directory. */
+  def ivfCentroidsDurable(s: SparkSession, d: String, indexPath: String,
+      nCells: Int = 16): Seq[Seq[Double]] =
+    ivfCache.computeIfAbsent(s"ivf-artifact#$indexPath", { _ =>
+      val hPath = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hPath)) saveIvfIndex(s, d, indexPath, nCells)
+      loadIvfIndex(s, indexPath)
+    })
+
   /** ANN via IVF (inverted-file index): KMeans partitions the corpus into
     * `nCells` cells once (the memoized index build, see `ivfCentroids`);
     * each query probes its `nProbe` nearest centroids and ranks exact

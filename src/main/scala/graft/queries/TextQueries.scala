@@ -67,36 +67,36 @@ object TextQueries {
     * n²) and the two id-joins that fetch shingle sets for the exact check.
     * This is the standard web-scale near-dedup plan (cf. Broder's MinHash).
     */
-  val dedupMinhash = sql("x03_dedup_minhash", HashOracles.dedupMinhash) { (s, d) =>
-    // Exact-dup pre-collapse: identical texts share one representative
-    // (lowest doc_id), so a mega-cluster of byte-identical copies costs one
-    // groupBy instead of an n² band-bucket blowup — the standard skew
-    // mitigation for web-scale near-dedup.
-    val reps = docs(s, d)
+  /** The persistable MinHash signature table for the documents in `d`: one
+    * row per exact-dup representative — (doc_id, sh ARRAY<BIGINT>,
+    * sig ARRAY<BIGINT>). The exact-dup pre-collapse (identical texts share
+    * one representative, the lowest doc_id) is the standard skew mitigation
+    * for web-scale near-dedup: a mega-cluster of byte-identical copies
+    * costs one groupBy instead of an n² band-bucket blowup. */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
       .groupBy("text").agg(min("doc_id").as("doc_id"))
-    // Materialize the per-doc shingle sets ONCE. Without the lineage
-    // boundary, Catalyst's projection collapse inlines the shingle-array
-    // expression into each of the 32 signature lambdas → a 32× recompute of
-    // the shingling per row (measured 93 s → ~3 s at sf0.1). At cluster
-    // scale this materialization is the signature table you'd write to
-    // storage between the sketch and pairwise stages anyway.
-    // localCheckpoint (not persist): blocks are released by the
-    // ContextCleaner when the query's DataFrames go out of scope, so
-    // repeated runs in one session don't accumulate cached tables. Trade-off
-    // (applies to every localCheckpoint in this file): lineage is truncated,
-    // so losing an executor mid-query fails the job instead of recomputing —
-    // at cluster scale the signature table would be WRITTEN to storage
-    // between stages (the durable form of this same boundary).
-    val base = reps.select(col("doc_id"), shingleHashes.as("sh"))
-      .localCheckpoint(eager = false)
-    val sig = expr("graft_minhash(sh, 32)")
-    val bands = base
-      .withColumn("sig", sig)
+      .select(col("doc_id"), shingleHashes.as("sh"))
+      .withColumn("sig", expr("graft_minhash(sh, 32)"))
+
+  /** Write the signature table as a durable artifact (range-sorted by
+    * doc_id, so later joins/read-backs get file-level stats) — the
+    * cluster-scale form of the localCheckpoint boundary in x03: sketch
+    * once, band-join from storage in every later session. */
+  def saveMinhashIndex(s: SparkSession, d: String, path: String): Unit =
+    graft.sources.Sinks.sortedParquet(minhashSignatures(s, d), path, Seq("doc_id"))
+
+  /** Band-join near-dup pairs from a signature table — the probe half of
+    * x03, usable against the in-memory table or a [[saveMinhashIndex]]
+    * artifact read back from storage (no re-sketching: `sh`/`sig` are
+    * stored columns). */
+  def minhashPairs(sigTable: DataFrame): DataFrame = {
+    val bands = sigTable
       .select(col("doc_id"), explode(
         transform(sequence(lit(0), lit(7)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh")))).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bh"))
-      // both sides of the self-join read this; don't re-sketch (GC-scoped)
+      // both sides of the self-join read this; don't re-derive (GC-scoped)
       .localCheckpoint(eager = false)
     val candidates = bands.as("l")
       .join(bands.as("r"), Seq("band", "bh"))
@@ -104,8 +104,8 @@ object TextQueries {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
     val withSets = candidates
-      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(sigTable.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sigTable.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
     withSets
       .withColumn("jaccard",
         round(size(array_intersect(col("sh_a"), col("sh_b")))
@@ -113,6 +113,28 @@ object TextQueries {
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Probe-only MinHash dedup from a durable signature artifact: every
+    * session after the first skips shingling and signing entirely. */
+  def dedupMinhashFromIndex(s: SparkSession, indexPath: String): DataFrame =
+    minhashPairs(s.read.parquet(indexPath))
+
+  val dedupMinhash = sql("x03_dedup_minhash", HashOracles.dedupMinhash) { (s, d) =>
+    // Materialize (doc_id, sh, sig) ONCE. Without the lineage boundary,
+    // Catalyst's projection collapse inlines the shingle-array expression
+    // into each of the 32 signature lambdas → a 32× recompute of the
+    // shingling per row (measured 93 s → ~3 s at sf0.1). At cluster scale
+    // this materialization is the signature table written to storage
+    // between the sketch and pairwise stages (saveMinhashIndex is exactly
+    // that; dedupMinhashFromIndex is the probe-only steady state).
+    // localCheckpoint (not persist): blocks are released by the
+    // ContextCleaner when the query's DataFrames go out of scope, so
+    // repeated runs in one session don't accumulate cached tables. Trade-off
+    // (applies to every localCheckpoint in this file): lineage is truncated,
+    // so losing an executor mid-query fails the job instead of recomputing —
+    // the durable artifact is the production form of this same boundary.
+    minhashPairs(minhashSignatures(s, d).localCheckpoint(eager = false))
   }
 
   /** SimHash near-dup pairs: 64-bit per-doc signature (sign of per-bit vote
@@ -314,6 +336,84 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Hash-min connected components over a near-dup pair graph, iterated to
+    * fixpoint: every round each node adopts the smallest label in its
+    * closed neighborhood; at fixpoint every component is labeled by its
+    * minimum doc_id. Rounds ≤ the component diameter (near-dup blobs are
+    * shallow), each round is one equi-join + one groupBy, and a GC-scoped
+    * localCheckpoint per round keeps lineage flat — the textbook
+    * driver-coordinated CC loop that scales to clusters (cf. the hash-min
+    * family of MapReduce CC algorithms). */
+  private[queries] def connectedReps(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(eager = false)
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("rep"))
+      .localCheckpoint(eager = false)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrRep = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id"), col("rep"))
+      val updated = labels.union(nbrRep)
+        .groupBy("doc_id").agg(min("rep").as("rep"))
+        .localCheckpoint(eager = false)
+      changed = updated
+        .join(labels.withColumnRenamed("rep", "prev"), Seq("doc_id"))
+        .filter(col("rep") < col("prev")).count()
+      labels = updated
+    }
+    labels
+  }
+
+  /** Hierarchical corpus dedup (x26): verified near-dup pairs (x03's
+    * band+verify plan) → connected components → ONE MinHash signature per
+    * cluster via the MinHashUnion typed aggregator (element-wise min of
+    * member signatures ≡ the signature of the union of member shingle
+    * sets — tiny fixed merge state, ClusterDedupSpec proves the identity) →
+    * a banded cross-CLUSTER candidate pass over cluster signatures. This is
+    * the real corpus-dedup shape at 100 TB: pairwise work stays
+    * band-bounded, cluster growth costs one k-long array per group, and
+    * the cross-cluster pass finds chains the pair threshold split without
+    * ever touching shingle sets again. Output: one row per cluster
+    * (rep, n_docs, n_xcands = plausible cross-cluster merge candidates at
+    * estimated Jaccard ≥ 0.25 from signature agreement). */
+  val dedupClusters = rowsOnly("x26_dedup_clusters") { (s, d) =>
+    s.udf.register("graft_minhash_union",
+      org.apache.spark.sql.functions.udaf(new graft.functions.MinHashUnion(32)))
+    val sigs = minhashSignatures(s, d).localCheckpoint(eager = false)
+    val pairs = minhashPairs(sigs).select("doc_a", "doc_b")
+      .localCheckpoint(eager = false)
+    val labels = connectedReps(sigs.select("doc_id"), pairs)
+    val clusters = labels.join(sigs, Seq("doc_id"))
+      .groupBy("rep")
+      .agg(count(lit(1)).as("n_docs"), expr("graft_minhash_union(sig)").as("csig"))
+      .localCheckpoint(eager = false) // both sides of the cross-cluster join
+    val cbands = clusters.select(col("rep"), explode(
+      transform(sequence(lit(0), lit(7)),
+        b => struct(b.as("band"), xxhash64(slice(col("csig"), b * 4 + 1, lit(4))).as("bh")))).as("b"))
+      .select(col("rep"), col("b.band"), col("b.bh"))
+    val xcand = cbands.as("l").join(cbands.as("r"), Seq("band", "bh"))
+      .filter(col("l.rep") < col("r.rep"))
+      .select(col("l.rep").as("rep_a"), col("r.rep").as("rep_b"))
+      .distinct()
+    val est = xcand
+      .join(clusters.select(col("rep").as("rep_a"), col("csig").as("sig_a")), Seq("rep_a"))
+      .join(clusters.select(col("rep").as("rep_b"), col("csig").as("sig_b")), Seq("rep_b"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / 32)
+      .filter(col("est_jaccard") >= 0.25)
+    val xcounts = est.select(col("rep_a").as("rep"))
+      .union(est.select(col("rep_b").as("rep")))
+      .groupBy("rep").agg(count(lit(1)).as("n_xcands"))
+    clusters.join(xcounts, Seq("rep"), "left")
+      .withColumn("n_xcands", coalesce(col("n_xcands"), lit(0L)))
+      .select("rep", "n_docs", "n_xcands")
+      .orderBy("rep")
+  }
+
   /** Repetition ratios — the Gopher-style quality signals that catch
     * boilerplate/spam BEFORE corpus-level dedup: fraction of repeated
     * tokens and of repeated 3-gram shingles within the document, plus the
@@ -357,5 +457,5 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
-    textRepetition)
+    textRepetition, dedupClusters)
 }
