@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** Gates for the hierarchical cluster dedup (x26): the MinHashUnion
+  * signature identity, connected-component transitivity, and end-to-end
+  * cluster accounting on the real documents table. */
+class ClusterDedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("element-wise sig min ≡ signature of the unioned shingle sets (exact)") {
+    // the algebraic property the cluster signatures rely on, checked on
+    // every verified near-dup pair of the real corpus: no approximation
+    val sigs = TextQueries.minhashSignatures(spark, sf).localCheckpoint(eager = false)
+    val pairs = TextQueries.minhashPairs(sigs).select("doc_a", "doc_b")
+    val joined = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("min_merged", zip_with(col("sig_a"), col("sig_b"), (a, b) => least(a, b)))
+      .withColumn("union_sig", expr("graft_minhash(array_sort(array_union(sh_a, sh_b)), 32)"))
+    joined.count() should be > 0L // 25 pairs at sf0.01
+    joined.filter(col("min_merged") =!= col("union_sig")).count() shouldBe 0L
+  }
+
+  test("connectedReps labels every component by its min doc_id (transitive)") {
+    import spark.implicits._
+    // chain 1-2-3 must collapse to one cluster even though (1,3) never pairs
+    val nodes = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val reps = TextQueries.connectedReps(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    reps shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L)
+  }
+
+  test("x26 accounts for every representative exactly once") {
+    val sigs = TextQueries.minhashSignatures(spark, sf)
+    val nReps = sigs.count()
+    val out = TextQueries.dedupClusters.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.map(_._2).sum shouldBe nReps // every rep in exactly one cluster
+    out.map(_._1).distinct.length shouldBe out.length // reps unique
+    out.count(_._2 > 1) should be > 0 // the 25 near-dup pairs formed clusters
+    // a cluster's rep is its own minimum: rep never appears in another row
+    val repSet = out.map(_._1).toSet
+    repSet.size shouldBe out.length
+  }
+}
