@@ -157,6 +157,23 @@ object Media {
       }(enc)
   }
 
+  /** Streaming media ingest: tail a directory of media parquet files as an
+    * unbounded stream (the batch twin is any (media_id, content, meta)
+    * parquet feed). Every transform in this object is STATELESS — a
+    * projection, filter, or mapPartitions batch with no aggregation — so
+    * `extractFeatures` / `sampleVideoFrames` / `resizeImages` apply to the
+    * returned stream UNCHANGED, micro-batch by micro-batch, with no state
+    * store and no watermark needed (MediaStreamSpec asserts output parity
+    * with the batch path on the same blobs). `maxFilesPerTrigger` bounds a
+    * micro-batch the same way `spark.sql.files.maxPartitionBytes` bounds a
+    * batch partition: so one trigger's blobs fit executor memory. */
+  def readMediaStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(mediaSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
   /** Metadata-only stats — shows pruning: reads `meta`, never `content`. */
   def mediaStats(media: DataFrame): DataFrame =
     media.groupBy(col("meta.media_type").as("media_type"))
