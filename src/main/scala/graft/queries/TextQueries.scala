@@ -349,7 +349,12 @@ object TextQueries {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(eager = false)
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("rep"))
+    // Only nodes touching an edge can ever change label — iterate over that
+    // (near-dup-dense) subgraph only and union the singletons back at the
+    // end. On a mostly-unique corpus this shrinks every iteration's
+    // join+groupBy from |corpus| to |dup-graph| rows.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("rep"))
       .localCheckpoint(eager = false)
     var changed = 1L
     while (changed > 0) {
@@ -364,7 +369,8 @@ object TextQueries {
         .filter(col("rep") < col("prev")).count()
       labels = updated
     }
-    labels
+    nodes.select("doc_id").join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
   }
 
   /** Hierarchical corpus dedup (x26): verified near-dup pairs (x03's
