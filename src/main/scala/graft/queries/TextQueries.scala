@@ -86,18 +86,22 @@ object TextQueries {
   def saveMinhashIndex(s: SparkSession, d: String, path: String): Unit =
     graft.sources.Sinks.sortedParquet(minhashSignatures(s, d), path, Seq("doc_id"))
 
+  /** 8 bands of 4 over a 32-long `sig` column: one row per (idCol, band,
+    * band-hash) — the LSH bucket key both the self-join (x03) and the
+    * stream probe join on. */
+  private def bandRows(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol), explode(
+      transform(sequence(lit(0), lit(7)),
+        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh")))).as("b"))
+      .select(col(idCol), col("b.band"), col("b.bh"))
+
   /** Band-join near-dup pairs from a signature table — the probe half of
     * x03, usable against the in-memory table or a [[saveMinhashIndex]]
     * artifact read back from storage (no re-sketching: `sh`/`sig` are
     * stored columns). */
   def minhashPairs(sigTable: DataFrame): DataFrame = {
-    val bands = sigTable
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(0), lit(7)),
-          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh")))).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bh"))
-      // both sides of the self-join read this; don't re-derive (GC-scoped)
-      .localCheckpoint(eager = false)
+    // both sides of the self-join read this; don't re-derive (GC-scoped)
+    val bands = bandRows(sigTable, "doc_id").localCheckpoint(eager = false)
     val candidates = bands.as("l")
       .join(bands.as("r"), Seq("band", "bh"))
       .filter(col("l.doc_id") < col("r.doc_id"))
@@ -119,6 +123,50 @@ object TextQueries {
     * session after the first skips shingling and signing entirely. */
   def dedupMinhashFromIndex(s: SparkSession, indexPath: String): DataFrame =
     minhashPairs(s.read.parquet(indexPath))
+
+  /** Near-dup probe of incoming documents against an existing signature
+    * table — the incremental-ingest half of corpus dedup. `incoming` needs
+    * (doc_id, text); each row is sketched row-locally (native
+    * graft_shingles/graft_minhash — stateless, no shuffle on the incoming
+    * side beyond the band join), banded, equi-joined against the corpus
+    * band table, and verified by exact Jaccard against the stored shingle
+    * sets. Output: (doc_id, corpus_doc_id, jaccard ≥ `threshold`).
+    *
+    * Runs unchanged over a STREAMING `incoming` (stream-static join;
+    * DocStreamSpec asserts batch parity): point it at
+    * `spark.read.parquet(indexPath)` of a [[saveMinhashIndex]] artifact and
+    * new documents are checked against the corpus as they arrive — no
+    * watermark, corpus never re-sketched. The sketch/band/verify steps are
+    * stateless; the only state is the candidate-pair dropDuplicates
+    * (collapsing multi-band hits), which grows with pairs seen — an
+    * indefinitely-running ingest should either bound it by adding an
+    * ingest-time watermark upstream or drop the dedup and accept one
+    * verified output row per matching band. At scale, write the artifact
+    * bucketed by the band hash so each micro-batch's probe join prunes to
+    * its buckets. */
+  def nearDupProbe(incoming: DataFrame, sigTable: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val probes = incoming
+      .select(col("doc_id"), shingleHashes.as("sh"))
+      .withColumn("sig", expr("graft_minhash(sh, 32)"))
+    val probeBands = probes.select(col("doc_id"), col("sh"), explode(
+      transform(sequence(lit(0), lit(7)),
+        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh")))).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.band"), col("b.bh"))
+    val corpusBands = bandRows(sigTable, "doc_id")
+      .withColumnRenamed("doc_id", "corpus_doc_id")
+    probeBands.join(corpusBands, Seq("band", "bh"))
+      .filter(col("doc_id") =!= col("corpus_doc_id"))
+      .select("doc_id", "corpus_doc_id", "sh")
+      .dropDuplicates(Seq("doc_id", "corpus_doc_id"))
+      .join(sigTable.select(col("doc_id").as("corpus_doc_id"), col("sh").as("sh_c")),
+        Seq("corpus_doc_id"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh"), col("sh_c")))
+          .cast("double") / size(array_union(col("sh"), col("sh_c"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id", "corpus_doc_id", "jaccard")
+  }
 
   val dedupMinhash = sql("x03_dedup_minhash", HashOracles.dedupMinhash) { (s, d) =>
     // Materialize (doc_id, sh, sig) ONCE. Without the lineage boundary,
