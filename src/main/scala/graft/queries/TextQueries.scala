@@ -508,8 +508,48 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-document top-3 terms by tf-idf — keyword extraction, the term-
+    * weighting step of dataset curation / retrieval indexing. The idf is
+    * the ln-free smoothed ratio (N+1)/(df+1): bit-exact across engines
+    * (pure int→double arithmetic in one fixed order), where a log-based
+    * idf would risk last-ulp libm differences under the hash compare.
+    *
+    * Scale shape: two partial-final groupBys (term frequency per doc,
+    * document frequency per term), one equi-join on the term, the corpus
+    * count broadcast as a single row, and a per-doc window that the
+    * optimizer prunes with WindowGroupLimit (only the top 3 survive, so
+    * the sort never materializes a doc's full term list downstream). */
+  val textTfidf = sql(
+    "x27_text_tfidf",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |s AS (SELECT doc_id, term, ROUND(CAST(tf AS DOUBLE) * (n + 1) / (df + 1), 6) AS tfidf
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      |r AS (SELECT doc_id, term, tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      |  FROM s)
+      |SELECT doc_id, term, tfidf, CAST(rk AS INTEGER) AS rk
+      |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, d).select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val n = docs(s, d).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") * (col("n") + 1) / (col("df") + 1), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "term", "tfidf", "rk")
+      .orderBy("doc_id", "rk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
-    textRepetition, dedupClusters)
+    textRepetition, dedupClusters, textTfidf)
 }

@@ -51,6 +51,12 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("WindowGroupLimit")
   }
 
+  test("x27: per-doc top-k terms prune early (WindowGroupLimit, partial-final aggs)") {
+    val plan = planOf(TextQueries.textTfidf)
+    plan should include("WindowGroupLimit") // rk<=3 pushed into the window sort
+    "HashAggregate".r.findAllIn(plan).size should be >= 2 // map-side combine
+  }
+
   test("registry-wide: no query plans a CartesianProduct or a UDF eval node") {
     graft.SparkEntry.defs.foreach { q =>
       val plan = q.run(spark, dir).queryExecution.executedPlan.toString
