@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the LATEST right row with the same key
+  * and right time ≤ left time (the temporal-enrichment join Spark has no
+  * built-in for: trades-vs-quotes, event-vs-latest-state, click-vs-view).
+  *
+  * Implemented JOIN-FREE as tag → union → running last-non-null window:
+  *
+  *   1. both sides are tagged and unioned on a common schema (left payload
+  *      and right payload ride in nullable structs);
+  *   2. one window partitioned by the key, ordered by (time, side,
+  *      tiebreak) with side putting right rows BEFORE left rows at equal
+  *      times (ties are at-or-before, like DuckDB's ASOF JOIN);
+  *   3. `last(rightStruct, ignoreNulls)` over the running frame attaches
+  *      the newest preceding right payload to every left row.
+  *
+  * Scale rationale: the naive formulation is an inequality join
+  * (`r.key = l.key AND r.t <= l.t`) — a per-key cross product that
+  * explodes on hot keys — or a per-row subquery. This plan costs exactly
+  * ONE shuffle (the window partition), then a linear partition-local scan;
+  * a hot key is one partition's spillable sort, never a pair blowup.
+  * AsOfJoinSpec checks semantics (ties, misses, interleavings) and
+  * PlanQualitySpec asserts the executed plan contains no join node at all.
+  *
+  * Determinism: among right rows sharing the greatest qualifying time, the
+  * one with the largest `tiebreak` wins — pass a unique column (an id) for
+  * reproducible output.
+  */
+object AsOfJoin {
+
+  /** Left rows enriched with `asOfCol`: a struct of `rightPayload` columns
+    * from the matched right row, or null when no right row precedes. */
+  def asOf(left: DataFrame, right: DataFrame, key: String, time: String,
+      rightPayload: Seq[String], tiebreak: String,
+      asOfCol: String = "asof"): DataFrame = {
+    require(rightPayload.nonEmpty, "rightPayload must name at least one column")
+    val lStruct = struct(left.columns.map(col): _*)
+    val rStruct = struct(rightPayload.map(col): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+    val tbType = right.schema(tiebreak).dataType
+
+    val lTagged = left.select(
+      col(key).as("__k"), col(time).as("__t"),
+      lit(1).as("__side"), lit(null).cast(tbType).as("__tb"),
+      lStruct.as("__l"), lit(null).cast(rType).as("__r"))
+    val rTagged = right.select(
+      col(key).as("__k"), col(time).as("__t"),
+      lit(0).as("__side"), col(tiebreak).as("__tb"),
+      lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .withColumn("__m", last("__r", ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*") +: Seq(col("__m").as(asOfCol)): _*)
+  }
+
+  /** Column-friendly accessor for the matched payload. */
+  def matched(asOfCol: String, field: String): Column = col(s"$asOfCol.$field")
+}

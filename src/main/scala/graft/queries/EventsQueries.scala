@@ -80,5 +80,38 @@ object EventsQueries {
       .orderBy("event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats)
+  /** As-of enrichment: every click gets the latest view by the same user
+    * at-or-before it (attribution — "which impression led here"). Runs the
+    * join-free union+window plan of `operators.AsOfJoin` (one shuffle, no
+    * inequality join, no per-key pair blowup — PlanQualitySpec asserts the
+    * executed plan contains no join node); the oracle is the naive
+    * inequality join + QUALIFY pick, which DuckDB can afford at test scale.
+    * Gap arithmetic in exact integer microseconds (x16 precedent). */
+  val asofClickView = sql(
+    "x28_ev_asof",
+    """WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+      |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id,
+      |  v.event_id AS view_event_id,
+      |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+      |FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.ts <= c.ts
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY c.event_id
+      |  ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST) = 1
+      |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    graft.operators.AsOfJoin
+      .asOf(clicks, views, key = "user_id", time = "ts",
+        rightPayload = Seq("event_id", "ts"), tiebreak = "event_id")
+      .select(col("event_id"), col("user_id"),
+        col("asof.event_id").as("view_event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof.ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
+    asofClickView)
 }

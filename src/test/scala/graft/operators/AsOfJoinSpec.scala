@@ -1,0 +1,54 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+class AsOfJoinSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("asOf picks the latest at-or-before right row per key; misses are null") {
+    import spark.implicits._
+    val left = Seq( // (id, key, t)
+      (100L, 1L, ts(10)), // matches r2 (t=9, latest <= 10)
+      (101L, 1L, ts(5)),  // matches r1 exactly at t=5 (at-or-before tie)
+      (102L, 1L, ts(2)),  // before every right row → null
+      (103L, 2L, ts(30)), // other key: matches r3
+      (104L, 3L, ts(30))  // key with no right rows → null
+    ).toDF("id", "k", "t")
+    val right = Seq( // (rid, key, t)
+      (1L, 1L, ts(5)), (2L, 1L, ts(9)), (9L, 1L, ts(11)), // r at 11 is AFTER left 10
+      (3L, 2L, ts(7))
+    ).toDF("rid", "k", "t")
+
+    val out = AsOfJoin.asOf(left, right, key = "k", time = "t",
+      rightPayload = Seq("rid", "t"), tiebreak = "rid")
+      .select(col("id"), col("asof.rid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    out shouldBe Map(100L -> 2L, 101L -> 1L, 102L -> -1L, 103L -> 3L, 104L -> -1L)
+  }
+
+  test("equal-time right rows resolve to the greatest tiebreak (deterministic)") {
+    import spark.implicits._
+    val left = Seq((100L, 1L, ts(10))).toDF("id", "k", "t")
+    val right = Seq((1L, 1L, ts(10)), (2L, 1L, ts(10)), (3L, 1L, ts(10)))
+      .toDF("rid", "k", "t")
+    val out = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"), tiebreak = "rid")
+      .select(col("asof.rid")).collect().map(_.getLong(0))
+    out shouldBe Array(3L) // max rid among the t-ties
+  }
+
+  test("left payload columns all survive the union round-trip") {
+    import spark.implicits._
+    val left = Seq((100L, 1L, ts(10), "payload-x", 3.5)).toDF("id", "k", "t", "tag", "v")
+    val right = Seq((7L, 1L, ts(1))).toDF("rid", "k", "t")
+    val row = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"), "rid").collect().head
+    (row.getLong(0), row.getString(3), row.getDouble(4)) shouldBe ((100L, "payload-x", 3.5))
+  }
+}

@@ -57,6 +57,13 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     "HashAggregate".r.findAllIn(plan).size should be >= 2 // map-side combine
   }
 
+  test("x28: the as-of enrichment plans NO join node (union+window, one shuffle)") {
+    val plan = planOf(EventsQueries.asofClickView)
+    plan should not include "Join" // the whole point: no inequality-join blowup
+    plan should include("Window")
+    "Exchange".r.findAllIn(plan).size should be <= 2 // window partition + output sort
+  }
+
   test("registry-wide: no query plans a CartesianProduct or a UDF eval node") {
     graft.SparkEntry.defs.foreach { q =>
       val plan = q.run(spark, dir).queryExecution.executedPlan.toString
