@@ -112,6 +112,31 @@ object EventsQueries {
       .orderBy("event_id")
   }
 
+  /** Point-in-interval classification: each event's value lands in its
+    * band(s) via `operators.RangeJoin` — a bucket-expansion EQUI-join,
+    * where the naive BETWEEN join could only plan as broadcast-nested-loop
+    * (O(points × intervals)). The oracle runs the naive BETWEEN join,
+    * affordable at test scale. Band table rides as literals here; the plan
+    * shape is identical when it is a real table. */
+  val valueBands = sql(
+    "x29_ev_value_bands",
+    """WITH bands(band, lo, hi) AS (VALUES
+      |  ('b0_micro', 0.0, 10.0), ('b1_low', 10.0, 50.0), ('b2_mid', 50.0, 100.0),
+      |  ('b3_high', 100.0, 200.0), ('b4_burst', 200.0, 500.0))
+      |SELECT e.event_id, b.band, e.value
+      |FROM events e JOIN bands b ON e.value BETWEEN b.lo AND b.hi
+      |ORDER BY e.event_id, b.band""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val bands = Seq(
+      ("b0_micro", 0.0, 10.0), ("b1_low", 10.0, 50.0), ("b2_mid", 50.0, 100.0),
+      ("b3_high", 100.0, 200.0), ("b4_burst", 200.0, 500.0)).toDF("band", "lo", "hi")
+    graft.operators.RangeJoin
+      .pointInInterval(Tables.events(s, d).select("event_id", "value"), bands,
+        valueCol = "value", loCol = "lo", hiCol = "hi", bucketWidth = 10.0)
+      .select("event_id", "band", "value")
+      .orderBy("event_id", "band")
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
-    asofClickView)
+    asofClickView, valueBands)
 }

@@ -64,6 +64,13 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     "Exchange".r.findAllIn(plan).size should be <= 2 // window partition + output sort
   }
 
+  test("x29: the range join is a bucket EQUI-join — no nested-loop scan") {
+    val plan = planOf(EventsQueries.valueBands)
+    plan should not include "BroadcastNestedLoopJoin" // what naive BETWEEN would plan
+    plan should not include "CartesianProduct"
+    plan should include("Join") // and it IS a real (hash/sort-merge) equi-join
+  }
+
   test("registry-wide: no query plans a CartesianProduct or a UDF eval node") {
     graft.SparkEntry.defs.foreach { q =>
       val plan = q.run(spark, dir).queryExecution.executedPlan.toString
