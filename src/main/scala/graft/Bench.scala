@@ -40,12 +40,26 @@ object Bench {
       }
       q.name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+    // Durable-index steady state: write the MinHash signature artifact once
+    // (untimed — the amortized build, like the IVF KMeans above), then time
+    // the probe-only dedup that reads it back — what every session after
+    // the first pays instead of x03's sketch+band+verify.
+    val probeOnly =
+      try {
+        val idx = java.nio.file.Files.createTempDirectory("bench-mh").toString + "/sigs"
+        graft.queries.TextQueries.saveMinhashIndex(spark, sfDir, idx)
+        val t0 = System.nanoTime()
+        graft.queries.TextQueries.dedupMinhashFromIndex(spark, idx)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable => System.err.println(s"[bench] mh probe: $e"); -1.0 }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failed,"runs":2,"x17_index_build_sec":$ivfBuild,"sf":"$sfDir"}""")
+      s""""failed":$failed,"runs":2,"x17_index_build_sec":$ivfBuild,""" +
+      s""""x03_probe_only_sec":$probeOnly,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
