@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.TextQueries
+
+/** Scale soak for the near-dup dedup path (x03) and the hierarchical
+  * cluster stage (x26): generates a corpus with planted exact-dup
+  * mega-groups AND mutation CHAINS (doc m is doc m-1 with two more tokens
+  * replaced — adjacent pairs are near-dups, chain ends are not), so the
+  * exact-dup pre-collapse, the band join, and the hash-min CC loop all get
+  * their worst food: skewed identical groups and components whose diameter
+  * forces multiple label-propagation rounds.
+  *
+  * `runMain graft.DedupSoak [nBase] [copies] [chainLen]` — defaults
+  * 5000 × (10 exact copies + 6-mutation chain) ≈ 80k docs. Prints one JSON
+  * line with stage timings and cluster accounting.
+  */
+object DedupSoak {
+  final case class Doc(doc_id: Long, text: String)
+
+  def main(args: Array[String]): Unit = {
+    val nBase = if (args.length > 0) args(0).toInt else 5000
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val chainLen = if (args.length > 2) args(2).toInt else 6
+    val perBase = copies + chainLen
+    val nTok = 60
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // deterministic generator: base tokens from a 500-word vocab; chain
+    // mutation m replaces the first 2m tokens with chain-local tokens
+    val docs = spark.range(nBase.toLong * perBase).map { i =>
+      val base = i / perBase
+      val slot = (i % perBase).toInt
+      val m = math.max(slot - copies + 1, 0) // 0 for exact copies, 1..chainLen for chain
+      // base-scoped vocabulary: cross-base docs share no tokens, so the
+      // planted structure (copies + chain) is exactly what the pipeline
+      // must find — an unscoped vocab cycles and aliases whole documents
+      val toks = (0 until nTok).map { t =>
+        if (t < 2 * m) s"b${base}c$t" else s"b${base}w${(t * 7) % 97}"
+      }
+      Doc(i, toks.mkString(" "))
+    }(Encoders.product[Doc]).toDF().persist()
+    val nDocs = docs.count()
+
+    def time[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f; ((System.nanoTime() - t0) / 1e9, a)
+    }
+    // x03 pipeline: signature table + banded pair join + exact verify
+    val (tPairs, nPairs) = time {
+      val sigs = TextQueries.minhashSignaturesOf(docs)
+      TextQueries.minhashPairs(sigs.localCheckpoint(eager = false)).count()
+    }
+    // x26 stage: CC to fixpoint + MinHashUnion cluster signatures
+    val (tClusters, stats) = time {
+      val sigs = TextQueries.minhashSignaturesOf(docs).localCheckpoint(eager = false)
+      val pairs = TextQueries.minhashPairs(sigs).select("doc_a", "doc_b")
+        .localCheckpoint(eager = false)
+      val labels = TextQueries.connectedReps(sigs.select("doc_id"), pairs)
+      spark.udf.register("graft_minhash_union",
+        org.apache.spark.sql.functions.udaf(new graft.functions.MinHashUnion(32)))
+      val clusters = labels.join(sigs, Seq("doc_id"))
+        .groupBy("rep")
+        .agg(count(lit(1)).as("n"), expr("graft_minhash_union(sig)").as("csig"))
+      val agg = clusters.agg(count(lit(1)), max("n"), sum("n")).head()
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    }
+    println(s"""{"metric":"dedup_soak","docs":$nDocs,"base":$nBase,""" +
+      s""""copies":$copies,"chain_len":$chainLen,"pairs":$nPairs,""" +
+      s""""pairs_sec":$tPairs,"clusters":${stats._1},"max_cluster":${stats._2},""" +
+      s""""clustered_reps":${stats._3},"clusters_sec":$tClusters}""")
+    spark.stop()
+  }
+}

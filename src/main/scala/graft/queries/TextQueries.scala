@@ -74,7 +74,11 @@ object TextQueries {
     * for web-scale near-dedup: a mega-cluster of byte-identical copies
     * costs one groupBy instead of an n² band-bucket blowup. */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    minhashSignaturesOf(docs(s, d))
+
+  /** Same, from any (doc_id, text) frame — the ingest/soak entry point. */
+  def minhashSignaturesOf(documents: DataFrame): DataFrame =
+    documents
       .groupBy("text").agg(min("doc_id").as("doc_id"))
       .select(col("doc_id"), shingleHashes.as("sh"))
       .withColumn("sig", expr("graft_minhash(sh, 32)"))
@@ -392,7 +396,7 @@ object TextQueries {
     * localCheckpoint per round keeps lineage flat — the textbook
     * driver-coordinated CC loop that scales to clusters (cf. the hash-min
     * family of MapReduce CC algorithms). */
-  private[queries] def connectedReps(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def connectedReps(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
