@@ -37,6 +37,9 @@ object RangeJoin {
     val pB = points.withColumn("__bucket",
       floor(col(valueCol).cast("double") / bucketWidth).cast("long"))
     val iB = intervals
+      // inverted intervals (lo > hi) match nothing under BETWEEN — drop them
+      // here, or sequence() would explode a DESCENDING bucket range for them
+      .filter(col(loCol) <= col(hiCol))
       .withColumn("__bucket", explode(sequence(
         floor(col(loCol).cast("double") / bucketWidth).cast("long"),
         floor(col(hiCol).cast("double") / bucketWidth).cast("long"))))

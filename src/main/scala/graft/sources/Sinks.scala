@@ -59,6 +59,40 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file compaction: rewrite a parquet path into ~`targetFileMB`
+    * files (optionally range-sorted for data skipping) and swap it in
+    * place. The lake-maintenance job every micro-batch ingest needs — a
+    * streaming sink leaves one file per trigger, and a 100 TB table read
+    * through thousands of KB-sized files pays footer/open costs that dwarf
+    * the scan. File count = ceil(input bytes / target), so output sizes
+    * track data volume, not partition history.
+    *
+    * The swap (write tmp → delete → rename) is NOT transactional — a
+    * reader racing the rename sees a missing path. That is inherent to
+    * raw-directory parquet; production tables get atomicity from a table
+    * format's metadata commit (e.g. an Iceberg/Delta snapshot swap) with
+    * this same rewrite underneath. Returns the output file count. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileMB: Int = 128, sortCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.col
+    require(targetFileMB >= 1, s"targetFileMB must be >= 1, got $targetFileMB")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val df = spark.read.parquet(path)
+    val out =
+      if (sortCols.isEmpty) df.repartition(n) // round-robin → even file sizes
+      else df.repartitionByRange(n, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    out.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hPath, true)
+    if (!fs.rename(tmp, hPath))
+      throw new java.io.IOException(s"compaction rename failed: $tmp -> $hPath")
+    n
+  }
+
   /** Bucketed managed table: co-locates future joins/aggregations on
     * `bucketCols` — two tables bucketed the same way join with ZERO
     * exchanges. This is the storage-layout half of the 100 TB shuffle

@@ -10,8 +10,12 @@ class RangeJoinSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   test("containment semantics: inclusive bounds, gaps drop, overlaps multiply") {
     import spark.implicits._
-    val points = Seq((1L, 5.0), (2L, 10.0), (3L, 15.0), (4L, 99.0)).toDF("id", "v")
-    val ivals = Seq(("a", 0.0, 10.0), ("b", 10.0, 20.0)).toDF("name", "lo", "hi")
+    val points = Seq((1L, 5.0), (2L, 10.0), (3L, 15.0), (4L, 99.0), (5L, 25.0))
+      .toDF("id", "v")
+    // "z" is inverted (lo > hi): BETWEEN matches nothing — must not explode
+    // a descending bucket range and must not match point 25.0
+    val ivals = Seq(("a", 0.0, 10.0), ("b", 10.0, 20.0), ("z", 30.0, 20.0))
+      .toDF("name", "lo", "hi")
     val out = RangeJoin.pointInInterval(points, ivals, "v", "lo", "hi", bucketWidth = 7.0)
       .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).sorted
     out shouldBe Array(

@@ -50,6 +50,26 @@ class SinksSpec extends AnyFunSuite with Matchers with SparkTestBase {
     stats.foreach { case (_, nf, _) => nf should be <= 4L }
   }
 
+  test("compactParquet collapses a many-file path preserving content") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val df = (1L to 50000L).map(i => (i, s"payload_$i")).toDF("k", "payload")
+    df.repartition(40).write.parquet(dir) // micro-batch-style fragmentation
+    val before = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    before shouldBe 40L
+    Sinks.compactParquet(spark, dir, targetFileMB = 128)
+    val after = spark.read.parquet(dir)
+    after.select(input_file_name()).distinct().count() should be < before
+    // content survives byte-for-byte (same rows, same values)
+    after.count() shouldBe 50000L
+    after.agg(sum("k")).head().getLong(0) shouldBe (1L to 50000L).sum
+    // sorted variant: re-compact with a sort key → disjoint ranges
+    Sinks.compactParquet(spark, dir, targetFileMB = 1, sortCols = Seq("k"))
+    spark.read.parquet(dir).count() shouldBe 50000L
+  }
+
   test("sortedParquet writes disjoint key ranges per file (data-skipping layout)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
