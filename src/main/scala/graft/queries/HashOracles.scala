@@ -116,9 +116,11 @@ shset AS (SELECT doc_id, list(DISTINCT ${signed("h")}) AS sh FROM sd GROUP BY do
 shsetu AS (SELECT doc_id, list(DISTINCT h) AS shu FROM sd GROUP BY doc_id)"""
   }
 
-  /** x03: exact-dup pre-collapse → 32-hash MinHash → 8 bands of 4 →
-    * band-value equi-join → exact Jaccard ≥ 0.5 on candidates. */
-  val dedupMinhash: String = {
+  /** Shared CTE chain for x03/x26: exact-dup pre-collapse → 32-hash
+    * MinHash → 8 bands of 4 → band-value equi-join → exact Jaccard on
+    * candidates, ending in `jj` (doc_a, doc_b, jaccard) plus the `sig` /
+    * `shset` tables the cluster stage reuses. */
+  private val minhashCtes: String = {
     val seeds = (0 until 32)
       .map(j => TextHashes.mix64(j + 0x5851f42d4c957f2dL))
       .map(s => s"${BigInt(java.lang.Long.toUnsignedString(s))}::HUGEINT")
@@ -138,9 +140,46 @@ cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
   FROM bands2 l JOIN bands2 r ON l.b = r.b AND l.bk = r.bk AND l.doc_id < r.doc_id),
 ws AS (SELECT doc_a, doc_b, p.sh AS sh_a, q.sh AS sh_b
   FROM cand JOIN shset p ON p.doc_id = doc_a JOIN shset q ON q.doc_id = doc_b),
-jj AS (SELECT doc_a, doc_b, ${jaccard("sh_a", "sh_b", "jaccard")} FROM ws)
-SELECT doc_a, doc_b, jaccard FROM jj WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+jj AS (SELECT doc_a, doc_b, ${jaccard("sh_a", "sh_b", "jaccard")} FROM ws)"""
   }
+
+  /** x03: the pair output of the shared chain. */
+  val dedupMinhash: String =
+    s"""$minhashCtes
+SELECT doc_a, doc_b, jaccard FROM jj WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+
+  /** x26: hierarchical cluster dedup — verified pairs → transitive closure
+    * (recursive CTE with UNION-distinct, the SQL fixpoint of the engine's
+    * hash-min loop) → rep = min reachable doc_id → cluster signature =
+    * per-position MIN of member signatures (the MinHashUnion identity) →
+    * banded cross-cluster candidates with signature-agreement estimate. */
+  val dedupClusters: String =
+    s"""$minhashCtes,
+pairs AS (SELECT doc_a, doc_b FROM jj WHERE jaccard >= 0.5),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(s, d) AS (SELECT s, d FROM edges
+  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d WHERE e.d <> r.s),
+labels AS (SELECT p.doc_id, LEAST(p.doc_id, COALESCE(MIN(r.d), p.doc_id)) AS rep
+  FROM sig p LEFT JOIN reach r ON r.s = p.doc_id GROUP BY p.doc_id),
+mj AS (SELECT l.rep, u.j, s2.sig[CAST(u.j AS INTEGER)+1] AS v
+  FROM labels l JOIN sig s2 USING (doc_id), range(32) u(j)),
+cm AS (SELECT rep, j, MIN(v) AS mv FROM mj GROUP BY rep, j),
+csig AS (SELECT rep, list(mv ORDER BY j) AS csig FROM cm GROUP BY rep),
+nd AS (SELECT rep, COUNT(*) AS n_docs FROM labels GROUP BY rep),
+cb AS (SELECT rep, u.b,
+    array_to_string(csig[CAST(4*u.b+1 AS INTEGER):CAST(4*u.b+4 AS INTEGER)], ',') AS bk
+  FROM csig, range(8) u(b)),
+xc AS (SELECT DISTINCT l.rep AS ra, r.rep AS rb
+  FROM cb l JOIN cb r ON l.b = r.b AND l.bk = r.bk AND l.rep < r.rep),
+est AS (SELECT ra, rb,
+    CAST(len(list_filter(range(32),
+      i -> a.csig[CAST(i AS INTEGER)+1] = b2.csig[CAST(i AS INTEGER)+1])) AS DOUBLE) / 32 AS ej
+  FROM xc JOIN csig a ON a.rep = ra JOIN csig b2 ON b2.rep = rb),
+xn AS (SELECT rep, COUNT(*) AS n FROM (
+    SELECT ra AS rep FROM est WHERE ej >= 0.25
+    UNION ALL SELECT rb FROM est WHERE ej >= 0.25) u2 GROUP BY rep)
+SELECT nd.rep, nd.n_docs, COALESCE(xn.n, 0) AS n_xcands
+FROM nd LEFT JOIN xn USING (rep) ORDER BY rep"""
 
   /** x04: 64-bit SimHash (per-bit votes over distinct token hashes) →
     * 4×16-bit chunk equi-join → Hamming ≤ 3. */

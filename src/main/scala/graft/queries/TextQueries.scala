@@ -437,7 +437,7 @@ object TextQueries {
     * ever touching shingle sets again. Output: one row per cluster
     * (rep, n_docs, n_xcands = plausible cross-cluster merge candidates at
     * estimated Jaccard ≥ 0.25 from signature agreement). */
-  val dedupClusters = rowsOnly("x26_dedup_clusters") { (s, d) =>
+  val dedupClusters = sql("x26_dedup_clusters", HashOracles.dedupClusters) { (s, d) =>
     s.udf.register("graft_minhash_union",
       org.apache.spark.sql.functions.udaf(new graft.functions.MinHashUnion(32)))
     val sigs = minhashSignatures(s, d).localCheckpoint(eager = false)
