@@ -552,8 +552,50 @@ object TextQueries {
       .orderBy("doc_id", "rk")
   }
 
+  /** RAG-style overlapping token chunking: windows of 32 tokens at stride
+    * 16 (trailing partials kept) — the retrieval/packing unit a training
+    * pipeline feeds downstream. Pure row-local explode; no shuffle before
+    * the oracle-mandated sort. */
+  val textRagChunks = sql(
+    "x30_text_rag_chunks",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, toks, unnest(range(0, ((len(toks)-1) // 16) + 1)) AS ci FROM t)
+      |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+      |  CAST(least(32, len(toks) - ci*16) AS INTEGER) AS n_chunk_tokens,
+      |  array_to_string(toks[CAST(ci*16+1 AS INTEGER):CAST(ci*16+32 AS INTEGER)], ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    val t = col("toks")
+    docs(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("ci", explode(sequence(lit(0), ((size(t) - 1) / 16).cast("int"))))
+      .select(col("doc_id"), col("ci").cast("int").as("chunk_idx"),
+        least(lit(32), size(t) - col("ci") * 16).cast("int").as("n_chunk_tokens"),
+        array_join(slice(t, col("ci") * 16 + 1, lit(32)), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Deterministic train/val/test assignment by content-independent hash of
+    * the id — reproducible across engines, runs, and cluster sizes (the
+    * property a seeded random split does NOT have under repartitioning).
+    * Buckets by the first hex digit of md5(doc_id): 0-b → train (75%),
+    * c-d → val (12.5%), e-f → test (12.5%). String comparison is portable;
+    * no engine-specific hash in sight. */
+  val textSplitAssign = sql(
+    "x31_text_split_assign",
+    """SELECT doc_id,
+      |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+      |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+    docs(s, d)
+      .select(col("doc_id"),
+        when(h1 <= "b", "train").when(h1 <= "d", "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
-    textRepetition, dedupClusters, textTfidf)
+    textRepetition, dedupClusters, textTfidf, textRagChunks, textSplitAssign)
 }
