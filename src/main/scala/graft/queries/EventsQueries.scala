@@ -137,6 +137,57 @@ object EventsQueries {
       .orderBy("event_id", "band")
   }
 
+  /** Ordered conversion funnel per user: first view, first click AFTER
+    * that view, first purchase AFTER that click — the product-analytics
+    * staple. Three chained window mins over ONE exchange (each stage gates
+    * on the previous stage's window output; consecutive Window nodes share
+    * the user_id partitioning, so Spark plans a single shuffle) + a
+    * distinct — no self-joins over the fact table. Exact integer
+    * microseconds throughout. */
+  val funnel = sql(
+    "x32_ev_funnel",
+    """WITH s AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, s.t_view,
+      |    MIN(CASE WHEN e.event_type = 'click' AND epoch_us(e.ts) >= s.t_view
+      |      THEN epoch_us(e.ts) END) AS t_click
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  GROUP BY e.user_id, s.t_view),
+      |p AS (
+      |  SELECT e.user_id, c.t_view, c.t_click,
+      |    MIN(CASE WHEN e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t_click
+      |      THEN epoch_us(e.ts) END) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  GROUP BY e.user_id, c.t_view, c.t_click)
+      |SELECT user_id,
+      |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+      |       WHEN t_click IS NOT NULL THEN 2
+      |       WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS funnel_stage,
+      |  t_view, t_click, t_purchase
+      |FROM p ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id")
+    Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("us") >= col("t_view"),
+          col("us"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("us") >= col("t_click"),
+          col("us"))).over(w))
+      .select("user_id", "t_view", "t_click", "t_purchase").distinct()
+      .select(col("user_id"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0).as("funnel_stage"),
+        col("t_view"), col("t_click"), col("t_purchase"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
-    asofClickView, valueBands)
+    asofClickView, valueBands, funnel)
 }

@@ -71,6 +71,13 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("Join") // and it IS a real (hash/sort-merge) equi-join
   }
 
+  test("x32: funnel stages share one window exchange — no fact self-joins") {
+    val plan = planOf(EventsQueries.funnel)
+    plan should not include "Join" // three chained window mins, zero joins
+    // window partition + distinct + output sort — NOT one exchange per stage
+    "Exchange".r.findAllIn(plan).size should be <= 3
+  }
+
   test("registry-wide: no query plans a CartesianProduct or a UDF eval node") {
     graft.SparkEntry.defs.foreach { q =>
       val plan = q.run(spark, dir).queryExecution.executedPlan.toString
