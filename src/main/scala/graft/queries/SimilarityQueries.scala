@@ -374,6 +374,40 @@ object SimilarityQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Symmetric int8 quantization per vector (x * 127 / max|x|, truncated
+    * toward zero) — the 4× vector-compression step ANN systems run before
+    * indexing at scale. Truncation, not rounding: round-half behavior
+    * differs subtly across engines, truncation never does. Row-local; the
+    * per-vector max is aliased once (withColumn) so the HOF lambdas
+    * reference an attribute instead of splicing the max-subtree per
+    * element. Output is a driver-hashable digest of the code array. */
+  val embQuantize = sql(
+    "x33_emb_quantize",
+    """WITH q AS (SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS m
+      |  FROM embeddings),
+      |c AS (SELECT vec_id, m,
+      |    list_transform(embedding, y -> CASE WHEN m = 0 THEN 0
+      |      ELSE CAST(trunc(CAST(y AS DOUBLE) * 127 / m) AS BIGINT) END) AS codes
+      |  FROM q)
+      |SELECT vec_id, CAST(len(codes) AS INTEGER) AS n_dims, ROUND(m, 6) AS scale_max,
+      |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+      |  CAST(list_min(codes) AS BIGINT) AS code_min,
+      |  CAST(list_max(codes) AS BIGINT) AS code_max
+      |FROM c ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .withColumn("m", array_max(transform(col("embedding"), y => abs(y.cast("double")))))
+      .withColumn("codes", transform(col("embedding"), y =>
+        when(col("m") === 0, 0L)
+          .otherwise((y.cast("double") * 127 / col("m")).cast("long"))))
+      .select(col("vec_id"), size(col("codes")).as("n_dims"),
+        round(col("m"), 6).as("scale_max"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QueryDef] = Seq(embNorm, embPairCosine, simBruteTopk, simLshTopk, simIvfTopk,
-    dedupEmbedding, dedupEmbLsh)
+    dedupEmbedding, dedupEmbLsh, embQuantize)
 }
