@@ -27,12 +27,14 @@ object Bench {
       } catch { case e: Throwable => System.err.println(s"[bench] ivf build: $e"); -1.0 }
     // noop sink: forces full materialization of every output column
     // (count() would let Catalyst prune the projections → flattering times).
-    // Each query runs twice back-to-back and reports the min — steady-state
-    // cost with first-run codegen/JIT/footer-cache noise removed ("runs":2
-    // in the output records this). A query that throws records -1, never a
-    // partial elapsed time.
+    // Each query runs three times back-to-back and reports the min —
+    // steady-state cost with codegen/JIT/footer-cache noise removed AND
+    // one extra sample against transient host load (the round-2 bench
+    // recorded 2-4× phantom regressions from a loaded machine; min-of-3
+    // makes a single slow run unable to pollute the reported number).
+    // A query that throws records -1, never a partial elapsed time.
     val results = SparkEntry.defs.map { q =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9 }
@@ -58,7 +60,7 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failed,"runs":2,"x17_index_build_sec":$ivfBuild,""" +
+      s""""failed":$failed,"runs":3,"x17_index_build_sec":$ivfBuild,""" +
       s""""x03_probe_only_sec":$probeOnly,"sf":"$sfDir"}""")
     spark.stop()
   }

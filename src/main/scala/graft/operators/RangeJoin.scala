@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Inner point-in-interval join: every (point, containing-interval) pair,
-    * with all columns from both sides (interval columns suffixed when they
-    * collide). `valueCol`, `loCol`, `hiCol` must be numeric. */
+    * with all columns from both sides. The two frames must not share column
+    * names (Spark would make the exact-filter references ambiguous);
+    * `valueCol`, `loCol`, `hiCol` must be numeric. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       valueCol: String, loCol: String, hiCol: String,
       bucketWidth: Double): DataFrame = {
