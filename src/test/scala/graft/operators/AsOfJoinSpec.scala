@@ -44,6 +44,24 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out shouldBe Array(3L) // max rid among the t-ties
   }
 
+  test("one hot key with 220k rows: no pair blowup, every match exact") {
+    // the case the inequality-join formulation explodes on (200k × 20k
+    // per-key pairs); the union+window plan is a single partition-local
+    // sort. Closed-form expectation: left at time t matches right at
+    // floor(t/10)*10.
+    import spark.implicits._
+    val left = spark.range(200000)
+      .select(col("id"), lit(1L).as("k"),
+        timestamp_micros(col("id") * 1000000L).as("t"))
+    val right = spark.range(20000)
+      .select((col("id") * 10).as("rid"), lit(1L).as("k"),
+        timestamp_micros(col("id") * 10000000L).as("t"))
+    val out = AsOfJoin.asOf(left, right, "k", "t", Seq("rid"), tiebreak = "rid")
+      .select(col("id"), col("asof.rid"))
+    out.filter(col("rid") =!= (col("id") / 10).cast("long") * 10).count() shouldBe 0L
+    out.count() shouldBe 200000L
+  }
+
   test("left payload columns all survive the union round-trip") {
     import spark.implicits._
     val left = Seq((100L, 1L, ts(10), "payload-x", 3.5)).toDF("id", "k", "t", "tag", "v")
