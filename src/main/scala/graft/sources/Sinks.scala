@@ -71,22 +71,36 @@ object Sinks {
     * reader racing the rename sees a missing path. That is inherent to
     * raw-directory parquet; production tables get atomicity from a table
     * format's metadata commit (e.g. an Iceberg/Delta snapshot swap) with
-    * this same rewrite underneath. Returns the output file count. */
+    * this same rewrite underneath.
+    *
+    * Hive-partitioned datasets MUST pass `partitionCols`, or the rewrite
+    * would silently flatten the directory layout (the partition columns
+    * read back as data columns and write into plain files). With
+    * `partitionCols` the rewrite re-partitions by (partition values,
+    * deterministic salt) so each directory gets ~`targetFileMB`-sized
+    * files, same as [[partitionedParquet]]. Returns the target file count. */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFileMB: Int = 128, sortCols: Seq[String] = Nil): Int = {
-    import org.apache.spark.sql.functions.col
+      targetFileMB: Int = 128, sortCols: Seq[String] = Nil,
+      partitionCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     require(targetFileMB >= 1, s"targetFileMB must be >= 1, got $targetFileMB")
+    require(sortCols.isEmpty || partitionCols.isEmpty,
+      "sortCols and partitionCols are mutually exclusive compaction layouts")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(hPath).getLength
     val n = math.max(1, math.ceil(bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
     val df = spark.read.parquet(path)
-    val out =
-      if (sortCols.isEmpty) df.repartition(n) // round-robin → even file sizes
+    val writer =
+      if (partitionCols.nonEmpty) {
+        val salt = pmod(hash(df.columns.map(col): _*), lit(n))
+        df.repartition(partitionCols.map(col) :+ salt: _*)
+          .write.partitionBy(partitionCols: _*)
+      } else if (sortCols.isEmpty) df.repartition(n).write // round-robin → even sizes
       else df.repartitionByRange(n, sortCols.map(col): _*)
-        .sortWithinPartitions(sortCols.map(col): _*)
-    out.write.mode("overwrite").parquet(tmp.toString)
+        .sortWithinPartitions(sortCols.map(col): _*).write
+    writer.mode("overwrite").parquet(tmp.toString)
     fs.delete(hPath, true)
     if (!fs.rename(tmp, hPath))
       throw new java.io.IOException(s"compaction rename failed: $tmp -> $hPath")

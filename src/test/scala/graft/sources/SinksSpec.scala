@@ -70,6 +70,23 @@ class SinksSpec extends AnyFunSuite with Matchers with SparkTestBase {
     spark.read.parquet(dir).count() shouldBe 50000L
   }
 
+  test("compactParquet preserves hive partition layout when told about it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact-part").toString + "/t"
+    val df = (1L to 9000L).map(i => (s"p${i % 3}", i)).toDF("part", "k")
+    df.repartition(10).write.partitionBy("part").parquet(dir)
+    Sinks.compactParquet(spark, dir, targetFileMB = 128, partitionCols = Seq("part"))
+    val back = spark.read.parquet(dir)
+    // layout survived: still hive-partitioned directories, not flat files
+    back.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).foreach(_ should include("part="))
+    // content survived including the partition column values
+    back.groupBy("part").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("p0" -> 3000L, "p1" -> 3000L, "p2" -> 3000L)
+  }
+
   test("sortedParquet writes disjoint key ranges per file (data-skipping layout)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
