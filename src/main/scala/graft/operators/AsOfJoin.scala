@@ -62,6 +62,36 @@ object AsOfJoin {
       .select(col("__l.*") +: Seq(col("__m").as(asOfCol)): _*)
   }
 
+  /** As-of LOOKUP — same semantics as [[asOf]] (latest right row at-or-
+    * before, greatest-tiebreak ties), different shape: the right side is
+    * pre-aggregated into one sorted array per key and joined in (broadcast
+    * when small), and the match is picked ROW-LOCALLY by codegen'd
+    * `filter` + `element_at(…, -1)` over the array.
+    *
+    * Use when the right side is dimension-sized (slowly-changing-dimension
+    * version lookup: enrich each fact with the dim state valid at its
+    * time). Two properties [[asOf]] lacks: the left side never shuffles at
+    * all (broadcast join), and the whole plan is STATELESS — so it runs
+    * unchanged over a STREAMING left side (stream-static join), where the
+    * union+window plan cannot (a global window over an unbounded stream).
+    * The cost: each key's full right history must fit in one array — the
+    * per-key state bound the dimension-table shape guarantees. Left rows
+    * with no key match or no preceding version get a null `asOfCol`. */
+  def asOfLookup(left: DataFrame, right: DataFrame, key: String, time: String,
+      rightPayload: Seq[String], tiebreak: String,
+      asOfCol: String = "asof"): DataFrame = {
+    require(rightPayload.nonEmpty, "rightPayload must name at least one column")
+    import org.apache.spark.sql.functions.broadcast
+    val rAgg = right.groupBy(col(key).as("__k"))
+      .agg(sort_array(collect_list(struct(
+        col(time).as("__t"), col(tiebreak).as("__tb"),
+        struct(rightPayload.map(col): _*).as("__p")))).as("__lookup"))
+    left.join(broadcast(rAgg), col(key) === col("__k"), "left")
+      .withColumn(asOfCol, // try_: ANSI element_at throws on an empty filter result
+        try_element_at(filter(col("__lookup"), s => s("__t") <= col(time)), lit(-1))("__p"))
+      .drop("__k", "__lookup")
+  }
+
   /** Column-friendly accessor for the matched payload. */
   def matched(asOfCol: String, field: String): Column = col(s"$asOfCol.$field")
 }

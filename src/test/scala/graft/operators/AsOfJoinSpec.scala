@@ -62,6 +62,38 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.count() shouldBe 200000L
   }
 
+  test("asOfLookup ≡ asOf on randomized data (same semantics, lookup shape)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83L)
+    val left = (1 to 500).map(i => (i.toLong, (rnd.nextInt(5) + 1).toLong, ts(rnd.nextInt(50))))
+      .toDF("id", "k", "t")
+    val right = (1 to 80).map(i => (i.toLong, (rnd.nextInt(6) + 1).toLong, ts(rnd.nextInt(50))))
+      .toDF("rid", "k", "t") // key 6 exists only on the right; some left keys unmatched
+    def res(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("asof.rid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    res(AsOfJoin.asOfLookup(left, right, "k", "t", Seq("rid"), "rid")) shouldBe
+      res(AsOfJoin.asOf(left, right, "k", "t", Seq("rid"), "rid"))
+  }
+
+  test("asOfLookup enriches a STREAM against a static dimension (stateless)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dims = Seq((10L, 1L, ts(0)), (11L, 1L, ts(20))).toDF("rid", "k", "t")
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val stream = input.toDF.toDF("id", "k", "t")
+    val q = AsOfJoin.asOfLookup(stream, dims, "k", "t", Seq("rid"), "rid")
+      .select(col("id"), col("asof.rid").as("rid"))
+      .writeStream.format("memory").queryName("asoflk").outputMode("append").start()
+    try {
+      input.addData((1L, 1L, ts(10)), (2L, 1L, ts(25)), (3L, 2L, ts(30)))
+      q.processAllAvailable()
+      spark.table("asoflk").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap shouldBe
+        Map(1L -> 10L, 2L -> 11L, 3L -> -1L) // version-at-time; unknown key → null
+    } finally q.stop()
+  }
+
   test("left payload columns all survive the union round-trip") {
     import spark.implicits._
     val left = Seq((100L, 1L, ts(10), "payload-x", 3.5)).toDF("id", "k", "t", "tag", "v")
