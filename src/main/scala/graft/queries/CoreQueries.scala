@@ -447,7 +447,26 @@ object CoreQueries {
       .orderBy("bucket")
   }
 
+  /** Column profiling over orders (operators.Profiler): per-column null
+    * and exact-distinct counts in ONE pass (single aggregate, one Expand
+    * for the distincts — no per-column rescans). The oracle checks the
+    * portable stats; min/max strings stay engine-side (double/timestamp
+    * rendering differs across engines, the numbers do not). */
+  val x34 = sql(
+    "x34_profile_orders",
+    """SELECT 'o_custkey' AS col_name, CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, COUNT(DISTINCT o_custkey) AS n_distinct FROM orders
+      |UNION ALL SELECT 'o_orderdate', CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT o_orderdate) FROM orders
+      |UNION ALL SELECT 'o_orderkey', CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT o_orderkey) FROM orders
+      |UNION ALL SELECT 'o_orderpriority', CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT o_orderpriority) FROM orders
+      |UNION ALL SELECT 'o_orderstatus', CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT o_orderstatus) FROM orders
+      |UNION ALL SELECT 'o_totalprice', CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT o_totalprice) FROM orders
+      |ORDER BY col_name""".stripMargin) { (s, d) =>
+    graft.operators.Profiler.profile(Tables.orders(s, d))
+      .select(col("column").as("col_name"), col("n_nulls"), col("n_distinct"))
+      .orderBy("col_name")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, x34)
 }
