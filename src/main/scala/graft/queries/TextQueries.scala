@@ -594,8 +594,79 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: find train-split documents sharing at least
+    * one 5-token n-gram with a test-split document (the GPT-3-style overlap
+    * check every serious pretraining pipeline runs before training). Splits
+    * reuse x31's portable md5 assignment (≤'d' → train+val, else test).
+    *
+    * Scale shape: grams are DISTINCT per (doc, gram) so a repeated phrase
+    * inside one doc counts once; the candidate step is an equi-join on the
+    * gram — work proportional to true overlap, never corpus². In production
+    * the test side is a tiny benchmark table: hash grams with xxhash64 and
+    * broadcast it (hinted here), so the 100 TB train side is scanned once
+    * with no shuffle at all. Strings are kept as join keys at test scale
+    * only because the DuckDB oracle compares them. */
+  val textDecontaminate = sql(
+    "x35_text_decontaminate",
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+      |         THEN 'train' ELSE 'test' END AS split,
+      |    string_split(text, ' ') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, split, array_to_string(t[i+1:i+5], ' ') AS g
+      |  FROM toks, UNNEST(range(greatest(len(t) - 4, 0))) AS u(i))
+      |SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
+      |  COUNT(*) AS n_shared, MIN(tr.g) AS sample_gram
+      |FROM grams tr JOIN grams te ON tr.g = te.g
+      |WHERE tr.split = 'train' AND te.split = 'test'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val grams = docs(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 5) // Spark sequence(0, n) DESCENDS for n<0 — never let it
+      .withColumn("i", explode(sequence(lit(0), size(col("t")) - 5)))
+      .select(col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "d", "train")
+          .otherwise("test").as("split"),
+        array_join(slice(col("t"), col("i") + 1, lit(5)), " ").as("g"))
+      .distinct()
+    val train = grams.filter(col("split") === "train").select(col("doc_id").as("train_id"), col("g"))
+    val test = grams.filter(col("split") === "test").select(col("doc_id").as("test_id"), col("g"))
+    train.join(broadcast(test), "g")
+      .groupBy("train_id", "test_id")
+      .agg(count(lit(1)).as("n_shared"), min("g").as("sample_gram"))
+      .orderBy("train_id", "test_id")
+  }
+
+  /** Per-group quota sampling: keep at most N documents per language,
+    * chosen by a deterministic content-independent hash order — the
+    * downsampling step that rebalances over-represented domains/languages
+    * in a training mix. Reproducible across engines, runs, and cluster
+    * sizes (a seeded random sample is not, under repartitioning).
+    *
+    * Scale shape: one hash shuffle on the group key; Spark's rank-limit
+    * pushdown (WindowGroupLimit) keeps only the top-N per group BEFORE the
+    * final sort, so no group ever materializes fully in one task's output. */
+  val textQuotaSample = sql(
+    "x36_text_quota_sample",
+    """SELECT lang, doc_id, rk FROM (
+      |  SELECT lang, doc_id, row_number() OVER (
+      |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 40 ORDER BY lang, rk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs(s, d)
+      .select(col("lang"), col("doc_id"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= 40)
+      .orderBy("lang", "rk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
-    textRepetition, dedupClusters, textTfidf, textRagChunks, textSplitAssign)
+    textRepetition, dedupClusters, textTfidf, textRagChunks, textSplitAssign,
+    textDecontaminate, textQuotaSample)
 }
