@@ -265,7 +265,11 @@ object SimilarityQueries {
     */
   val simIvfTopk = rowsOnly("x17_sim_ivf_topk") { (s, d) =>
     val nCells = 16
-    val nProbe = 4
+    // nProbe tuned on the shipped corpus (synthetic ISOTROPIC embeddings —
+    // no cluster structure, IVF's worst case) to hold the per-query
+    // recall@5 ≥ 0.6 floor SimilaritySpec gates; real clustered corpora
+    // reach the same recall with far fewer probes.
+    val nProbe = 8
     val centroids = ivfCentroids(s, d, nCells)
 
     // nearest-centroid cells via literal centroid arrays, ranked by the
@@ -366,10 +370,60 @@ object SimilarityQueries {
       .select("id_a", "id_b", "cos")
   }
 
-  /** x21: the banded-LSH near-dup pairs on the testdata corpus (rows-only —
-    * recall is probabilistic by design; the planted-duplicate gate lives in
-    * SimilaritySpec, and precision is exact by construction). */
-  val dedupEmbLsh = rowsOnly("x21_dedup_emb_lsh") { (s, d) =>
+  /** DuckDB replication of x21's banded sign-LSH (the x13 technique,
+    * extended to bands): the engine's band value for band b is bits
+    * [8b, 8b+8) of a 32-plane signature — `signBits` over
+    * `planes.slice(8b, 8b+8)` shifts bit j by j, so packing ALL 32 sign
+    * bits into one BIGINT and extracting `(sig >> 8b) & 255` is the
+    * identical integer. The oracle computes that one signature per vector
+    * (plane dots via the same sequential list_sum fold that hash-matched
+    * for x13/x20), unnests the 4 band values, equi-joins on (band, value),
+    * and exact-cosine-verifies candidates — arithmetic-for-arithmetic the
+    * engine plan, so the hash match covers banding AND verification. */
+  private val x21Planes = signPlanes(4 * 8, seedOffset = 101L)
+  private val x21Oracle: String = {
+    // planes as a VALUES table, not an inline literal: DuckDB re-constructs
+    // an inline list literal per element evaluation (measured ~90× slower
+    // at 32×64); a CROSS JOIN against 32 plane rows folds each dot once
+    val planeRows = x21Planes.zipWithIndex
+      .map { case (p, j) => s"($j, ${p.mkString("[", ",", "]")})" }
+      .mkString(",\n")
+    s"""WITH pl(j, plane) AS (VALUES $planeRows),
+      |dots AS (
+      |  SELECT e.vec_id, p.j,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) AS d
+      |  FROM embeddings e CROSS JOIN pl p),
+      |c AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM dots GROUP BY vec_id),
+      |bands AS (
+      |  SELECT vec_id, b.band, (sig >> (8 * b.band)) & 255 AS bv
+      |  FROM c, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      |  FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv
+      |  WHERE l.vec_id < r.vec_id),
+      |p AS (
+      |  SELECT id_a, id_b,
+      |    ROUND(
+      |      list_sum(list_transform(range(1, 65),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(bb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |    6) AS cos
+      |  FROM cand
+      |  JOIN embeddings a ON a.vec_id = cand.id_a
+      |  JOIN embeddings bb ON bb.vec_id = cand.id_b)
+      |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.30 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** x21: the banded-LSH near-dup pairs on the testdata corpus. Recall is
+    * probabilistic by design (planted-duplicate gate in SimilaritySpec);
+    * the RESULT is deterministic arithmetic, hash-checked against the
+    * DuckDB replication above. */
+  val dedupEmbLsh = sql("x21_dedup_emb_lsh", x21Oracle) { (s, d) =>
     embeddingNearDupPairs(Tables.embeddings(s, d), tau = 0.30)
       .orderBy("id_a", "id_b")
   }

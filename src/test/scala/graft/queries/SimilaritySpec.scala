@@ -59,6 +59,15 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     // every query that returns anything returns a full ranked block
     val perQuery = ivf.keys.groupBy(_._1).view.mapValues(_.size).toMap
     all(perQuery.values) should be <= 5
+    // PER-QUERY recall floor vs the exact top-5: a systematically wrong
+    // cell assignment that still surfaces one good neighbor per query
+    // passed the old gate (exact-cos agreement + non-empty); it fails this
+    val perQueryRecall = brute.keys.groupBy(_._1).map { case (q, ks) =>
+      q -> ks.count(ivf.contains).toDouble / ks.size
+    }
+    withClue(s"per-query recall@5 vs brute: $perQueryRecall: ") {
+      perQueryRecall.values.min should be >= 0.6
+    }
   }
 
   test("x21 banded-LSH pair dedup: planted duplicates are recovered") {
@@ -103,9 +112,9 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     val ivfRecall = (ivf & b).size.toDouble / b.size
     info(f"recall@5 vs brute — lsh: $lshRecall%.2f  ivf: $ivfRecall%.2f")
     // deterministic fixture (seeded KMeans, fixed hyperplanes) → stable
-    // numbers: measured ivf 0.64, lsh 0.10. Floors guard regressions while
-    // allowing Spark-version drift.
-    ivfRecall should be >= 0.4
+    // numbers: measured ivf 0.82 (nProbe=8), lsh 0.10. Floors guard
+    // regressions while allowing Spark-version drift.
+    ivfRecall should be >= 0.6
     lshRecall should be > 0.0
   }
 }
