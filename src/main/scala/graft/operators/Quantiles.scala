@@ -56,27 +56,41 @@ object Quantiles {
     * is omitted from the output (the builtin would emit it with a null
     * result).
     *
-    * Plan choice: at or below [[builtinMaxRowsPerGroup]] average rows per
-    * group, the builtin `percentile` aggregate runs (lazy, one shuffle,
-    * per-group buffers); above it, the cluster-parallel range-partitioned
-    * plan (eager — collects tiny per-(partition, group) totals to compute
-    * rank offsets, like a distributed sort). Pass `rowsPerGroupHint` when
-    * the caller knows the shape — when absent, one combined
-    * count + approx_count_distinct pass (±5%ish, fine for an
-    * order-of-magnitude crossover) estimates it. Both paths interpolate
-    * BIT-identically (QuantilesSpec), so the choice never changes results. */
+    * Plan choice: at or below [[builtinMaxRowsPerGroup]] rows in the
+    * LARGEST group, the builtin `percentile` aggregate runs (lazy, one
+    * shuffle, per-group buffers); above it, the cluster-parallel
+    * range-partitioned plan (eager — collects tiny per-(partition, group)
+    * totals to compute rank offsets, like a distributed sort). The decision
+    * variable is the MAX group size, not the average: under skew (one
+    * giant group among many small ones — the shape the crossover exists
+    * for) an average stays low and would route the hot group into the
+    * builtin's single-task buffer, the exact OOM being prevented. Pass
+    * `rowsPerGroupHint` (= the largest group's size) when the caller knows
+    * the shape — when absent, one map-side-combinable groupBy-count pass
+    * measures it exactly. Both paths interpolate BIT-identically
+    * (QuantilesSpec), so the choice never changes results. */
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double], rowsPerGroupHint: Option[Long] = None): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must be in [0, 1], got $ps")
-    val rowsPerGroup = rowsPerGroupHint.getOrElse {
-      val r = df.filter(col(valueCol).isNotNull)
-        .agg(count(lit(1)), approx_count_distinct(groupCol)).head()
-      r.getLong(0) / math.max(r.getLong(1), 1L)
-    }
+    val rowsPerGroup = rowsPerGroupHint.getOrElse(
+      largestGroupRows(df, groupCol, valueCol))
     if (rowsPerGroup > builtinMaxRowsPerGroup) parallelQuantiles(df, groupCol, valueCol, ps)
     else builtinQuantiles(df, groupCol, valueCol, ps)
   }
+
+  /** Exact size of the largest group (non-null values only) — the
+    * crossover's decision variable. MAX, deliberately not the average: one
+    * hot group among millions of small ones keeps the average low while
+    * still blowing the builtin's single-task buffer. One
+    * map-side-combinable pass; the public API's `rowsPerGroupHint` skips
+    * it when the caller already knows the shape. */
+  private[graft] def largestGroupRows(df: DataFrame, groupCol: String,
+      valueCol: String): Long =
+    Option(df.filter(col(valueCol).isNotNull)
+        .groupBy(groupCol).agg(count(lit(1)).as("__c"))
+        .agg(max("__c")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L) // null ⇔ empty input
 
   /** The high-cardinality path: builtin `percentile` — per-group buffered
     * aggregation, right when groups are many and individually small. */

@@ -82,6 +82,21 @@ class QuantilesSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap shouldBe want
   }
 
+  test("crossover measures the LARGEST group, not the average (skew-safe)") {
+    import spark.implicits._
+    // 1 hot group (1000 rows) + 1000 singletons: average ≈ 2 would hide the
+    // hot group; the estimator must report the max so a skewed input above
+    // the threshold routes to the parallel plan, not the builtin buffer
+    val df = ((0 until 1000).map(_ => ("hot", 1.0)) ++
+      (0 until 1000).map(i => (s"s$i", 1.0))).toDF("g", "v")
+    Quantiles.largestGroupRows(df, "g", "v") shouldBe 1000L
+    // nulls don't count toward a group's buffered size
+    val withNulls = Seq(("a", Some(1.0)), ("a", None), ("b", Some(2.0)))
+      .toDF("g", "v")
+    Quantiles.largestGroupRows(withNulls, "g", "v") shouldBe 1L
+    Quantiles.largestGroupRows(withNulls.limit(0), "g", "v") shouldBe 0L
+  }
+
   test("rows-per-group crossover picks builtin below, parallel above") {
     import spark.implicits._
     val df = (0 until 3).flatMap(g => (0 until 40).map(i => (s"g$g", i.toDouble)))
