@@ -11,28 +11,49 @@ import org.apache.spark.sql.functions._
   * every column (Spark plans the distinct aggregates via one Expand — no
   * per-column rescans of a 100 TB table), and the single result row is
   * melted into per-column rows with a literal struct array + explode
-  * (driver-free, though the frame at that point is one row). For a quick
-  * look at petabyte scale, swap `countDistinct` for
-  * `approx_count_distinct` via `exact = false`. */
+  * (driver-free, though the frame at that point is one row).
+  *
+  * Exact-mode cost (PLANS.md "profiler Expand"): the one Expand that
+  * de-duplicates N `countDistinct` columns emits N+1 projections of every
+  * input row, so the shuffle carries ~(N+1)× the scan — measured 10× on
+  * the 9-column orders table at sf0.1. Sound for a bounded ingest drop;
+  * wrong as a petabyte quick-look. So `profile` auto-dispatches: above
+  * [[exactMaxBytes]] (optimizer scan estimate) it swaps `countDistinct`
+  * for `approx_count_distinct` (HLL++, fixed-size mergeable state, no
+  * Expand). Pass `exactHint` to force either mode — `Some(true)` is the
+  * oracle-checked x34 path. */
 object Profiler {
 
-  def profile(df: DataFrame, exact: Boolean = true): DataFrame = {
+  /** Optimizer-estimated input bytes above which un-hinted `profile` runs
+    * approximate distincts. 16 GiB ≈ the point where the (N+1)-fold Expand
+    * shuffle of exact mode stops being a wait-on-it ingest check; beyond
+    * it HLL++ (±~2.3% on defaults) is the right quick-look. */
+  val exactMaxBytes: Long = 16L << 30
+
+  def profile(df: DataFrame, exactHint: Option[Boolean] = None): DataFrame = {
+    val exact = exactHint.getOrElse(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(exactMaxBytes))
     val cols = df.columns.toSeq
+    // resolve generated aliases with quoted identifiers — a raw col() parses
+    // dots as struct access, breaking legal-but-unusual source column names
+    def ref(prefix: String, c: String) =
+      col("`" + (prefix + c).replace("`", "``") + "`")
     val aggs = cols.flatMap { c =>
       Seq(
-        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_$c"),
-        (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c))).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
+        coalesce(sum(when(ref("", c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"__nn_$c"),
+        (if (exact) countDistinct(ref("", c))
+         else approx_count_distinct(ref("", c))).as(s"__nd_$c"),
+        min(ref("", c)).cast("string").as(s"__mn_$c"),
+        max(ref("", c)).cast("string").as(s"__mx_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     one.select(explode(array(cols.map { c =>
         struct(lit(c).as("column"),
-          col(s"__nn_$c").as("n_nulls"),
-          col(s"__nd_$c").as("n_distinct"),
-          col(s"__mn_$c").as("min_str"),
-          col(s"__mx_$c").as("max_str"))
+          ref("__nn_", c).as("n_nulls"),
+          ref("__nd_", c).as("n_distinct"),
+          ref("__mn_", c).as("min_str"),
+          ref("__mx_", c).as("max_str"))
       }: _*)).as("p"))
       .select("p.column", "p.n_nulls", "p.n_distinct", "p.min_str", "p.max_str")
   }

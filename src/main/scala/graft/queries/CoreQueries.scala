@@ -461,7 +461,9 @@ object CoreQueries {
       |UNION ALL SELECT 'o_orderstatus', CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT o_orderstatus) FROM orders
       |UNION ALL SELECT 'o_totalprice', CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT o_totalprice) FROM orders
       |ORDER BY col_name""".stripMargin) { (s, d) =>
-    graft.operators.Profiler.profile(Tables.orders(s, d))
+    // exact pinned: the oracle's COUNT(DISTINCT) is exact, so the query
+    // must not ride the profiler's size-based exact→approx auto-dispatch
+    graft.operators.Profiler.profile(Tables.orders(s, d), exactHint = Some(true))
       .select(col("column").as("col_name"), col("n_nulls"), col("n_distinct"))
       .orderBy("col_name")
   }
