@@ -76,11 +76,26 @@ object AsOfJoin {
     * union+window plan cannot (a global window over an unbounded stream).
     * The cost: each key's full right history must fit in one array — the
     * per-key state bound the dimension-table shape guarantees. Left rows
-    * with no key match or no preceding version get a null `asOfCol`. */
+    * with no key match or no preceding version get a null `asOfCol`.
+    *
+    * The dimension-sized contract is ENFORCED, not just documented: the
+    * right side is probed with `limit(maxRightRows + 1).count()` — a scan
+    * that stops as soon as the bound is exceeded — so a fact-sized right
+    * side fails fast with a pointer to [[asOf]] instead of slowly OOMing
+    * the driver inside the unconditional broadcast. Raise `maxRightRows`
+    * only if executor/driver memory genuinely fits the bigger lookup. */
   def asOfLookup(left: DataFrame, right: DataFrame, key: String, time: String,
       rightPayload: Seq[String], tiebreak: String,
-      asOfCol: String = "asof"): DataFrame = {
+      asOfCol: String = "asof", maxRightRows: Long = 5000000L): DataFrame = {
     require(rightPayload.nonEmpty, "rightPayload must name at least one column")
+    require(maxRightRows > 0, s"maxRightRows must be positive, got $maxRightRows")
+    if (maxRightRows < Int.MaxValue) { // a bound ≥ 2^31 disables the probe
+      val probed = right.limit(maxRightRows.toInt + 1).count()
+      require(probed <= maxRightRows,
+        s"asOfLookup right side exceeds maxRightRows=$maxRightRows — it is " +
+          "broadcast whole (dimension-sized contract); use AsOfJoin.asOf for " +
+          "fact-sized right sides, or raise maxRightRows if it truly fits")
+    }
     import org.apache.spark.sql.functions.broadcast
     val rAgg = right.groupBy(col(key).as("__k"))
       .agg(sort_array(collect_list(struct(

@@ -35,6 +35,10 @@ object RangeJoin {
       valueCol: String, loCol: String, hiCol: String,
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // the internal bucket key must not collide with a payload column — a
+    // pre-existing __bucket would be silently overwritten and then dropped
+    require(!points.columns.contains("__bucket") && !intervals.columns.contains("__bucket"),
+      "inputs must not contain a __bucket column (reserved by pointInInterval)")
     val pB = points.withColumn("__bucket",
       floor(col(valueCol).cast("double") / bucketWidth).cast("long"))
     val iB = intervals

@@ -94,6 +94,21 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("asOfLookup fails fast on a fact-sized right side (broadcast guard)") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, ts(10))).toDF("id", "k", "t")
+    val right = spark.range(100)
+      .select(col("id").as("rid"), lit(1L).as("k"), timestamp_micros(col("id")).as("t"))
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfLookup(left, right, "k", "t", Seq("rid"), "rid",
+        maxRightRows = 50L)
+    }
+    ex.getMessage should include("asOf") // points misuse at the scalable variant
+    // at-or-under the bound still runs
+    AsOfJoin.asOfLookup(left, right, "k", "t", Seq("rid"), "rid",
+      maxRightRows = 100L).count() shouldBe 1L
+  }
+
   test("left payload columns all survive the union round-trip") {
     import spark.implicits._
     val left = Seq((100L, 1L, ts(10), "payload-x", 3.5)).toDF("id", "k", "t", "tag", "v")

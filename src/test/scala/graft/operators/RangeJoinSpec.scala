@@ -48,4 +48,16 @@ class RangeJoinSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .select("id").collect().map(_.getLong(0)).sorted
     out shouldBe Array(1L, 2L, 3L) // exactly once each — explode doesn't duplicate matches
   }
+
+  test("inputs carrying a __bucket column are rejected, not silently clobbered") {
+    import spark.implicits._
+    val points = Seq((1L, 0.5, 9L)).toDF("id", "v", "__bucket")
+    val ivals = Seq((7L, 0.0, 1.0)).toDF("iid", "lo", "hi")
+    an[IllegalArgumentException] should be thrownBy
+      RangeJoin.pointInInterval(points, ivals, "v", "lo", "hi", bucketWidth = 1.0)
+    an[IllegalArgumentException] should be thrownBy
+      RangeJoin.pointInInterval(Seq((1L, 0.5)).toDF("id", "v"),
+        Seq((7L, 0.0, 1.0, 9L)).toDF("iid", "lo", "hi", "__bucket"),
+        "v", "lo", "hi", bucketWidth = 1.0)
+  }
 }
