@@ -24,6 +24,18 @@ import graft.functions.TextHashes
   *     (signed), so HUGEINT values in [0, 2^64) are mapped to signed BIGINT
   *     (v >= 2^63 → v - 2^64) before any MIN or output.
   *
+  * CHARACTER-SET ASSUMPTION (scope of the bit-exactness claim): the oracle
+  * iterates Unicode CODEPOINTS (DuckDB's length/substring/ascii are
+  * codepoint-wise), while the engine iterates UTF-16 CODE UNITS
+  * (String.charAt in TextHashes). The two walks agree exactly iff the text
+  * is BMP-only (every codepoint < U+10000 = one UTF-16 unit); an astral
+  * character (emoji, rare CJK) would make engine and oracle diverge
+  * silently. OracleAssumptionsSpec asserts the shipped documents corpora
+  * are BMP-only, so the four hash-oracle rows are trusted precisely on the
+  * corpora they are checked against. (The ENGINE is well-defined on astral
+  * input — it hashes the surrogate pair's two code units in order — only
+  * the cross-engine replication is BMP-scoped.)
+  *
   * Per-query notes:
   *   - x03 bands: the engine buckets on xxhash64 of each 4-long signature
   *     slice purely to shrink the shuffle key; two slices collide iff they
