@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Repo hygiene: the root may contain only the known build/doc/driver
+  * artifacts. Catches accidental junk (a round-3 audit found a stray
+  * 1-byte file whose name was a sed argument) before it gets committed. */
+class RepoHygieneSpec extends AnyFunSuite with Matchers {
+
+  private val allowed = List(
+    "\\..*",                 // dotfiles: .git, .bsp, .scalafmt.conf, …
+    "project", "src", "target",
+    "build\\.sbt",
+    "[A-Za-z0-9_.-]+\\.md",  // SURVEY.md, PLANS.md, …
+    "[A-Za-z0-9_.-]+\\.json",// BASELINE/BENCH_r*/CORRECTNESS_r*/…
+    "[A-Za-z0-9_.-]+\\.jsonl"
+  ).map(_.r)
+
+  test("repo root has no unexpected files") {
+    val offenders = Option(new java.io.File("/root/repo").listFiles)
+      .getOrElse(Array.empty)
+      .map(_.getName)
+      .filterNot(n => allowed.exists(_.matches(n)))
+      .sorted
+    withClue("unexpected files at repo root (delete or allow-list): ") {
+      offenders shouldBe empty
+    }
+  }
+}
