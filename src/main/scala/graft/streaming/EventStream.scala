@@ -85,6 +85,22 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour").as("hour"), col("event_type"))
       .agg(approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"))
 
+  /** As-of enrichment (the streaming twin of x28_ev_asof): each streamed
+    * click gets the latest view by the same user at-or-before it, from a
+    * STATIC view dimension. `AsOfJoin.asOfLookup` is STATELESS (broadcast
+    * dim + row-local array pick — no window over the unbounded side), so
+    * the exact batch operator runs unchanged as a stream-static enrichment;
+    * EventStreamSpec asserts output parity with the oracle-checked batch
+    * query on the same rows. Output schema matches x28:
+    * (event_id, user_id, view_event_id, gap_us). */
+  def enrichClicksWithViews(clicks: DataFrame, views: DataFrame): DataFrame =
+    graft.operators.AsOfJoin.asOfLookup(clicks, views,
+        key = "user_id", time = "ts", rightPayload = Seq("event_id", "ts"),
+        tiebreak = "event_id")
+      .select(col("event_id"), col("user_id"),
+        col("asof.event_id").as("view_event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof.ts"))).as("gap_us"))
+
   case class SessionInput(event_id: Long, user_id: Long, ts: Timestamp)
   case class SessionState(sessionId: Long, lastTsMicros: Long)
   case class SessionAssignment(event_id: Long, user_id: Long, session_id: Long)

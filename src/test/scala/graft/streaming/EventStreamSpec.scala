@@ -133,6 +133,38 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("as-of enrichment parity: streamed clicks ≡ batch x28 on the same rows") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3))
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStream
+      .enrichClicksWithViews(input.toDF.toDF("event_id", "user_id", "ts"), views)
+      .writeStream.format("memory").queryName("asofx28").outputMode("append").start()
+    try {
+      val (first, second) = clicks.splitAt(clicks.length / 2)
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq) // across micro-batches — stateless, so no drift
+      q.processAllAvailable()
+      val got = spark.table("asofx28").collect().map(key).toSet
+      // parity against the ORACLE-CHECKED batch query itself, not a re-derivation
+      val want = graft.queries.EventsQueries.asofClickView.run(spark, dir)
+        .collect().map(key).toSet
+      got shouldBe want
+      got should not be empty
+    } finally q.stop()
+  }
+
   test("stateful gap sessionization across micro-batches (streaming x16 twin)") {
     import spark.implicits._
     val input = MemoryStream[EventStream.SessionInput]
