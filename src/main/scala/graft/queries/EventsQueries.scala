@@ -188,6 +188,43 @@ object EventsQueries {
       .orderBy("user_id")
   }
 
+  /** Rolling one-hour per-user activity: event count and value sum over a
+    * sliding event-time window ending at each event — the feature-
+    * engineering staple (recent-activity features, rate limiting, anomaly
+    * baselines). RANGE frame over exact integer microseconds; the summed
+    * value is fixed-pointed first (floor(value·100) — floor, not cast:
+    * BIGINT casts round in one engine and truncate in the other), so the
+    * rolling sum is integer-exact and independent of the engines' frame
+    * accumulation order (a windowed DOUBLE sum is not: sliding-frame
+    * implementations regroup additions).
+    *
+    * Scale shape: one exchange on user_id, then a partition-local ordered
+    * scan; Spark evaluates the growing RANGE frame incrementally, so a hot
+    * user is one spillable sort, never a per-row rescan. */
+  val rollingActivity = sql(
+    "x38_ev_rolling",
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+      |  CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum("cents").over(w).as("cents_1h"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
-    asofClickView, valueBands, funnel)
+    asofClickView, valueBands, funnel, rollingActivity)
 }

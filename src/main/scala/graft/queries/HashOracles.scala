@@ -128,32 +128,64 @@ shset AS (SELECT doc_id, list(DISTINCT ${signed("h")}) AS sh FROM sd GROUP BY do
 shsetu AS (SELECT doc_id, list(DISTINCT h) AS shu FROM sd GROUP BY doc_id)"""
   }
 
-  /** Shared CTE chain for x03/x26: exact-dup pre-collapse → 32-hash
-    * MinHash → 8 bands of 4 → band-value equi-join → exact Jaccard on
-    * candidates, ending in `jj` (doc_a, doc_b, jaccard) plus the `sig` /
-    * `shset` tables the cluster stage reuses. */
-  private val minhashCtes: String = {
+  /** Shingle sets + 32-hash MinHash signatures + 8×4 band keys for any
+    * (doc_id, text) CTE `src`: ends in `shset` (exact-check sets), `sig`
+    * (signatures), `bands2` (doc_id, b, bk band keys). Source-agnostic so
+    * the whole-corpus chain (x03/x26, over the pre-collapsed `reps`) and
+    * the incremental probe (x37, over incoming ∪ corpus reps) share it. */
+  private def sigChainCtes(src: String): String = {
     val seeds = (0 until 32)
       .map(j => TextHashes.mix64(j + 0x5851f42d4c957f2dL))
       .map(s => s"${BigInt(java.lang.Long.toUnsignedString(s))}::HUGEINT")
       .mkString("[", ",", "]")
     val (mx, fin) = mix64Stages("mh", "mh3", Seq("doc_id", "j"), "x", "v")
-    s"""WITH RECURSIVE
-reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
-${shingleCtes("reps")},
+    s"""${shingleCtes(src)},
 mh1 AS (SELECT doc_id, unnest(shu) AS h FROM shsetu),
 mh2 AS (SELECT doc_id, h, unnest(range(0, 32)) AS j FROM mh1),
 mh3 AS (SELECT doc_id, j, xor(h, ($seeds)[j+1]) AS x FROM mh2)$mx,
 mh5 AS (SELECT doc_id, j, min(${signed("v")}) AS mv FROM $fin GROUP BY doc_id, j),
 sig AS (SELECT doc_id, list(mv ORDER BY j) AS sig FROM mh5 GROUP BY doc_id),
 bands AS (SELECT doc_id, unnest(range(0, 8)) AS b, sig FROM sig),
-bands2 AS (SELECT doc_id, b, array_to_string(sig[4*b+1:4*b+4], ',') AS bk FROM bands),
+bands2 AS (SELECT doc_id, b, array_to_string(sig[4*b+1:4*b+4], ',') AS bk FROM bands)"""
+  }
+
+  /** Shared CTE chain for x03/x26: exact-dup pre-collapse → 32-hash
+    * MinHash → 8 bands of 4 → band-value equi-join → exact Jaccard on
+    * candidates, ending in `jj` (doc_a, doc_b, jaccard) plus the `sig` /
+    * `shset` tables the cluster stage reuses. */
+  private val minhashCtes: String =
+    s"""WITH RECURSIVE
+reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+${sigChainCtes("reps")},
 cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
   FROM bands2 l JOIN bands2 r ON l.b = r.b AND l.bk = r.bk AND l.doc_id < r.doc_id),
 ws AS (SELECT doc_a, doc_b, p.sh AS sh_a, q.sh AS sh_b
   FROM cand JOIN shset p ON p.doc_id = doc_a JOIN shset q ON q.doc_id = doc_b),
 jj AS (SELECT doc_a, doc_b, ${jaccard("sh_a", "sh_b", "jaccard")} FROM ws)"""
-  }
+
+  /** x37: incremental near-dup probe — incoming docs (doc_id ≡ 0 mod 10,
+    * sketched individually, no pre-collapse) against the corpus signature
+    * table (remaining docs, exact-dup pre-collapsed like x03). Both sides
+    * run the identical shingle→minhash chain over one union source; sides
+    * are distinguished by the id split. The engine band-joins on xxhash64
+    * of each 4-long signature slice; slices collide iff equal (mod a
+    * ~2^-64 hash collision), so the oracle joins on the slice values. */
+  val dedupIncremental: String =
+    s"""WITH RECURSIVE
+inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+crep AS (SELECT min(doc_id) AS doc_id, text FROM documents WHERE doc_id % 10 <> 0 GROUP BY text),
+u AS (SELECT doc_id, text FROM inc UNION ALL SELECT doc_id, text FROM crep),
+${sigChainCtes("u")},
+cand AS (SELECT DISTINCT l.doc_id AS doc_id, r.doc_id AS corpus_doc_id
+  FROM bands2 l JOIN bands2 r ON l.b = r.b AND l.bk = r.bk
+  WHERE l.doc_id % 10 = 0 AND r.doc_id % 10 <> 0),
+ws AS (SELECT cand.doc_id AS doc_id, cand.corpus_doc_id AS corpus_doc_id,
+    p.sh AS sh_a, q.sh AS sh_b
+  FROM cand JOIN shset p ON p.doc_id = cand.doc_id
+  JOIN shset q ON q.doc_id = cand.corpus_doc_id),
+jj AS (SELECT doc_id, corpus_doc_id, ${jaccard("sh_a", "sh_b", "jaccard")} FROM ws)
+SELECT doc_id, corpus_doc_id, jaccard FROM jj WHERE jaccard >= 0.5
+ORDER BY doc_id, corpus_doc_id"""
 
   /** x03: the pair output of the shared chain. */
   val dedupMinhash: String =

@@ -462,6 +462,45 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** x39: embedding-level benchmark decontamination — the semantic twin of
+    * x35 (which matches exact token spans): flag corpus vectors whose
+    * cosine to ANY benchmark vector clears a threshold, catching
+    * paraphrased/reformatted contamination that token matching misses. A
+    * deterministic id split (vec_id ≡ 0 mod 50) models the benchmark set.
+    *
+    * Scale shape (same stance as x12/x20/x35): the benchmark side is
+    * thousands of vectors → broadcast; the corpus is scanned once and
+    * NEVER shuffled (plan-asserted). Aggregation to (n_hits, max_cos) is
+    * per-corpus-row local after the broadcast join. Ranking/threshold on
+    * the ROUNDED cosine so both engines compare identical values. */
+  val simContamination = sql(
+    "x39_sim_contamination",
+    """WITH bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+      |corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+      |scored AS (
+      |  SELECT c.vec_id, b.vec_id AS bench_id,
+      |    ROUND(
+      |      list_sum(list_transform(range(1, 65),
+      |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |    6) AS cos
+      |  FROM corp c CROSS JOIN bench b)
+      |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits, MAX(cos) AS max_cos
+      |FROM scored WHERE cos >= 0.30
+      |GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("b_emb"))
+    emb.filter(col("vec_id") % 50 =!= 0)
+      .crossJoin(broadcast(bench))
+      .withColumn("cos", round(cosine(col("embedding"), col("b_emb")), 6))
+      .filter(col("cos") >= 0.30)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"), max("cos").as("max_cos"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QueryDef] = Seq(embNorm, embPairCosine, simBruteTopk, simLshTopk, simIvfTopk,
-    dedupEmbedding, dedupEmbLsh, embQuantize)
+    dedupEmbedding, dedupEmbLsh, embQuantize, simContamination)
 }

@@ -664,9 +664,66 @@ object TextQueries {
       .orderBy("lang", "rk")
   }
 
+  /** x37: incremental near-dup ingest — the [[nearDupProbe]] steady state
+    * at the query level. A deterministic id split models an ingest batch
+    * (doc_id ≡ 0 mod 10) arriving against an existing corpus (the rest):
+    * the corpus side is the durable signature table (exact-dup
+    * pre-collapsed, as [[saveMinhashIndex]] writes it) and is NEVER
+    * re-sketched; each incoming doc is sketched row-locally and band-joined
+    * in. This is the shape a 100 TB corpus actually runs daily — sketch
+    * once, probe per batch — and the DuckDB oracle replicates the full
+    * splitmix64/FNV chain on both sides, so the cross-side banding and
+    * verify arithmetic are hash-checked end to end. */
+  val dedupIncremental = sql("x37_dedup_incremental", HashOracles.dedupIncremental) { (s, d) =>
+    val all = docs(s, d)
+    val incoming = all.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    val corpusSigs = minhashSignaturesOf(all.filter(col("doc_id") % 10 =!= 0))
+      .localCheckpoint(eager = false) // the read-back artifact boundary
+    nearDupProbe(incoming, corpusSigs, threshold = 0.5)
+      .orderBy("doc_id", "corpus_doc_id")
+  }
+
+  /** x40: corpus-frequency document score — a language-model-free proxy for
+    * LM quality filtering: documents built from corpus-rare tokens score
+    * low on `mean_tok_freq` / `min_tok_freq` (a real pipeline thresholds
+    * these to drop gibberish and boilerplate ends of the spectrum).
+    * Integer-exact arithmetic end to end (counts and exact-rational means;
+    * no ln(), whose last-ulp differs across engines — the x27 idf lesson),
+    * so the oracle hash-matches bit-for-bit.
+    *
+    * Scale shape: one explode + groupBy builds the vocabulary (map-side
+    * combined; Zipf head keys are high-frequency but the partial aggregate
+    * collapses them per partition), then the token→frequency join
+    * BROADCASTS the vocabulary — natural-language vocabularies are
+    * millions of rows against trillions of tokens, so the fact side never
+    * shuffles (plan-asserted). At vocabularies beyond broadcast size, ship
+    * only the head (freq > k) and treat misses as rare — the rare_ratio
+    * semantics are unchanged by construction. */
+  val textFreqScore = sql(
+    "x40_text_freq_score",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |vocab AS (SELECT tok, COUNT(*) AS freq FROM tok GROUP BY tok)
+      |SELECT t.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(SUM(v.freq) AS DOUBLE) / COUNT(*), 6) AS mean_tok_freq,
+      |  CAST(MIN(v.freq) AS BIGINT) AS min_tok_freq
+      |FROM tok t JOIN vocab v USING (tok)
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val tok = docs(s, d).select(col("doc_id"), explode(tokens).as("tok"))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("freq"))
+    tok.join(broadcast(vocab), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum("freq").cast("double") / count(lit(1)), 6).as("mean_tok_freq"),
+        min("freq").as("min_tok_freq"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
     textRepetition, dedupClusters, textTfidf, textRagChunks, textSplitAssign,
-    textDecontaminate, textQuotaSample)
+    textDecontaminate, textQuotaSample, dedupIncremental, textFreqScore)
 }

@@ -101,6 +101,30 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("x37: incremental probe is a band-bucket equi-join, never all-pairs") {
+    val plan = planOf(TextQueries.dedupIncremental)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("x38: rolling activity costs one exchange before the output sort") {
+    val plan = planOf(EventsQueries.rollingActivity)
+    plan should include("Window")
+    // one shuffle for the window partition + the final rangepartitioning sort
+    "Exchange".r.findAllIn(plan).size should be <= 2
+  }
+
+  test("x39: benchmark side broadcasts; corpus never shuffles for contamination scan") {
+    val plan = planOf(SimilarityQueries.simContamination)
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("x40: vocabulary joins back by broadcast (token fact side never shuffles for it)") {
+    val plan = planOf(TextQueries.textFreqScore)
+    plan should include("BroadcastHashJoin")
+  }
+
   test("x19: frame sampling is pure Catalyst — no UDF / serialization boundary") {
     val plan = planOf(MediaQueries.mediaFrames)
     plan should not include "BatchEvalPython"
