@@ -75,10 +75,32 @@ object DedupSoak {
       val agg = clusters.agg(count(lit(1)), max("n"), sum("n")).head()
       (agg.getLong(0), agg.getLong(1), agg.getLong(2))
     }
-    println(s"""{"metric":"dedup_soak","docs":$nDocs,"base":$nBase,""" +
+    // steady-state probe (last, so its materialized index does not sit in
+    // the heap under the pairs/cluster stages): a 1000-doc ingest batch
+    // (half near-dup mutations of corpus docs, half fresh) checked against
+    // the durable signature table — the x03_probe_only shape, timed at
+    // THIS corpus size so the scaling row records how probe cost grows
+    // with the index, not just the build
+    val corpusSigs = TextQueries.minhashSignaturesOf(docs)
+      .localCheckpoint(eager = true) // materialized: probe must not re-sketch
+    val (tProbe, nProbeHits) = time {
+      val batch = spark.range(1000L).map { i =>
+        val base = i % nBase // near-dup of base doc: 2 tokens replaced
+        val toks = (0 until nTok).map { t =>
+          if (i % 2 == 0 && t < 2) s"p${i}c$t"            // near-dup probe
+          else if (i % 2 == 0) s"b${base}w${(t * 7) % 97}" // ...of base's vocab
+          else s"fresh${i}t$t"                             // fresh doc: no hits
+        }
+        Doc(1000000000L + i, toks.mkString(" "))
+      }(Encoders.product[Doc]).toDF()
+      TextQueries.nearDupProbe(batch, corpusSigs, threshold = 0.5).count()
+    }
+    val heapGb = Runtime.getRuntime.maxMemory() / (1L << 30)
+    println(s"""{"metric":"dedup_soak","docs":$nDocs,"base":$nBase,"heap_gb":$heapGb,""" +
       s""""copies":$copies,"chain_len":$chainLen,"pairs":$nPairs,""" +
       s""""pairs_sec":$tPairs,"clusters":${stats._1},"max_cluster":${stats._2},""" +
-      s""""clustered_reps":${stats._3},"clusters_sec":$tClusters}""")
+      s""""clustered_reps":${stats._3},"clusters_sec":$tClusters,""" +
+      s""""probe_hits":$nProbeHits,"probe_sec":$tProbe}""")
     spark.stop()
   }
 }
