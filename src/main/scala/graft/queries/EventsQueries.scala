@@ -225,6 +225,31 @@ object EventsQueries {
       .orderBy("event_id")
   }
 
+  /** x41: salted skew join — `operators.SkewJoin` end to end. event_type
+    * is the canonical hot key (5 values over the whole fact table); the
+    * salted plan spreads each key across 8 shuffle partitions while the
+    * oracle runs the plain join, proving salting never changes results.
+    * In production this shape covers what AQE's skew split cannot:
+    * stream-static enrichment and pre-emptive splitting before the first
+    * lopsided sort. (At THIS dim size Spark would broadcast — the salt
+    * rides along harmlessly; SkewJoinSpec exercises the shuffle path.) */
+  val skewJoinDemo = sql(
+    "x41_ev_skew_join",
+    """WITH dim(event_type, weight) AS (VALUES
+      |  ('view', 1), ('click', 5), ('purchase', 50), ('signup', 10), ('error', 0))
+      |SELECT e.event_id, e.event_type, CAST(d.weight AS INTEGER) AS weight
+      |FROM events e JOIN dim d USING (event_type)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dim = Seq(("view", 1), ("click", 5), ("purchase", 50), ("signup", 10),
+      ("error", 0)).toDF("event_type", "weight")
+    graft.operators.SkewJoin
+      .saltedJoin(Tables.events(s, d).select("event_id", "event_type"), dim,
+        Seq("event_type"), salts = 8)
+      .select("event_id", "event_type", "weight")
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
-    asofClickView, valueBands, funnel, rollingActivity)
+    asofClickView, valueBands, funnel, rollingActivity, skewJoinDemo)
 }
