@@ -101,6 +101,61 @@ object EventStream {
         col("asof.event_id").as("view_event_id"),
         (unix_micros(col("ts")) - unix_micros(col("asof.ts"))).as("gap_us"))
 
+  case class RollingInput(event_id: Long, user_id: Long, ts: Timestamp, cents: Long)
+  case class RollingState(eventsUs: List[(Long, Long)]) // (tsMicros, cents), horizon-pruned
+  case class RollingOutput(event_id: Long, user_id: Long, n_1h: Long, cents_1h: Long)
+
+  /** Per-event rolling one-hour activity (the streaming twin of
+    * x38_ev_rolling): each event is emitted with the count and fixed-point
+    * value sum of the same user's events in the preceding hour, INCLUDING
+    * same-timestamp peers — the batch RANGE frame's peer semantics.
+    *
+    * State per user is the event buffer inside the rolling horizon, pruned
+    * each batch to `watermark − window` (a later on-time event's window
+    * cannot reach below that) — executors hold O(events per user·hour),
+    * the same bound the batch window's per-partition frame needs. State
+    * expires via event-time timeout once the watermark passes the last
+    * event + window. Same ordering contract as [[sessionize]]: exact when
+    * a user's events arrive in-batch or in event-time order across
+    * batches; a late straggler gets its own counts right but does not
+    * retro-update rows already emitted (append mode).
+    */
+  def rollingActivity(events: Dataset[RollingInput], windowSeconds: Long = 3600,
+      lateness: String = "10 minutes"): Dataset[RollingOutput] = {
+    import events.sparkSession.implicits._
+    val winUs = windowSeconds * 1000000L
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RollingState, RollingOutput](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[RollingInput], state: GroupState[RollingState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val buffered = state.getOption.map(_.eventsUs).getOrElse(Nil) ++
+              batch.map(e => (e.ts.getTime * 1000L, e.cents))
+            // whole batch joins the buffer BEFORE any emission so equal-ts
+            // peers later in the batch count toward earlier rows (RANGE
+            // frames include all peers of the current row)
+            val out = batch.map { e =>
+              val us = e.ts.getTime * 1000L
+              val inWin = buffered.filter { case (t, _) => t >= us - winUs && t <= us }
+              RollingOutput(e.event_id, user, inWin.size.toLong, inWin.map(_._2).sum)
+            }
+            val horizon = state.getCurrentWatermarkMs() * 1000L - winUs
+            val kept = buffered.filter(_._1 >= horizon)
+            state.update(RollingState(kept))
+            val lastMs = kept.map(_._1 / 1000L).maxOption.getOrElse(0L)
+            state.setTimeoutTimestamp(
+              math.max(lastMs + windowSeconds * 1000L, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   case class SessionInput(event_id: Long, user_id: Long, ts: Timestamp)
   case class SessionState(sessionId: Long, lastTsMicros: Long)
   case class SessionAssignment(event_id: Long, user_id: Long, session_id: Long)

@@ -165,6 +165,58 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("rolling 1h activity parity: streamed events ≡ batch x38 on the same rows") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+      .withColumn("cents", org.apache.spark.sql.functions.floor(col("value") * 100).cast("long"))
+      .select("event_id", "user_id", "ts", "cents")
+      .collect()
+      .map(r => EventStream.RollingInput(r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3)))
+      .sortBy(e => (e.ts.getTime, e.event_id)) // the documented ordering contract
+    val input = MemoryStream[EventStream.RollingInput]
+    val q = EventStream.rollingActivity(input.toDS())
+      .writeStream.format("memory").queryName("roll38").outputMode("append").start()
+    try {
+      val (first, second) = ev.splitAt(ev.length / 2)
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq) // event-time-ordered split across micro-batches
+      q.processAllAvailable()
+      val got = spark.table("roll38").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // parity against the ORACLE-CHECKED batch query itself
+      val want = graft.queries.EventsQueries.rollingActivity.run(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      got shouldBe want
+      got should not be empty
+    } finally q.stop()
+  }
+
+  test("rolling activity state prunes to the horizon and counts equal-ts peers") {
+    import spark.implicits._
+    val input = MemoryStream[EventStream.RollingInput]
+    val q = EventStream.rollingActivity(input.toDS(), windowSeconds = 600)
+      .writeStream.format("memory").queryName("rollpeer").outputMode("append").start()
+    try {
+      // two events at the SAME timestamp: each must count the other (peers)
+      input.addData(
+        EventStream.RollingInput(1L, 9L, ts(0), 10L),
+        EventStream.RollingInput(2L, 9L, ts(0), 20L),
+        EventStream.RollingInput(3L, 9L, ts(5), 5L))   // 5 min later: window holds all
+      q.processAllAvailable()
+      input.addData(
+        EventStream.RollingInput(4L, 9L, ts(20), 1L))  // 20 min later: 10-min window slid past
+      q.processAllAvailable()
+      val got = spark.table("rollpeer").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      got shouldBe Set(
+        (1L, 2L, 30L), (2L, 2L, 30L), // equal-ts peers see each other
+        (3L, 3L, 35L),
+        (4L, 1L, 1L))                 // old events pruned out of the window
+    } finally q.stop()
+  }
+
   test("stateful gap sessionization across micro-batches (streaming x16 twin)") {
     import spark.implicits._
     val input = MemoryStream[EventStream.SessionInput]
