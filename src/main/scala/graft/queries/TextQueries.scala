@@ -721,9 +721,38 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** x42: per-language top-5 tokens via the Misra-Gries heavy-hitters
+    * aggregator (`functions.HeavyHitters`) — the bounded-state path for
+    * "top tokens per group" at 100 TB, where the exact plan shuffles the
+    * full (group, token) width. The summary is a fixed-size mergeable
+    * partial aggregate (map-side combine), and while a group's distinct
+    * tokens stay under the capacity no decrement ever fires, so on the
+    * shipped corpora the output IS exact — which is what lets a sketch
+    * query be hash-checked against a plain GROUP BY + ROW_NUMBER oracle.
+    * HeavyHittersSpec covers the lossy regime against the classical
+    * n/(m+1) bound. */
+  val textTopkTokens = sql(
+    "x42_text_topk_tokens",
+    """SELECT lang, tok, cnt, rk FROM (
+      |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY COUNT(*) DESC, tok) AS INTEGER) AS rk
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |  GROUP BY lang, tok) ranked
+      |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) { (s, d) =>
+    s.udf.register("graft_topk", udaf(new graft.functions.HeavyHitters(1024, 5)))
+    docs(s, d).select(col("lang"), explode(tokens).as("tok"))
+      .groupBy("lang").agg(expr("graft_topk(tok)").as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), col("col._1").as("tok"), col("col._2").as("cnt"),
+        (col("pos") + 1).cast("int").as("rk"))
+      .orderBy("lang", "rk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
     textRepetition, dedupClusters, textTfidf, textRagChunks, textSplitAssign,
-    textDecontaminate, textQuotaSample, dedupIncremental, textFreqScore)
+    textDecontaminate, textQuotaSample, dedupIncremental, textFreqScore,
+    textTopkTokens)
 }
