@@ -250,6 +250,28 @@ object EventsQueries {
       .orderBy("event_id")
   }
 
+  /** x43: Z-order curve value over (user_id, value-bucket) — the layout
+    * key behind `Sinks.zOrderedParquet` (multi-dimensional file
+    * clustering: min/max stats prune scans filtered on EITHER dimension).
+    * The oracle SQL is GENERATED from the same mask table the engine
+    * folds over (ZOrder.spreadSql), so the two cannot drift; all
+    * arithmetic is integer-exact in both engines. */
+  val zorderKey = sql(
+    "x43_ev_zorder",
+    s"""WITH e AS (SELECT event_id, user_id AS a,
+      |    CAST(FLOOR(value / 10) AS BIGINT) AS b FROM events),
+      |s AS (SELECT event_id,
+      |  ${graft.functions.ZOrder.spreadSql("a")} AS sa,
+      |  ${graft.functions.ZOrder.spreadSql("b")} AS sb FROM e)
+      |SELECT event_id, (sa | (sb << 1)) AS z FROM s
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        graft.functions.ZOrder.zValue(col("user_id"),
+          floor(col("value") / 10).cast("long")).as("z"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
-    asofClickView, valueBands, funnel, rollingActivity, skewJoinDemo)
+    asofClickView, valueBands, funnel, rollingActivity, skewJoinDemo, zorderKey)
 }

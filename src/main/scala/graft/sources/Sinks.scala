@@ -59,6 +59,29 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Z-ordered parquet: cluster the layout on the Morton interleave of two
+    * bucketed dimensions ([[graft.functions.ZOrder.zValue]]) so parquet
+    * min/max stats prune scans filtered on EITHER dimension — the
+    * two-dimensional generalization of [[sortedParquet]] (whose layout
+    * only prunes its leading column). The written files keep the `__z`
+    * column: its per-file/row-group stats are the pruning index, and
+    * range-partitioning on it guarantees disjoint per-file z-intervals
+    * (ZOrderSpec asserts both the bit-exact curve and the disjointness).
+    * `aCol`/`bCol` must be non-negative integral bucket columns — bucket
+    * real-valued or signed dimensions first (values are masked to 21
+    * bits). */
+  def zOrderedParquet(df: DataFrame, path: String, aCol: String, bCol: String,
+      numFiles: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = graft.functions.ZOrder.zValue(col(aCol), col(bCol))
+    val n = if (numFiles > 0) numFiles
+      else math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    df.withColumn("__z", z)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet path into ~`targetFileMB`
     * files (optionally range-sorted for data skipping) and swap it in
     * place. The lake-maintenance job every micro-batch ingest needs — a
