@@ -272,6 +272,57 @@ object EventsQueries {
       .orderBy("event_id")
   }
 
+  /** x44: per-group winsorization — clamp values to the group's exact
+    * [P1, P99] (outlier clipping before training, the robust-stats
+    * staple). Percentiles come from `operators.Quantiles.groupQuantiles`
+    * (skew-safe dispatch, interpolation ≡ PERCENTILE_CONT); the tiny
+    * per-group bounds table broadcasts back, so the fact side never
+    * shuffles for the clamp. */
+  val winsorize = sql(
+    "x44_ev_winsorize",
+    """WITH p AS (
+      |  SELECT event_type,
+      |    PERCENTILE_CONT(0.01) WITHIN GROUP (ORDER BY value) AS p01,
+      |    PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY value) AS p99
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type,
+      |  ROUND(LEAST(GREATEST(e.value, p.p01), p.p99), 6) AS value_w
+      |FROM events e JOIN p ON e.event_type = p.event_type
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val p = graft.operators.Quantiles
+      .groupQuantiles(ev, "event_type", "value", Seq(0.01, 0.99))
+      .select(col("event_type"), col("q0").as("p01"), col("q1").as("p99"))
+    ev.join(broadcast(p), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        round(least(greatest(col("value"), col("p01")), col("p99")), 6).as("value_w"))
+      .orderBy("event_id")
+  }
+
+  /** x45: per-group standardization (z-score) — the distributed form of
+    * feature scaling (K5 does it inside the ML pipeline; this is the
+    * data-prep query shape). Group mean/stddev are a tiny broadcast;
+    * AVG/STDDEV_SAMP + ROUND(…,6) are the proven-stable cross-engine
+    * float pattern (q08/q21 precedent). */
+  val zscore = sql(
+    "x45_ev_zscore",
+    """WITH s AS (
+      |  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type,
+      |  ROUND((e.value - s.mu) / s.sigma, 6) AS z
+      |FROM events e JOIN s ON e.event_type = s.event_type
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val stats = ev.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - col("mu")) / col("sigma"), 6).as("z"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
-    asofClickView, valueBands, funnel, rollingActivity, skewJoinDemo, zorderKey)
+    asofClickView, valueBands, funnel, rollingActivity, skewJoinDemo, zorderKey,
+    winsorize, zscore)
 }
