@@ -322,7 +322,43 @@ object EventsQueries {
       .orderBy("event_id")
   }
 
+  /** x46: per-session stats — event count and duration per (user,
+    * session), on top of x16's gap-sessionization (>30 min silence starts
+    * a new session). One window exchange assigns sessions, then a
+    * partial-aggregated groupBy rolls them up; exact integer microseconds
+    * throughout (x16 precedent). The product-analytics rollup every
+    * sessionized pipeline feeds downstream. */
+  val sessionStats = sql(
+    "x46_ev_session_stats",
+    """WITH g AS (
+      |  SELECT event_id, user_id, ts,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MAX(us) - MIN(us) AS duration_us
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(order))
+      .withColumn("session_id",
+        sum(when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1).otherwise(0))
+          .over(cum).cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), (max("us") - min("us")).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
     asofClickView, valueBands, funnel, rollingActivity, skewJoinDemo, zorderKey,
-    winsorize, zscore)
+    winsorize, zscore, sessionStats)
 }

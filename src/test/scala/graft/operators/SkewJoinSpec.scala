@@ -44,6 +44,25 @@ class SkewJoinSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("__salt") // the equi-join key includes the salt
   }
 
+  test("stream-static: salted enrichment runs inside a micro-batch (no AQE there)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dim = Seq(("hot", "H"), ("cold", "C")).toDF("k", "payload")
+    val input = MemoryStream[(Long, String)]
+    val q = SkewJoin.saltedJoin(input.toDF.toDF("id", "k"), dim, Seq("k"),
+        salts = 4, joinType = "left_outer")
+      .writeStream.format("memory").queryName("skewstream").outputMode("append").start()
+    try {
+      input.addData((1L, "hot"), (2L, "hot"), (3L, "miss"))
+      q.processAllAvailable()
+      input.addData((4L, "cold"))
+      q.processAllAvailable()
+      spark.table("skewstream").collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(2)) "<none>" else r.getString(2)))
+        .sorted.toSeq shouldBe Seq((1L, "H"), (2L, "H"), (3L, "<none>"), (4L, "C"))
+    } finally q.stop()
+  }
+
   test("misuse fails fast: bad type, reserved column, clashing payload") {
     import spark.implicits._
     val l = Seq((1L, "a")).toDF("id", "k")
