@@ -358,7 +358,55 @@ object EventsQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** x48: hourly resample + forward fill — each user's event stream
+    * regularized onto an hourly grid between their first and last event,
+    * carrying the latest observed value forward into empty slots (the
+    * time-series prep step before any windowed model). Grid slots come
+    * from a row-local `sequence` explode of per-user bounds (no
+    * cross-user blowup: rows ∝ user-hours); the per-slot last observation
+    * is a deterministic (us, event_id) pick, and the fill is ONE
+    * `last(…, ignoreNulls)` running window per user — no self-joins, no
+    * per-slot subqueries. Exact integer slots; values pass through
+    * untouched, so the oracle matches bit-for-bit. */
+  val resampleFfill = sql(
+    "x48_ev_resample_ffill",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events),
+      |b AS (SELECT user_id, CAST(FLOOR(MIN(us) / 3600000000) AS BIGINT) AS lo,
+      |             CAST(FLOOR(MAX(us) / 3600000000) AS BIGINT) AS hi
+      |      FROM e GROUP BY user_id),
+      |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS slot FROM b),
+      |obs AS (SELECT user_id, slot, value FROM (
+      |    SELECT user_id, CAST(FLOOR(us / 3600000000) AS BIGINT) AS slot, value,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, CAST(FLOOR(us / 3600000000) AS BIGINT)
+      |        ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM e) t WHERE rn = 1),
+      |filled AS (
+      |  SELECT g.user_id, g.slot,
+      |    LAST_VALUE(o.value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.slot
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+      |  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.slot = g.slot)
+      |SELECT user_id, slot, ROUND(value_ff, 6) AS value_ff
+      |FROM filled ORDER BY user_id, slot""".stripMargin) { (s, d) =>
+    val slotUs = 3600000000L
+    val e = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+    val grid = e.groupBy("user_id")
+      .agg(floor(min("us") / slotUs).as("lo"), floor(max("us") / slotUs).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("slot"))
+    val w = Window.partitionBy("user_id", "slot").orderBy(desc("us"), desc("event_id"))
+    val obs = e.withColumn("slot", floor(col("us") / slotUs))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "slot", "value")
+    val fill = Window.partitionBy("user_id").orderBy("slot")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "slot"), "left")
+      .withColumn("value_ff", round(last("value", ignoreNulls = true).over(fill), 6))
+      .select("user_id", "slot", "value_ff")
+      .orderBy("user_id", "slot")
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
     asofClickView, valueBands, funnel, rollingActivity, skewJoinDemo, zorderKey,
-    winsorize, zscore, sessionStats)
+    winsorize, zscore, sessionStats, resampleFfill)
 }

@@ -749,10 +749,36 @@ object TextQueries {
       .orderBy("lang", "rk")
   }
 
+  /** x47: edit-distance verification for fuzzy record linkage — exact
+    * Levenshtein plus a normalized similarity over CANDIDATE pairs (the
+    * consecutive-id pairing stands in for an LSH-blocked candidate list;
+    * at corpus scale edit distance only ever runs post-blocking, never
+    * all-pairs — the x03/x21 candidate generation is the blocking stage).
+    * Distances are integers and the ratio is an exact rational, so the
+    * oracle matches bit-for-bit; inputs are truncated to 80 chars, the
+    * standard linkage trick bounding the O(len²) DP per pair. */
+  val textEditDistance = sql(
+    "x47_text_edit_distance",
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(levenshtein(substring(a.text, 1, 80), substring(b.text, 1, 80)) AS INTEGER) AS edit_dist,
+      |  ROUND(1.0 - CAST(levenshtein(substring(a.text, 1, 80), substring(b.text, 1, 80)) AS DOUBLE)
+      |    / GREATEST(length(substring(a.text, 1, 80)), length(substring(b.text, 1, 80))), 6) AS sim
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |ORDER BY id_a""".stripMargin) { (s, d) =>
+    val a = docs(s, d).select(col("doc_id").as("id_a"), substring(col("text"), 1, 80).as("ta"))
+    val b = docs(s, d).select(col("doc_id").as("id_b"), substring(col("text"), 1, 80).as("tb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb")))
+      .select(col("id_a"), col("id_b"), col("edit_dist"),
+        round(lit(1.0) - col("edit_dist").cast("double")
+          / greatest(length(col("ta")), length(col("tb"))), 6).as("sim"))
+      .orderBy("id_a")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
     textRepetition, dedupClusters, textTfidf, textRagChunks, textSplitAssign,
     textDecontaminate, textQuotaSample, dedupIncremental, textFreqScore,
-    textTopkTokens)
+    textTopkTokens, textEditDistance)
 }

@@ -101,6 +101,24 @@ object EventStream {
         col("asof.event_id").as("view_event_id"),
         (unix_micros(col("ts")) - unix_micros(col("asof.ts"))).as("gap_us"))
 
+  /** Per-session rollup (the streaming twin of x46_ev_session_stats):
+    * Spark's native `session_window` merges events < `gap` apart into one
+    * window per (user, session) — the same gap rule as the batch query —
+    * and the aggregation emits each session's event count and first-to-last
+    * duration once the watermark closes it (append mode: exactly-once
+    * final rows, state evicted on close). This is the built-in
+    * session-window aggregation; [[sessionize]] remains the
+    * flatMapGroupsWithState variant for when per-EVENT assignment is
+    * needed rather than per-session rollups. */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"))
+      .select("user_id", "n_events", "duration_us")
+
   case class RollingInput(event_id: Long, user_id: Long, ts: Timestamp, cents: Long)
   case class RollingState(eventsUs: List[(Long, Long)]) // (tsMicros, cents), horizon-pruned
   case class RollingOutput(event_id: Long, user_id: Long, n_1h: Long, cents_1h: Long)

@@ -217,6 +217,37 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("session_window rollup parity: streamed sessions ≡ batch x46 on the same rows") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+      .sortBy(_._2.getTime)
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = EventStream.sessionStats(input.toDF.toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("sess46").outputMode("append").start()
+    try {
+      input.addData(ev.toSeq)
+      q.processAllAvailable()
+      // a far-future sentinel (user -1) advances the watermark so every
+      // real session closes and appends its final row
+      val sentinelTs = new Timestamp(ev.map(_._2.getTime).max + 86400000L)
+      input.addData((-1L, sentinelTs))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val got = spark.table("sess46").collect()
+        .map(key).filter(_._1 >= 0).groupBy(identity).view.mapValues(_.length).toMap
+      // batch x46 emits (user, session_id, n, duration); compare the
+      // (user, n, duration) multiset — streaming windows carry no ordinal
+      val want = graft.queries.EventsQueries.sessionStats.run(spark, dir)
+        .select("user_id", "n_events", "duration_us").collect()
+        .map(key).groupBy(identity).view.mapValues(_.length).toMap
+      got shouldBe want
+      got should not be empty
+    } finally q.stop()
+  }
+
   test("stateful gap sessionization across micro-batches (streaming x16 twin)") {
     import spark.implicits._
     val input = MemoryStream[EventStream.SessionInput]
