@@ -125,6 +125,18 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("BroadcastHashJoin")
   }
 
+  test("x44/x45: per-group stats broadcast back — the fact side never shuffles for the transform") {
+    planOf(EventsQueries.winsorize) should include("BroadcastHashJoin")
+    planOf(EventsQueries.zscore) should include("BroadcastHashJoin")
+  }
+
+  test("x48: resample grid + fill plan no self-joins beyond the grid-obs merge") {
+    val plan = planOf(EventsQueries.resampleFfill)
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("x19: frame sampling is pure Catalyst — no UDF / serialization boundary") {
     val plan = planOf(MediaQueries.mediaFrames)
     plan should not include "BatchEvalPython"
