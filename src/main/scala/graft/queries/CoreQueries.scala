@@ -468,7 +468,55 @@ object CoreQueries {
       .orderBy("col_name")
   }
 
+  /** x49: referential-integrity audit — orphan-row counts for every
+    * foreign-key edge of the star schema in one result (the data-quality
+    * gate an ingest pipeline runs before publishing a snapshot; the
+    * multi-table complement of the single-table Profiler). Each edge is an
+    * anti-join: at scale the dimension sides broadcast (customer/supplier/
+    * part vs the fact tables) and the fact-fact edge (lineitem→orders)
+    * shuffles once on the key — exactly the join shapes q03-q07 already
+    * plan-verify. Row counts are integer-exact. */
+  val x49 = sql(
+    "x49_ri_audit",
+    """SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+      |  CAST((SELECT COUNT(*) FROM lineitem l
+      |        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans
+      |UNION ALL SELECT 'orders.o_custkey->customer',
+      |  CAST((SELECT COUNT(*) FROM orders o
+      |        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+      |UNION ALL SELECT 'lineitem.l_partkey->part',
+      |  CAST((SELECT COUNT(*) FROM lineitem l
+      |        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+      |UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+      |  CAST((SELECT COUNT(*) FROM lineitem l
+      |        WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+      |UNION ALL SELECT 'customer.c_nationkey->nation',
+      |  CAST((SELECT COUNT(*) FROM customer c
+      |        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+      |ORDER BY fk_edge""".stripMargin) { (s, d) =>
+    // one lazy plan: each edge is an anti-join folded to a single count
+    // row (agg on empty input still yields the 0 row), unioned — no
+    // driver-side actions before the sink
+    def orphans(name: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String): DataFrame =
+      fact.join(dim.select(col(pk).as(fk)), Seq(fk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), col("n_orphans"))
+    orphans("lineitem.l_orderkey->orders",
+        Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d).select(col("o_orderkey")), "o_orderkey")
+      .unionByName(orphans("orders.o_custkey->customer",
+        Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey"))
+      .unionByName(orphans("lineitem.l_partkey->part",
+        Tables.lineitem(s, d), "l_partkey", Tables.part(s, d), "p_partkey"))
+      .unionByName(orphans("lineitem.l_suppkey->supplier",
+        Tables.lineitem(s, d), "l_suppkey", Tables.supplier(s, d), "s_suppkey"))
+      .unionByName(orphans("customer.c_nationkey->nation",
+        Tables.customer(s, d), "c_nationkey", Tables.nation(s, d), "n_nationkey"))
+      .orderBy("fk_edge")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, x34)
+    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, x34, x49)
 }
