@@ -516,7 +516,53 @@ object CoreQueries {
       .orderBy("fk_edge")
   }
 
+  /** x50: equi-DEPTH histogram (deciles of o_totalprice) — the complement
+    * of q25's equi-width binning. The naive plan is `NTILE(10) OVER
+    * (ORDER BY …)`: one unpartitioned window = one task sorting the world,
+    * the exact shape this repo's plan rules forbid. The scalable plan
+    * computes the 9 interior boundaries with the exact quantile operator
+    * (one aggregate, skew-safe dispatch), broadcasts them as a 9-element
+    * array, and buckets rows with a row-local `filter` HOF — no global
+    * sort anywhere. Boundary interpolation is bit-identical to
+    * PERCENTILE_CONT (q21 precedent), so strict `>` comparisons agree and
+    * the oracle hash-matches. (Ties at a boundary go to the lower bucket
+    * in BOTH engines — value-based bucketing, not NTILE's row-splitting.) */
+  val x50 = sql(
+    "x50_deciles",
+    {
+      // ANSI-portable form (SqlParitySpec runs every core oracle through
+      // Spark SQL too): nine scalar boundaries + a CASE-sum bucket
+      val bCols = (1 to 9).map(i =>
+        s"    PERCENTILE_CONT(0.$i) WITHIN GROUP (ORDER BY o_totalprice) AS b$i").mkString(",\n")
+      val caseSum = (1 to 9).map(i =>
+        s"(CASE WHEN o.o_totalprice > b.b$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH b AS (SELECT
+$bCols
+  FROM orders),
+t AS (SELECT o.o_totalprice,
+    CAST(1 + $caseSum AS INTEGER) AS decile
+  FROM orders o CROSS JOIN b)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(MIN(o_totalprice), 6) AS lo, ROUND(MAX(o_totalprice), 6) AS hi
+FROM t GROUP BY decile ORDER BY decile"""
+    }) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val bounds = graft.operators.Quantiles
+      .groupQuantiles(orders.withColumn("__g", lit(1)), "__g", "o_totalprice",
+        (1 to 9).map(_ / 10.0))
+      .select(array((0 until 9).map(i => col(s"q$i")): _*).as("bs"))
+    orders.crossJoin(broadcast(bounds))
+      .select(col("o_totalprice"),
+        (size(filter(col("bs"), x => col("o_totalprice") > x)) + 1).as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 6).as("lo"),
+        round(max("o_totalprice"), 6).as("hi"))
+      .orderBy("decile")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, x34, x49)
+    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, x34,
+    x49, x50)
 }
