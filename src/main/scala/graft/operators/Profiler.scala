@@ -31,8 +31,17 @@ object Profiler {
   val exactMaxBytes: Long = 16L << 30
 
   def profile(df: DataFrame, exactHint: Option[Boolean] = None): DataFrame = {
-    val exact = exactHint.getOrElse(
-      df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(exactMaxBytes))
+    val exact = exactHint.getOrElse {
+      // sources without size statistics (RDD-backed frames, some JDBC/
+      // views) report the defaultSizeInBytes SENTINEL (Long.MaxValue by
+      // default), not a measurement — treat unknown as exact (the
+      // pre-dispatch default) rather than "huge → approx"; callers who
+      // KNOW the input is big pass exactHint = Some(false)
+      val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val sentinel = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+      val measuredAndBig = size < sentinel && size > BigInt(exactMaxBytes)
+      !measuredAndBig // exact unless the estimate is real AND over the cap
+    }
     val cols = df.columns.toSeq
     // resolve generated aliases with quoted identifiers — a raw col() parses
     // dots as struct access, breaking legal-but-unusual source column names

@@ -64,18 +64,33 @@ object Quantiles {
     * variable is the MAX group size, not the average: under skew (one
     * giant group among many small ones — the shape the crossover exists
     * for) an average stays low and would route the hot group into the
-    * builtin's single-task buffer, the exact OOM being prevented. Pass
-    * `rowsPerGroupHint` (= the largest group's size) when the caller knows
-    * the shape — when absent, one map-side-combinable groupBy-count pass
-    * measures it exactly. Both paths interpolate BIT-identically
-    * (QuantilesSpec), so the choice never changes results. */
+    * builtin's single-task buffer, the exact OOM being prevented.
+    *
+    * Un-hinted probe cost is tiered so the common regimes stay cheap:
+    * one scalar aggregate (total + approx group count) decides outright
+    * when total ≤ threshold (max ≤ total ⇒ builtin is safe) or when the
+    * AVERAGE already exceeds the threshold (max ≥ avg ⇒ parallel is
+    * mandatory). Only the ambiguous middle — big total, small average,
+    * where skew could hide a hot group — pays the exact
+    * groupBy-count/max pass; that pass is the price of never OOMing, and
+    * `rowsPerGroupHint` (= the largest group's size) skips all probing
+    * when the caller knows the shape. Both paths interpolate
+    * BIT-identically (QuantilesSpec), so the choice never changes
+    * results. */
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double], rowsPerGroupHint: Option[Long] = None): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must be in [0, 1], got $ps")
-    val rowsPerGroup = rowsPerGroupHint.getOrElse(
-      largestGroupRows(df, groupCol, valueCol))
-    if (rowsPerGroup > builtinMaxRowsPerGroup) parallelQuantiles(df, groupCol, valueCol, ps)
+    val maxRows = rowsPerGroupHint.getOrElse {
+      val r = df.filter(col(valueCol).isNotNull)
+        .agg(count(lit(1)), approx_count_distinct(groupCol)).head()
+      val total = r.getLong(0)
+      val groups = math.max(r.getLong(1), 1L)
+      if (total <= builtinMaxRowsPerGroup) total // max ≤ total: builtin safe
+      else if (total / groups > builtinMaxRowsPerGroup) total // avg over cap: parallel
+      else largestGroupRows(df, groupCol, valueCol) // ambiguous: measure the max
+    }
+    if (maxRows > builtinMaxRowsPerGroup) parallelQuantiles(df, groupCol, valueCol, ps)
     else builtinQuantiles(df, groupCol, valueCol, ps)
   }
 

@@ -123,6 +123,15 @@ object EventStream {
   case class RollingState(eventsUs: List[(Long, Long)]) // (tsMicros, cents), horizon-pruned
   case class RollingOutput(event_id: Long, user_id: Long, n_1h: Long, cents_1h: Long)
 
+  /** Exact event-time MICROSECONDS of a Timestamp. `getTime` alone
+    * truncates to milliseconds, which silently diverges from the batch
+    * twins' `unix_micros` on sub-millisecond timestamps (the shipped
+    * events data has them): window membership, peer detection, and gap
+    * comparisons must all use the same clock as the oracle-checked batch
+    * queries. */
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
   /** Per-event rolling one-hour activity (the streaming twin of
     * x38_ev_rolling): each event is emitted with the count and fixed-point
     * value sum of the same user's events in the preceding hour, INCLUDING
@@ -152,14 +161,14 @@ object EventStream {
             state.remove()
             Iterator.empty
           } else {
-            val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val batch = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             val buffered = state.getOption.map(_.eventsUs).getOrElse(Nil) ++
-              batch.map(e => (e.ts.getTime * 1000L, e.cents))
+              batch.map(e => (micros(e.ts), e.cents))
             // whole batch joins the buffer BEFORE any emission so equal-ts
             // peers later in the batch count toward earlier rows (RANGE
             // frames include all peers of the current row)
             val out = batch.map { e =>
-              val us = e.ts.getTime * 1000L
+              val us = micros(e.ts)
               val inWin = buffered.filter { case (t, _) => t >= us - winUs && t <= us }
               RollingOutput(e.event_id, user, inWin.size.toLong, inWin.map(_._2).sum)
             }
@@ -210,10 +219,10 @@ object EventStream {
             state.remove()
             Iterator.empty
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
             val out = sorted.map { e =>
-              val tsMicros = e.ts.getTime * 1000L
+              val tsMicros = micros(e.ts) // exact µs — the batch twin's clock
               val newSession = st.sessionId == 0L ||
                 tsMicros - st.lastTsMicros > gapSeconds * 1000000L
               st = SessionState(if (newSession) st.sessionId + 1 else st.sessionId, tsMicros)

@@ -18,8 +18,14 @@ class RepoHygieneSpec extends AnyFunSuite with Matchers {
   ).map(_.r)
 
   test("repo root has no unexpected files") {
-    val offenders = Option(new java.io.File("/root/repo").listFiles)
-      .getOrElse(Array.empty)
+    // tests run from the repo root — don't hardcode a checkout path, and
+    // treat an unreadable root as a FAILURE, not a vacuous pass
+    val root = new java.io.File(sys.props("user.dir"))
+    assert(new java.io.File(root, "build.sbt").isFile,
+      s"$root is not the repo root — spec must run from it")
+    val listing = root.listFiles
+    assert(listing != null, s"could not list $root")
+    val offenders = listing
       .map(_.getName)
       .filterNot(n => allowed.exists(_.matches(n)))
       .sorted
