@@ -225,6 +225,24 @@ xn AS (SELECT rep, COUNT(*) AS n FROM (
 SELECT nd.rep, nd.n_docs, COALESCE(xn.n, 0) AS n_xcands
 FROM nd LEFT JOIN xn USING (rep) ORDER BY rep"""
 
+  /** x51: dedup APPLY — the surviving corpus after exact collapse + near-dup
+    * clustering: an original doc maps to its exact-text rep (min doc_id per
+    * identical text), the rep to its near-dup cluster label (the x26
+    * transitive closure), and one row per cluster label survives with the
+    * count of original docs it now represents. */
+  val dedupApply: String =
+    s"""$minhashCtes,
+pairs AS (SELECT doc_a, doc_b FROM jj WHERE jaccard >= 0.5),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(s, d) AS (SELECT s, d FROM edges
+  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d WHERE e.d <> r.s),
+labels AS (SELECT p.doc_id, LEAST(p.doc_id, COALESCE(MIN(r.d), p.doc_id)) AS rep
+  FROM sig p LEFT JOIN reach r ON r.s = p.doc_id GROUP BY p.doc_id),
+erep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS e_rep FROM documents),
+chain AS (SELECT e.doc_id, l.rep FROM erep e JOIN labels l ON l.doc_id = e.e_rep)
+SELECT rep AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM chain GROUP BY rep ORDER BY keep_id"""
+
   /** x04: 64-bit SimHash (per-bit votes over distinct token hashes) →
     * 4×16-bit chunk equi-join → Hamming ≤ 3. */
   val dedupSimhash: String = {

@@ -775,10 +775,35 @@ object TextQueries {
       .orderBy("id_a")
   }
 
+  /** x51: dedup APPLY — the step the whole dedup arc exists for: emit the
+    * SURVIVING corpus after exact collapse (x01) and near-dup clustering
+    * (x03→x26), one row per kept representative with the number of
+    * original documents it now stands for. An original doc chains
+    * doc → exact-text rep → near-dup cluster label; the label survives.
+    * Every stage reuses the plans already proven green: the signature
+    * boundary, the band-join pairs, and the hash-min CC loop — this query
+    * is their composition, hash-checked end to end (the DuckDB side runs
+    * the recursive-CTE closure). At corpus scale the output IS the
+    * training corpus manifest (keep_id joins back to fetch text), and
+    * n_docs is the dedup ratio audit. */
+  val dedupApply = sql("x51_dedup_apply", HashOracles.dedupApply) { (s, d) =>
+    val sigs = minhashSignatures(s, d).localCheckpoint(eager = false)
+    val pairs = minhashPairs(sigs).select("doc_a", "doc_b")
+      .localCheckpoint(eager = false)
+    val labels = connectedReps(sigs.select("doc_id"), pairs)
+    val erep = docs(s, d).select(col("doc_id"),
+      min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("text"))
+        .as("e_rep"))
+    erep.join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
+      .groupBy(col("rep").as("keep_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("keep_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
     textRepetition, dedupClusters, textTfidf, textRagChunks, textSplitAssign,
     textDecontaminate, textQuotaSample, dedupIncremental, textFreqScore,
-    textTopkTokens, textEditDistance)
+    textTopkTokens, textEditDistance, dedupApply)
 }
