@@ -34,13 +34,15 @@ object Profiler {
     val exact = exactHint.getOrElse {
       // sources without size statistics (RDD-backed frames, some JDBC/
       // views) report the defaultSizeInBytes SENTINEL (Long.MaxValue by
-      // default), not a measurement — treat unknown as exact (the
-      // pre-dispatch default) rather than "huge → approx"; callers who
-      // KNOW the input is big pass exactHint = Some(false)
+      // default), not a measurement — an EXACT sentinel match means one
+      // unmeasured leaf and keeps the pre-dispatch exact default. Any
+      // other estimate at or over the cap routes to approx, including
+      // join/union products that exceed the sentinel (those are derived
+      // from real leaf sizes and genuinely huge). Callers who know
+      // better pass exactHint.
       val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
       val sentinel = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
-      val measuredAndBig = size < sentinel && size > BigInt(exactMaxBytes)
-      !measuredAndBig // exact unless the estimate is real AND over the cap
+      size <= BigInt(exactMaxBytes) || size == sentinel
     }
     val cols = df.columns.toSeq
     // resolve generated aliases with quoted identifiers — a raw col() parses

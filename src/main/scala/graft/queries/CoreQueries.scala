@@ -550,10 +550,16 @@ FROM t GROUP BY decile ORDER BY decile"""
     val bounds = graft.operators.Quantiles
       .groupQuantiles(orders.withColumn("__g", lit(1)), "__g", "o_totalprice",
         (1 to 9).map(_ / 10.0))
-      .select(array((0 until 9).map(i => col(s"q$i")): _*).as("bs"))
-    orders.crossJoin(broadcast(bounds))
+      .select(lit(1).as("__g"), array((0 until 9).map(i => col(s"q$i")): _*).as("bs"))
+    // LEFT join + empty-array fallback, not crossJoin: on an all-NULL value
+    // column groupQuantiles emits no group, and a crossJoin would drop every
+    // row where the oracle's aggregate CTE still yields its one (all-NULL
+    // boundaries) row — the q21 trap, avoided the same way
+    orders.withColumn("__g", lit(1))
+      .join(broadcast(bounds), Seq("__g"), "left")
       .select(col("o_totalprice"),
-        (size(filter(col("bs"), x => col("o_totalprice") > x)) + 1).as("decile"))
+        (size(filter(coalesce(col("bs"), array()),
+          x => col("o_totalprice") > x)) + 1).as("decile"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n"),
         round(min("o_totalprice"), 6).as("lo"),

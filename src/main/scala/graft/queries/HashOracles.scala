@@ -199,12 +199,7 @@ SELECT doc_a, doc_b, jaccard FROM jj WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"
     * banded cross-cluster candidates with signature-agreement estimate. */
   val dedupClusters: String =
     s"""$minhashCtes,
-pairs AS (SELECT doc_a, doc_b FROM jj WHERE jaccard >= 0.5),
-edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-reach(s, d) AS (SELECT s, d FROM edges
-  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d WHERE e.d <> r.s),
-labels AS (SELECT p.doc_id, LEAST(p.doc_id, COALESCE(MIN(r.d), p.doc_id)) AS rep
-  FROM sig p LEFT JOIN reach r ON r.s = p.doc_id GROUP BY p.doc_id),
+$ccCtes,
 mj AS (SELECT l.rep, u.j, s2.sig[CAST(u.j AS INTEGER)+1] AS v
   FROM labels l JOIN sig s2 USING (doc_id), range(32) u(j)),
 cm AS (SELECT rep, j, MIN(v) AS mv FROM mj GROUP BY rep, j),
@@ -225,6 +220,21 @@ xn AS (SELECT rep, COUNT(*) AS n FROM (
 SELECT nd.rep, nd.n_docs, COALESCE(xn.n, 0) AS n_xcands
 FROM nd LEFT JOIN xn USING (rep) ORDER BY rep"""
 
+  /** Transitive closure over the verified pair graph, shared verbatim by
+    * x26 and x51 (ends in `labels` (doc_id, rep) over the `sig` docs): the
+    * SQL fixpoint of the engine's hash-min CC loop. ONE definition so a
+    * threshold or closure change can never drift between the two. */
+  // a def, not a val: `dedupClusters` is declared earlier in this object
+  // and object vals initialize in declaration order — a val here would
+  // interpolate as null into the already-built x26 SQL
+  private def ccCtes: String =
+    s"""pairs AS (SELECT doc_a, doc_b FROM jj WHERE jaccard >= 0.5),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(s, d) AS (SELECT s, d FROM edges
+  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d WHERE e.d <> r.s),
+labels AS (SELECT p.doc_id, LEAST(p.doc_id, COALESCE(MIN(r.d), p.doc_id)) AS rep
+  FROM sig p LEFT JOIN reach r ON r.s = p.doc_id GROUP BY p.doc_id)"""
+
   /** x51: dedup APPLY — the surviving corpus after exact collapse + near-dup
     * clustering: an original doc maps to its exact-text rep (min doc_id per
     * identical text), the rep to its near-dup cluster label (the x26
@@ -232,12 +242,7 @@ FROM nd LEFT JOIN xn USING (rep) ORDER BY rep"""
     * count of original docs it now represents. */
   val dedupApply: String =
     s"""$minhashCtes,
-pairs AS (SELECT doc_a, doc_b FROM jj WHERE jaccard >= 0.5),
-edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-reach(s, d) AS (SELECT s, d FROM edges
-  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d WHERE e.d <> r.s),
-labels AS (SELECT p.doc_id, LEAST(p.doc_id, COALESCE(MIN(r.d), p.doc_id)) AS rep
-  FROM sig p LEFT JOIN reach r ON r.s = p.doc_id GROUP BY p.doc_id),
+$ccCtes,
 erep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS e_rep FROM documents),
 chain AS (SELECT e.doc_id, l.rep FROM erep e JOIN labels l ON l.doc_id = e.e_rep)
 SELECT rep AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs

@@ -437,13 +437,21 @@ object TextQueries {
     * ever touching shingle sets again. Output: one row per cluster
     * (rep, n_docs, n_xcands = plausible cross-cluster merge candidates at
     * estimated Jaccard ≥ 0.25 from signature agreement). */
-  val dedupClusters = sql("x26_dedup_clusters", HashOracles.dedupClusters) { (s, d) =>
-    s.udf.register("graft_minhash_union",
-      org.apache.spark.sql.functions.udaf(new graft.functions.MinHashUnion(32)))
+  /** Shared front half of x26 and x51: signature table (GC-scoped
+    * boundary), verified pairs, and the hash-min CC labels over them — ONE
+    * definition so the threshold and the closure can never drift between
+    * the cluster view and the apply step. */
+  private def sigsAndLabels(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val sigs = minhashSignatures(s, d).localCheckpoint(eager = false)
     val pairs = minhashPairs(sigs).select("doc_a", "doc_b")
       .localCheckpoint(eager = false)
-    val labels = connectedReps(sigs.select("doc_id"), pairs)
+    (sigs, connectedReps(sigs.select("doc_id"), pairs))
+  }
+
+  val dedupClusters = sql("x26_dedup_clusters", HashOracles.dedupClusters) { (s, d) =>
+    s.udf.register("graft_minhash_union",
+      org.apache.spark.sql.functions.udaf(new graft.functions.MinHashUnion(32)))
+    val (sigs, labels) = sigsAndLabels(s, d)
     val clusters = labels.join(sigs, Seq("doc_id"))
       .groupBy("rep")
       .agg(count(lit(1)).as("n_docs"), expr("graft_minhash_union(sig)").as("csig"))
@@ -787,10 +795,7 @@ object TextQueries {
     * training corpus manifest (keep_id joins back to fetch text), and
     * n_docs is the dedup ratio audit. */
   val dedupApply = sql("x51_dedup_apply", HashOracles.dedupApply) { (s, d) =>
-    val sigs = minhashSignatures(s, d).localCheckpoint(eager = false)
-    val pairs = minhashPairs(sigs).select("doc_a", "doc_b")
-      .localCheckpoint(eager = false)
-    val labels = connectedReps(sigs.select("doc_id"), pairs)
+    val (_, labels) = sigsAndLabels(s, d)
     val erep = docs(s, d).select(col("doc_id"),
       min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("text"))
         .as("e_rep"))
