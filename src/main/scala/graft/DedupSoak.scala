@@ -64,6 +64,13 @@ object DedupSoak {
     def time[A](f: => A): (Double, A) = {
       val t0 = System.nanoTime(); val a = f; ((System.nanoTime() - t0) / 1e9, a)
     }
+    // host-capacity calibration (Bench.calibrate): sampled before the
+    // stages, between clusters and probe, and at the end — a soak row is
+    // only comparable across rounds when its calibration samples match
+    // (this box swings ~6× under contention; see the PLANS.md noise note)
+    val calibration = scala.collection.mutable.ArrayBuffer.empty[Double]
+    Bench.calibrate(spark) // untimed JIT warm-up
+    calibration += Bench.calibrate(spark)
     // one-time sketch + durable artifact write (the saveMinhashIndex form)
     val idx = java.nio.file.Files.createTempDirectory("dedup-soak").toString + "/sigs"
     val (tBuild, _) = time {
@@ -88,6 +95,7 @@ object DedupSoak {
       val agg = clusters.agg(count(lit(1)), max("n"), sum("n")).head()
       (agg.getLong(0), agg.getLong(1), agg.getLong(2))
     }
+    calibration += Bench.calibrate(spark)
     // steady-state probe: a 1000-doc ingest batch (half near-dup mutations
     // of corpus docs, half fresh) checked against the durable signature
     // artifact — the x37 shape, timed at THIS corpus size so the scaling
@@ -105,12 +113,15 @@ object DedupSoak {
       }(Encoders.product[Doc]).toDF()
       TextQueries.nearDupProbe(batch, corpusSigs, threshold = 0.5).count()
     }
+    calibration += Bench.calibrate(spark)
     val heapGb = Runtime.getRuntime.maxMemory() / (1L << 30)
+    val calib = calibration.map(c => f"$c%.3f").mkString("[", ",", "]")
     println(s"""{"metric":"dedup_soak","docs":$nDocs,"base":$nBase,"heap_gb":$heapGb,""" +
       s""""copies":$copies,"chain_len":$chainLen,"build_sec":$tBuild,"pairs":$nPairs,""" +
       s""""pairs_sec":$tPairs,"clusters":${stats._1},"max_cluster":${stats._2},""" +
       s""""clustered_reps":${stats._3},"clusters_sec":$tClusters,""" +
-      s""""probe_hits":$nProbeHits,"probe_sec":$tProbe}""")
+      s""""probe_hits":$nProbeHits,"probe_sec":$tProbe,""" +
+      s""""calibration_sec":$calib}""")
     spark.stop()
   }
 }

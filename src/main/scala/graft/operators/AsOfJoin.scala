@@ -82,8 +82,16 @@ object AsOfJoin {
     * right side is probed with `limit(maxRightRows + 1).count()` — a scan
     * that stops as soon as the bound is exceeded — so a fact-sized right
     * side fails fast with a pointer to [[asOf]] instead of slowly OOMing
-    * the driver inside the unconditional broadcast. Raise `maxRightRows`
-    * only if executor/driver memory genuinely fits the bigger lookup. */
+    * the driver inside the unconditional broadcast.
+    *
+    * The probe is an EAGER Spark action at call time: it runs the right
+    * side's lineage once before the join does (a lazily-constructed right
+    * frame is computed twice — probe + broadcast), which also means this
+    * method is not lazy the way a plain join is. Hot-path callers who have
+    * already sized the dimension can opt out by passing
+    * `maxRightRows >= Int.MaxValue`, which disables the probe entirely;
+    * raise it short of that only if executor/driver memory genuinely fits
+    * the bigger lookup. */
   def asOfLookup(left: DataFrame, right: DataFrame, key: String, time: String,
       rightPayload: Seq[String], tiebreak: String,
       asOfCol: String = "asof", maxRightRows: Long = 5000000L): DataFrame = {

@@ -34,15 +34,19 @@ object Profiler {
     val exact = exactHint.getOrElse {
       // sources without size statistics (RDD-backed frames, some JDBC/
       // views) report the defaultSizeInBytes SENTINEL (Long.MaxValue by
-      // default), not a measurement — an EXACT sentinel match means one
-      // unmeasured leaf and keeps the pre-dispatch exact default. Any
-      // other estimate at or over the cap routes to approx, including
-      // join/union products that exceed the sentinel (those are derived
-      // from real leaf sizes and genuinely huge). Callers who know
-      // better pass exactHint.
+      // default), not a measurement — and any operator ABOVE an unmeasured
+      // leaf (a filter's selectivity, a project's column ratio) SCALES the
+      // sentinel, so the derived estimate is huge-but-meaningless without
+      // equalling it. Estimates within a sentinel-derived band (≥
+      // sentinel/1024 — three orders of magnitude of filter/project
+      // scaling, still ~2^53 bytes, far beyond any measured input) are
+      // treated as unmeasured and keep the pre-dispatch exact default.
+      // Below the band, estimates derive from real leaf sizes: at or over
+      // the cap they route to approx. Callers who know better pass
+      // exactHint.
       val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
       val sentinel = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
-      size <= BigInt(exactMaxBytes) || size == sentinel
+      size <= BigInt(exactMaxBytes) || size >= sentinel / 1024
     }
     val cols = df.columns.toSeq
     // resolve generated aliases with quoted identifiers — a raw col() parses

@@ -94,6 +94,37 @@ object Quantiles {
     else builtinQuantiles(df, groupCol, valueCol, ps)
   }
 
+  /** Optimizer-estimated input bytes below which [[builtinQuantiles]] is
+    * safe when the WHOLE input is one group: [[builtinMaxRowsPerGroup]]
+    * rows at a deliberately LOW 16 bytes/row, so the byte estimate
+    * over-counts rows and flips to the parallel plan early (the safe
+    * direction — parallel never OOMs a task, it is merely slower at small
+    * scale). */
+  val builtinMaxBytesSingleGroup: Long = builtinMaxRowsPerGroup * 16L
+
+  /** Exact quantiles of `valueCol` over a frame the CALLER constructed as
+    * one group (q21/x50's synthetic `__g = lit(1)` shape). Knowing the
+    * group count is 1 leaves a single dispatch question — does the one
+    * group outgrow the builtin's task buffer? — and the optimizer's size
+    * estimate answers it with ZERO extra jobs, where [[groupQuantiles]]'s
+    * un-hinted probe pays a scalar aggregate pass (the Profiler
+    * size-dispatch precedent). Conservative in the safe direction twice
+    * over: bytes-per-row is lower-bounded at 16 B (over-counts rows ⇒
+    * flips to parallel early), and unmeasured sources (RDD-backed/JDBC
+    * frames report the sentinel-sized estimate) also route to the
+    * parallel plan, which degrades in speed, never in memory safety.
+    * Both paths interpolate bit-identically (QuantilesSpec), so the
+    * dispatch never changes results. */
+  def singleGroupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0, 1], got $ps")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(builtinMaxBytesSingleGroup))
+      builtinQuantiles(df, groupCol, valueCol, ps)
+    else parallelQuantiles(df, groupCol, valueCol, ps)
+  }
+
   /** Exact size of the largest group (non-null values only) — the
     * crossover's decision variable. MAX, deliberately not the average: one
     * hot group among millions of small ones keeps the average low while

@@ -364,12 +364,14 @@ object CoreQueries {
       |  ROUND(MAX(o_totalprice), 6) AS max_price
       |FROM orders""".stripMargin) { (s, d) =>
     val orders = Tables.orders(s, d)
-    // quartiles via operators.Quantiles: the rows-per-group crossover uses
-    // the builtin percentile here and switches to the spillable
-    // range-partitioned plan when the single group outgrows a task buffer;
-    // interpolation is bit-identical either way, so the oracle is unaffected.
+    // quartiles via operators.Quantiles: the caller constructed the
+    // single-group shape itself, so the probe-free singleGroupQuantiles
+    // dispatch applies — builtin percentile while the plan-stats estimate
+    // says the one group fits a task buffer, the spillable range-
+    // partitioned plan beyond; interpolation is bit-identical either way,
+    // so the oracle is unaffected.
     val quartiles = graft.operators.Quantiles
-      .groupQuantiles(orders.withColumn("__g", lit(1)), "__g", "o_totalprice",
+      .singleGroupQuantiles(orders.withColumn("__g", lit(1)), "__g", "o_totalprice",
         Seq(0.25, 0.75))
       .select(round(col("q0"), 6).as("q1_price"), round(col("q1"), 6).as("q3_price"))
     // LEFT join, not crossJoin: on an empty input groupQuantiles emits no
@@ -547,8 +549,11 @@ SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
 FROM t GROUP BY decile ORDER BY decile"""
     }) { (s, d) =>
     val orders = Tables.orders(s, d)
+    // singleGroupQuantiles: the caller built the one-group shape, so the
+    // dispatch reads the plan-stats estimate instead of paying the scalar
+    // probe pass (drops a whole aggregate job from this query)
     val bounds = graft.operators.Quantiles
-      .groupQuantiles(orders.withColumn("__g", lit(1)), "__g", "o_totalprice",
+      .singleGroupQuantiles(orders.withColumn("__g", lit(1)), "__g", "o_totalprice",
         (1 to 9).map(_ / 10.0))
       .select(lit(1).as("__g"), array((0 until 9).map(i => col(s"q$i")): _*).as("bs"))
     // LEFT join + empty-array fallback, not crossJoin: on an all-NULL value

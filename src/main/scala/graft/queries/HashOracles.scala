@@ -248,6 +248,22 @@ chain AS (SELECT e.doc_id, l.rep FROM erep e JOIN labels l ON l.doc_id = e.e_rep
 SELECT rep AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM chain GROUP BY rep ORDER BY keep_id"""
 
+  /** x52: blocked record linkage — the x03 banding chain as the BLOCKING
+    * stage (shared `cand` CTE over the exact-collapsed reps), then
+    * edit-distance verification over exactly those candidate pairs:
+    * DuckDB's own `levenshtein` on 80-char prefixes, normalized by the
+    * longer prefix (integer distance, exact-rational ratio — bit-stable
+    * across engines, the x47 precedent). */
+  val recordLinkage: String =
+    s"""$minhashCtes,
+rl AS (SELECT c.doc_a AS id_a, c.doc_b AS id_b,
+    substring(a.text, 1, 80) AS ta, substring(b2.text, 1, 80) AS tb
+  FROM cand c JOIN reps a ON a.doc_id = c.doc_a JOIN reps b2 ON b2.doc_id = c.doc_b)
+SELECT id_a, id_b,
+  CAST(levenshtein(ta, tb) AS INTEGER) AS edit_dist,
+  ROUND(1.0 - CAST(levenshtein(ta, tb) AS DOUBLE) / GREATEST(length(ta), length(tb)), 6) AS sim
+FROM rl ORDER BY id_a, id_b"""
+
   /** x04: 64-bit SimHash (per-bit votes over distinct token hashes) →
     * 4×16-bit chunk equi-join → Hamming ≤ 3. */
   val dedupSimhash: String = {

@@ -210,13 +210,19 @@ object SimilarityQueries {
     * retrain, or cell assignments will reflect the old corpus. */
   def ivfCentroids(s: SparkSession, d: String, nCells: Int = 16): Seq[Seq[Double]] =
     ivfCache.computeIfAbsent(s"$d#$nCells", { _ =>
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val vecs = Tables.embeddings(s, d)
-        .select(array_to_vector(col("embedding")).as("features"))
-      new KMeans().setK(nCells).setSeed(42L).setMaxIter(5).fit(vecs)
-        .clusterCenters.toSeq.map(_.toArray.toSeq)
+      trainIvf(Tables.embeddings(s, d), nCells)
     })
+
+  /** Train IVF centroids over any (vec_id, embedding) frame — seeded
+    * KMeans, deterministic. The dir-memoized [[ivfCentroids]] wraps this;
+    * specs call it directly on synthetic corpora. */
+  def trainIvf(emb: DataFrame, nCells: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = emb.select(array_to_vector(col("embedding")).as("features"))
+    new KMeans().setK(nCells).setSeed(seed).setMaxIter(5).fit(vecs)
+      .clusterCenters.toSeq.map(_.toArray.toSeq)
+  }
 
   /** Drop memoized IVF indexes (after rewriting a corpus path in-place). */
   def clearIvfCache(): Unit = ivfCache.clear()
@@ -263,30 +269,28 @@ object SimilarityQueries {
     * equi-join on the cell id with the query side broadcast, so per-query
     * work is (nProbe / nCells) of the corpus.
     */
-  val simIvfTopk = rowsOnly("x17_sim_ivf_topk") { (s, d) =>
-    val nCells = 16
-    // nProbe tuned on the shipped corpus (synthetic ISOTROPIC embeddings —
-    // no cluster structure, IVF's worst case) to hold the per-query
-    // recall@5 ≥ 0.6 floor SimilaritySpec gates; real clustered corpora
-    // reach the same recall with far fewer probes.
-    val nProbe = 8
-    val centroids = ivfCentroids(s, d, nCells)
-
-    // nearest-centroid cells via literal centroid arrays, ranked by the
-    // standard IVF score |c|² − 2·x·c (monotone in ‖x−c‖²: the row's ‖x‖²
-    // is constant across cells, so the argmin is identical) — one native
-    // graft_dot per centroid instead of a zip_with squared-distance fold.
-    // (score, cell) structs → sort_array → slice → the same expression
-    // assigns corpus rows (k=1) and query probes (k=nProbe).
-    def nearestCells(e: Column, k: Int): Column = slice(
+  /** The IVF probe over any (vec_id, embedding) frame with the given
+    * centroids — x17's engine, parameterized so specs can gate recall on
+    * alternative corpus shapes (the planted-cluster fixture probes 2 of 16
+    * cells and still clears the floor — the index HELPS there, where the
+    * isotropic shipped corpus needs nProbe 8 just to see enough of it).
+    *
+    * Nearest-centroid cells via literal centroid arrays, ranked by the
+    * standard IVF score |c|² − 2·x·c (monotone in ‖x−c‖²: the row's ‖x‖²
+    * is constant across cells, so the argmin is identical) — one native
+    * graft_dot per centroid instead of a zip_with squared-distance fold.
+    * (score, cell) structs → sort_array → slice → the same expression
+    * assigns corpus rows (k=1) and query probes (k=nProbe). */
+  def ivfTopkOf(emb: DataFrame, centroids: Seq[Seq[Double]], nProbe: Int,
+      isQuery: Column, k: Int = 5): DataFrame = {
+    def nearestCells(e: Column, n: Int): Column = slice(
       sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
         val cNormSq = c.map(x => x * x).sum
         struct((lit(cNormSq) - lit(2.0) * dot(e, typedLit(c))).as("d"), lit(i).as("cell"))
-      }: _*)), 1, k)("cell")
+      }: _*)), 1, n)("cell")
 
-    val emb = Tables.embeddings(s, d)
     val corpus = emb.withColumn("cell", element_at(nearestCells(col("embedding"), 1), 1))
-    val queries = emb.filter(col("vec_id") < 10)
+    val queries = emb.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         explode(nearestCells(col("embedding"), nProbe)).as("cell"))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
@@ -294,9 +298,18 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(cosine(col("embedding"), col("q_emb")), 6))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select("q_id", "vec_id", "cos", "rank")
       .orderBy("q_id", "rank")
+  }
+
+  val simIvfTopk = rowsOnly("x17_sim_ivf_topk") { (s, d) =>
+    // nProbe tuned on the shipped corpus (synthetic ISOTROPIC embeddings —
+    // no cluster structure, IVF's worst case) to hold the per-query
+    // recall@5 ≥ 0.6 floor SimilaritySpec gates; the planted-cluster
+    // fixture there holds the same floor at nProbe = 2.
+    ivfTopkOf(Tables.embeddings(s, d), ivfCentroids(s, d, 16), nProbe = 8,
+      isQuery = col("vec_id") < 10)
   }
 
   /** Exact embedding-cosine near-dup, incremental-ingest shape: the 50

@@ -31,17 +31,53 @@ object TextQueries {
 
   // ---------------------------------------------------------------- dedup
 
-  /** Exact dedup: group identical payloads, keep lowest id. One hash shuffle
-    * on the full text (at scale: on xxhash64(text) instead — same plan shape).
-    */
+  /** Exact-duplicate collapse keyed on `(hashCol, length(text))` — the
+    * 100 TB shuffle form of `GROUP BY text`. The exchange partitions on the
+    * 16-byte derived key (same text ⇒ same key ⇒ same partition), never on
+    * the document payload, and the full text stays in the GROUPING key of
+    * the post-shuffle aggregate as the in-group exact confirm: two
+    * different texts colliding on (hash, length) land in one partition but
+    * remain separate groups (TextQueriesEdgeSpec forces a collision via
+    * this injectable `hashCol` and proves it is NOT merged — production
+    * callers go through [[exactCollapse]], which passes `xxhash64`).
+    *
+    * Why not `GROUP BY text` with map-side combine? The partial aggregate
+    * would key its per-task hash table on FULL documents — buffering
+    * megabyte payloads in every map task's memory is the exact shape the
+    * derived key exists to avoid, and the shuffle carries ~the corpus
+    * either way (grouping output includes the text). The repartition
+    * streams rows through the 16-byte partitioner, and only the
+    * post-shuffle aggregate — whose per-partition working set AQE/spill
+    * already bound — touches text equality. Output:
+    * (text, keep_id, n_copies). */
+  private[graft] def exactCollapseBy(documents: DataFrame, hashCol: Column): DataFrame =
+    documents
+      .withColumn("__h", hashCol)
+      .withColumn("__len", length(col("text")))
+      .repartition(col("__h"), col("__len"))
+      .groupBy("__h", "__len", "text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("text", "keep_id", "n_copies")
+
+  /** [[exactCollapseBy]] with the production 64-bit content hash. */
+  private[graft] def exactCollapse(documents: DataFrame): DataFrame =
+    exactCollapseBy(documents, xxhash64(col("text")))
+
+  /** One row per exact-text representative: (doc_id = min id, text) — the
+    * pre-collapse every near-dup stage starts from, via [[exactCollapse]]'s
+    * hash-keyed shuffle. */
+  private def exactReps(documents: DataFrame): DataFrame =
+    exactCollapse(documents).select(col("keep_id").as("doc_id"), col("text"))
+
+  /** Exact dedup: group identical payloads, keep lowest id — the
+    * [[exactCollapseBy]] hash-keyed shuffle end to end (the oracle's
+    * `GROUP BY text` is semantically identical; the engine's shuffle key
+    * is 16 bytes). */
   val dedupExact = sql(
     "x01_dedup_exact",
     """SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin) { (s, d) =>
-    docs(s, d)
-      .groupBy("text")
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy("keep_id")
+    exactCollapse(docs(s, d)).orderBy("keep_id")
   }
 
   /** Near-dedup by canonical bag-of-words key (sorted distinct tokens):
@@ -76,10 +112,11 @@ object TextQueries {
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     minhashSignaturesOf(docs(s, d))
 
-  /** Same, from any (doc_id, text) frame — the ingest/soak entry point. */
+  /** Same, from any (doc_id, text) frame — the ingest/soak entry point.
+    * The exact-dup pre-collapse runs [[exactCollapse]]'s hash-keyed
+    * shuffle (16-byte key, in-group confirm), not a full-text groupBy. */
   def minhashSignaturesOf(documents: DataFrame): DataFrame =
-    documents
-      .groupBy("text").agg(min("doc_id").as("doc_id"))
+    exactReps(documents)
       .select(col("doc_id"), shingleHashes.as("sh"))
       .withColumn("sig", expr("graft_minhash(sh, 32)"))
 
@@ -104,14 +141,7 @@ object TextQueries {
     * artifact read back from storage (no re-sketching: `sh`/`sig` are
     * stored columns). */
   def minhashPairs(sigTable: DataFrame): DataFrame = {
-    // both sides of the self-join read this; don't re-derive (GC-scoped)
-    val bands = bandRows(sigTable, "doc_id").localCheckpoint(eager = false)
-    val candidates = bands.as("l")
-      .join(bands.as("r"), Seq("band", "bh"))
-      .filter(col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
-    val withSets = candidates
+    val withSets = bandCandidates(sigTable)
       .join(sigTable.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sigTable.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
     withSets
@@ -121,6 +151,21 @@ object TextQueries {
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The BLOCKING stage alone: distinct candidate pairs (doc_a < doc_b)
+    * sharing at least one of the 8 LSH band buckets — no similarity verify
+    * yet. x03 feeds these into the exact-Jaccard check; x52 feeds them into
+    * edit-distance verification (record linkage). Work ∝ band-collision
+    * density, never n². */
+  def bandCandidates(sigTable: DataFrame): DataFrame = {
+    // both sides of the self-join read this; don't re-derive (GC-scoped)
+    val bands = bandRows(sigTable, "doc_id").localCheckpoint(eager = false)
+    bands.as("l")
+      .join(bands.as("r"), Seq("band", "bh"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** Probe-only MinHash dedup from a durable signature artifact: every
@@ -757,14 +802,14 @@ object TextQueries {
       .orderBy("lang", "rk")
   }
 
-  /** x47: edit-distance verification for fuzzy record linkage — exact
-    * Levenshtein plus a normalized similarity over CANDIDATE pairs (the
-    * consecutive-id pairing stands in for an LSH-blocked candidate list;
-    * at corpus scale edit distance only ever runs post-blocking, never
-    * all-pairs — the x03/x21 candidate generation is the blocking stage).
-    * Distances are integers and the ratio is an exact rational, so the
-    * oracle matches bit-for-bit; inputs are truncated to 80 chars, the
-    * standard linkage trick bounding the O(len²) DP per pair. */
+  /** x47: the edit-distance KERNEL on a deterministic dense pairing
+    * (consecutive ids) — the verification arithmetic in isolation, hash-
+    * checked over every document. The composed pipeline — LSH blocking →
+    * edit-distance verify, the real record-linkage shape — is [[x52
+    * recordLinkage]]. Distances are integers and the ratio is an exact
+    * rational, so the oracle matches bit-for-bit; inputs are truncated to
+    * 80 chars, the standard linkage trick bounding the O(len²) DP per
+    * pair. */
   val textEditDistance = sql(
     "x47_text_edit_distance",
     """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -783,6 +828,38 @@ object TextQueries {
       .orderBy("id_a")
   }
 
+  /** x52: blocked record linkage — the composition x47's kernel exists
+    * for: x03's MinHash band join is the BLOCKING stage ([[bandCandidates]]
+    * over the exact-collapsed reps), and edit-distance verification runs
+    * over exactly those candidate pairs — never all-pairs (the registry
+    * plan guard forbids a cartesian in this plan too). Output: every
+    * blocked candidate pair with its exact Levenshtein distance and
+    * normalized similarity on 80-char prefixes (x47's bounded-DP trick);
+    * the caller thresholds `sim` per linkage policy. The oracle replicates
+    * the full splitmix64/FNV banding chain in DuckDB HUGEINT and verifies
+    * with its own `levenshtein`, so blocking AND verification arithmetic
+    * are hash-checked end to end. At 100 TB this is the linkage shape that
+    * survives: candidates ∝ band-collision density, and the O(len²) DP
+    * runs once per candidate, not per pair of records. */
+  val recordLinkage = sql("x52_record_linkage", HashOracles.recordLinkage) { (s, d) =>
+    // reps (id, text) and their signatures share one GC-scoped boundary —
+    // the blocking side reads sigs, the verify side reads texts
+    val reps = exactReps(docs(s, d)).localCheckpoint(eager = false)
+    val sigs = reps
+      .select(col("doc_id"), shingleHashes.as("sh"))
+      .withColumn("sig", expr("graft_minhash(sh, 32)"))
+    bandCandidates(sigs)
+      .join(reps.select(col("doc_id").as("doc_a"),
+        substring(col("text"), 1, 80).as("ta")), Seq("doc_a"))
+      .join(reps.select(col("doc_id").as("doc_b"),
+        substring(col("text"), 1, 80).as("tb")), Seq("doc_b"))
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb")))
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("edit_dist"),
+        round(lit(1.0) - col("edit_dist").cast("double")
+          / greatest(length(col("ta")), length(col("tb"))), 6).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** x51: dedup APPLY — the step the whole dedup arc exists for: emit the
     * SURVIVING corpus after exact collapse (x01) and near-dup clustering
     * (x03→x26), one row per kept representative with the number of
@@ -796,9 +873,18 @@ object TextQueries {
     * n_docs is the dedup ratio audit. */
   val dedupApply = sql("x51_dedup_apply", HashOracles.dedupApply) { (s, d) =>
     val (_, labels) = sigsAndLabels(s, d)
-    val erep = docs(s, d).select(col("doc_id"),
-      min("doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy("text"))
-        .as("e_rep"))
+    // Per-doc exact-text rep via the same hash-keyed shuffle as
+    // exactCollapseBy: the exchange partitions on the 16-byte derived key,
+    // and the window's partition spec keeps the full text as the in-group
+    // exact confirm (the repartition's (hash, len) partitioning already
+    // satisfies the window's clustering, so no second exchange appears).
+    val keyed = docs(s, d)
+      .withColumn("__h", xxhash64(col("text")))
+      .withColumn("__len", length(col("text")))
+      .repartition(col("__h"), col("__len"))
+    val erep = keyed.select(col("doc_id"),
+      min("doc_id").over(org.apache.spark.sql.expressions.Window
+        .partitionBy("__h", "__len", "text")).as("e_rep"))
     erep.join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
       .groupBy(col("rep").as("keep_id"))
       .agg(count(lit(1)).as("n_docs"))
@@ -810,5 +896,5 @@ object TextQueries {
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
     textRepetition, dedupClusters, textTfidf, textRagChunks, textSplitAssign,
     textDecontaminate, textQuotaSample, dedupIncremental, textFreqScore,
-    textTopkTokens, textEditDistance, dedupApply)
+    textTopkTokens, textEditDistance, dedupApply, recordLinkage)
 }

@@ -103,13 +103,23 @@ object EventStream {
 
   /** Per-session rollup (the streaming twin of x46_ev_session_stats):
     * Spark's native `session_window` merges events < `gap` apart into one
-    * window per (user, session) — the same gap rule as the batch query —
-    * and the aggregation emits each session's event count and first-to-last
+    * window per (user, session), and the aggregation emits each session's
+    * event count and first-to-last
     * duration once the watermark closes it (append mode: exactly-once
     * final rows, state evicted on close). This is the built-in
     * session-window aggregation; [[sessionize]] remains the
     * flatMapGroupsWithState variant for when per-EVENT assignment is
-    * needed rather than per-session rollups. */
+    * needed rather than per-session rollups.
+    *
+    * EXACT-GAP BOUNDARY: the gap rule diverges from the batch query at
+    * exactly `gap`. `session_window` half-opens each window at
+    * [start, start + gap), so two events exactly `gap` apart land in TWO
+    * sessions; batch x46 (and streaming [[sessionize]]) split only when
+    * the silence EXCEEDS the gap (`gap_us > 1800000000`), so the same two
+    * events share ONE session. The parity test passes because the shipped
+    * corpus has no exact-gap pair (microsecond timestamps make one
+    * vanishingly rare); pipelines where exact-gap events matter should use
+    * [[sessionize]], whose rule matches batch bit-for-bit. */
   def sessionStats(events: DataFrame, gap: String = "30 minutes",
       lateness: String = "10 minutes"): DataFrame =
     events
@@ -178,6 +188,173 @@ object EventStream {
             val lastMs = kept.map(_._1 / 1000L).maxOption.getOrElse(0L)
             state.setTimeoutTimestamp(
               math.max(lastMs + windowSeconds * 1000L, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
+  case class FunnelInput(event_id: Long, user_id: Long, ts: Timestamp, event_type: String)
+  case class FunnelState(tView: Option[Long], tClick: Option[Long],
+      tPurchase: Option[Long], lastUs: Long)
+  case class FunnelSnapshot(user_id: Long, funnel_stage: Int,
+      t_view: Option[Long], t_click: Option[Long], t_purchase: Option[Long])
+
+  /** Ordered conversion funnel (the streaming twin of x32_ev_funnel): per
+    * user, first view, first click at-or-after that view, first purchase
+    * at-or-after that click — emitted as a SNAPSHOT row each time the
+    * user's funnel state changes (append mode: the latest snapshot per
+    * user is the batch query's row).
+    *
+    * Stage precedence inside a micro-batch mirrors the batch query's
+    * aggregate semantics, not arrival order: the batch's views are merged
+    * into `t_view` FIRST, then clicks gate on the updated `t_view`, then
+    * purchases on the updated `t_click` — so a click and its qualifying
+    * view landing in one batch resolve identically to batch x32 even when
+    * the click sorts first (equal timestamps). A user's whole history in
+    * one batch therefore reproduces the batch row exactly; across batches
+    * the same ordering contract as [[sessionize]] applies (exact when
+    * events arrive in event-time order; an out-of-order view that would
+    * retroactively admit an already-seen click cannot, because streams
+    * don't buffer discarded events).
+    *
+    * State is three optional stage times + the last-seen event time —
+    * O(1) per user — and expires via event-time timeout once the
+    * watermark passes `idleExpireSeconds` after the user's last event
+    * (snapshots already emitted stay valid; a user reappearing after
+    * expiry restarts at stage 0, the sessionize contract). */
+  def funnel(events: Dataset[FunnelInput], idleExpireSeconds: Long = 86400,
+      lateness: String = "10 minutes"): Dataset[FunnelSnapshot] = {
+    import events.sparkSession.implicits._
+    val idleMillis = idleExpireSeconds * 1000L
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelSnapshot](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[FunnelInput], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = rows.toSeq
+            val prev = state.getOption
+            val st = prev.getOrElse(FunnelState(None, None, None, Long.MinValue))
+            def minOpt(a: Option[Long], b: Option[Long]): Option[Long] =
+              (a ++ b).minOption
+            // batch-aggregate precedence: views first, then gated clicks,
+            // then gated purchases — all against the UPDATED prior stage
+            val tView = minOpt(st.tView,
+              evs.collect { case e if e.event_type == "view" => micros(e.ts) }.minOption)
+            val tClick = minOpt(st.tClick, tView.flatMap(v =>
+              evs.collect { case e if e.event_type == "click" && micros(e.ts) >= v =>
+                micros(e.ts) }.minOption))
+            val tPurchase = minOpt(st.tPurchase, tClick.flatMap(c =>
+              evs.collect { case e if e.event_type == "purchase" && micros(e.ts) >= c =>
+                micros(e.ts) }.minOption))
+            val lastUs = math.max(st.lastUs,
+              evs.map(e => micros(e.ts)).maxOption.getOrElse(Long.MinValue))
+            val next = FunnelState(tView, tClick, tPurchase, lastUs)
+            state.update(next)
+            state.setTimeoutTimestamp(math.max(
+              lastUs / 1000L + idleMillis, state.getCurrentWatermarkMs() + 1))
+            // append-mode snapshots: emit only when the funnel moved (or on
+            // first sight, so stage-0 users appear like in batch x32)
+            if (prev.contains(next)) Iterator.empty
+            else {
+              val stage =
+                if (tPurchase.isDefined) 3
+                else if (tClick.isDefined) 2
+                else if (tView.isDefined) 1
+                else 0
+              Iterator.single(FunnelSnapshot(user, stage, tView, tClick, tPurchase))
+            }
+          }
+      }
+  }
+
+  case class ResampleInput(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
+  case class ResampleState(slot: Long, bestUs: Long, bestId: Long,
+      bestValue: Double, finalEmitted: Boolean)
+  case class GridRow(user_id: Long, slot: Long, value_ff: Double)
+
+  /** Hourly resample + forward fill (the streaming twin of
+    * x48_ev_resample_ffill): each user's event stream regularized onto an
+    * hourly grid, carrying the last observed value into empty slots. Grid
+    * rows are emitted as the stream advances: when a user's events move to
+    * a LATER slot, the previous slot's final row plus forward-filled rows
+    * for any skipped slots are appended; when the WATERMARK passes a
+    * slot's end with no later event, the event-time timeout emits that
+    * slot's row (the slot can no longer change — exactly-once final rows,
+    * append mode).
+    *
+    * Per-slot pick matches batch: the observation with the greatest
+    * (event-time µs, event_id) in the slot wins; `value_ff` is rounded
+    * like the batch query (half-up, 6 dp) so parity is bit-exact.
+    *
+    * State per user is O(1): the current slot's best observation plus an
+    * emitted flag. After the timeout emits the current slot, a REMNANT
+    * state (the fill value) survives until `expireAfterSeconds` past the
+    * last event, so a user reappearing within that horizon still gets skipped
+    * slots forward-filled — only full expiry restarts the grid (the
+    * documented late-data contract, like [[sessionize]]'s: in-order
+    * arrival reproduces batch x48 exactly; an event arriving after its
+    * slot was closed by the watermark is dropped rather than
+    * retro-emitted). */
+  def resampleFfill(events: Dataset[ResampleInput], slotSeconds: Long = 3600,
+      expireAfterSeconds: Long = 86400, lateness: String = "10 minutes"): Dataset[GridRow] = {
+    import events.sparkSession.implicits._
+    val slotUs = slotSeconds * 1000000L
+    val expireMillis = expireAfterSeconds * 1000L
+    def round6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ResampleState, GridRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[ResampleInput], state: GroupState[ResampleState]) =>
+          val slotEndMs = (st: ResampleState) => (st.slot + 1) * slotSeconds * 1000L
+          if (state.hasTimedOut) {
+            val st = state.get
+            if (!st.finalEmitted) {
+              // close the pending slot; keep a remnant so later events
+              // within the expire horizon still forward-fill the gap
+              state.update(st.copy(finalEmitted = true))
+              state.setTimeoutTimestamp(math.max(
+                slotEndMs(st) + expireMillis, state.getCurrentWatermarkMs() + 1))
+              Iterator.single(GridRow(user, st.slot, round6(st.bestValue)))
+            } else {
+              state.remove()
+              Iterator.empty
+            }
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[GridRow]
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val us = micros(e.ts)
+              val s = math.floorDiv(us, slotUs)
+              if (st == null) {
+                st = ResampleState(s, us, e.event_id, e.value, finalEmitted = false)
+              } else if (s == st.slot) {
+                // late event into an already-closed slot: dropped (the row
+                // is final); otherwise the greatest (us, id) obs wins
+                if (!st.finalEmitted &&
+                    (us > st.bestUs || (us == st.bestUs && e.event_id > st.bestId)))
+                  st = st.copy(bestUs = us, bestId = e.event_id, bestValue = e.value)
+              } else if (s > st.slot) {
+                if (!st.finalEmitted)
+                  out += GridRow(user, st.slot, round6(st.bestValue))
+                ((st.slot + 1) until s).foreach { g =>
+                  out += GridRow(user, g, round6(st.bestValue))
+                }
+                st = ResampleState(s, us, e.event_id, e.value, finalEmitted = false)
+              } // s < st.slot: out-of-contract late event — ignored
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(
+              if (st.finalEmitted) slotEndMs(st) + expireMillis else slotEndMs(st),
+              state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }

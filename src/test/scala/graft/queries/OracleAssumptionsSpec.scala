@@ -35,4 +35,27 @@ class OracleAssumptionsSpec extends AnyFunSuite with Matchers with SparkTestBase
       }
     }
   }
+
+  test("per-lang token vocabularies fit the x42 Misra-Gries capacity (m=1024)") {
+    // x42's hash-oracle equality holds only while every per-lang vocabulary
+    // stays under the HeavyHitters capacity: within capacity no lossy
+    // decrement ever fires, so the sketch IS the exact GROUP BY the DuckDB
+    // oracle runs. If corpus growth ever crosses the capacity, this canary
+    // fails with a pointed message instead of x42 surfacing as an opaque
+    // verify-round hash mismatch (the lossy regime itself stays correct per
+    // HeavyHittersSpec's n/(m+1) bound — only ORACLE EQUALITY is scoped).
+    dirs should not be empty
+    dirs.foreach { d =>
+      val maxVocab = graft.Tables.documents(spark, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang").agg(countDistinct("tok").as("v"))
+        .agg(max("v")).head().getLong(0)
+      withClue(s"$d/documents: a per-lang vocabulary ($maxVocab tokens) " +
+        "exceeds x42's HeavyHitters capacity m=1024 — the sketch would go " +
+        "lossy and diverge from the exact GROUP BY oracle; raise m in x42 " +
+        "or re-scope the oracle: ") {
+        maxVocab should be <= 1024L
+      }
+    }
+  }
 }

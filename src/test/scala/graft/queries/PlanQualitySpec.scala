@@ -89,6 +89,31 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("x01: the exact-dedup exchange partitions on the 16-byte derived key, not the text") {
+    val plan = planOf(TextQueries.dedupExact)
+    // exactly one hash exchange (plus the output range sort), and its
+    // partitioning expressions are the derived (__h, __len) — the document
+    // payload must never be the shuffle key at 100 TB
+    val hashParts = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan)
+      .map(_.group(1)).toSeq
+    hashParts should have size 1
+    hashParts.head should include("__h")
+    hashParts.head should include("__len")
+    hashParts.head should not include "text"
+  }
+
+  test("x51: the exact-rep window reuses the 16-byte repartition (no text-keyed exchange)") {
+    val plan = planOf(TextQueries.dedupApply)
+    "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan)
+      .map(_.group(1)).filter(_.contains("text")).toSeq shouldBe empty
+  }
+
+  test("x52: record linkage verifies over band-join candidates, never all-pairs") {
+    val plan = planOf(TextQueries.recordLinkage)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("x20: batch side broadcasts; corpus side never shuffles for the pair join") {
     val plan = planOf(SimilarityQueries.dedupEmbedding)
     plan should include("BroadcastNestedLoopJoin")

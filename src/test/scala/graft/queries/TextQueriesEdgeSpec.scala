@@ -30,4 +30,35 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     byId(4).getString(2) should not be null
     byId(4).getString(3) should not be null
   }
+
+  test("exact collapse: a forced (hash, length) collision is NOT merged") {
+    import spark.implicits._
+    // two DIFFERENT texts of equal length, hashed with a constant column —
+    // the worst case the 16-byte shuffle key can produce. The in-group
+    // exact confirm (text stays in the grouping key) must keep them apart;
+    // true duplicates must still collapse.
+    val docsDf = Seq(
+      (1L, "payload aa"), (2L, "payload bb"), // colliding non-duplicates
+      (3L, "payload aa")                      // true duplicate of 1
+    ).toDF("doc_id", "text")
+    val out = TextQueries
+      .exactCollapseBy(docsDf, org.apache.spark.sql.functions.lit(0L))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    out shouldBe Set(("payload aa", 1L, 2L), ("payload bb", 2L, 1L))
+  }
+
+  test("exact collapse matches the naive GROUP BY text on the shipped corpus") {
+    val d = "/root/testdata/sf0.001"
+    val naive = graft.Tables.documents(spark, d)
+      .groupBy("text")
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("keep_id"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_copies"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val keyed = TextQueries.exactCollapse(graft.Tables.documents(spark, d))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    keyed shouldBe naive
+    keyed should not be empty
+  }
 }

@@ -248,6 +248,131 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("funnel parity: last streamed snapshot per user ≡ batch x32 on the same rows") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => EventStream.FunnelInput(r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+      .sortBy(e => (e.ts.getTime, e.event_id)) // the documented ordering contract
+    val input = MemoryStream[EventStream.FunnelInput]
+    // idle expiry far beyond the corpus span: parity needs no state to
+    // expire mid-run (expiry restarts a reappearing user at stage 0 — the
+    // documented contract, exercised by the sessionize expiry test's shape)
+    val q = EventStream.funnel(input.toDS(), idleExpireSeconds = 365L * 86400)
+      .writeStream.format("memory").queryName("fun32").outputMode("append").start()
+    try {
+      val (first, second) = ev.splitAt(ev.length / 2)
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq) // event-time-ordered split across micro-batches
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = (
+        r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))
+      // snapshots only ever ADVANCE the funnel (in-order data), so the
+      // final snapshot per user is the componentwise max
+      val got = spark.table("fun32").collect().map(key)
+        .groupBy(_._1).view.mapValues(_.maxBy(t => (t._2, t._3, t._4, t._5))).values.toSet
+      // parity against the ORACLE-CHECKED batch query itself
+      val want = graft.queries.EventsQueries.funnel.run(spark, dir)
+        .select(col("user_id"), col("funnel_stage"), col("t_view"), col("t_click"), col("t_purchase"))
+        .collect().map(key).toSet
+      got shouldBe want
+      got should not be empty
+      got.exists(_._2 == 3) shouldBe true // purchases exist in the corpus
+    } finally q.stop()
+  }
+
+  test("funnel resolves a click and its qualifying view inside one batch (ties included)") {
+    import spark.implicits._
+    val input = MemoryStream[EventStream.FunnelInput]
+    val q = EventStream.funnel(input.toDS())
+      .writeStream.format("memory").queryName("funTie").outputMode("append").start()
+    try {
+      // click sorts BEFORE the view (same ts, lower id) — batch semantics
+      // still admit it (us >= t_view with equality); purchase follows later
+      input.addData(
+        EventStream.FunnelInput(1L, 5L, ts(10), "click"),
+        EventStream.FunnelInput(2L, 5L, ts(10), "view"),
+        EventStream.FunnelInput(3L, 5L, ts(20), "purchase"),
+        EventStream.FunnelInput(4L, 6L, ts(10), "error")) // stage-0 user appears too
+      q.processAllAvailable()
+      val got = spark.table("funTie").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      got shouldBe Set((5L, 3), (6L, 0))
+    } finally q.stop()
+  }
+
+  test("resample+ffill parity: streamed grid ≡ batch x48 on the same rows") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "user_id", "ts", "value").collect()
+      .map(r => EventStream.ResampleInput(r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+      .sortBy(e => (e.ts.getTime, e.event_id)) // the documented ordering contract
+    val input = MemoryStream[EventStream.ResampleInput]
+    // remnant expiry far beyond the corpus span: parity needs every gap
+    // forward-filled, so no user's fill value may expire mid-run
+    val q = EventStream.resampleFfill(input.toDS(), expireAfterSeconds = 365L * 86400)
+      .writeStream.format("memory").queryName("rs48").outputMode("append").start()
+    try {
+      val (first, second) = ev.splitAt(ev.length / 2)
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq) // event-time-ordered split across micro-batches
+      q.processAllAvailable()
+      // a far-future sentinel (user -1) advances the watermark past every
+      // slot end, so each user's final pending slot closes and appends
+      val sentinelTs = new Timestamp(ev.map(_.ts.getTime).max + 7200000L)
+      input.addData(EventStream.ResampleInput(-1L, -1L, sentinelTs, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("rs48").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._1 >= 0).toSet
+      // parity against the ORACLE-CHECKED batch query itself
+      val want = graft.queries.EventsQueries.resampleFfill.run(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      got shouldBe want
+      got should not be empty
+    } finally q.stop()
+  }
+
+  test("resample+ffill fills gap slots across micro-batches after a slot closes") {
+    import spark.implicits._
+    def at(hour: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
+    val input = MemoryStream[EventStream.ResampleInput]
+    val q = EventStream.resampleFfill(input.toDS(), lateness = "1 minute")
+      .writeStream.format("memory").queryName("rsGap").outputMode("append").start()
+    try {
+      // slot 10: two obs — the later one (id 2) must win the slot
+      input.addData(
+        EventStream.ResampleInput(1L, 9L, at(10, 0), 1.0),
+        EventStream.ResampleInput(2L, 9L, at(10, 30), 2.0))
+      q.processAllAvailable()
+      // another user's event advances the watermark past slot 10's end —
+      // the timeout closes user 9's slot 10 with value 2.0
+      input.addData(EventStream.ResampleInput(3L, 8L, at(11, 30), 9.0))
+      q.processAllAvailable()
+      // user 9 reappears at slot 13: gaps 11 and 12 must forward-fill 2.0
+      // even though slot 10 was already closed by the watermark (remnant
+      // state carries the fill value across the timeout)
+      input.addData(EventStream.ResampleInput(4L, 9L, at(13, 15), 7.0))
+      q.processAllAvailable()
+      val user9 = spark.table("rsGap").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._1 == 9L).map(t => (t._2, t._3)).sortBy(_._1)
+      // three consecutive slots — the watermark-closed slot (hour 10, won
+      // by the later obs 2.0) plus the forward-filled hours 11 and 12; the
+      // reappearance slot (hour 13) stays pending, so it must NOT be here
+      user9.map(_._2).toSeq shouldBe Seq(2.0, 2.0, 2.0)
+      user9.map(_._1).toSeq shouldBe (user9.head._1 to user9.head._1 + 2)
+    } finally q.stop()
+  }
+
   test("stateful gap sessionization across micro-batches (streaming x16 twin)") {
     import spark.implicits._
     val input = MemoryStream[EventStream.SessionInput]
