@@ -50,14 +50,15 @@ object TextQueries {
     * post-shuffle aggregate — whose per-partition working set AQE/spill
     * already bound — touches text equality. Output:
     * (text, keep_id, n_copies). */
-  private[graft] def exactCollapseBy(documents: DataFrame, hashCol: Column): DataFrame =
+  private[graft] def exactCollapseBy(documents: DataFrame, hashCol: Column,
+      keyCol: String = "text", nAlias: String = "n_copies"): DataFrame =
     documents
       .withColumn("__h", hashCol)
-      .withColumn("__len", length(col("text")))
+      .withColumn("__len", length(col(keyCol)))
       .repartition(col("__h"), col("__len"))
-      .groupBy("__h", "__len", "text")
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-      .select("text", "keep_id", "n_copies")
+      .groupBy("__h", "__len", keyCol)
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as(nAlias))
+      .select(keyCol, "keep_id", nAlias)
 
   /** [[exactCollapseBy]] with the production 64-bit content hash. */
   private[graft] def exactCollapse(documents: DataFrame): DataFrame =
@@ -81,17 +82,19 @@ object TextQueries {
   }
 
   /** Near-dedup by canonical bag-of-words key (sorted distinct tokens):
-    * catches token-reordered copies with a single groupBy shuffle.
+    * catches token-reordered copies. The BoW key is ~document-sized, so the
+    * collapse runs the same 16-byte hash-keyed shuffle as x01
+    * ([[exactCollapseBy]] on `bow_key`), never shuffling on the payload.
     */
   val dedupBow = sql(
     "x02_dedup_bow",
     """SELECT array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS bow_key,
       |  MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin) { (s, d) =>
-    docs(s, d)
-      .withColumn("bow_key", array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
-      .groupBy("bow_key")
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+    exactCollapseBy(
+      docs(s, d).withColumn("bow_key",
+        array_join(array_sort(array_distinct(split(col("text"), " "))), " ")),
+      xxhash64(col("bow_key")), keyCol = "bow_key", nAlias = "n_docs")
       .orderBy("keep_id")
   }
 

@@ -8,8 +8,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Structured Streaming twins of the batch event operators
   * (graft.queries.EventsQueries): the same logical shapes — tumbling-window
-  * aggregation, idempotent ingest dedup, gap sessionization — expressed over
-  * an unbounded source (SURVEY.md §2.1 L).
+  * aggregation, idempotent ingest dedup, gap sessionization, session
+  * rollups, rolling activity, as-of enrichment, conversion funnels, and
+  * resample+forward-fill — expressed over an unbounded source
+  * (SURVEY.md §2.1 L). Each stateful twin is parity-tested against its
+  * oracle-checked batch query on the same rows (EventStreamSpec).
   *
   * All transforms take/return streaming DataFrames; callers pick the sink
   * via `writeStream`. State is bounded by watermarks (window agg, dedup) or

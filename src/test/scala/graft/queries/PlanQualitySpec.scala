@@ -89,17 +89,22 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
-  test("x01: the exact-dedup exchange partitions on the 16-byte derived key, not the text") {
-    val plan = planOf(TextQueries.dedupExact)
-    // exactly one hash exchange (plus the output range sort), and its
-    // partitioning expressions are the derived (__h, __len) — the document
-    // payload must never be the shuffle key at 100 TB
-    val hashParts = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan)
-      .map(_.group(1)).toSeq
-    hashParts should have size 1
-    hashParts.head should include("__h")
-    hashParts.head should include("__len")
-    hashParts.head should not include "text"
+  test("x01/x02: the exact-dedup exchange partitions on the 16-byte derived key, not the payload") {
+    Seq(TextQueries.dedupExact -> "text", TextQueries.dedupBow -> "bow_key").foreach {
+      case (q, payload) =>
+        val plan = planOf(q)
+        // exactly one hash exchange (plus the output range sort), and its
+        // partitioning expressions are the derived (__h, __len) — the
+        // document-sized string must never be the shuffle key at 100 TB
+        val hashParts = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan)
+          .map(_.group(1)).toSeq
+        withClue(s"${q.name}: ") {
+          hashParts should have size 1
+          hashParts.head should include("__h")
+          hashParts.head should include("__len")
+          hashParts.head should not include payload
+        }
+    }
   }
 
   test("x51: the exact-rep window reuses the 16-byte repartition (no text-keyed exchange)") {

@@ -306,6 +306,35 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("funnel state expires after the idle horizon; reappearing user restarts at stage 0") {
+    import spark.implicits._
+    def at(hour: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
+    val input = MemoryStream[EventStream.FunnelInput]
+    val q = EventStream.funnel(input.toDS(), idleExpireSeconds = 600, lateness = "1 minute")
+      .writeStream.format("memory").queryName("funExp").outputMode("append").start()
+    try {
+      // b1: user 1 views @10:00 → snapshot stage 1; timeout armed for 10:10
+      input.addData(EventStream.FunnelInput(1L, 1L, at(10, 0), "view"))
+      q.processAllAvailable()
+      // b2: user 2 @11:00 advances the watermark past 10:10 → user 1 expires
+      input.addData(EventStream.FunnelInput(2L, 2L, at(11, 0), "view"))
+      q.processAllAvailable()
+      input.addData(EventStream.FunnelInput(3L, 2L, at(11, 5), "click"))
+      q.processAllAvailable()
+      // b4: user 1 reappears with a CLICK — had the state survived, the
+      // 10:00 view would gate it to stage 2; expired state restarts at 0,
+      // and a click with no view stays stage 0 (bounded-state contract)
+      input.addData(EventStream.FunnelInput(4L, 1L, at(11, 30), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("funExp").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      rows(1L) shouldBe Set(1, 0) // stage 1 before expiry; stage 0 after restart
+      rows(2L) shouldBe Set(1, 2)
+    } finally q.stop()
+  }
+
   test("resample+ffill parity: streamed grid ≡ batch x48 on the same rows") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
