@@ -77,6 +77,33 @@ object EventStream {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp_md5")
 
+  /** Per-window top-k tokens (the streaming twin of x42's heavy-hitters
+    * shape): Misra-Gries summaries per (hourly window, lang) over a
+    * watermarked document stream. The sketch is a fixed-size MERGEABLE
+    * partial aggregate, so it drops into streaming aggregation exactly
+    * like count/sum — map-side combine applies, and the per-group state
+    * persisted in the state store is the m-slot summary, merged across
+    * micro-batches — where an exact (group, token) count would hold
+    * unbounded distinct-token state. Append mode emits each window's
+    * final ranking when the watermark closes it. Exact while a group's
+    * distinct tokens stay under `m` (the regime x42's oracle checks);
+    * classical n/(m+1) undercount bound beyond (HeavyHittersSpec).
+    * Output: (hour_start, lang, tok, cnt, rk). */
+  def topkTokens(docs: DataFrame, m: Int = 1024, k: Int = 5,
+      lateness: String = "10 minutes"): DataFrame = {
+    docs.sparkSession.udf.register("graft_topk_win",
+      udaf(new graft.functions.HeavyHitters(m, k)))
+    docs
+      .withWatermark("ts", lateness)
+      .select(col("ts"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(window(col("ts"), "1 hour").as("hour"), col("lang"))
+      .agg(expr("graft_topk_win(tok)").as("tk"))
+      .select(col("hour"), col("lang"), posexplode(col("tk")))
+      .select(col("hour.start").as("hour_start"), col("lang"),
+        col("col._1").as("tok"), col("col._2").as("cnt"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
   /** Streaming sketch aggregates (the streaming twin of x22): HLL++
     * distinct users per hourly window — the sketch state is a mergeable,
     * fixed-size partial aggregate, so map-side combine still applies and

@@ -53,4 +53,35 @@ class DocStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // the novel doc matches nothing
     streamed.map(_._1) should not contain 100003L
   }
+
+  test("streaming heavy hitters: per-window top-k tokens exact under capacity (x42 twin)") {
+    import spark.implicits._
+    def at(minute: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val docs = input.toDF.toDF("doc_id", "ts", "lang", "text")
+    val q = EventStream.topkTokens(docs, m = 16, k = 3)
+      .writeStream.format("memory").queryName("tk42").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, at(5), "en", "a a a b b c"),
+        (2L, at(10), "en", "b b a d"),
+        (3L, at(15), "de", "x y x"))
+      q.processAllAvailable()
+      // second micro-batch merges into the SAME window's persisted sketch
+      input.addData((4L, at(20), "en", "c c c c"))
+      q.processAllAvailable()
+      // far-future sentinel advances the watermark past the window end so
+      // append mode emits the final rankings
+      input.addData((5L, java.sql.Timestamp.valueOf("2026-01-02 00:00:00"), "zz", "s"))
+      q.processAllAvailable()
+      val rows = spark.table("tk42").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getInt(4)))
+        .filter(_._1 != "zz").toSet
+      // exact merged counts (vocab 4 < m): en a=4 b=4 c=5 d=1; de x=2 y=1
+      // ranking = cnt desc, token asc — the x42 oracle's rule
+      rows shouldBe Set(
+        ("en", "c", 5L, 1), ("en", "a", 4L, 2), ("en", "b", 4L, 3),
+        ("de", "x", 2L, 1), ("de", "y", 1L, 2))
+    } finally q.stop()
+  }
 }
