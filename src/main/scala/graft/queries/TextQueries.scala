@@ -193,11 +193,36 @@ object TextQueries {
     * (collapsing multi-band hits), which grows with pairs seen — an
     * indefinitely-running ingest should either bound it by adding an
     * ingest-time watermark upstream or drop the dedup and accept one
-    * verified output row per matching band. At scale, write the artifact
-    * bucketed by the band hash so each micro-batch's probe join prunes to
-    * its buckets. */
+    * verified output row per matching band. At scale, write the band
+    * table as the [[saveBandIndex]] BUCKETED artifact and probe through
+    * [[nearDupProbeWithBands]], so the corpus side never re-shuffles per
+    * micro-batch. */
   def nearDupProbe(incoming: DataFrame, sigTable: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    nearDupProbeWithBands(incoming,
+      bandRows(sigTable, "doc_id").withColumnRenamed("doc_id", "corpus_doc_id"),
+      sigTable, threshold)
+
+  /** Write the corpus BAND table (corpus_doc_id, band, bh) as a BUCKETED
+    * managed table, clustered + sorted on the band hash — the implemented
+    * form of the probe steady state [[nearDupProbe]]'s doc describes: the
+    * candidate equi-join's corpus side is pre-clustered on the join key at
+    * write time, so every later probe batch joins against it with ZERO
+    * corpus-side exchange (the bucketed scan's HashPartitioning already
+    * satisfies the join's clustering; only the micro-batch-sized probe
+    * side shuffles — or broadcasts). Pair with [[saveMinhashIndex]], whose
+    * sh/sig artifact the verify stage still reads. */
+  def saveBandIndex(sigTable: DataFrame, table: String, buckets: Int = 32): Unit =
+    graft.sources.Sinks.bucketedTable(
+      bandRows(sigTable, "doc_id").withColumnRenamed("doc_id", "corpus_doc_id"),
+      table, Seq("bh"), buckets)
+
+  /** [[nearDupProbe]] with the corpus band table supplied separately —
+    * the form that reads a [[saveBandIndex]] bucketed artifact
+    * (`spark.table(name)`), where candidate generation needs no
+    * corpus-side shuffle at all. `corpusBands`: (corpus_doc_id, band, bh). */
+  def nearDupProbeWithBands(incoming: DataFrame, corpusBands: DataFrame,
+      sigTable: DataFrame, threshold: Double = 0.5): DataFrame = {
     val probes = incoming
       .select(col("doc_id"), shingleHashes.as("sh"))
       .withColumn("sig", expr("graft_minhash(sh, 32)"))
@@ -205,8 +230,6 @@ object TextQueries {
       transform(sequence(lit(0), lit(7)),
         b => struct(b.as("band"), xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh")))).as("b"))
       .select(col("doc_id"), col("sh"), col("b.band"), col("b.bh"))
-    val corpusBands = bandRows(sigTable, "doc_id")
-      .withColumnRenamed("doc_id", "corpus_doc_id")
     probeBands.join(corpusBands, Seq("band", "bh"))
       .filter(col("doc_id") =!= col("corpus_doc_id"))
       .select("doc_id", "corpus_doc_id", "sh")

@@ -47,4 +47,31 @@ class IndexDurabilitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     fromIndex should not be empty // 25 pairs at sf0.01
     fromIndex shouldBe direct
   }
+
+  test("bucketed band index: probe matches, corpus side scans bucket-aligned") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("mh-band").toString + "/sigs"
+    TextQueries.saveMinhashIndex(spark, sf, dir)
+    val sigs = spark.read.parquet(dir)
+    TextQueries.saveBandIndex(sigs, "band_idx", buckets = 8)
+    // incoming batch: two corpus payloads under fresh ids + one novel doc
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy("doc_id").select("text").limit(2).collect().map(_.getString(0))
+    import spark.implicits._
+    val incoming = Seq(
+      (200001L, texts(0)), (200002L, texts(1)),
+      (200003L, "entirely novel zz qq payload")).toDF("doc_id", "text")
+    val viaBands = TextQueries
+      .nearDupProbeWithBands(incoming, spark.table("band_idx"), sigs)
+    val direct = TextQueries.nearDupProbe(incoming, sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    viaBands.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted shouldBe direct
+    direct should not be empty
+    // the artifact's clustering is real: the corpus-side scan reads as a
+    // bucketed source (its HashPartitioning feeds the candidate join
+    // without a corpus-side exchange)
+    val plan = viaBands.queryExecution.executedPlan.toString
+    plan should include("Bucketed: true")
+  }
 }
