@@ -250,13 +250,26 @@ object SimilarityQueries {
     * memo-hit → artifact-read → train, in that order. Probing from an
     * existing artifact never touches the corpus directory. */
   def ivfCentroidsDurable(s: SparkSession, d: String, indexPath: String,
-      nCells: Int = 16): Seq[Seq[Double]] =
-    ivfCache.computeIfAbsent(s"ivf-artifact#$indexPath", { _ =>
+      nCells: Int = 16): Seq[Seq[Double]] = {
+    // NOT computeIfAbsent: the build path calls ivfCentroids, whose own
+    // computeIfAbsent would then nest inside this one on the SAME map —
+    // ConcurrentHashMap throws "Recursive update" whenever the two keys
+    // land in one bin (intermittent, since the artifact path varies).
+    // get-then-putIfAbsent keeps the memo and hoists the work outside any
+    // mapping function; a racing duplicate build is idempotent
+    // (deterministic train, overwrite write).
+    val key = s"ivf-artifact#$indexPath"
+    val cached = ivfCache.get(key)
+    if (cached != null) cached
+    else {
       val hPath = new org.apache.hadoop.fs.Path(indexPath)
       val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(hPath)) saveIvfIndex(s, d, indexPath, nCells)
-      loadIvfIndex(s, indexPath)
-    })
+      val loaded = loadIvfIndex(s, indexPath)
+      ivfCache.putIfAbsent(key, loaded)
+      loaded
+    }
+  }
 
   /** ANN via IVF (inverted-file index): KMeans partitions the corpus into
     * `nCells` cells once (the memoized index build, see `ivfCentroids`);
