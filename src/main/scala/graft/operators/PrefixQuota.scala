@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Distributed "take rows until the group's quota is spent" — the primitive
+  * behind mixture sampling to a token budget (x53): each group (source,
+  * language, domain) keeps its documents in a deterministic content-
+  * independent hash order until the running token total reaches the group's
+  * budget. The kept set is exactly `{row : sum of value over all
+  * earlier-ordered rows of the group < quota(group)}` — the row that crosses
+  * the boundary is kept (overshoot-by-one), everything after is dropped.
+  *
+  * The naive plan — one running-sum window per group — serializes each
+  * group through a single task: at 100 TB a popular source is terabytes,
+  * and `Window.partitionBy(source)` would sort and scan it on one core.
+  * This operator runs the classic two-level distributed prefix sum instead:
+  *
+  *   1. BUCKET: rows bucket by a short PREFIX of the hex order key
+  *      (`substring(orderKey, 1, bucketLen)`). Because the order key is a
+  *      fixed-case hex string, prefix order IS total order, so buckets are
+  *      contiguous runs of the group's order.
+  *   2. BUCKET TOTALS: one map-side-combined `groupBy(group, bucket).sum` —
+  *      the only full-data aggregate, shrinking 100 TB to
+  *      |groups|·16^bucketLen rows.
+  *   3. BUCKET PREFIX SUM: a running sum over that tiny table (per-group
+  *      window — fine, it has 16^bucketLen rows per group) gives each
+  *      bucket its starting offset `base`.
+  *   4. PRUNE + LOCAL WINDOW: `base` broadcast-joins back onto the rows;
+  *      buckets that start at or past the quota are dropped BEFORE any
+  *      sort (at a tight budget that is almost all of the data), and the
+  *      survivors run the running sum partitioned by (group, bucket) —
+  *      16^bucketLen-way parallel per group instead of serialized.
+  *
+  * Exactly one full-width shuffle touches the kept-candidate rows (the
+  * (group, bucket) window exchange); the aggregate shuffle moves map-side
+  * partials only. Raise `bucketLen` with scale (1 hex char = 16-way split
+  * per group at test scale; 3-4 chars at cluster scale).
+  *
+  * Requirements: `orderKey` must be a deterministic fixed-case hex string
+  * (md5 here; any hash rendered as hex works) and `value` must be
+  * non-negative. `tie` breaks order-key collisions so the order is total.
+  * Reserved column names `__bkt/__base/__bcum` must not be in `df`.
+  */
+object PrefixQuota {
+
+  /** Appends `beforeName` (the group's running value total strictly before
+    * the row in (orderKey, tie) order) and keeps rows with before < quota.
+    * `quota` may reference only `groupCol` (evaluated per row post-join). */
+  def takeUntilQuota(df: DataFrame, groupCol: String, orderKey: Column, tie: Column,
+      value: Column, quota: Column, bucketLen: Int = 1,
+      beforeName: String = "cum_before"): DataFrame = {
+    require(bucketLen >= 1 && bucketLen <= 8, s"bucketLen out of range: $bucketLen")
+    Seq("__bkt", "__base", "__bcum").foreach { r =>
+      require(!df.columns.contains(r), s"input must not contain reserved column $r")
+    }
+    val rows = df.withColumn("__bkt", substring(orderKey, 1, bucketLen))
+    val totals = rows.groupBy(col(groupCol), col("__bkt"))
+      .agg(sum(value).as("__bsum"))
+    val bucketCum = totals
+      .withColumn("__bcum",
+        sum("__bsum").over(Window.partitionBy(groupCol).orderBy("__bkt")))
+      .select(col(groupCol), col("__bkt"), (col("__bcum") - col("__bsum")).as("__base"))
+    val localWin = Window.partitionBy(col(groupCol), col("__bkt"))
+      .orderBy(orderKey, tie)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rows
+      .join(broadcast(bucketCum), Seq(groupCol, "__bkt"))
+      .filter(col("__base") < quota) // whole-bucket prune before the sort
+      .withColumn(beforeName, col("__base") + coalesce(sum(value).over(localWin), lit(0L)))
+      .filter(col(beforeName) < quota)
+      .drop("__bkt", "__base")
+  }
+}

@@ -917,10 +917,57 @@ object TextQueries {
       .orderBy("keep_id")
   }
 
+  /** x53: mixture sampling to a TOKEN budget — the data-mixing step that
+    * turns per-source weights ("2× src0-4, 1× the middle, ¼× src15-19")
+    * into an actual training subset: each source keeps documents in a
+    * deterministic content-independent hash order until its token budget is
+    * spent (the boundary-crossing doc is kept; everything after is
+    * dropped). Where x36 caps by document COUNT, real mixtures are
+    * specified in tokens — budgets here are weight × 600 tokens.
+    *
+    * The running-total-under-quota cut runs through
+    * [[graft.operators.PrefixQuota]] — the two-level distributed prefix
+    * sum (bucket totals → tiny bucket cumsum → per-bucket local windows) —
+    * so no source is ever serialized through one task the way a plain
+    * per-source running-sum window would at 100 TB. The DuckDB oracle IS
+    * that plain window (the semantics, minus the distribution), so the
+    * two-level decomposition is hash-checked against the direct form. */
+  val textMixture = sql(
+    "x53_text_mixture",
+    """WITH d AS (SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+      |    md5(CAST(doc_id AS VARCHAR)) AS ord,
+      |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1200
+      |         WHEN source IN ('src15','src16','src17','src18','src19') THEN 150
+      |         ELSE 600 END AS quota
+      |  FROM documents),
+      |c AS (SELECT source, doc_id, n_tok, quota,
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM d)
+      |SELECT source, doc_id, n_tok, cum_before FROM c
+      |WHERE cum_before < quota ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+    val dd = docs(s, d).select(col("source"), col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    graft.operators.PrefixQuota.takeUntilQuota(
+      dd, "source",
+      orderKey = md5(col("doc_id").cast("string")), tie = col("doc_id"),
+      value = col("n_tok"), quota = mixtureQuota)
+      .select("source", "doc_id", "n_tok", "cum_before")
+      .orderBy("source", "doc_id")
+  }
+
+  /** Per-source token budget = weight × 600; referenced by x53's engine
+    * side and mirrored as the CASE in its oracle. */
+  private def mixtureQuota: Column =
+    when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1200L)
+      .when(col("source").isin("src15", "src16", "src17", "src18", "src19"), 150L)
+      .otherwise(600L)
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
     textRepetition, dedupClusters, textTfidf, textRagChunks, textSplitAssign,
     textDecontaminate, textQuotaSample, dedupIncremental, textFreqScore,
-    textTopkTokens, textEditDistance, dedupApply, recordLinkage)
+    textTopkTokens, textEditDistance, dedupApply, recordLinkage, textMixture)
 }

@@ -119,6 +119,17 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("x53: the row-level quota window is bucket-split, not per-source serial") {
+    val plan = planOf(TextQueries.textMixture)
+    // the full-width exchange must carry the bucket prefix alongside the
+    // group key — hashpartitioning(source) alone would serialize a 100 TB
+    // source through one running-sum task
+    val parts = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    parts.filter(p => p.contains("__bkt") && p.contains("source")) should not be empty
+    plan should include("BroadcastHashJoin") // bucket offsets join back broadcast
+    plan should not include "SortMergeJoin"
+  }
+
   test("x20: batch side broadcasts; corpus side never shuffles for the pair join") {
     val plan = planOf(SimilarityQueries.dedupEmbedding)
     plan should include("BroadcastNestedLoopJoin")
