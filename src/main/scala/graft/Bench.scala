@@ -61,7 +61,7 @@ object Bench {
     // recorded 2-4× phantom regressions from a loaded machine; min-of-3
     // makes a single slow run unable to pollute the reported number).
     // A query that throws records -1, never a partial elapsed time.
-    val results = SparkEntry.defs.zipWithIndex.map { case (q, i) =>
+    val samples = SparkEntry.defs.zipWithIndex.map { case (q, i) =>
       if (i > 0 && i % 16 == 0) calibration += calibrate(spark)
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -69,8 +69,9 @@ object Bench {
           (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e"); -1.0 }
       }
-      q.name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      q.name -> (if (times.exists(_ < 0)) Seq(-1.0) else times)
     }
+    val results = samples.map { case (k, ts) => k -> ts.min }
     // Durable-index steady state: write the MinHash signature artifact once
     // (untimed — the amortized build, like the IVF KMeans above), then time
     // the probe-only dedup that reads it back — what every session after
@@ -85,16 +86,36 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable => System.err.println(s"[bench] mh probe: $e"); -1.0 }
     calibration += calibrate(spark)
+    println(renderJson(samples, calibration.toSeq, ivfBuild, probeOnly, sfDir))
+    spark.stop()
+  }
+
+  /** Renders the one-line bench artifact. Factored out of main so
+    * BenchSanitySpec can pin the artifact contract (query keys = the
+    * registry, calibration + spread present) without running the queries.
+    *
+    * `spread` carries per-query min/max over the three runs. Read rule
+    * (PLANS.md "bench calibration"): max/min ≫ 1 marks a row the host
+    * contended mid-measurement — trust min. This is finer-grained than the
+    * every-16th-query calibration samples, which bound a window but can
+    * miss a spike between two calm probes (the round-5 x04 lesson: 13.4×
+    * calm in the driver run while neighboring calibration read ≤ 0.65 s). */
+  def renderJson(samples: Seq[(String, Seq[Double])], calibration: Seq[Double],
+                 ivfBuild: Double, probeOnly: Double, sfDir: String): String = {
+    val results = samples.map { case (k, ts) => k -> ts.min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spread = samples.map { case (k, ts) =>
+      f""""$k%s":{"min":${ts.min}%.3f,"max":${ts.max}%.3f}"""
+    }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val calib = calibration.map(c => f"$c%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""spread":$spread,""" +
       s""""failed":$failed,"runs":3,"x17_index_build_sec":$ivfBuild,""" +
       s""""x03_probe_only_sec":$probeOnly,""" +
       s""""calibration_sec":$calib,""" +
-      s""""calibration_job":"range64M-xxhash64-xor","sf":"$sfDir"}""")
-    spark.stop()
+      s""""calibration_job":"range64M-xxhash64-xor","sf":"$sfDir"}"""
   }
 }
