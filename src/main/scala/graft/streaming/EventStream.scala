@@ -18,6 +18,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * via `writeStream`. State is bounded by watermarks (window agg, dedup) or
   * explicit processing-time timeouts (sessions), so executors hold O(active
   * keys) state at any scale.
+  *
+  * Deliberately NOT twinned: x53's mixture sampling to a token budget
+  * (`TextQueries.mixtureSample` / `operators.PrefixQuota`). The budget cut
+  * is a running-prefix-sum statement over a TOTAL order of the corpus —
+  * "keep documents in priority order until source s reaches B_s tokens" —
+  * and over an unbounded stream any prefix decision can be invalidated by
+  * a later, higher-priority arrival, the same way a global sort has no
+  * streaming form. A per-window variant (budget per event-time window) is
+  * expressible with the window-agg + quota shapes here, but it answers a
+  * different question (windowed quota, not corpus mixture) and would not
+  * be parity-comparable to batch x53, so no twin is registered. Like the
+  * sessionize exact-gap boundary documented below, this is a semantic
+  * property of stream semantics, not an implementation gap.
   */
 object EventStream {
 
