@@ -316,12 +316,70 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
-  val simIvfTopk = rowsOnly("x17_sim_ivf_topk") { (s, d) =>
-    // nProbe tuned on the shipped corpus (synthetic ISOTROPIC embeddings —
-    // no cluster structure, IVF's worst case) to hold the per-query
-    // recall@5 ≥ 0.6 floor SimilaritySpec gates; the planted-cluster
-    // fixture there holds the same floor at nProbe = 2.
-    ivfTopkOf(Tables.embeddings(s, d), ivfCentroids(s, d, 16), nProbe = 8,
+  /** DuckDB replication of the x17 IVF probe from the PINNED centroids
+    * (IvfPinned — the durable index artifact as literals, the x21
+    * VALUES-table precedent). Each centroid row carries its |c|² as the
+    * same Scala-computed double the engine splices via `lit(cNormSq)`, so
+    * the IVF score cn2 − 2·(x·c) is identical arithmetic both sides; cell
+    * assignment (k=1), query probes (k=nProbe) and the probed-cell exact
+    * top-k are then all hash-checkable. Literals printed as %.17e — 18
+    * significant digits parse correctly-rounded to the identical double in
+    * DuckDB (a plain decimal literal would land as DECIMAL, whose cast to
+    * DOUBLE is not guaranteed the same ulp). */
+  private def fmtD(x: Double): String = f"$x%.17e"
+  private val x17NProbe = 8
+  private val x17Oracle: String = {
+    val rows = IvfPinned.centroids.zipWithIndex.map { case (c, i) =>
+      val cn2 = c.map(x => x * x).sum
+      s"($i, ${fmtD(cn2)}, ${c.map(fmtD).mkString("[", ",", "]")})"
+    }.mkString(",\n")
+    s"""WITH ct(cell, cn2, centroid) AS (VALUES
+      |$rows),
+      |scores AS (
+      |  SELECT e.vec_id, ct.cell,
+      |    ct.cn2 - 2.0 * list_sum(list_transform(range(1, 65),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * ct.centroid[i])) AS d
+      |  FROM embeddings e CROSS JOIN ct),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM scores) s WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM scores WHERE vec_id < 10) s WHERE rn <= $x17NProbe),
+      |scored AS (
+      |  SELECT p.q_id, a.vec_id,
+      |    ROUND(
+      |      list_sum(list_transform(range(1, 65),
+      |        i -> CAST(ec.embedding[i] AS DOUBLE) * CAST(eq.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(ec.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |    6) AS cos
+      |  FROM assign a JOIN probes p USING (cell)
+      |  JOIN embeddings ec ON ec.vec_id = a.vec_id
+      |  JOIN embeddings eq ON eq.vec_id = p.q_id
+      |  WHERE a.vec_id <> p.q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
+      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** x17: the IVF probe on the testdata corpus, from the PINNED index
+    * (train-once-probe-forever — the artifact contract every real IVF
+    * deployment has; `ivfCentroids`/`ivfCentroidsDurable` remain the
+    * train-at-runtime forms the bench times and specs train on synthetic
+    * corpora). nProbe tuned on the shipped corpus (synthetic ISOTROPIC
+    * embeddings — no cluster structure, IVF's worst case) to hold the
+    * per-query recall@5 ≥ 0.6 floor SimilaritySpec gates; the
+    * planted-cluster fixture there holds the same floor at nProbe = 2.
+    * Hash-checked end to end against the pinned-centroid replication
+    * above (was rows-only through round 5). */
+  val simIvfTopk = sql("x17_sim_ivf_topk", x17Oracle) { (s, d) =>
+    ivfTopkOf(Tables.embeddings(s, d), IvfPinned.centroids, nProbe = x17NProbe,
       isQuery = col("vec_id") < 10)
   }
 
