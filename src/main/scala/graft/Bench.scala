@@ -44,15 +44,17 @@ object Bench {
     val calibration = scala.collection.mutable.ArrayBuffer.empty[Double]
     calibrate(spark) // untimed JIT warm-up of the calibration job itself
     calibration += calibrate(spark)
-    // One-time IVF index build (x17's KMeans), timed separately so the x17
-    // row reflects steady-state probe cost — at cluster scale the index is
-    // an amortized one-off job, not a per-query expense.
+    // Distributed IVF training (KMeans over the embeddings table), timed as
+    // its own capability metric (`ivf_train_sec`). NOTE: x17 no longer
+    // consumes this build — since round 6 it probes the COMMITTED IvfPinned
+    // centroids (the durable index artifact), so this row measures what a
+    // periodic index-refresh job would cost, not anything on x17's path.
     val tIvf = System.nanoTime()
-    val ivfBuild =
+    val ivfTrain =
       try {
         graft.queries.SimilarityQueries.ivfCentroids(spark, sfDir)
         (System.nanoTime() - tIvf) / 1e9
-      } catch { case e: Throwable => System.err.println(s"[bench] ivf build: $e"); -1.0 }
+      } catch { case e: Throwable => System.err.println(s"[bench] ivf train: $e"); -1.0 }
     // noop sink: forces full materialization of every output column
     // (count() would let Catalyst prune the projections → flattering times).
     // Each query runs three times back-to-back and reports the min —
@@ -86,36 +88,47 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable => System.err.println(s"[bench] mh probe: $e"); -1.0 }
     calibration += calibrate(spark)
-    println(renderJson(samples, calibration.toSeq, ivfBuild, probeOnly, sfDir))
+    println(renderJson(samples, calibration.toSeq, ivfTrain, probeOnly, sfDir))
     spark.stop()
   }
 
+  /** `%.3f` under Locale.ROOT — the f-interpolator uses the JVM default
+    * locale, and a comma-decimal host would render invalid JSON. */
+  private def d3(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+
   /** Renders the one-line bench artifact. Factored out of main so
     * BenchSanitySpec can pin the artifact contract (query keys = the
-    * registry, calibration + spread present) without running the queries.
+    * registry, calibration present, line fits the driver's tail capture)
+    * without running the queries.
     *
-    * `spread` carries per-query min/max over the three runs. Read rule
-    * (PLANS.md "bench calibration"): max/min ≫ 1 marks a row the host
-    * contended mid-measurement — trust min. This is finer-grained than the
-    * every-16th-query calibration samples, which bound a window but can
-    * miss a spike between two calm probes (the round-5 x04 lesson: 13.4×
-    * calm in the driver run while neighboring calibration read ≤ 0.65 s). */
+    * Shape is sized for the driver's bounded TAIL capture (the round-6
+    * lesson: two full-precision per-query maps grew the line past the
+    * capture window and BENCH_r06.json physically lost `value` and half
+    * the per-query numbers). So: ONE per-query map `{"name":[min,max]}`
+    * at %.3f, and the scalar summary fields — failed, calibration,
+    * value, sf — at the END of the line, where truncation-from-the-front
+    * costs the least-diagnostic bytes.
+    *
+    * `[min,max]` is the per-row timing spread over the three runs; min is
+    * the reported number. Read rule (PLANS.md "bench calibration"):
+    * max/min ≫ 1 marks a row the host contended mid-measurement — trust
+    * min. This is finer-grained than the every-16th-query calibration
+    * samples, which bound a window but can miss a spike between two calm
+    * probes (the round-5 x04 lesson: 13.4× calm in the driver run while
+    * neighboring calibration read ≤ 0.65 s). */
   def renderJson(samples: Seq[(String, Seq[Double])], calibration: Seq[Double],
-                 ivfBuild: Double, probeOnly: Double, sfDir: String): String = {
-    val results = samples.map { case (k, ts) => k -> ts.min }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val spread = samples.map { case (k, ts) =>
-      f""""$k%s":{"min":${ts.min}%.3f,"max":${ts.max}%.3f}"""
+                 ivfTrain: Double, probeOnly: Double, sfDir: String): String = {
+    val qs = samples.map { case (k, ts) =>
+      "\"" + k + "\":[" + d3(ts.min) + "," + d3(ts.max) + "]"
     }.mkString("{", ",", "}")
-    val failed = results.count(_._2 < 0)
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val calib = calibration.map(c => f"$c%.3f").mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""spread":$spread,""" +
-      s""""failed":$failed,"runs":3,"x17_index_build_sec":$ivfBuild,""" +
-      s""""x03_probe_only_sec":$probeOnly,""" +
-      s""""calibration_sec":$calib,""" +
-      s""""calibration_job":"range64M-xxhash64-xor","sf":"$sfDir"}"""
+    val mins = samples.map { case (_, ts) => ts.min }
+    val failed = mins.count(_ < 0)
+    val total = mins.filter(_ >= 0).sum
+    val calib = calibration.map(d3).mkString("[", ",", "]")
+    s"""{"metric":"total","unit":"sec","runs":3,"queries":$qs,""" +
+      s""""ivf_train_sec":${d3(ivfTrain)},"x03_probe_only_sec":${d3(probeOnly)},""" +
+      s""""calibration_job":"range64M-xxhash64-xor","failed":$failed,""" +
+      s""""calibration_sec":$calib,"value":${d3(total)},"sf":"$sfDir"}"""
   }
 }

@@ -35,27 +35,69 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * Exactly one full-width shuffle touches the kept-candidate rows (the
   * (group, bucket) window exchange); the aggregate shuffle moves map-side
-  * partials only. Raise `bucketLen` with scale (1 hex char = 16-way split
-  * per group at test scale; 3-4 chars at cluster scale).
+  * partials only. `bucketLen` rises with scale (1 hex char = 16-way split
+  * per group at test scale; 3-4 chars at cluster scale) — by default it is
+  * DISPATCHED from the optimizer's size estimate (the
+  * `Quantiles.singleGroupQuantiles` precedent: zero extra jobs, and
+  * unmeasured sources report a sentinel-huge estimate that routes to the
+  * deepest split, the safe direction — more parallelism, a still-tiny
+  * totals table).
   *
-  * Requirements: `orderKey` must be a deterministic fixed-case hex string
+  * Requirements: `orderKey` must be a deterministic LOWERCASE-hex string
   * (md5 here; any hash rendered as hex works) and `value` must be
-  * non-negative. `tie` breaks order-key collisions so the order is total.
-  * Reserved column names `__bkt/__base/__bcum` must not be in `df`.
+  * non-negative. The hex contract is what makes "16^bucketLen roughly
+  * even buckets" true — an arbitrary string key could silently collapse
+  * into one bucket (e.g. every key sharing a prefix) and resurrect the
+  * serialized plan this operator exists to avoid, so a per-row canary
+  * raises on the first non-hex prefix instead of degrading quietly.
+  * `tie` breaks order-key collisions so the order is total. Reserved
+  * column names `__bkt/__base/__bcum` must not be in `df`.
   */
 object PrefixQuota {
+
+  /** Sentinel for `bucketLen`: dispatch the split depth from the
+    * optimizer's byte estimate of `df`. */
+  val AutoBucketLen: Int = 0
+
+  /** Per-(group, bucket) byte budget for the dispatch: one bucket of the
+    * worst case (the whole input in ONE group) must sort comfortably in a
+    * single task. Reuses Quantiles' deliberately LOW 16 B/row convention
+    * (2M rows × 16 B = 32 MB): the byte estimate over-counts rows, so the
+    * dispatch flips to a deeper split early — the safe direction. */
+  private[graft] val bucketTargetBytes: Long =
+    Quantiles.builtinMaxRowsPerGroup * 16L
+
+  /** Smallest depth in 1..4 whose worst-case bucket (estBytes/16^len)
+    * fits [[bucketTargetBytes]]; capped at 4 (65536-way per group — past
+    * that the totals table stops being "tiny" everywhere, and at that
+    * scale real mixtures have many groups sharing the split). */
+  private[graft] def dispatchBucketLen(estBytes: BigInt): Int =
+    (1 to 4).find(len => estBytes <= BigInt(bucketTargetBytes) * BigInt(16).pow(len))
+      .getOrElse(4)
 
   /** Appends `beforeName` (the group's running value total strictly before
     * the row in (orderKey, tie) order) and keeps rows with before < quota.
     * `quota` may reference only `groupCol` (evaluated per row post-join). */
   def takeUntilQuota(df: DataFrame, groupCol: String, orderKey: Column, tie: Column,
-      value: Column, quota: Column, bucketLen: Int = 1,
+      value: Column, quota: Column, bucketLen: Int = AutoBucketLen,
       beforeName: String = "cum_before"): DataFrame = {
-    require(bucketLen >= 1 && bucketLen <= 8, s"bucketLen out of range: $bucketLen")
+    require(bucketLen == AutoBucketLen || (bucketLen >= 1 && bucketLen <= 8),
+      s"bucketLen out of range: $bucketLen")
     Seq("__bkt", "__base", "__bcum").foreach { r =>
       require(!df.columns.contains(r), s"input must not contain reserved column $r")
     }
-    val rows = df.withColumn("__bkt", substring(orderKey, 1, bucketLen))
+    val len =
+      if (bucketLen == AutoBucketLen)
+        dispatchBucketLen(df.queryExecution.optimizedPlan.stats.sizeInBytes)
+      else bucketLen
+    // Hex-contract canary: the scaling argument needs lowercase-hex keys
+    // (≈ even 16-way fanout per char); a non-hex key fails loudly here
+    // instead of silently collapsing the split.
+    val pfx = substring(orderKey, 1, len)
+    val rows = df.withColumn("__bkt",
+      when(pfx.rlike("^[0-9a-f]+$"), pfx).otherwise(raise_error(concat(
+        lit("PrefixQuota: orderKey must be a lowercase-hex string; got prefix '"),
+        pfx, lit("'")))))
     val totals = rows.groupBy(col(groupCol), col("__bkt"))
       .agg(sum(value).as("__bsum"))
     val bucketCum = totals

@@ -326,7 +326,10 @@ object SimilarityQueries {
     * significant digits parse correctly-rounded to the identical double in
     * DuckDB (a plain decimal literal would land as DECIMAL, whose cast to
     * DOUBLE is not guaranteed the same ulp). */
-  private def fmtD(x: Double): String = f"$x%.17e"
+  // Locale.ROOT, not the f-interpolator: the latter formats under the JVM
+  // default locale, and a comma-decimal host would render malformed SQL.
+  private def fmtD(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
   private val x17NProbe = 8
   private val x17Oracle: String = {
     val rows = IvfPinned.centroids.zipWithIndex.map { case (c, i) =>

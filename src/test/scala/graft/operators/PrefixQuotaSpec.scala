@@ -69,6 +69,48 @@ class PrefixQuotaSpec extends AnyFunSuite with Matchers with SparkTestBase {
     sortedRows(got) shouldBe sortedRows(naive(df, lit(10L)))
   }
 
+  test("size dispatch: deeper split as the estimate grows, capped at 4") {
+    val target = BigInt(PrefixQuota.bucketTargetBytes)
+    // one bucket of the worst case (whole input one group) must fit target
+    PrefixQuota.dispatchBucketLen(BigInt(0)) shouldBe 1
+    PrefixQuota.dispatchBucketLen(target * 16) shouldBe 1
+    PrefixQuota.dispatchBucketLen(target * 16 + 1) shouldBe 2
+    PrefixQuota.dispatchBucketLen(target * 256) shouldBe 2
+    PrefixQuota.dispatchBucketLen(target * 256 + 1) shouldBe 3
+    PrefixQuota.dispatchBucketLen(target * 4096 + 1) shouldBe 4
+    // sentinel-huge estimates (unmeasured sources) route to the deepest
+    // split — safe direction: more parallelism, still-tiny totals table
+    PrefixQuota.dispatchBucketLen(BigInt(Long.MaxValue) * 1024) shouldBe 4
+  }
+
+  test("auto dispatch (default bucketLen) matches the naive formulation") {
+    val rng = new scala.util.Random(11)
+    val rows = for (g <- Seq("a", "b"); i <- 0 until 150)
+      yield (g, i.toLong, rng.nextInt(30).toLong)
+    val df = synth(rows)
+    val quota = when(col("g") === "a", 700L).otherwise(1300L)
+    val got = PrefixQuota.takeUntilQuota(df, "g", col("ord"), col("tie"),
+      col("v"), quota) // bucketLen omitted → size-dispatched
+    sortedRows(got) shouldBe sortedRows(naive(df, quota))
+  }
+
+  test("hex canary: a non-hex order key fails loudly, not silently serial") {
+    import spark.implicits._
+    // upper-case hex breaks the fixed-case contract (mixed-case keys would
+    // bucket 'A…' apart from 'a…' and skew the fanout); 'Z…' isn't hex at all
+    for (badKey <- Seq(upper(md5(col("tie").cast("string"))), concat(lit("Z"), lit("00")))) {
+      val df = Seq(("g", 1L, 5L), ("g", 2L, 5L)).toDF("g", "tie", "v")
+      val ex = intercept[Exception] {
+        PrefixQuota.takeUntilQuota(df, "g", badKey, col("tie"), col("v"), lit(100L))
+          .collect()
+      }
+      // raise_error surfaces wrapped (task → job → user exception): scan the chain
+      val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+      messages should include("lowercase-hex")
+    }
+  }
+
   test("reserved-column collision fails fast") {
     val df = synth(Seq(("g", 1L, 1L))).withColumn("__bkt", lit(1))
     an[IllegalArgumentException] should be thrownBy
