@@ -19,7 +19,11 @@ import graft.queries.TextQueries
   * local mode too: raw checkpoint rows of a 1M-doc signature table made
   * the single 8 g JVM GC-bound (pairs 182 s; 90 s at 48 g), while the
   * storage boundary keeps the heap flat. build_sec is the one-time
-  * sketch+write; every other stage reads the artifact.
+  * sketch+write; every other stage reads the artifact. The final stage
+  * pair measures the BUCKETED probe steady state: band_build_sec writes
+  * the saveBandIndex managed table once, probe_bucketed_sec probes the
+  * same batch through it with zero corpus-side exchange (vs probe_sec,
+  * which re-derives + re-shuffles corpus band rows on every probe).
   *
   * `runMain graft.DedupSoak [nBase] [copies] [chainLen]` — defaults
   * 5000 × (10 exact copies + 6-mutation chain) ≈ 80k docs. Prints one JSON
@@ -41,6 +45,9 @@ object DedupSoak {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the bucketed-band stage writes a managed table; keep it off the repo
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("dedup-soak-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -101,26 +108,43 @@ object DedupSoak {
     // artifact — the x37 shape, timed at THIS corpus size so the scaling
     // row records how probe cost grows with the index, not just the build
     val corpusSigs = spark.read.parquet(idx)
+    val batch = spark.range(1000L).map { i =>
+      val base = i % nBase // near-dup of base doc: 2 tokens replaced
+      val toks = (0 until nTok).map { t =>
+        if (i % 2 == 0 && t < 2) s"p${i}c$t"            // near-dup probe
+        else if (i % 2 == 0) s"b${base}w${(t * 7) % 97}" // ...of base's vocab
+        else s"fresh${i}t$t"                             // fresh doc: no hits
+      }
+      Doc(1000000000L + i, toks.mkString(" "))
+    }(Encoders.product[Doc]).toDF()
     val (tProbe, nProbeHits) = time {
-      val batch = spark.range(1000L).map { i =>
-        val base = i % nBase // near-dup of base doc: 2 tokens replaced
-        val toks = (0 until nTok).map { t =>
-          if (i % 2 == 0 && t < 2) s"p${i}c$t"            // near-dup probe
-          else if (i % 2 == 0) s"b${base}w${(t * 7) % 97}" // ...of base's vocab
-          else s"fresh${i}t$t"                             // fresh doc: no hits
-        }
-        Doc(1000000000L + i, toks.mkString(" "))
-      }(Encoders.product[Doc]).toDF()
       TextQueries.nearDupProbe(batch, corpusSigs, threshold = 0.5).count()
     }
     calibration += Bench.calibrate(spark)
+    // bucketed steady state: the saveBandIndex managed table pre-clusters
+    // the corpus band rows on the join key at write time, so the SAME
+    // probe batch joins with zero corpus-side exchange (band_build_sec is
+    // the one-time artifact write; probe_bucketed_sec is what every later
+    // ingest batch pays — compare against probe_sec, which re-derives and
+    // re-shuffles the corpus band rows per probe)
+    val (tBandBuild, _) = time {
+      TextQueries.saveBandIndex(corpusSigs, "soak_bands")
+    }
+    val (tProbeBucketed, nProbeBucketedHits) = time {
+      TextQueries.nearDupProbeWithBands(batch, spark.table("soak_bands"),
+        corpusSigs, threshold = 0.5).count()
+    }
+    calibration += Bench.calibrate(spark)
     val heapGb = Runtime.getRuntime.maxMemory() / (1L << 30)
-    val calib = calibration.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val calib = calibration.map(c => // Locale.ROOT: comma-decimal hosts would emit invalid JSON
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(c))).mkString("[", ",", "]")
     println(s"""{"metric":"dedup_soak","docs":$nDocs,"base":$nBase,"heap_gb":$heapGb,""" +
       s""""copies":$copies,"chain_len":$chainLen,"build_sec":$tBuild,"pairs":$nPairs,""" +
       s""""pairs_sec":$tPairs,"clusters":${stats._1},"max_cluster":${stats._2},""" +
       s""""clustered_reps":${stats._3},"clusters_sec":$tClusters,""" +
       s""""probe_hits":$nProbeHits,"probe_sec":$tProbe,""" +
+      s""""band_build_sec":$tBandBuild,"probe_bucketed_hits":$nProbeBucketedHits,""" +
+      s""""probe_bucketed_sec":$tProbeBucketed,""" +
       s""""calibration_sec":$calib}""")
     spark.stop()
   }

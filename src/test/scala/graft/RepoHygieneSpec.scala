@@ -17,6 +17,29 @@ class RepoHygieneSpec extends AnyFunSuite with Matchers {
     "[A-Za-z0-9_.-]+\\.jsonl"
   ).map(_.r)
 
+  test("doc tallies track the registry's oracle counts") {
+    // Repeat offender (r5 AND r6 verdicts): a query flips to hash-oracle
+    // status and the README/SURVEY "N of the M registered queries" prose
+    // goes stale. Derive the tally from the registry itself and assert the
+    // docs carry the exact phrase, so a flip cannot land without the sweep.
+    val total = SparkEntry.defs.size
+    val green = SparkEntry.defs.count(_.oracle.isDefined)
+    val phrase = s"$green of the $total registered queries"
+    def text(f: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8")
+    withClue(s"README.md must say '$phrase': ") {
+      text("README.md") should include(phrase)
+    }
+    withClue(s"SURVEY.md must say '$phrase': ") {
+      text("SURVEY.md") should include(phrase)
+    }
+    // the "N remaining" clause must agree too — both docs phrase the
+    // no-oracle tail as "The/the <n> remaining"
+    val noOracle = total - green
+    text("README.md") should include(s"The $noOracle remaining")
+    text("SURVEY.md") should include(s"the $noOracle remaining")
+  }
+
   test("repo root has no unexpected files") {
     // tests run from the repo root — don't hardcode a checkout path, and
     // treat an unreadable root as a FAILURE, not a vacuous pass

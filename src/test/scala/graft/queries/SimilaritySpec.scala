@@ -70,6 +70,19 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("IvfPinned artifact is in sync with the corpus it was trained on") {
+    import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
+    // same fingerprint IvfPin emits: a regenerated sf0.01 corpus desyncs
+    // from the committed centroids and this fails loudly (the hash oracle
+    // alone would stay self-consistently green over a stale index)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val fp = emb.agg(count(lit(1)), bit_xor(xxhash64(col("vec_id")))).head()
+    fp.getLong(0) shouldBe IvfPinned.corpusRows
+    fp.getLong(1) shouldBe IvfPinned.corpusIdXor
+    IvfPinned.centroids.size shouldBe IvfPinned.nCells
+    IvfPinned.centroids.foreach(_.size shouldBe 64)
+  }
+
   test("x17 IVF on a planted-cluster corpus: recall@5 ≥ 0.6 at a PRUNING probe count") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
