@@ -75,12 +75,12 @@ object PrefixQuota {
     (1 to 4).find(len => estBytes <= BigInt(bucketTargetBytes) * BigInt(16).pow(len))
       .getOrElse(4)
 
-  /** Appends `beforeName` (the group's running value total strictly before
-    * the row in (orderKey, tie) order) and keeps rows with before < quota.
-    * `quota` may reference only `groupCol` (evaluated per row post-join). */
-  def takeUntilQuota(df: DataFrame, groupCol: String, orderKey: Column, tie: Column,
-      value: Column, quota: Column, bucketLen: Int = AutoBucketLen,
-      beforeName: String = "cum_before"): DataFrame = {
+  /** Shared front half of both public ops: bucket the rows by the hex-key
+    * prefix (with the canary), compute per-bucket starting offsets via the
+    * tiny bucket-cumsum window, and broadcast them back onto the rows.
+    * Returns the input plus `__bkt` and `__base`. */
+  private def withBucketBase(df: DataFrame, groupCol: String, orderKey: Column,
+      value: Column, bucketLen: Int): DataFrame = {
     require(bucketLen == AutoBucketLen || (bucketLen >= 1 && bucketLen <= 8),
       s"bucketLen out of range: $bucketLen")
     Seq("__bkt", "__base", "__bcum").foreach { r =>
@@ -104,14 +104,44 @@ object PrefixQuota {
       .withColumn("__bcum",
         sum("__bsum").over(Window.partitionBy(groupCol).orderBy("__bkt")))
       .select(col(groupCol), col("__bkt"), (col("__bcum") - col("__bsum")).as("__base"))
-    val localWin = Window.partitionBy(col(groupCol), col("__bkt"))
+    rows.join(broadcast(bucketCum), Seq(groupCol, "__bkt"))
+  }
+
+  private def localWindow(groupCol: String, orderKey: Column, tie: Column) =
+    Window.partitionBy(col(groupCol), col("__bkt"))
       .orderBy(orderKey, tie)
       .rowsBetween(Window.unboundedPreceding, -1)
-    rows
-      .join(broadcast(bucketCum), Seq(groupCol, "__bkt"))
+
+  /** Appends `beforeName` (the group's running value total strictly before
+    * the row in (orderKey, tie) order) and keeps rows with before < quota.
+    * `quota` may reference only `groupCol` (evaluated per row post-join). */
+  def takeUntilQuota(df: DataFrame, groupCol: String, orderKey: Column, tie: Column,
+      value: Column, quota: Column, bucketLen: Int = AutoBucketLen,
+      beforeName: String = "cum_before"): DataFrame = {
+    val win = localWindow(groupCol, orderKey, tie)
+    withBucketBase(df, groupCol, orderKey, value, bucketLen)
       .filter(col("__base") < quota) // whole-bucket prune before the sort
-      .withColumn(beforeName, col("__base") + coalesce(sum(value).over(localWin), lit(0L)))
+      .withColumn(beforeName, col("__base") + coalesce(sum(value).over(win), lit(0L)))
       .filter(col(beforeName) < quota)
+      .drop("__bkt", "__base")
+  }
+
+  /** Appends `beforeName` — the group's running `value` total strictly
+    * before the row in (orderKey, tie) order — to EVERY row: the
+    * distributed prefix sum without a cut (sequence packing's
+    * concat-position, byte-offset assignment, …). Same plan skeleton as
+    * [[takeUntilQuota]] minus the whole-bucket prune (every row is kept,
+    * so there is nothing to prune); the win over a plain per-group
+    * running-sum window is parallelism — the sort/scan runs
+    * 16^bucketLen-way split per group instead of serializing each group
+    * through one task. Same requirements as the header doc (lowercase-hex
+    * `orderKey`, non-negative `value`, reserved columns absent). */
+  def runningBefore(df: DataFrame, groupCol: String, orderKey: Column, tie: Column,
+      value: Column, bucketLen: Int = AutoBucketLen,
+      beforeName: String = "cum_before"): DataFrame = {
+    val win = localWindow(groupCol, orderKey, tie)
+    withBucketBase(df, groupCol, orderKey, value, bucketLen)
+      .withColumn(beforeName, col("__base") + coalesce(sum(value).over(win), lit(0L)))
       .drop("__bkt", "__base")
   }
 }

@@ -964,10 +964,54 @@ object TextQueries {
       .when(col("source").isin("src15", "src16", "src17", "src18", "src19"), 150L)
       .otherwise(600L)
 
+  /** x54: sequence packing — the pretraining step after mixing: each
+    * source's documents are CONCATENATED in the deterministic hash order
+    * (same `md5(doc_id)` stream order as x53) and the token stream is
+    * chunked into fixed `packSeqLen`-token training sequences, documents
+    * spanning chunk boundaries (GPT-style concat-then-chunk packing; the
+    * chunker splits the stream, never aligns to documents). Each doc's
+    * placement is pure arithmetic on its running token offset:
+    * `pack_id = cum_before div L`, `pack_offset = cum_before mod L`.
+    *
+    * The running offset is [[graft.operators.PrefixQuota.runningBefore]]
+    * — the same two-level distributed prefix sum as x53's cut, minus the
+    * quota (every row is kept), so no source ever serializes its
+    * concatenation order through one task the way the oracle's plain
+    * window does at 100 TB. MixtureSoak measures that crossover: the
+    * one-task-per-group window goes superlinear at 16 M rows while the
+    * bucket-split plan stays near-flat. */
+  private val packSeqLen = 512L
+  val textPack = sql(
+    "x54_text_pack",
+    """WITH d AS (SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+      |    md5(CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM documents),
+      |c AS (SELECT source, doc_id, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM d)
+      |SELECT source, doc_id, n_tok,
+      |  CAST(cum_before // 512 AS BIGINT) AS pack_id,
+      |  CAST(cum_before % 512 AS BIGINT) AS pack_offset
+      |FROM c ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+    val dd = docs(s, d).select(col("source"), col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    graft.operators.PrefixQuota.runningBefore(
+      dd, "source",
+      orderKey = md5(col("doc_id").cast("string")), tie = col("doc_id"),
+      value = col("n_tok"))
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        expr(s"cum_before div $packSeqLen").as("pack_id"),
+        (col("cum_before") % packSeqLen).as("pack_offset"))
+      .orderBy("source", "doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
     textRepetition, dedupClusters, textTfidf, textRagChunks, textSplitAssign,
     textDecontaminate, textQuotaSample, dedupIncremental, textFreqScore,
-    textTopkTokens, textEditDistance, dedupApply, recordLinkage, textMixture)
+    textTopkTokens, textEditDistance, dedupApply, recordLinkage, textMixture,
+    textPack)
 }

@@ -19,9 +19,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * explicit processing-time timeouts (sessions), so executors hold O(active
   * keys) state at any scale.
   *
-  * Deliberately NOT twinned: x53's mixture sampling to a token budget
-  * (`TextQueries.mixtureSample` / `operators.PrefixQuota`). The budget cut
-  * is a running-prefix-sum statement over a TOTAL order of the corpus —
+  * Deliberately NOT twinned: x53's mixture sampling to a token budget and
+  * x54's sequence packing
+  * (`TextQueries.mixtureSample`/`textPack` / `operators.PrefixQuota`).
+  * Both are running-prefix-sum statements over a TOTAL order of the corpus —
   * "keep documents in priority order until source s reaches B_s tokens" —
   * and over an unbounded stream any prefix decision can be invalidated by
   * a later, higher-priority arrival, the same way a global sort has no

@@ -94,6 +94,24 @@ class PrefixQuotaSpec extends AnyFunSuite with Matchers with SparkTestBase {
     sortedRows(got) shouldBe sortedRows(naive(df, quota))
   }
 
+  test("runningBefore: the uncut prefix sum matches the naive window on every row") {
+    val rng = new scala.util.Random(13)
+    val rows = for (g <- Seq("a", "b", "c"); i <- 0 until 150)
+      yield (g, i.toLong, rng.nextInt(50).toLong)
+    val df = synth(rows)
+    val w = Window.partitionBy("g").orderBy(col("ord"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expect = df.withColumn("cum_before", coalesce(sum(col("v")).over(w), lit(0L)))
+    for (bucketLen <- Seq(PrefixQuota.AutoBucketLen, 2)) {
+      val got = PrefixQuota.runningBefore(df, "g", col("ord"), col("tie"),
+        col("v"), bucketLen = bucketLen)
+      withClue(s"bucketLen=$bucketLen: ") {
+        got.count() shouldBe df.count() // no cut: every row keeps its offset
+        sortedRows(got) shouldBe sortedRows(expect)
+      }
+    }
+  }
+
   test("hex canary: a non-hex order key fails loudly, not silently serial") {
     import spark.implicits._
     // upper-case hex breaks the fixed-case contract (mixed-case keys would

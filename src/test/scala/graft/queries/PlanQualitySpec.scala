@@ -130,6 +130,16 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "SortMergeJoin"
   }
 
+  test("x54: the packing offset window is bucket-split, not per-source serial") {
+    val plan = planOf(TextQueries.textPack)
+    // same contract as x53: the running-offset exchange carries the bucket
+    // prefix with the group key, so concatenation order never serializes
+    val parts = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    parts.filter(p => p.contains("__bkt") && p.contains("source")) should not be empty
+    plan should include("BroadcastHashJoin") // bucket offsets join back broadcast
+    plan should not include "SortMergeJoin"
+  }
+
   test("x20: batch side broadcasts; corpus side never shuffles for the pair join") {
     val plan = planOf(SimilarityQueries.dedupEmbedding)
     plan should include("BroadcastNestedLoopJoin")
