@@ -248,6 +248,20 @@ chain AS (SELECT e.doc_id, l.rep FROM erep e JOIN labels l ON l.doc_id = e.e_rep
 SELECT rep AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM chain GROUP BY rep ORDER BY keep_id"""
 
+  /** x55: leakage-safe split — the x51 doc→exact-rep→cluster-label chain,
+    * then x31's hex-bucket assignment keyed on the CLUSTER rep, so no
+    * near-dup cluster ever straddles two splits. */
+  val splitLeakageSafe: String =
+    s"""$minhashCtes,
+$ccCtes,
+erep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS e_rep FROM documents),
+chain AS (SELECT e.doc_id, l.rep FROM erep e JOIN labels l ON l.doc_id = e.e_rep)
+SELECT doc_id, rep,
+  CASE WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+       WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+       ELSE 'test' END AS split
+FROM chain ORDER BY doc_id"""
+
   /** x52: blocked record linkage — the x03 banding chain as the BLOCKING
     * stage (shared `cand` CTE over the exact-collapsed reps), then
     * edit-distance verification over exactly those candidate pairs:

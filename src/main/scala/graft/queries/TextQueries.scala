@@ -897,24 +897,49 @@ object TextQueries {
     * the recursive-CTE closure). At corpus scale the output IS the
     * training corpus manifest (keep_id joins back to fetch text), and
     * n_docs is the dedup ratio audit. */
-  val dedupApply = sql("x51_dedup_apply", HashOracles.dedupApply) { (s, d) =>
-    val (_, labels) = sigsAndLabels(s, d)
-    // Per-doc exact-text rep via the same hash-keyed shuffle as
-    // exactCollapseBy: the exchange partitions on the 16-byte derived key,
-    // and the window's partition spec keeps the full text as the in-group
-    // exact confirm (the repartition's (hash, len) partitioning already
-    // satisfies the window's clustering, so no second exchange appears).
-    val keyed = docs(s, d)
-      .withColumn("__h", xxhash64(col("text")))
+  /** Per-doc exact-text rep (doc_id, e_rep) via the same hash-keyed shuffle
+    * as exactCollapseBy: the exchange partitions on the 16-byte derived
+    * key, and the window's partition spec keeps the full text as the
+    * in-group exact confirm (the repartition's (hash, len) partitioning
+    * already satisfies the window's clustering, so no second exchange
+    * appears). Shared by x51 (dedup apply) and x55 (leakage-safe split); distinct from [[exactReps]], which returns the one-row-per-rep table. */
+  private def docExactRep(dd: DataFrame): DataFrame =
+    dd.withColumn("__h", xxhash64(col("text")))
       .withColumn("__len", length(col("text")))
       .repartition(col("__h"), col("__len"))
-    val erep = keyed.select(col("doc_id"),
-      min("doc_id").over(org.apache.spark.sql.expressions.Window
-        .partitionBy("__h", "__len", "text")).as("e_rep"))
-    erep.join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
+      .select(col("doc_id"),
+        min("doc_id").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("__h", "__len", "text")).as("e_rep"))
+
+  val dedupApply = sql("x51_dedup_apply", HashOracles.dedupApply) { (s, d) =>
+    val (_, labels) = sigsAndLabels(s, d)
+    docExactRep(docs(s, d))
+      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
       .groupBy(col("rep").as("keep_id"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("keep_id")
+  }
+
+  /** x55: LEAKAGE-SAFE split assignment — x31's deterministic hex-bucket
+    * split keyed on the near-dup CLUSTER rep instead of the doc id, so a
+    * whole duplicate cluster (exact copies + near-dup mutations) lands in
+    * ONE split. This is the split a decontamination-grade pipeline
+    * actually needs: under x31's per-doc assignment, two near-identical
+    * documents routinely straddle train and test (ClusterDedupSpec
+    * measures it on the shipped corpus), which silently leaks training
+    * text into evaluation. Chain: doc → exact-text rep (x51's 16-byte
+    * hash-keyed shuffle) → CC cluster label (x26's fixpoint) → split by
+    * first hex digit of md5(rep) (0-b train, c-d val, e-f test). Scale
+    * shape is x51's: collision-bound band join + label join; the split
+    * itself is row-local arithmetic. */
+  val splitLeakageSafe = sql("x55_split_leakage_safe", HashOracles.splitLeakageSafe) { (s, d) =>
+    val (_, labels) = sigsAndLabels(s, d)
+    val h1 = substring(md5(col("rep").cast("string")), 1, 1)
+    docExactRep(docs(s, d))
+      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
+      .select(col("doc_id"), col("rep"),
+        when(h1 <= "b", "train").when(h1 <= "d", "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
   }
 
   /** x53: mixture sampling to a TOKEN budget — the data-mixing step that
@@ -1013,5 +1038,5 @@ object TextQueries {
     textRepetition, dedupClusters, textTfidf, textRagChunks, textSplitAssign,
     textDecontaminate, textQuotaSample, dedupIncremental, textFreqScore,
     textTopkTokens, textEditDistance, dedupApply, recordLinkage, textMixture,
-    textPack)
+    textPack, splitLeakageSafe)
 }

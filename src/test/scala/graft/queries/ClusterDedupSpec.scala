@@ -49,4 +49,24 @@ class ClusterDedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val repSet = out.map(_._1).toSet
     repSet.size shouldBe out.length
   }
+
+  test("x55 leakage-safe split: no duplicate cluster straddles splits; x31 would leak") {
+    val out = TextQueries.splitLeakageSafe.run(spark, sf)
+      .select("doc_id", "rep", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    out.map(_._1).distinct.length shouldBe out.length // one row per doc
+    // the property the query exists for: every cluster in exactly one split
+    out.groupBy(_._2).values.foreach(c => c.map(_._3).distinct.length shouldBe 1)
+    out.map(_._3).toSet shouldBe Set("train", "val", "test")
+    // ...and the per-doc x31 assignment demonstrably leaks on this corpus:
+    // at least one multi-doc cluster gets different doc-keyed splits
+    def docSplit(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (h.head <= 'b') "train" else if (h.head <= 'd') "val" else "test"
+    }
+    val leaky = out.groupBy(_._2).values
+      .count(c => c.map(d => docSplit(d._1)).distinct.length > 1)
+    leaky should be > 0
+  }
 }
