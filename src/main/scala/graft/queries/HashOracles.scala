@@ -262,6 +262,21 @@ SELECT doc_id, rep,
        ELSE 'test' END AS split
 FROM chain ORDER BY doc_id"""
 
+  /** x58: cross-source duplication matrix — for every near-dup cluster
+    * (the x51/x55 doc→exact-rep→CC-label chain), the set of sources it
+    * touches; emit one row per source PAIR with the count of clusters
+    * spanning both. The inter-source contamination report a mixture
+    * designer reads before weighting sources. */
+  val dupSourceMatrix: String =
+    s"""$minhashCtes,
+$ccCtes,
+erep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS e_rep FROM documents),
+chain AS (SELECT e.doc_id, l.rep FROM erep e JOIN labels l ON l.doc_id = e.e_rep),
+ds AS (SELECT DISTINCT c.rep, d.source FROM chain c JOIN documents d ON d.doc_id = c.doc_id)
+SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM ds a JOIN ds b ON a.rep = b.rep AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** x52: blocked record linkage — the x03 banding chain as the BLOCKING
     * stage (shared `cand` CTE over the exact-collapsed reps), then
     * edit-distance verification over exactly those candidate pairs:

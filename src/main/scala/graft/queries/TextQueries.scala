@@ -942,6 +942,94 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** x56: deterministic shard materialization — the WRITER step that turns
+    * a filtered/deduped/mixed corpus into N training shards: shard by a
+    * content-independent hash of the id, position within the shard by the
+    * same hash, so the layout is reproducible across runs, engines, and
+    * cluster sizes AND decorrelated from crawl/source order (consecutive
+    * input docs scatter across shards — the cheap global shuffle every
+    * pretraining loader assumes). The plan IS the writer plan: ONE
+    * exchange on `shard` + an in-partition sort — exactly what
+    * `df.repartition($"shard").sortWithinPartitions($"k")` feeds a
+    * partitioned sink ([[graft.sources.Sinks]]); at 100 TB each shard is
+    * one task writing one file stream, no global sort anywhere. Hex-digit
+    * → 16 shards here; a real run raises to `substring(k, 1, 3)` (4096)
+    * with the identical plan. */
+  val corpusShards = sql(
+    "x56_corpus_shards",
+    """SELECT doc_id, shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+      |FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+      |        CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INTEGER) AS shard
+      |      FROM documents)
+      |ORDER BY shard, pos""".stripMargin) { (s, d) =>
+    val k = md5(col("doc_id").cast("string"))
+    docs(s, d)
+      .select(col("doc_id"), k.as("k"),
+        (instr(lit("0123456789abcdef"), substring(k, 1, 1)) - 1).cast("int").as("shard"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard").orderBy("k", "doc_id"))
+        .cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  /** x57: dataset datasheet — the per-source + grand-total rollup every
+    * corpus release ships (docs, tokens, chars, languages, mean length) in
+    * ONE pass via GROUPING SETS (`ROLLUP(source)`): Spark plans a single
+    * scan with partial aggregation under an Expand, so the 100 TB corpus
+    * is read once for both granularities instead of once per level. The
+    * super-aggregate row's NULL source is coalesced to 'TOTAL' in both
+    * engines. Mean is an exact-rational sum/count (cross-engine-stable),
+    * rounded to 6. */
+  val datasheetRollup = sql(
+    "x57_datasheet_rollup",
+    """SELECT COALESCE(source, 'TOTAL') AS source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  ROUND(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 6) AS mean_chars
+      |FROM documents GROUP BY ROLLUP(source) ORDER BY source""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .rollup(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        round(sum(length(col("text"))).cast("double") / count(lit(1)), 6).as("mean_chars"))
+      .select(coalesce(col("source"), lit("TOTAL")).as("source"),
+        col("n_docs"), col("n_tokens"), col("n_chars"), col("n_langs"), col("mean_chars"))
+      .orderBy("source")
+  }
+
+  /** x58: cross-source duplication matrix — which source PAIRS share
+    * near-dup clusters, and how many. The inter-source contamination
+    * report a mixture designer reads before weighting sources (two
+    * "independent" crawls sharing half their clusters are not independent
+    * evidence). Chain: the x51/x55 doc→exact-rep→CC-label chain, attach
+    * `source`, collapse to DISTINCT (cluster, source) — |clusters| ×
+    * |sources| rows, tiny at any corpus scale — then a self equi-join on
+    * the cluster rep expands per-cluster source pairs (quadratic only in
+    * the ≤ |sources| distinct sources of one cluster, never in docs). All
+    * heavy lifting is the already-proven band-join + CC plan; everything
+    * after it is dimension-table-sized. */
+  val dupSourceMatrix = sql("x58_dup_source_matrix", HashOracles.dupSourceMatrix) { (s, d) =>
+    val (_, labels) = sigsAndLabels(s, d)
+    val ds = docExactRep(docs(s, d))
+      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
+      .join(docs(s, d).select("doc_id", "source"), Seq("doc_id"))
+      .select("rep", "source")
+      .distinct()
+    ds.select(col("rep"), col("source").as("src_a"))
+      .join(ds.select(col("rep"), col("source").as("src_b")), Seq("rep"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** x53: mixture sampling to a TOKEN budget — the data-mixing step that
     * turns per-source weights ("2× src0-4, 1× the middle, ¼× src15-19")
     * into an actual training subset: each source keeps documents in a
@@ -1038,5 +1126,5 @@ object TextQueries {
     textRepetition, dedupClusters, textTfidf, textRagChunks, textSplitAssign,
     textDecontaminate, textQuotaSample, dedupIncremental, textFreqScore,
     textTopkTokens, textEditDistance, dedupApply, recordLinkage, textMixture,
-    textPack, splitLeakageSafe)
+    textPack, splitLeakageSafe, corpusShards, datasheetRollup, dupSourceMatrix)
 }

@@ -130,6 +130,33 @@ object Sinks {
     n
   }
 
+  /** Training-shard writer — the durable half of x56
+    * ([[graft.queries.TextQueries.corpusShards]]): shard by a
+    * content-independent hash of `idCol`, order within each shard by the
+    * same hash, write one directory per shard with rows in shard order.
+    * The layout a pretraining loader assumes: reproducible across runs and
+    * cluster sizes, decorrelated from input (crawl/source) order, and
+    * produced by ONE exchange + an in-partition sort — no global sort.
+    * `hexDigits` picks the fan-out (16^d shards): 1 → 16 for tests,
+    * 3 → 4096 for a 100 TB run, identical plan either way. */
+  def shardedCorpus(df: DataFrame, path: String, idCol: String,
+      hexDigits: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.{col, conv, md5, substring, upper}
+    val d = math.min(math.max(hexDigits, 1), 8)
+    val k = md5(col(idCol).cast("string"))
+    df.withColumn("__k", k)
+      .withColumn("shard", conv(upper(substring(k, 1, d)), 16, 10).cast("int"))
+      .repartition(col("shard"))
+      // shard leads the sort so the file writer's required partition-column
+      // ordering is already satisfied (no second, order-unstable sort gets
+      // inserted above the writer); __k then orders rows WITHIN each shard
+      .sortWithinPartitions("shard", "__k", idCol)
+      .drop("__k")
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(path)
+  }
+
   /** Bucketed managed table: co-locates future joins/aggregations on
     * `bucketCols` — two tables bucketed the same way join with ZERO
     * exchanges. This is the storage-layout half of the 100 TB shuffle

@@ -69,4 +69,23 @@ class ClusterDedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .count(c => c.map(d => docSplit(d._1)).distinct.length > 1)
     leaky should be > 0
   }
+
+  test("x58 dup-source matrix agrees with the x55 cluster chain; non-vacuous") {
+    // recompute the matrix independently from x55's (doc_id, rep) chain
+    // joined to the raw source column, and require the shipped corpus to
+    // actually exercise it (near-dup mutations cross sources here)
+    val chain = TextQueries.splitLeakageSafe.run(spark, sf)
+      .select("doc_id", "rep").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val src = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val bySrcs = chain.toSeq.groupBy(_._2)
+      .view.mapValues(_.map(d => src(d._1)).toSet).toMap
+    val expected = bySrcs.values.toSeq
+      .flatMap(ss => ss.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = TextQueries.dupSourceMatrix.run(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    got shouldBe expected
+    got should not be empty // vacuous-matrix guard: dups DO cross sources
+  }
 }

@@ -57,6 +57,20 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     "HashAggregate".r.findAllIn(plan).size should be >= 2 // map-side combine
   }
 
+  test("x56: shard layout is one exchange + one window, no global sort before it") {
+    val plan = planOf(TextQueries.corpusShards)
+    plan should include("Window")
+    // one shuffle for the shard partition + the final output sort only
+    "Exchange".r.findAllIn(plan).size should be <= 2
+  }
+
+  test("x57: the datasheet rollup reads the corpus ONCE (Expand grouping sets)") {
+    val plan = planOf(TextQueries.datasheetRollup)
+    plan should include("Expand") // both granularities from one scan
+    "Scan parquet".r.findAllIn(plan).size shouldBe 1
+    "HashAggregate".r.findAllIn(plan).size should be >= 2 // partial-final
+  }
+
   test("x28: the as-of enrichment plans NO join node (union+window, one shuffle)") {
     val plan = planOf(EventsQueries.asofClickView)
     plan should not include "Join" // the whole point: no inequality-join blowup

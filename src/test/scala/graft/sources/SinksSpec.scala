@@ -87,6 +87,33 @@ class SinksSpec extends AnyFunSuite with Matchers with SparkTestBase {
       Map("p0" -> 3000L, "p1" -> 3000L, "p2" -> 3000L)
   }
 
+  test("shardedCorpus writes one sorted directory per shard, reproducibly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shard-sink").toString + "/c"
+    Sinks.shardedCorpus(df, dir, "doc_id")
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe 5000L
+    // all 16 hex shards present; shard assignment matches the x56 query rule
+    val byShard = back.select(col("shard").cast("int"), col("doc_id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    byShard.map(_._1).toSet shouldBe (0 to 15).toSet
+    byShard.foreach { case (sh, id) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      sh shouldBe Integer.parseInt(h.substring(0, 1), 16)
+    }
+    // within every file, rows are in md5-key order (the loader contract)
+    val files = back.withColumn("f", input_file_name())
+      .select(col("f"), md5(col("doc_id").cast("string")).as("k")).collect()
+      .map(r => (r.getString(0), r.getString(1))).groupBy(_._1)
+    files.values.foreach { rows =>
+      val ks = rows.map(_._2).toSeq
+      ks shouldBe ks.sorted
+    }
+  }
+
   test("sortedParquet writes disjoint key ranges per file (data-skipping layout)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
