@@ -153,15 +153,22 @@ bands2 AS (SELECT doc_id, b, array_to_string(sig[4*b+1:4*b+4], ',') AS bk FROM b
     * MinHash → 8 bands of 4 → band-value equi-join → exact Jaccard on
     * candidates, ending in `jj` (doc_a, doc_b, jaccard) plus the `sig` /
     * `shset` tables the cluster stage reuses. */
-  private val minhashCtes: String =
+  /** The shared shingle→minhash→band→verify chain over any (doc_id, text)
+    * base query (ends in `jj` (doc_a, doc_b, jaccard) over the
+    * exact-collapsed reps of `base`). A def, not a val: see the `ccCtes`
+    * initialization-order note. */
+  private def minhashCtesOver(base: String): String =
     s"""WITH RECURSIVE
-reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+reps AS (SELECT min(doc_id) AS doc_id, text FROM ($base) bq GROUP BY text),
 ${sigChainCtes("reps")},
 cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
   FROM bands2 l JOIN bands2 r ON l.b = r.b AND l.bk = r.bk AND l.doc_id < r.doc_id),
 ws AS (SELECT doc_a, doc_b, p.sh AS sh_a, q.sh AS sh_b
   FROM cand JOIN shset p ON p.doc_id = doc_a JOIN shset q ON q.doc_id = doc_b),
 jj AS (SELECT doc_a, doc_b, ${jaccard("sh_a", "sh_b", "jaccard")} FROM ws)"""
+
+  private val minhashCtes: String =
+    minhashCtesOver("SELECT doc_id, text FROM documents")
 
   /** x37: incremental near-dup probe — incoming docs (doc_id ≡ 0 mod 10,
     * sketched individually, no pre-collapse) against the corpus signature
@@ -261,6 +268,32 @@ SELECT doc_id, rep,
        WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
        ELSE 'test' END AS split
 FROM chain ORDER BY doc_id"""
+
+  /** x59: end-to-end release manifest — the whole corpus-release pipeline
+    * composed: quality gate → exact collapse → near-dup CC → one surviving
+    * rep per cluster (with represented-doc counts) → cluster-keyed
+    * train/val/test split (first md5 hex digit of the rep) → shard +
+    * in-shard position (SECOND hex digit, so every split spans all 16
+    * shards and no shard mixes splits within a (split, shard) directory). */
+  val releaseManifest: String = {
+    val qualSql =
+      """SELECT doc_id, text FROM documents
+        | WHERE len(string_split_regex(trim(text), '\s+')) >= 40""".stripMargin
+    s"""${minhashCtesOver(qualSql)},
+$ccCtes,
+qual AS ($qualSql),
+erep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS e_rep FROM qual),
+chain AS (SELECT e.doc_id, l.rep FROM erep e JOIN labels l ON l.doc_id = e.e_rep),
+man AS (SELECT rep AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM chain GROUP BY rep),
+sp AS (SELECT keep_id, n_docs, md5(CAST(keep_id AS VARCHAR)) AS k FROM man)
+SELECT keep_id, n_docs,
+  CASE WHEN substring(k, 1, 1) <= 'b' THEN 'train'
+       WHEN substring(k, 1, 1) <= 'd' THEN 'val'
+       ELSE 'test' END AS split,
+  CAST(strpos('0123456789abcdef', substring(k, 2, 1)) - 1 AS INTEGER) AS shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY substring(k, 2, 1) ORDER BY k, keep_id) AS BIGINT) AS pos
+FROM sp ORDER BY shard, pos"""
+  }
 
   /** x58: cross-source duplication matrix — for every near-dup cluster
     * (the x51/x55 doc→exact-rep→CC-label chain), the set of sources it

@@ -512,8 +512,13 @@ object TextQueries {
     * boundary), verified pairs, and the hash-min CC labels over them — ONE
     * definition so the threshold and the closure can never drift between
     * the cluster view and the apply step. */
-  private def sigsAndLabels(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val sigs = minhashSignatures(s, d).localCheckpoint(eager = false)
+  private def sigsAndLabels(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    sigsAndLabelsOf(docs(s, d))
+
+  /** Same over any (doc_id, text) frame — x59 runs it on the
+    * quality-gated subset. */
+  private def sigsAndLabelsOf(dd: DataFrame): (DataFrame, DataFrame) = {
+    val sigs = minhashSignaturesOf(dd).localCheckpoint(eager = false)
     val pairs = minhashPairs(sigs).select("doc_a", "doc_b")
       .localCheckpoint(eager = false)
     (sigs, connectedReps(sigs.select("doc_id"), pairs))
@@ -1030,6 +1035,45 @@ object TextQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x59: end-to-end RELEASE MANIFEST — the whole corpus-release pipeline
+    * as ONE declarative plan, composed from stages each already
+    * hash-proven in isolation: quality gate (x06/x07's token counting) →
+    * exact collapse (x01's 16-byte hash-keyed shuffle) → near-dup CC
+    * (x03's band join + x26's fixpoint) → one surviving rep per cluster
+    * with represented-doc counts (x51) → cluster-keyed train/val/test
+    * split (x55's rule, first md5 hex digit of the rep) → shard +
+    * in-shard position (x56's rule on the SECOND hex digit, so every
+    * split spans all 16 shards and no shard mixes splits). The output is
+    * what a `Sinks.shardedCorpus`-style writer partitioned by
+    * (split, shard) materializes as the training corpus.
+    *
+    * Catalyst sees the full composition, so the quality gate prunes rows
+    * BEFORE any shingling/banding work — at 100 TB the most expensive
+    * stages (sketch + band join) only ever run on the surviving subset,
+    * which is the reason to compose declaratively instead of chaining
+    * materialized steps. */
+  val releaseManifest = sql("x59_release_manifest", HashOracles.releaseManifest) { (s, d) =>
+    val qual = docs(s, d)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 40)
+      .select("doc_id", "text")
+    val (_, labels) = sigsAndLabelsOf(qual)
+    val man = docExactRep(qual)
+      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
+      .groupBy(col("rep").as("keep_id"))
+      .agg(count(lit(1)).as("n_docs"))
+    val h1 = substring(col("k"), 1, 1)
+    man.withColumn("k", md5(col("keep_id").cast("string")))
+      .withColumn("split",
+        when(h1 <= "b", "train").when(h1 <= "d", "val").otherwise("test"))
+      .withColumn("shard",
+        (instr(lit("0123456789abcdef"), substring(col("k"), 2, 1)) - 1).cast("int"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard").orderBy("k", "keep_id"))
+        .cast("long"))
+      .select("keep_id", "n_docs", "split", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
   /** x53: mixture sampling to a TOKEN budget — the data-mixing step that
     * turns per-source weights ("2× src0-4, 1× the middle, ¼× src15-19")
     * into an actual training subset: each source keeps documents in a
@@ -1126,5 +1170,6 @@ object TextQueries {
     textRepetition, dedupClusters, textTfidf, textRagChunks, textSplitAssign,
     textDecontaminate, textQuotaSample, dedupIncremental, textFreqScore,
     textTopkTokens, textEditDistance, dedupApply, recordLinkage, textMixture,
-    textPack, splitLeakageSafe, corpusShards, datasheetRollup, dupSourceMatrix)
+    textPack, splitLeakageSafe, corpusShards, datasheetRollup, dupSourceMatrix,
+    releaseManifest)
 }

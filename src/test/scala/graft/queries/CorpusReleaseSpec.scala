@@ -33,6 +33,31 @@ class CorpusReleaseSpec extends AnyFunSuite with Matchers with SparkTestBase {
     ids.map(byDoc).distinct.length should be > 4
   }
 
+  test("x59 release manifest: accounts for every gate-passing doc, dedups, splits, shards") {
+    import org.apache.spark.sql.functions.{col, split, trim, size => asize}
+    val out = TextQueries.releaseManifest.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3), r.getLong(4)))
+    val nQual = graft.Tables.documents(spark, sf)
+      .filter(asize(split(trim(col("text")), "\\s+")) >= 40).count()
+    nQual should be < 500L // the gate actually drops docs on the shipped corpus
+    out.map(_._2).sum shouldBe nQual // every surviving doc represented exactly once
+    out.length.toLong should be < nQual // ...and the dedup stage actually collapses
+    out.map(_._1).distinct.length shouldBe out.length
+    // split = first md5 hex digit of the rep, shard = second: recompute per row
+    def hex(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    out.foreach { case (id, _, split, shard, _) =>
+      val h = hex(id)
+      split shouldBe (if (h.head <= 'b') "train" else if (h.head <= 'd') "val" else "test")
+      shard shouldBe Integer.parseInt(h.substring(1, 2), 16)
+    }
+    out.map(_._3).toSet shouldBe Set("train", "val", "test")
+    out.map(_._4).toSet shouldBe (0 to 15).toSet // every split spans all shards overall
+    out.groupBy(_._4).values.foreach { s => // contiguous loader positions per shard
+      s.map(_._5).sorted shouldBe (1L to s.length.toLong)
+    }
+  }
+
   test("x57 datasheet: TOTAL row is the exact sum/rollup of the source rows") {
     val rows = TextQueries.datasheetRollup.run(spark, sf).collect()
     val (total, per) = rows.partition(_.getString(0) == "TOTAL")
