@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{ChunkHashes, DotProduct, MinHashSignature, ShingleHashes, SimHash64, TokenStats}
+import graft.functions.{ChunkHashes, DotProduct, MinHashSignature, ShingleHashes, ShinglePosHashes, SimHash64, TokenStats}
 
 /** SparkSessionExtensions registering the engine's native expressions, so
   * they are callable from SQL and `expr(...)` alike:
@@ -12,6 +12,7 @@ import graft.functions.{ChunkHashes, DotProduct, MinHashSignature, ShingleHashes
   *   spark.sql.extensions=graft.GraftExtensions    (or builder.withExtensions)
   *
   *   graft_shingles(text, n)  → ARRAY<BIGINT> distinct n-gram shingle hashes
+  *   graft_shingle_pos(text, n) → ARRAY<BIGINT> window hashes, position order
   *   graft_minhash(hashes, k) → ARRAY<BIGINT> MinHash signature
   *   graft_simhash(hashes)    → BIGINT 64-bit SimHash
   *   graft_chunks(text, b, m) → ARRAY<BIGINT> content-defined chunk hashes
@@ -33,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(text, n) => ShingleHashes(text, intLit(n, "shingle width"))
         case _ => throw new IllegalArgumentException("graft_shingles(text, n)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_pos"),
+      new ExpressionInfo(classOf[ShinglePosHashes].getName, "graft_shingle_pos"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, n) => ShinglePosHashes(text, intLit(n, "shingle width"))
+        case _ => throw new IllegalArgumentException("graft_shingle_pos(text, n)")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),

@@ -37,10 +37,11 @@ object TextHashes {
     mix64(h)
   }
 
-  /** Distinct hashes of all whitespace-token n-grams of `text` (the trailing
-    * sub-n shingle kept for docs shorter than n tokens), sorted ascending. */
-  def shingleData(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString
+  /** Hash of the n-token window starting at each token position (element k =
+    * window k, trailing sub-n windows kept), NOT sorted or deduplicated —
+    * the shared core of `shingleData` (which sorts + dedups it) and
+    * `shinglePosData` (which exposes it positionally). */
+  private def windowHashes(s: String, n: Int): Array[Long] = {
     // token boundaries (single-space tokenizer, matching split(text, ' '))
     var tokStarts = new Array[Int](16)
     var tokEnds = new Array[Int](16)
@@ -71,12 +72,29 @@ object TextHashes {
       out(k) = h
       k += 1
     }
+    out
+  }
+
+  /** Distinct hashes of all whitespace-token n-grams of `text` (the trailing
+    * sub-n shingle kept for docs shorter than n tokens), sorted ascending. */
+  def shingleData(text: UTF8String, n: Int): ArrayData = {
+    val out = windowHashes(text.toString, n)
+    val m = out.length
     java.util.Arrays.sort(out)
     var w = 0
     var r = 0
     while (r < m) { if (r == 0 || out(r) != out(r - 1)) { out(w) = out(r); w += 1 }; r += 1 }
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
+
+  /** POSITION-ordered window hashes: identical arithmetic to `shingleData`
+    * (same `windowHashes` core) but element k is the hash of the window
+    * starting at token k (0-based), NOT sorted and NOT deduplicated — so
+    * `posexplode` recovers (position, hash) pairs for span-level transforms
+    * (x61's substring cut). Invariant (spec-pinned):
+    * sortedDistinct(shinglePosData) == shingleData. */
+  def shinglePosData(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(windowHashes(text.toString, n))
 
   /** k-permutation MinHash signature over a hash set (one loop, k mins). */
   def minhashData(hashes: ArrayData, k: Int): ArrayData = {
@@ -212,6 +230,23 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "graft_shingles"
+}
+
+/** `graft_shingle_pos(text, n)` → ARRAY<BIGINT> window hashes in POSITION
+  * order (element k = window starting at token k; not sorted, not deduped). */
+case class ShinglePosHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"graft_shingle_pos needs STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.shinglePosData(input.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.shinglePosData($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShinglePosHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_pos"
 }
 
 /** `graft_chunks(text, maskBits, minLen)` → sorted distinct ARRAY<BIGINT>

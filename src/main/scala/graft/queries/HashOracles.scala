@@ -128,6 +128,84 @@ shset AS (SELECT doc_id, list(DISTINCT ${signed("h")}) AS sh FROM sd GROUP BY do
 shsetu AS (SELECT doc_id, list(DISTINCT h) AS shu FROM sd GROUP BY doc_id)"""
   }
 
+  /** Generalized n-token window-hash chain (TextHashes.shingleData semantics
+    * for ARBITRARY n): h = th[k]; then chained mix64(h ^ (th[k+j] + j·golden))
+    * for j = 1..n-1, with the trailing sub-n window kept (NULL-guarded xor →
+    * carry h through unmixed). Ends in `wset` (doc_id, h) — the DISTINCT
+    * per-doc window hashes, unsigned HUGEINT. The n = 3 chain above
+    * (`shingleCtes`) stays hand-written: x03-x05's oracle text is pinned by
+    * six green rounds and this builder must not perturb it. */
+  private def windowChainCtes(src: String, n: Int): String = {
+    val golden = BigInt("9e3779b97f4a7c15", 16)
+    val m64 = BigInt(1) << 64
+    val sb = new StringBuilder
+    sb ++= s"""${tokenHashCtes(src)},
+tharr AS (SELECT doc_id, list(h ORDER BY pos) AS th, len(list(h)) AS n FROM th_e GROUP BY doc_id),
+wk AS (SELECT doc_id, th, n, unnest(range(1, greatest(n-${n - 1}, 1)+1)) AS k FROM tharr),
+ws0 AS (SELECT doc_id, th, n, k, th[k] AS h FROM wk)"""
+    var cur = "ws0"
+    for (j <- 1 until n) {
+      val gj = (golden * j) % m64
+      sb ++= s""",
+wx$j AS (SELECT doc_id, th, n, k,
+  CASE WHEN k+$j <= n THEN xor(h, (th[k+$j] + $gj::HUGEINT) % $M64) ELSE NULL END AS x,
+  h FROM $cur)"""
+      val (mx, fin) = mix64Stages(s"wm$j", s"wx$j", Seq("doc_id", "th", "n", "k", "x", "h"), "x", "mh")
+      sb ++= mx
+      sb ++= s""",
+ws$j AS (SELECT doc_id, th, n, k, CASE WHEN x IS NULL THEN h ELSE mh END AS h FROM $fin)"""
+      cur = s"ws$j"
+    }
+    sb ++= s""",
+wpos AS (SELECT doc_id, n, k, h FROM $cur),
+wset AS (SELECT DISTINCT doc_id, h FROM wpos)"""
+    sb.toString
+  }
+
+  /** x60: substring-level duplication stats — for every doc, how many of its
+    * distinct 8-token windows also occur in at least one OTHER doc (the
+    * Lee et al. exact-substring-dedup diagnostic). Window hash = the
+    * engine's n = 8 shingle chain, replicated bit-exactly; a window is
+    * "duplicated" iff its hash is held by ≥ 2 docs (per-doc-distinct rows,
+    * so COUNT(*) per hash = holder count). */
+  val substringDup: String =
+    s"""WITH RECURSIVE
+${windowChainCtes("documents", 8)},
+wcnt AS (SELECT h, COUNT(*) AS nd FROM wset GROUP BY h),
+per AS (SELECT w.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_win,
+    CAST(COUNT(*) FILTER (WHERE c.nd >= 2) AS BIGINT) AS dup_win
+  FROM wset w JOIN wcnt c ON c.h = w.h GROUP BY w.doc_id)
+SELECT doc_id, n_win, dup_win,
+  ROUND(CAST(dup_win AS DOUBLE) / n_win, 6) AS dup_frac
+FROM per ORDER BY doc_id"""
+
+  /** x61: exact-substring dedup CUT (the Lee et al. TRANSFORM, not just the
+    * diagnostic): every 8-token window is "owned" by the LOWEST doc_id
+    * holding it; in any other doc the tokens it covers are cut, and the
+    * kept tokens are reassembled in order. First-occurrence-wins keeps one
+    * copy of every duplicated span corpus-wide; intra-doc repetition is NOT
+    * cut (a doc owns its own windows — that's x25's metric, not dedup).
+    * Position arithmetic: 1-based window k covers tokens k..min(k+7, n). */
+  val substringCut: String =
+    s"""WITH RECURSIVE
+${windowChainCtes("documents", 8)},
+own AS (SELECT h, MIN(doc_id) AS owner FROM wpos GROUP BY h),
+cutp AS (SELECT DISTINCT doc_id, p FROM (
+    SELECT w.doc_id, unnest(range(w.k, least(w.k+8, w.n+1))) AS p
+    FROM wpos w JOIN own o ON o.h = w.h WHERE o.owner < w.doc_id) q),
+kept AS (SELECT t2.doc_id, t2.pos, t2.tk
+  FROM tok2 t2 LEFT JOIN cutp c ON c.doc_id = t2.doc_id AND c.p = t2.pos
+  WHERE c.p IS NULL),
+ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+    string_agg(tk, ' ' ORDER BY pos) AS text_kept
+  FROM kept GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+  CAST(b.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_cut,
+  COALESCE(k.text_kept, '') AS text_kept
+FROM tharr b LEFT JOIN ka k ON k.doc_id = b.doc_id
+ORDER BY b.doc_id"""
+
   /** Shingle sets + 32-hash MinHash signatures + 8×4 band keys for any
     * (doc_id, text) CTE `src`: ends in `shset` (exact-check sets), `sig`
     * (signatures), `bands2` (doc_id, b, bk band keys). Source-agnostic so

@@ -1074,6 +1074,79 @@ object TextQueries {
       .orderBy("shard", "pos")
   }
 
+  /** x60: SUBSTRING-level duplication stats — the Lee et al. ("Deduplicating
+    * Training Data Makes Language Models Better") diagnostic that cluster-
+    * level dedup (x03/x26) can't see: for every doc, the fraction of its
+    * distinct 8-token windows that also occur in at least one OTHER doc.
+    * Near-dup docs share long spans, so the planted dup clusters make this
+    * non-vacuous on the shipped corpus (spec-pinned).
+    *
+    * Window hash = `graft_shingles(text, 8)` — the same codegen'd chained-
+    * mix64 kernel the 3-token Jaccard shingles use, so a window never
+    * materializes as a string: each doc emits 8-byte hashes in one pass.
+    * At 100 TB the plan is two exchanges on that 8-byte key: the per-window
+    * holder count is a groupBy (map-side partial aggregation collapses
+    * boilerplate-hot windows before the shuffle), and the join back to the
+    * per-doc window rows is an equi-join AQE can skew-split — deliberately
+    * NOT a `count over (partition by h)` window, which would funnel every
+    * occurrence of a hot boilerplate window through one task with no
+    * partial-agg relief. */
+  val substringDup = sql("x60_substring_dup", HashOracles.substringDup) { (s, d) =>
+    val win = docs(s, d)
+      .select(col("doc_id"), explode(expr("graft_shingles(text, 8)")).as("h"))
+    val holders = win.groupBy("h").agg(count(lit(1)).as("nd"))
+    win.join(holders, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_win"))
+      .withColumn("dup_frac", round(col("dup_win") / col("n_win"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** x61: exact-substring dedup CUT — the TRANSFORM x60 only diagnoses
+    * (Lee et al.'s ExactSubstr dedup, first-occurrence-wins): every 8-token
+    * window is owned by the LOWEST doc_id holding it; in every other doc
+    * the tokens that window covers are cut, and the survivors reassemble in
+    * order. Intra-doc repetition is deliberately NOT cut (a doc owns its
+    * own windows — x25 measures that); a doc that is entirely someone
+    * else's text comes back EMPTY, which is the correct release-corpus
+    * outcome for the non-owner of a full duplicate.
+    *
+    * `graft_shingle_pos(text, 8)` (position-ordered variant of the
+    * shingle kernel) lets `posexplode` recover (window, hash) pairs with
+    * no window string ever materializing. Owner resolution is a groupBy-min
+    * on the 8-byte hash (map-side combine absorbs hot windows) and the
+    * cut-position set joins back per (doc, pos) — all equi-joins; the only
+    * per-doc materialization is the final ordered reassembly of KEPT
+    * tokens, which is the operator's output by definition. */
+  val substringCut = sql("x61_substring_cut", HashOracles.substringCut) { (s, d) =>
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val toks = base
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "tk")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tk"))
+    val wins = base
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"),
+        posexplode(expr("graft_shingle_pos(text, 8)")).as(Seq("k0", "h")))
+    val owners = wins.groupBy("h").agg(min("doc_id").as("owner"))
+    val cut = wins.join(owners, Seq("h"))
+      .filter(col("owner") < col("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("k0") + 1, least(col("k0") + lit(8), col("n")))).as("p"))
+      .distinct()
+    val kept = toks.join(cut,
+      toks("doc_id") === cut("doc_id") && toks("pos") === cut("p"), "left_anti")
+    val ka = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      expr("array_join(transform(array_sort(collect_list(struct(pos, tk))), s -> s.tk), ' ')")
+        .as("kept_text"))
+    base.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(ka, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        coalesce(col("kept_text"), lit("")).as("text_kept"))
+      .orderBy("doc_id")
+  }
+
   /** x53: mixture sampling to a TOKEN budget — the data-mixing step that
     * turns per-source weights ("2× src0-4, 1× the middle, ¼× src15-19")
     * into an actual training subset: each source keeps documents in a
@@ -1171,5 +1244,5 @@ object TextQueries {
     textDecontaminate, textQuotaSample, dedupIncremental, textFreqScore,
     textTopkTokens, textEditDistance, dedupApply, recordLinkage, textMixture,
     textPack, splitLeakageSafe, corpusShards, datasheetRollup, dupSourceMatrix,
-    releaseManifest)
+    releaseManifest, substringDup, substringCut)
 }

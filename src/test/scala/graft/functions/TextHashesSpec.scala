@@ -122,4 +122,23 @@ class TextHashesSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .selectExpr("graft_shingles(text, 3) AS sh").collect()(0)
     r.isNullAt(0) shouldBe true
   }
+
+  test("graft_shingle_pos: position order, and sorted-distinct ≡ graft_shingles") {
+    import spark.implicits._
+    val texts = Seq("a b c d e f g h i j", "a b a b a b a b a b", "x", "a b c")
+    val rows = texts.toDF("text")
+      .selectExpr("graft_shingle_pos(text, 8) AS wp", "graft_shingles(text, 8) AS ws",
+        "size(split(text, ' ')) AS n")
+      .collect()
+    rows.foreach { r =>
+      val wp = r.getSeq[Long](0)
+      val ws = r.getSeq[Long](1)
+      val n = r.getInt(2)
+      wp.length shouldBe math.max(n - 7, 1) // one entry per window POSITION
+      wp.distinct.sorted shouldBe ws // the pinned invariant
+    }
+    // repetitive doc: positional form keeps the duplicates shingleData drops
+    val rep = rows(1)
+    rep.getSeq[Long](0).distinct.length should be < rep.getSeq[Long](0).length
+  }
 }

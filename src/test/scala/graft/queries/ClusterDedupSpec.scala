@@ -88,4 +88,66 @@ class ClusterDedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     got shouldBe expected
     got should not be empty // vacuous-matrix guard: dups DO cross sources
   }
+
+  test("x60 substring dup stats ≡ driver-side STRING-window recomputation (all docs)") {
+    val out = TextQueries.substringDup.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.length shouldBe 500 // one row per doc, nothing dropped by the joins
+    // independent oracle: the same window semantics on raw STRINGS (no
+    // hashing at all) computed in local Scala — a 64-bit collision in the
+    // engine's window hash would fail this loudly
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val winsByDoc: Map[Long, Set[String]] = texts.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val m = math.max(toks.length - 7, 1)
+      id -> (0 until m).map(k => toks.slice(k, math.min(k + 8, toks.length)).mkString(" ")).toSet
+    }.toMap
+    val holders = winsByDoc.toSeq.flatMap { case (id, ws) => ws.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    out.foreach { case (id, nWin, dupWin, frac) =>
+      val ws = winsByDoc(id)
+      nWin shouldBe ws.size.toLong
+      dupWin shouldBe ws.count(w => holders(w) >= 2).toLong
+      frac shouldBe (math.rint(dupWin.toDouble / nWin * 1e6) / 1e6)
+    }
+    // the stat discriminates on the shipped corpus, not saturates: fully
+    // duplicated docs, PARTIAL overlaps (what cluster dedup can't see),
+    // and a clean majority all present
+    out.count(_._4 == 1.0) should be > 0
+    out.count { case (_, _, _, f) => f > 0.0 && f < 1.0 } should be > 0
+    out.count(_._4 == 0.0) should be > 300
+  }
+
+  test("x61 substring cut ≡ driver-side STRING-window recomputation (all docs)") {
+    val out = TextQueries.substringCut.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    out.length shouldBe 500
+    // independent oracle on raw STRINGS: windows → min-doc owner → cut
+    // spans → ordered reassembly, no hashing anywhere
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val winLists: Map[Long, Seq[(Int, String)]] = texts.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val m = math.max(toks.length - 7, 1)
+      id -> (0 until m).map(k => k -> toks.slice(k, math.min(k + 8, toks.length)).mkString(" "))
+    }.toMap
+    val owner: Map[String, Long] = winLists.toSeq
+      .flatMap { case (id, ws) => ws.map { case (_, w) => w -> id } }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = texts.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val cutPos = winLists(id).collect {
+        case (k, w) if owner(w) < id => k until math.min(k + 8, toks.length)
+      }.flatten.toSet
+      val keptToks = toks.indices.filterNot(cutPos).map(toks)
+      (id, toks.length.toLong, cutPos.size.toLong, keptToks.mkString(" "))
+    }.sortBy(_._1)
+    out.toSeq shouldBe expected.toSeq
+    // non-vacuity: full cuts (non-owner of a complete dup), partial cuts,
+    // and an untouched majority all present on the shipped corpus
+    out.count { case (_, n, c, t) => c == n && t.isEmpty } should be > 0
+    out.count { case (_, n, c, _) => c > 0 && c < n } should be > 0
+    out.count(_._3 == 0L) should be > 300
+  }
 }

@@ -224,4 +224,18 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
       got.toSeq shouldBe Seq((1.0, 2.0), (2.0, 4.5), (5.0, 6.0))
     }
   }
+
+  test("x60: holder counts via partial-final groupBy + equi-join, never a per-hash window") {
+    val plan = planOf(TextQueries.substringDup)
+    // a `count over (partition by h)` would funnel every occurrence of a
+    // boilerplate-hot window through one task with no map-side relief; the
+    // groupBy gets partial aggregation and the join back is AQE-splittable
+    plan should not include "windowspecdefinition(h#"
+    plan should include("partial_count")
+    plan should not include "CartesianProduct"
+    // window strings never exist in the plan: only the 8-byte hash column
+    plan should not include "substring"
+    // explode → groupBy(h) → join(h) → groupBy(doc_id) → output sort
+    "Exchange".r.findAllIn(plan).size should be <= 4
+  }
 }
