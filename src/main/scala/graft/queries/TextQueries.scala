@@ -805,6 +805,54 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** x62: bigram-LM document score — the perplexity-filter analog (CCNet /
+    * Dolma gate docs on an n-gram LM; KenLM in production): a bigram model
+    * is fit on the corpus itself and every doc scored by its mean
+    * transition probability P(w_i | w_{i-1}) = c(w1,w2) / c(w1·).
+    * Fluent/templated text scores high, shuffled-gibberish low. ln-free by
+    * design (the x27/x40 lesson — cross-engine last-ulp), and the mean is
+    * NOT a float sum: each transition probability is floored to 1e-6
+    * fixed-point FIRST (floor, not cast — DuckDB CAST rounds, Spark cast
+    * truncates), so the aggregate sums BIGINTs in any order and the only
+    * float ops are per-row exact-rounded divisions. The final
+    * sum/n/1e6 is two deterministic divisions, then ROUND 6.
+    *
+    * Scale shape: bigram instances shuffle once to build c(w1,w2)
+    * (map-side combine absorbs the Zipf head) and once more for the
+    * count join; the CONTEXT totals c(w1·) are unigram-vocabulary-sized
+    * and broadcast, so the instance side shuffles only on (w1, w2). At
+    * vocabularies beyond broadcast size the context join degrades to the
+    * same shuffle as the pair join — semantics unchanged. */
+  val textLmScore = sql(
+    "x62_text_lm_score",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bgk AS (SELECT doc_id, unnest(range(2, len(toks)+1)) AS i, toks FROM t),
+      |bg AS (SELECT doc_id, toks[i-1] AS w1, toks[i] AS w2 FROM bgk),
+      |cpair AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+      |cctx AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+      |px AS (SELECT bg.doc_id,
+      |    CAST(FLOOR(CAST(c2 AS DOUBLE) / c1 * 1000000) AS BIGINT) AS f
+      |  FROM bg JOIN cpair USING (w1, w2) JOIN cctx USING (w1))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+      |  ROUND(CAST(SUM(f) AS DOUBLE) / COUNT(*) / 1000000, 6) AS lm_score
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val bg = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2) // DuckDB range(2,2) is empty; Spark sequence(2,1) would DESCEND
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS w1, toks[i-1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cpair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cctx = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg.join(cpair, Seq("w1", "w2"))
+      .join(broadcast(cctx), Seq("w1"))
+      .withColumn("f", floor(col("c2").cast("double") / col("c1") * 1e6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"),
+        round(sum("f").cast("double") / count(lit(1)) / 1e6, 6).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   /** x42: per-language top-5 tokens via the Misra-Gries heavy-hitters
     * aggregator (`functions.HeavyHitters`) — the bounded-state path for
     * "top tokens per group" at 100 TB, where the exact plan shuffles the
@@ -1244,5 +1292,5 @@ object TextQueries {
     textDecontaminate, textQuotaSample, dedupIncremental, textFreqScore,
     textTopkTokens, textEditDistance, dedupApply, recordLinkage, textMixture,
     textPack, splitLeakageSafe, corpusShards, datasheetRollup, dupSourceMatrix,
-    releaseManifest, substringDup, substringCut)
+    releaseManifest, substringDup, substringCut, textLmScore)
 }

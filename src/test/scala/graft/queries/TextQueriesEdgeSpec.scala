@@ -61,4 +61,29 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     keyed shouldBe naive
     keyed should not be empty
   }
+
+  test("x62 lm score ≡ driver-side bigram-model recomputation; discriminates") {
+    val sf = "/root/testdata/sf0.01"
+    val out = TextQueries.textLmScore.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val bigrams = texts.flatMap { case (id, t) =>
+      val w = t.split(" ", -1); w.indices.drop(1).map(i => (id, w(i - 1), w(i)))
+    }
+    val c2 = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.length.toLong).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val fs = bs.map { case (_, w1, w2) =>
+        math.floor(c2((w1, w2)).toDouble / c1(w1) * 1e6).toLong
+      }
+      (id, bs.length.toLong,
+        BigDecimal(fs.sum.toDouble / bs.length / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    out.toSeq shouldBe expected
+    out.length shouldBe 500
+    // the score separates docs (a constant score would gate nothing)
+    out.map(_._3).distinct.length should be > 100
+  }
 }
