@@ -135,6 +135,21 @@ object DedupSoak {
         corpusSigs, threshold = 0.5).count()
     }
     calibration += Bench.calibrate(spark)
+    // substring-level stages at the same corpus: x60 diagnostic and x61 cut
+    // transform. The planted copies+chain mass makes both non-vacuous (every
+    // copy's windows duplicate; chain docs overlap partially), and the
+    // window explode is ~nTok rows/doc — these rows prove the 8-byte-key
+    // exchange plans stay linear where a hot-key or n² plan would blow up.
+    val (tSubDup, nSubDupDocs) = time {
+      TextQueries.substringDupOf(docs).filter(col("dup_win") > 0).count()
+    }
+    // sum(length) forces the ordered reassembly of text_kept — the cut's
+    // actual output — which a bare count() would let Catalyst prune
+    val (tSubCut, subCutTokens) = time {
+      TextQueries.substringCutOf(docs)
+        .agg(sum(length(col("text_kept"))), sum("n_cut")).head().getLong(1)
+    }
+    calibration += Bench.calibrate(spark)
     val heapGb = Runtime.getRuntime.maxMemory() / (1L << 30)
     val calib = calibration.map(c => // Locale.ROOT: comma-decimal hosts would emit invalid JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(c))).mkString("[", ",", "]")
@@ -145,6 +160,8 @@ object DedupSoak {
       s""""probe_hits":$nProbeHits,"probe_sec":$tProbe,""" +
       s""""band_build_sec":$tBandBuild,"probe_bucketed_hits":$nProbeBucketedHits,""" +
       s""""probe_bucketed_sec":$tProbeBucketed,""" +
+      s""""sub_dup_docs":$nSubDupDocs,"sub_dup_sec":$tSubDup,""" +
+      s""""sub_cut_tokens":$subCutTokens,"sub_cut_sec":$tSubCut,""" +
       s""""calibration_sec":$calib}""")
     spark.stop()
   }

@@ -853,6 +853,40 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** x63: BPE first-merge pair counts — the tokenizer-induction step: count
+    * adjacent CHARACTER pairs across the corpus and rank the merge
+    * candidates (what the first iteration of byte-pair encoding computes).
+    * The classic BPE trick IS the scale story: aggregate to the
+    * word-frequency table first (vocabulary-sized, map-side combined), then
+    * expand each DISTINCT word into its pairs weighted by its count — the
+    * pair expansion runs over the vocabulary, never the corpus. The final
+    * rank runs on a table bounded by |alphabet|² rows, so the global
+    * window is a non-issue at any corpus size. Deterministic tie-break
+    * (count desc, pair asc); 1-char words contribute no pairs. */
+  val bpePairs = sql(
+    "x63_bpe_pairs",
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |wc AS (SELECT word, COUNT(*) AS wcnt FROM w GROUP BY word),
+      |pr AS (SELECT substring(word, i, 2) AS pair, wcnt FROM
+      |  (SELECT word, wcnt, unnest(range(1, length(word))) AS i FROM wc) q),
+      |pc AS (SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM pr GROUP BY pair)
+      |SELECT pair, cnt,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INTEGER) AS rk
+      |FROM pc ORDER BY rk LIMIT 20""".stripMargin) { (s, d) =>
+    val wc = docs(s, d).select(explode(tokens).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcnt"))
+    val pairs = wc
+      .filter(length(col("word")) >= 2) // DuckDB range(1,1) is empty; Spark sequence(1,0) would DESCEND
+      .select(col("wcnt"), explode(expr(
+        "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))")).as("pair"))
+    pairs.groupBy("pair").agg(sum("wcnt").as("cnt"))
+      .select(col("pair"), col("cnt"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("pair"))).cast("int").as("rk"))
+      .filter(col("rk") <= 20)
+      .orderBy("rk")
+  }
+
   /** x42: per-language top-5 tokens via the Misra-Gries heavy-hitters
     * aggregator (`functions.HeavyHitters`) — the bounded-state path for
     * "top tokens per group" at 100 TB, where the exact plan shuffles the
@@ -1140,7 +1174,12 @@ object TextQueries {
     * occurrence of a hot boilerplate window through one task with no
     * partial-agg relief. */
   val substringDup = sql("x60_substring_dup", HashOracles.substringDup) { (s, d) =>
-    val win = docs(s, d)
+    substringDupOf(docs(s, d))
+  }
+
+  /** x60's body over any (doc_id, text) frame — DedupSoak scales it. */
+  def substringDupOf(dd: DataFrame): DataFrame = {
+    val win = dd
       .select(col("doc_id"), explode(expr("graft_shingles(text, 8)")).as("h"))
     val holders = win.groupBy("h").agg(count(lit(1)).as("nd"))
     win.join(holders, Seq("h"))
@@ -1168,7 +1207,12 @@ object TextQueries {
     * per-doc materialization is the final ordered reassembly of KEPT
     * tokens, which is the operator's output by definition. */
   val substringCut = sql("x61_substring_cut", HashOracles.substringCut) { (s, d) =>
-    val base = docs(s, d).select(col("doc_id"), col("text"))
+    substringCutOf(docs(s, d))
+  }
+
+  /** x61's body over any (doc_id, text) frame — DedupSoak scales it. */
+  def substringCutOf(dd: DataFrame): DataFrame = {
+    val base = dd.select(col("doc_id"), col("text"))
     val toks = base
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "tk")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tk"))
@@ -1292,5 +1336,5 @@ object TextQueries {
     textDecontaminate, textQuotaSample, dedupIncremental, textFreqScore,
     textTopkTokens, textEditDistance, dedupApply, recordLinkage, textMixture,
     textPack, splitLeakageSafe, corpusShards, datasheetRollup, dupSourceMatrix,
-    releaseManifest, substringDup, substringCut, textLmScore)
+    releaseManifest, substringDup, substringCut, textLmScore, bpePairs)
 }

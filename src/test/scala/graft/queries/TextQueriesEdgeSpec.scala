@@ -86,4 +86,21 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // the score separates docs (a constant score would gate nothing)
     out.map(_._3).distinct.length should be > 100
   }
+
+  test("x63 bpe pairs ≡ driver-side recomputation over the word-frequency table") {
+    val sf = "/root/testdata/sf0.01"
+    val out = TextQueries.bpePairs.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val words = graft.Tables.documents(spark, sf)
+      .select("text").collect().flatMap(_.getString(0).split(" ", -1))
+    val wc = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pc = wc.toSeq.flatMap { case (w, c) =>
+      (0 until w.length - 1).map(i => w.substring(i, i + 2) -> c)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expected = pc.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+      .zipWithIndex.map { case ((p, c), i) => (p, c, i + 1) }
+    out.toSeq shouldBe expected
+    out.length shouldBe 20
+    out.map(_._2).toSeq.sliding(2).foreach { w => w.head should be >= w.last }
+  }
 }
