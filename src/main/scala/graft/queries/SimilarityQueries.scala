@@ -294,13 +294,18 @@ object SimilarityQueries {
     * graft_dot per centroid instead of a zip_with squared-distance fold.
     * (score, cell) structs → sort_array → slice → the same expression
     * assigns corpus rows (k=1) and query probes (k=nProbe). */
+  /** The n nearest centroid cells of `e` by the IVF score |c|² − 2·x·c,
+    * as a codegen'd expression over literal centroids — shared by the x17
+    * probe and the x65 cell rollup so both assign identically. */
+  private def nearestCellsBy(centroids: Seq[Seq[Double]])(e: Column, n: Int): Column = slice(
+    sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
+      val cNormSq = c.map(x => x * x).sum
+      struct((lit(cNormSq) - lit(2.0) * dot(e, typedLit(c))).as("d"), lit(i).as("cell"))
+    }: _*)), 1, n)("cell")
+
   def ivfTopkOf(emb: DataFrame, centroids: Seq[Seq[Double]], nProbe: Int,
       isQuery: Column, k: Int = 5): DataFrame = {
-    def nearestCells(e: Column, n: Int): Column = slice(
-      sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
-        val cNormSq = c.map(x => x * x).sum
-        struct((lit(cNormSq) - lit(2.0) * dot(e, typedLit(c))).as("d"), lit(i).as("cell"))
-      }: _*)), 1, n)("cell")
+    val nearestCells = nearestCellsBy(centroids) _
 
     val corpus = emb.withColumn("cell", element_at(nearestCells(col("embedding"), 1), 1))
     val queries = emb.filter(isQuery)
@@ -331,11 +336,14 @@ object SimilarityQueries {
   private def fmtD(x: Double): String =
     String.format(java.util.Locale.ROOT, "%.17e", Double.box(x))
   private val x17NProbe = 8
+  /** The pinned centroids as a DuckDB VALUES table (cell, |c|², centroid) —
+    * shared by the x17 and x65 oracles so both replicate the same index. */
+  private lazy val ivfCtRows: String = IvfPinned.centroids.zipWithIndex.map { case (c, i) =>
+    val cn2 = c.map(x => x * x).sum
+    s"($i, ${fmtD(cn2)}, ${c.map(fmtD).mkString("[", ",", "]")})"
+  }.mkString(",\n")
   private val x17Oracle: String = {
-    val rows = IvfPinned.centroids.zipWithIndex.map { case (c, i) =>
-      val cn2 = c.map(x => x * x).sum
-      s"($i, ${fmtD(cn2)}, ${c.map(fmtD).mkString("[", ",", "]")})"
-    }.mkString(",\n")
+    val rows = ivfCtRows
     s"""WITH ct(cell, cn2, centroid) AS (VALUES
       |$rows),
       |scores AS (
@@ -384,6 +392,66 @@ object SimilarityQueries {
   val simIvfTopk = sql("x17_sim_ivf_topk", x17Oracle) { (s, d) =>
     ivfTopkOf(Tables.embeddings(s, d), IvfPinned.centroids, nProbe = x17NProbe,
       isQuery = col("vec_id") < 10)
+  }
+
+  /** DuckDB replication of the x65 rollup: same pinned-centroid VALUES
+    * table and k=1 assignment arithmetic as x17, then plain grouped
+    * counting — the assignment is the only float-bearing step and it is
+    * bit-identical by the x17 precedent; everything downstream is integer. */
+  private val x65Oracle: String = {
+    val rows = ivfCtRows
+    s"""WITH ct(cell, cn2, centroid) AS (VALUES
+      |$rows),
+      |scores AS (
+      |  SELECT e.vec_id, e.label, ct.cell,
+      |    ct.cn2 - 2.0 * list_sum(list_transform(range(1, 65),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * ct.centroid[i])) AS d
+      |  FROM embeddings e CROSS JOIN ct),
+      |assign AS (
+      |  SELECT label, cell FROM (
+      |    SELECT label, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM scores) s WHERE rn = 1),
+      |lc AS (SELECT cell, label, COUNT(*) AS n FROM assign GROUP BY cell, label),
+      |tot AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n_vecs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_labels FROM lc GROUP BY cell),
+      |maj AS (SELECT cell, label AS maj_label, CAST(n AS BIGINT) AS maj_n FROM (
+      |  SELECT cell, label, n,
+      |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rn
+      |  FROM lc) m WHERE rn = 1)
+      |SELECT t.cell, t.n_vecs, t.n_labels, m.maj_label, m.maj_n,
+      |  ROUND(CAST(m.maj_n AS DOUBLE) / t.n_vecs, 6) AS purity
+      |FROM tot t JOIN maj m USING (cell) ORDER BY cell""".stripMargin
+  }
+
+  /** x65: corpus TOPIC DISTRIBUTION over the pinned IVF index — assign
+    * every vector to its nearest cell (the same k=1 literal-centroid argmin
+    * x17 uses) and roll up per-cell size, label diversity, majority label,
+    * and purity. This is the curation-side read of the ANN index: cluster
+    * census for topic balancing / cluster-based mixture decisions, and the
+    * monitoring table a production IVF deployment watches for cell skew
+    * (a hot cell degrades probe latency; an empty one wastes the index).
+    *
+    * Scale stance: assignment is a row-local codegen map against broadcast
+    * literals (no MLlib, no collect); the rollup aggregates straight to a
+    * ≤ nCells×|labels| table with map-side combine, and every later stage
+    * (majority window, totals join) runs on that bounded table — at 100 TB
+    * the only corpus-sized work is the one map pass. */
+  val simIvfCells = sql("x65_ivf_cells", x65Oracle) { (s, d) =>
+    val assign = Tables.embeddings(s, d)
+      .withColumn("cell",
+        element_at(nearestCellsBy(IvfPinned.centroids)(col("embedding"), 1), 1))
+      .select("cell", "label")
+    val lc = assign.groupBy("cell", "label").agg(count(lit(1)).as("n"))
+    val maj = lc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cell").orderBy(col("n").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("label").as("maj_label"), col("n").as("maj_n"))
+    val tot = lc.groupBy("cell").agg(sum("n").as("n_vecs"), count(lit(1)).as("n_labels"))
+    maj.join(tot, Seq("cell"))
+      .select(col("cell"), col("n_vecs"), col("n_labels"), col("maj_label"),
+        col("maj_n"), round(col("maj_n").cast("double") / col("n_vecs"), 6).as("purity"))
+      .orderBy("cell")
   }
 
   /** Exact embedding-cosine near-dup, incremental-ingest shape: the 50
@@ -589,5 +657,5 @@ object SimilarityQueries {
   }
 
   val all: Seq[QueryDef] = Seq(embNorm, embPairCosine, simBruteTopk, simLshTopk, simIvfTopk,
-    dedupEmbedding, dedupEmbLsh, embQuantize, simContamination)
+    simIvfCells, dedupEmbedding, dedupEmbLsh, embQuantize, simContamination)
 }

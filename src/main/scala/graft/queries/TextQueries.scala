@@ -887,6 +887,73 @@ object TextQueries {
       .orderBy("rk")
   }
 
+  /** x64: Gopher/Dolma-style composite quality GATE — the multi-rule
+    * pass/fail filter a curation pipeline applies after scoring: word-count
+    * band, mean-word-length band, duplicate-bigram-fraction cap (the
+    * within-doc repetition rule), and a minimum stop-word count, each
+    * emitted as its own flag plus the conjunctive `pass` so downstream
+    * stages can both filter on the gate and report per-rule kill tallies.
+    * Thresholds chosen non-vacuous on the shipped corpus (every rule fails
+    * some real docs: n_words p05 = 16 < 25; mean_wlen spans 3.71–5.30
+    * around the [4,5] band; dup-bigram p99 ≈ 0.104 > 0.08; 112/500 docs
+    * have < 2 stop hits).
+    *
+    * Scale stance: every rule is row-local codegen'd HOFs over one split of
+    * the text — one scan, zero shuffles (the orderBy is presentation-only);
+    * at 100 TB the gate is a pure map pass fused into whatever scan feeds
+    * it. Floats compared on ROUND(·,6) both sides; rule flags are INTs so
+    * the hash oracle sees identical types. */
+  val textQualityGate = sql(
+    "x64_quality_gate",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS INTEGER) AS n_words,
+      |    ROUND(CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+      |          / len(toks), 6) AS mean_wlen,
+      |    CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS INTEGER) AS stop_hits,
+      |    CASE WHEN len(toks) < 2 THEN CAST(0.0 AS DOUBLE) ELSE
+      |      ROUND(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+      |        i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)))) AS DOUBLE)
+      |        / (len(toks) - 1), 6)
+      |    END AS dup_bigram_frac
+      |  FROM w
+      |)
+      |SELECT doc_id, n_words, mean_wlen, dup_bigram_frac, stop_hits,
+      |  CAST(n_words BETWEEN 25 AND 5000 AS INTEGER) AS r_len,
+      |  CAST(mean_wlen BETWEEN 4.0 AND 5.0 AS INTEGER) AS r_wlen,
+      |  CAST(dup_bigram_frac <= CAST(0.08 AS DOUBLE) AS INTEGER) AS r_rep,
+      |  CAST(stop_hits >= 2 AS INTEGER) AS r_stop,
+      |  CAST(n_words BETWEEN 25 AND 5000 AND mean_wlen BETWEEN 4.0 AND 5.0
+      |       AND dup_bigram_frac <= CAST(0.08 AS DOUBLE) AND stop_hits >= 2
+      |       AS INTEGER) AS pass
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val base = docs(s, d)
+      .withColumn("w", tokens)
+      .withColumn("n_words", size(col("w")))
+      .withColumn("mean_wlen", round(
+        expr("aggregate(w, 0L, (a, t) -> a + length(t))").cast("double")
+          / col("n_words"), 6))
+      .withColumn("stop_hits",
+        size(filter(col("w"), t => t === "the" || t === "a")))
+      // sequence(1, 0) DESCENDS in Spark — guard the 1-word doc explicitly
+      .withColumn("dup_bigram_frac", when(col("n_words") < 2, lit(0.0)).otherwise(
+        round(lit(1.0) - size(array_distinct(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")))
+          .cast("double") / (col("n_words") - 1), 6)))
+    val rLen = col("n_words").between(25, 5000)
+    val rWlen = col("mean_wlen").between(4.0, 5.0)
+    val rRep = col("dup_bigram_frac") <= 0.08
+    val rStop = col("stop_hits") >= 2
+    base.select(col("doc_id"), col("n_words"), col("mean_wlen"),
+      col("dup_bigram_frac"), col("stop_hits"),
+      rLen.cast("int").as("r_len"), rWlen.cast("int").as("r_wlen"),
+      rRep.cast("int").as("r_rep"), rStop.cast("int").as("r_stop"),
+      (rLen && rWlen && rRep && rStop).cast("int").as("pass"))
+      .orderBy("doc_id")
+  }
+
   /** x42: per-language top-5 tokens via the Misra-Gries heavy-hitters
     * aggregator (`functions.HeavyHitters`) — the bounded-state path for
     * "top tokens per group" at 100 TB, where the exact plan shuffles the
@@ -1336,5 +1403,6 @@ object TextQueries {
     textDecontaminate, textQuotaSample, dedupIncremental, textFreqScore,
     textTopkTokens, textEditDistance, dedupApply, recordLinkage, textMixture,
     textPack, splitLeakageSafe, corpusShards, datasheetRollup, dupSourceMatrix,
-    releaseManifest, substringDup, substringCut, textLmScore, bpePairs)
+    releaseManifest, substringDup, substringCut, textLmScore, bpePairs,
+    textQualityGate)
 }

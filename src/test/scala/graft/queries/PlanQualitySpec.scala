@@ -127,6 +127,22 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
       .map(_.group(1)).filter(_.contains("text")).toSeq shouldBe empty
   }
 
+  test("x64: the quality gate is one scan with zero hash exchanges (row-local rules)") {
+    val plan = planOf(TextQueries.textQualityGate)
+    // every rule is a codegen'd HOF over one split — the only exchange the
+    // plan may carry is the presentation sort's rangepartitioning
+    "hashpartitioning".r.findAllIn(plan).size shouldBe 0
+    "Exchange".r.findAllIn(plan).size should be <= 1
+  }
+
+  test("x65: no exchange carries the embedding payload (assignment is a map pass)") {
+    val plan = planOf(SimilarityQueries.simIvfCells)
+    // the rollup shuffles only (cell, label) counts; the vectors must be
+    // consumed by the row-local argmin before any exchange
+    "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan)
+      .map(_.group(1)).filter(_.contains("embedding")).toSeq shouldBe empty
+  }
+
   test("x52: record linkage verifies over band-join candidates, never all-pairs") {
     val plan = planOf(TextQueries.recordLinkage)
     plan should not include "CartesianProduct"

@@ -168,4 +168,41 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     ivfRecall should be >= 0.6
     lshRecall should be > 0.0
   }
+
+  test("x65 cell census ≡ driver-side recomputation from the pinned centroids") {
+    val sf = "/root/testdata/sf0.01" // the corpus the pinned index is synced to
+    val out = SimilarityQueries.simIvfCells.run(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5))))
+      .toMap
+    val emb = graft.Tables.embeddings(spark, sf)
+      .collect()
+      .map(r => (r.getSeq[Float](r.fieldIndex("embedding")).toVector, r.getAs[Int]("label")))
+    // same arithmetic as the engine/oracle: |c|² − 2·(x·c), sequential fold,
+    // argmin tie-broken by cell id
+    val cellOf: Seq[Float] => Int = { v =>
+      IvfPinned.centroids.zipWithIndex.map { case (c, i) =>
+        val cn2 = c.map(x => x * x).sum
+        val d = cn2 - 2.0 * (0 until 64).map(j => v(j).toDouble * c(j)).sum
+        (d, i)
+      }.min._2
+    }
+    val assigned = emb.map { case (v, l) => (cellOf(v), l) }
+    val expected = assigned.groupBy(_._1).map { case (cell, rows) =>
+      val byLabel = rows.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+      val (majLabel, majN) = byLabel.sortBy { case (l, n) => (-n, l) }.head
+      val nVecs = rows.length.toLong
+      cell -> ((nVecs, byLabel.length.toLong, majLabel, majN,
+        BigDecimal(majN.toDouble / nVecs)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    out shouldBe expected
+    // census invariants: every vector lands somewhere, purity is sane
+    out.values.map(_._1).sum shouldBe emb.length.toLong
+    out.values.foreach { case (n, nl, _, majN, purity) =>
+      majN should be <= n
+      nl should be >= 1L
+      purity should (be > 0.0 and be <= 1.0)
+    }
+  }
 }

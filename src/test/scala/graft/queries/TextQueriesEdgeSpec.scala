@@ -103,4 +103,39 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.length shouldBe 20
     out.map(_._2).toSeq.sliding(2).foreach { w => w.head should be >= w.last }
   }
+
+  test("x64 quality gate ≡ driver-side recomputation; every rule non-vacuous") {
+    val sf = "/root/testdata/sf0.01"
+    val out = TextQueries.textQualityGate.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7), r.getInt(8), r.getInt(9))))
+      .toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    def r6(x: Double): Double = // Spark ROUND = HALF_UP, never math.rint
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.size shouldBe docs.length
+    docs.foreach { case (id, text) =>
+      val w = text.split(" ", -1)
+      val nWords = w.length
+      val meanWlen = r6(w.map(_.length).sum.toDouble / nWords)
+      val stopHits = w.count(t => t == "the" || t == "a")
+      val bigrams = w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val frac = if (nWords < 2) 0.0
+        else r6(1.0 - bigrams.distinct.length.toDouble / (nWords - 1))
+      val rl = if (nWords >= 25 && nWords <= 5000) 1 else 0
+      val rw = if (meanWlen >= 4.0 && meanWlen <= 5.0) 1 else 0
+      val rr = if (frac <= 0.08) 1 else 0
+      val rs = if (stopHits >= 2) 1 else 0
+      out(id) shouldBe ((nWords, meanWlen, frac, stopHits, rl, rw, rr, rs,
+        rl * rw * rr * rs))
+    }
+    // each rule both passes and fails real docs — a vacuous rule gates nothing
+    val flags = out.values.toSeq
+    Seq[((Int, Double, Double, Int, Int, Int, Int, Int, Int)) => Int](
+      _._5, _._6, _._7, _._8, _._9).foreach { f =>
+      flags.map(f).min shouldBe 0
+      flags.map(f).max shouldBe 1
+    }
+  }
 }
