@@ -836,7 +836,12 @@ object TextQueries {
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
       |  ROUND(CAST(SUM(f) AS DOUBLE) / COUNT(*) / 1000000, 6) AS lm_score
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val bg = docs(s, d)
+    lmScoreOf(docs(s, d)).orderBy("doc_id")
+  }
+
+  /** x62's body over any (doc_id, text) frame — x66 composes it. */
+  def lmScoreOf(dd: DataFrame): DataFrame = {
+    val bg = dd
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2) // DuckDB range(2,2) is empty; Spark sequence(2,1) would DESCEND
       .select(col("doc_id"), explode(expr(
@@ -850,7 +855,6 @@ object TextQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trans"),
         round(sum("f").cast("double") / count(lit(1)) / 1e6, 6).as("lm_score"))
-      .orderBy("doc_id")
   }
 
   /** x63: BPE first-merge pair counts — the tokenizer-induction step: count
@@ -929,7 +933,12 @@ object TextQueries {
       |       AND dup_bigram_frac <= CAST(0.08 AS DOUBLE) AND stop_hits >= 2
       |       AS INTEGER) AS pass
       |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val base = docs(s, d)
+    qualityGateOf(docs(s, d)).orderBy("doc_id")
+  }
+
+  /** x64's body over any (doc_id, text) frame — x66 composes it. */
+  def qualityGateOf(dd: DataFrame): DataFrame = {
+    val base = dd
       .withColumn("w", tokens)
       .withColumn("n_words", size(col("w")))
       .withColumn("mean_wlen", round(
@@ -951,7 +960,87 @@ object TextQueries {
       rLen.cast("int").as("r_len"), rWlen.cast("int").as("r_wlen"),
       rRep.cast("int").as("r_rep"), rStop.cast("int").as("r_stop"),
       (rLen && rWlen && rRep && rStop).cast("int").as("pass"))
-      .orderBy("doc_id")
+  }
+
+  /** x66: score-vs-gate CALIBRATION — the curation diagnostic that tells
+    * you whether the learned signal (x62's bigram-LM score) agrees with
+    * the heuristic rules (x64's composite gate): docs are bucketed into
+    * score deciles and each decile reports its gate pass-rate. A
+    * well-calibrated score shows pass_rate rising with the decile; a flat
+    * table means one of the two signals is noise. Composes the two proven
+    * stages ([[lmScoreOf]], [[qualityGateOf]]) in ONE declarative plan.
+    *
+    * Scale stance: deciles via the x50 pattern — exact interior boundaries
+    * from the probe-free single-group quantile aggregate, broadcast as a
+    * 9-element array, rows bucketed with a row-local filter HOF. No global
+    * NTILE (one task sorting the corpus), no extra scan: the gate is
+    * row-local and rides the score join. */
+  val scoreGateCalibration = sql(
+    "x66_score_calibration",
+    {
+      val bCols = (1 to 9).map(i =>
+        s"    PERCENTILE_CONT(0.$i) WITHIN GROUP (ORDER BY lm_score) AS b$i").mkString(",\n")
+      val caseSum = (1 to 9).map(i =>
+        s"(CASE WHEN j.lm_score > b.b$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH lt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |lbgk AS (SELECT doc_id, unnest(range(2, len(toks)+1)) AS i, toks FROM lt),
+        |lbg AS (SELECT doc_id, toks[i-1] AS w1, toks[i] AS w2 FROM lbgk),
+        |lcp AS (SELECT w1, w2, COUNT(*) AS c2 FROM lbg GROUP BY w1, w2),
+        |lcc AS (SELECT w1, COUNT(*) AS c1 FROM lbg GROUP BY w1),
+        |lpx AS (SELECT lbg.doc_id,
+        |    CAST(FLOOR(CAST(c2 AS DOUBLE) / c1 * 1000000) AS BIGINT) AS f
+        |  FROM lbg JOIN lcp USING (w1, w2) JOIN lcc USING (w1)),
+        |score AS (SELECT doc_id,
+        |    ROUND(CAST(SUM(f) AS DOUBLE) / COUNT(*) / 1000000, 6) AS lm_score
+        |  FROM lpx GROUP BY doc_id),
+        |gs AS (SELECT doc_id,
+        |    CAST(len(toks) AS INTEGER) AS n_words,
+        |    ROUND(CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+        |          / len(toks), 6) AS mean_wlen,
+        |    CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS INTEGER) AS stop_hits,
+        |    CASE WHEN len(toks) < 2 THEN CAST(0.0 AS DOUBLE) ELSE
+        |      ROUND(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |        i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)))) AS DOUBLE)
+        |        / (len(toks) - 1), 6)
+        |    END AS dup_bigram_frac
+        |  FROM lt),
+        |gate AS (SELECT doc_id,
+        |    CAST(n_words BETWEEN 25 AND 5000 AND mean_wlen BETWEEN 4.0 AND 5.0
+        |         AND dup_bigram_frac <= CAST(0.08 AS DOUBLE) AND stop_hits >= 2
+        |         AS INTEGER) AS pass
+        |  FROM gs),
+        |j AS (SELECT s.doc_id, s.lm_score, g.pass FROM score s JOIN gate g USING (doc_id)),
+        |b AS (SELECT
+        |$bCols
+        |  FROM j),
+        |t2 AS (SELECT j.lm_score, j.pass,
+        |    CAST(1 + $caseSum AS INTEGER) AS decile
+        |  FROM j CROSS JOIN b)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(pass) AS BIGINT) AS n_pass,
+        |  ROUND(CAST(SUM(pass) AS DOUBLE) / COUNT(*), 6) AS pass_rate,
+        |  ROUND(MIN(lm_score), 6) AS lo, ROUND(MAX(lm_score), 6) AS hi
+        |FROM t2 GROUP BY decile ORDER BY decile""".stripMargin
+    }) { (s, d) =>
+    val dd = docs(s, d)
+    val j = lmScoreOf(dd).select("doc_id", "lm_score")
+      .join(qualityGateOf(dd).select("doc_id", "pass"), Seq("doc_id"))
+    // exact decile boundaries, x50-style: one aggregate, broadcast array,
+    // row-local bucketing — never a global sort
+    val bounds = graft.operators.Quantiles
+      .singleGroupQuantiles(j.withColumn("__g", lit(1)), "__g", "lm_score",
+        (1 to 9).map(_ / 10.0))
+      .select(lit(1).as("__g"), array((0 until 9).map(i => col(s"q$i")): _*).as("bs"))
+    j.withColumn("__g", lit(1))
+      .join(broadcast(bounds), Seq("__g"), "left")
+      .select(col("lm_score"), col("pass"),
+        (size(filter(coalesce(col("bs"), array()),
+          x => col("lm_score") > x)) + 1).as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("pass").as("n_pass"),
+        round(sum("pass").cast("double") / count(lit(1)), 6).as("pass_rate"),
+        round(min("lm_score"), 6).as("lo"), round(max("lm_score"), 6).as("hi"))
+      .orderBy("decile")
   }
 
   /** x42: per-language top-5 tokens via the Misra-Gries heavy-hitters
@@ -1404,5 +1493,5 @@ object TextQueries {
     textTopkTokens, textEditDistance, dedupApply, recordLinkage, textMixture,
     textPack, splitLeakageSafe, corpusShards, datasheetRollup, dupSourceMatrix,
     releaseManifest, substringDup, substringCut, textLmScore, bpePairs,
-    textQualityGate)
+    textQualityGate, scoreGateCalibration)
 }

@@ -138,4 +138,42 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
       flags.map(f).max shouldBe 1
     }
   }
+
+  test("x66 calibration ≡ driver-side recomposition of the x62 score and x64 gate") {
+    val sf = "/root/testdata/sf0.01"
+    val out = TextQueries.scoreGateCalibration.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    // both inputs are independently driver-verified by their own specs —
+    // here they are trusted and the COMPOSITION is what's recomputed
+    val score = TextQueries.textLmScore.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val pass = TextQueries.textQualityGate.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(9)).toMap
+    val j = score.toSeq.map { case (id, s) => (s, pass(id)) }
+    // PERCENTILE_CONT interpolation, the same arithmetic both engines use
+    val sorted = j.map(_._1).sorted
+    val bounds = (1 to 9).map { i =>
+      val idx = i / 10.0 * (sorted.length - 1)
+      val lo = idx.toInt
+      val frac = idx - lo
+      if (lo + 1 < sorted.length) sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+      else sorted(lo)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = j.groupBy { case (s, _) => 1 + bounds.count(s > _) }
+      .toSeq.map { case (dec, rows) =>
+        val n = rows.length.toLong
+        val np = rows.map(_._2).sum.toLong
+        (dec, n, np, r6(np.toDouble / n),
+          r6(rows.map(_._1).min), r6(rows.map(_._1).max))
+      }.sortBy(_._1)
+    out.toSeq shouldBe expected
+    // structural invariants + the table actually discriminates
+    out.map(_._1).toSeq shouldBe (1 to 10)
+    out.map(_._2).sum shouldBe score.size.toLong
+    out.sliding(2).foreach { w => w.head._6 should be <= w.last._5 }
+    (out.map(_._4).max - out.map(_._4).min) should be > 0.0
+  }
 }
