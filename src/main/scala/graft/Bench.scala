@@ -90,6 +90,11 @@ object Bench {
     calibration += calibrate(spark)
     println(renderJson(samples, calibration.toSeq, ivfTrain, probeOnly, sfDir))
     spark.stop()
+    // A run with failed queries must not look like a clean run to the round
+    // gate (round-9 lesson: 22 failures rode in under rc=0 and were nearly
+    // certified). The artifact line is already printed, so the nonzero exit
+    // costs nothing but makes the driver's rc field honest.
+    if (samples.exists(_._2.min < 0)) sys.exit(1)
   }
 
   /** `%.3f` under Locale.ROOT — the f-interpolator uses the JVM default
@@ -97,36 +102,42 @@ object Bench {
   private def d3(x: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
 
+  /** Short artifact key for a registry name: its id prefix (`q01`, `x31`).
+    * Registry ids are unique by construction (BenchSanitySpec asserts it),
+    * and the full name is recoverable from `SparkEntry.defs`. */
+  def shortKey(name: String): String = name.takeWhile(_ != '_')
+
   /** Renders the one-line bench artifact. Factored out of main so
     * BenchSanitySpec can pin the artifact contract (query keys = the
     * registry, calibration present, line fits the driver's tail capture)
     * without running the queries.
     *
-    * Shape is sized for the driver's bounded TAIL capture (the round-6
-    * lesson: two full-precision per-query maps grew the line past the
-    * capture window and BENCH_r06.json physically lost `value` and half
-    * the per-query numbers). So: ONE per-query map `{"name":[min,max]}`
-    * at %.3f, and the scalar summary fields — failed, calibration,
-    * value, sf — at the END of the line, where truncation-from-the-front
-    * costs the least-diagnostic bytes.
-    *
-    * `[min,max]` is the per-row timing spread over the three runs; min is
-    * the reported number. Read rule (PLANS.md "bench calibration"):
-    * max/min ≫ 1 marks a row the host contended mid-measurement — trust
-    * min. This is finer-grained than the every-16th-query calibration
-    * samples, which bound a window but can miss a spike between two calm
-    * probes (the round-5 x04 lesson: 13.4× calm in the driver run while
-    * neighboring calibration read ≤ 0.65 s). */
+    * Shape is sized for the driver's tail capture, which rounds 7-9 proved
+    * is a HARD 2000 chars including sbt's trailing "[success]" line (the
+    * r6 two-map line was ~6.2 KB, the r7 merged-[min,max] line ~4.6 KB —
+    * both truncated from the front, so `parsed` stayed null three rounds
+    * running). Budget ≤ 1800 chars: per-query keys are the short registry
+    * id (`q01`, `x31`), values the min-of-3 at %.3f, and the per-row
+    * spread is kept only where it carries signal — `hot_max` lists max
+    * for rows where max ≥ 2×min (the host-contended rows; read rule:
+    * trust min, PLANS.md "bench calibration"). Scalar summary fields —
+    * failed, calibration, value, sf — sit at the END of the line, where
+    * truncation-from-the-front costs the least-diagnostic bytes. */
   def renderJson(samples: Seq[(String, Seq[Double])], calibration: Seq[Double],
                  ivfTrain: Double, probeOnly: Double, sfDir: String): String = {
     val qs = samples.map { case (k, ts) =>
-      "\"" + k + "\":[" + d3(ts.min) + "," + d3(ts.max) + "]"
+      "\"" + shortKey(k) + "\":" + d3(ts.min)
+    }.mkString("{", ",", "}")
+    val hot = samples.collect {
+      case (k, ts) if ts.min > 0 && ts.max >= 2 * ts.min =>
+        "\"" + shortKey(k) + "\":" + d3(ts.max)
     }.mkString("{", ",", "}")
     val mins = samples.map { case (_, ts) => ts.min }
     val failed = mins.count(_ < 0)
     val total = mins.filter(_ >= 0).sum
     val calib = calibration.map(d3).mkString("[", ",", "]")
-    s"""{"metric":"total","unit":"sec","runs":3,"queries":$qs,""" +
+    s"""{"metric":"total","unit":"sec","runs":3,"keys":"registry id prefix",""" +
+      s""""queries":$qs,"hot_max":$hot,""" +
       s""""ivf_train_sec":${d3(ivfTrain)},"x03_probe_only_sec":${d3(probeOnly)},""" +
       s""""calibration_job":"range64M-xxhash64-xor","failed":$failed,""" +
       s""""calibration_sec":$calib,"value":${d3(total)},"sf":"$sfDir"}"""

@@ -19,15 +19,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet timestamp[ns], which Spark 4 rejects by default.
-    * Read nanos as long (legacy conf) and convert to a microsecond timestamp;
-    * the driver data has no sub-microsecond residue, so this matches DuckDB's
-    * ns→us read of the same file exactly (FIXTURES.md §1 note).
+  /** `events.ts` has shipped as parquet timestamp[ns] (pre-round-9 testdata)
+    * and as timestamp[us] (round-9 regeneration). Spark 4 rejects ns by
+    * default, so read nanos as long (legacy conf) and convert; when the file
+    * already carries a microsecond timestamp the conf is a no-op and the
+    * column arrives as TimestampType — use it as-is. Either way the values
+    * match DuckDB's read of the same file exactly (FIXTURES.md §1 note).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // ns file: nanos arrive as long under the legacy conf
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => // us file written tz-naive: reinterpret in the
+        // session zone (Verify/tests pin UTC) so downstream unix_micros/window
+        // code keeps the loader's long-standing TIMESTAMP(LTZ) contract and
+        // the values match DuckDB's naive read of the same file
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -11,13 +11,14 @@ import scala.jdk.CollectionConverters._
   * line is rendered by `Bench.renderJson` (pure — no Spark session, no
   * query runs), fed here with synthetic timings for the REAL registry, and
   * parsed back with Jackson:
-  *   - it is one valid JSON object SHORT ENOUGH for the driver's bounded
-  *     tail capture (round-6 lesson: two full-precision per-query maps
-  *     grew the line to ~6 KB and BENCH_r06.json physically lost `value`
-  *     and half the per-query numbers);
-  *   - `queries` keys are exactly the registry names, each valued
-  *     `[min,max]` over the three runs (read rule: max/min ≫ 1 ⇒
-  *     host-contended row, trust min);
+  *   - it is one valid JSON object that FITS the driver's tail capture,
+  *     which rounds 7-9 proved is a hard 2000 chars including sbt's
+  *     trailing "[success]" line — three rounds of BENCH_r*.json carried
+  *     `parsed: null` because the line was truncated from the front;
+  *   - `queries` keys are the SHORT registry ids (`q01`, `x31` — unique,
+  *     asserted here), each valued min-of-3 at %.3f;
+  *   - `hot_max` carries max ONLY for host-contended rows (max ≥ 2×min;
+  *     read rule: trust min) — calm rows pay no spread bytes;
   *   - the scalar summary fields — failed, calibration_sec, value, sf —
   *     sit at the END of the line so front-truncation costs least;
   *   - a failed query reports -1, never a partial time.
@@ -30,33 +31,33 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
     Bench.renderJson(samples, calibration = Seq(0.21, 0.32, 0.19),
       ivfTrain = 1.5, probeOnly = 0.8, sfDir = "/root/testdata/sf0.1")
 
-  test("artifact is one JSON object keyed by the registry, sized for tail capture") {
+  test("artifact is one JSON object keyed by short registry ids, sized for tail capture") {
     val names = SparkEntry.defs.map(_.name)
     names.distinct.size shouldBe names.size // registry names must be unique
+    val shorts = names.map(Bench.shortKey)
+    shorts.distinct.size shouldBe shorts.size // short ids must stay unique
     val samples = names.zipWithIndex.map { case (n, i) =>
       val base = 0.1 + i * 0.001
       n -> Seq(base + 0.02, base, base + 0.01)
     }
     val line = render(samples)
     line.linesIterator.size shouldBe 1 // driver greps ONE line
-    // tail-capture budget: the r6 line (~6.2 KB) lost its front half; the
-    // merged [min,max] map at %.3f must keep the whole line safely under
-    // the observed ~4 KB window even with double-digit timings.
-    line.getBytes("UTF-8").length should be < 4096
+    // tail-capture budget: 2000 chars minus sbt's "[success] Total time…"
+    // trailer (~80) minus headroom for double-digit timings and a few
+    // hot_max rows. A line over this risks a fourth round of parsed:null.
+    line.getBytes("UTF-8").length should be < 1800
     val root = mapper.readTree(line)
     root.get("metric").asText() shouldBe "total"
     root.get("unit").asText() shouldBe "sec"
     root.get("runs").asInt() shouldBe 3
     val qKeys = root.get("queries").fieldNames().asScala.toSeq
-    qKeys shouldBe names
+    qKeys shouldBe shorts
     names.zipWithIndex.foreach { case (n, i) =>
       val expMin = 0.1 + i * 0.001
-      val row = root.get("queries").get(n)
-      row.isArray shouldBe true
-      row.size shouldBe 2
-      row.get(0).asDouble() should be <= row.get(1).asDouble()
-      row.get(0).asDouble() shouldBe expMin +- 5e-4 // %.3f rendering
+      root.get("queries").get(Bench.shortKey(n)).asDouble() shouldBe expMin +- 5e-4
     }
+    // all synthetic rows are calm (max/min < 2) → hot_max is empty
+    root.get("hot_max").size shouldBe 0
     root.get("value").asDouble() shouldBe samples.map(_._2.min).sum +- 5e-3
     root.get("failed").asInt() shouldBe 0
     val calib = root.get("calibration_sec")
@@ -70,16 +71,26 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
     val idxQueries = line.indexOf("\"queries\"")
     Seq("\"failed\"", "\"calibration_sec\"", "\"value\"", "\"sf\"").foreach { f =>
       line.lastIndexOf(f) should be > idxQueries
-      line.lastIndexOf(f) should be > line.indexOf("]]}") // past the query map
     }
   }
 
-  test("a failed query reports -1 and is excluded from the total") {
-    val samples = Seq("ok_q" -> Seq(0.5, 0.4, 0.6), "bad_q" -> Seq(-1.0))
+  test("a contended row surfaces its max in hot_max; calm rows stay min-only") {
+    val samples = Seq(
+      "q01_calm" -> Seq(0.5, 0.4, 0.6),           // max/min = 1.5 → calm
+      "x44_contended" -> Seq(0.513, 8.652, 0.6))  // max/min ≈ 16.9 → hot
     val root = mapper.readTree(render(samples))
-    val bad = root.get("queries").get("bad_q")
-    bad.get(0).asDouble() shouldBe -1.0 +- 1e-3
+    root.get("queries").get("q01").asDouble() shouldBe 0.4 +- 1e-3
+    root.get("queries").get("x44").asDouble() shouldBe 0.513 +- 1e-3
+    root.get("hot_max").size shouldBe 1
+    root.get("hot_max").get("x44").asDouble() shouldBe 8.652 +- 1e-3
+  }
+
+  test("a failed query reports -1, is excluded from the total, and never marks hot") {
+    val samples = Seq("q01_ok" -> Seq(0.5, 0.4, 0.6), "x02_bad" -> Seq(-1.0))
+    val root = mapper.readTree(render(samples))
+    root.get("queries").get("x02").asDouble() shouldBe -1.0 +- 1e-3
     root.get("failed").asInt() shouldBe 1
+    root.get("hot_max").size shouldBe 0
     root.get("value").asDouble() shouldBe 0.4 +- 1e-6
   }
 }
