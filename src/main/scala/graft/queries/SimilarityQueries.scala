@@ -656,6 +656,87 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup duplicate threshold — same τ as x20/x21 (the shipped corpus
+    * is isotropic with max pairwise cosine ≈ 0.51, so 0.30 yields a real
+    * but minority duplicate set). */
+  val x67Tau = 0.30
+
+  /** DuckDB replication of x67: the x65 pinned-centroid assignment CTE,
+    * then within-cell pairs (equi-join on cell) with the x20/x21 cosine
+    * recipe, MAX of the per-pair ROUNDED cosines per later id, and the
+    * threshold flag. Every float step reuses an already-hash-proven
+    * arithmetic chain (assignment = x17/x65, cosine = x20/x21, round-then-
+    * max = x39's precedent). */
+  private val x67Oracle: String = {
+    s"""WITH ct(cell, cn2, centroid) AS (VALUES
+      |$ivfCtRows),
+      |scores AS (
+      |  SELECT e.vec_id, ct.cell,
+      |    ct.cn2 - 2.0 * list_sum(list_transform(range(1, 65),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * ct.centroid[i])) AS d
+      |  FROM embeddings e CROSS JOIN ct),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM scores) s WHERE rn = 1),
+      |pairs AS (
+      |  SELECT lb.vec_id AS id_b,
+      |    ROUND(
+      |      list_sum(list_transform(range(1, 65),
+      |        i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |    6) AS cos
+      |  FROM assign la JOIN assign lb ON la.cell = lb.cell AND la.vec_id < lb.vec_id
+      |  JOIN embeddings ea ON ea.vec_id = la.vec_id
+      |  JOIN embeddings eb ON eb.vec_id = lb.vec_id),
+      |mx AS (SELECT id_b AS vec_id, MAX(cos) AS m FROM pairs GROUP BY id_b)
+      |SELECT a.vec_id, a.cell,
+      |  COALESCE(m.m, -1.0) AS max_prior_cos,
+      |  CAST(CASE WHEN COALESCE(m.m, -1.0) >= $x67Tau THEN 1 ELSE 0 END AS INT) AS is_dup
+      |FROM assign a LEFT JOIN mx m ON m.vec_id = a.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+  }
+
+  /** x67: SemDeDup — semantic dedup scoped to the pinned IVF cells
+    * (Abbas et al. 2023: cluster the corpus, compare pairs only WITHIN a
+    * cluster, drop a point when an earlier same-cluster point is more
+    * similar than τ). This is the embedding-space analog of x51's dedup
+    * manifest: one row per vector with its cell, the max cosine against
+    * earlier same-cell vectors (−1 when it has none), and the keep/drop
+    * flag. Non-transitive greedy-by-id semantics exactly as the paper's
+    * upper-triangular max.
+    *
+    * Scale stance: the whole point of the cell scoping is that pairwise
+    * work is Σ|cell|², never corpus² — assignment is the same row-local
+    * literal-centroid argmin as x17/x65 (no training, no collect), the
+    * pair join is an EQUI-join on cell (shuffles each side once, keyed by
+    * a small int; PlanQualitySpec pins no-cartesian), and the final max
+    * is a partial-aggregated groupBy on vec_id. A production run at 100 TB
+    * raises k so cells stay bounded (k ~ n/20k in the paper), which only
+    * changes the literal table; the plan is unchanged. */
+  val semanticDedup = sql("x67_semantic_dedup", x67Oracle) { (s, d) =>
+    val assign = Tables.embeddings(s, d)
+      .withColumn("cell",
+        element_at(nearestCellsBy(IvfPinned.centroids)(col("embedding"), 1), 1))
+      .withColumn("nrm", norm(col("embedding")))
+      .select("vec_id", "cell", "embedding", "nrm")
+      .localCheckpoint(eager = false) // 3 consumers; don't re-run the argmin
+    val l = assign.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val r = assign.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val mx = l.join(r, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .groupBy(col("id_b").as("vec_id")).agg(max("cos").as("m"))
+    assign.select("vec_id", "cell")
+      .join(mx, Seq("vec_id"), "left")
+      .withColumn("max_prior_cos", coalesce(col("m"), lit(-1.0)))
+      .withColumn("is_dup", when(col("max_prior_cos") >= x67Tau, 1).otherwise(0))
+      .select("vec_id", "cell", "max_prior_cos", "is_dup")
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QueryDef] = Seq(embNorm, embPairCosine, simBruteTopk, simLshTopk, simIvfTopk,
-    simIvfCells, dedupEmbedding, dedupEmbLsh, embQuantize, simContamination)
+    simIvfCells, dedupEmbedding, dedupEmbLsh, embQuantize, simContamination, semanticDedup)
 }

@@ -205,4 +205,45 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
       purity should (be > 0.0 and be <= 1.0)
     }
   }
+
+  test("x67 SemDeDup ≡ driver-side recomputation (cells, max-prior cosine, flags)") {
+    val sf = "/root/testdata/sf0.01" // the corpus the pinned index is synced to
+    val out = SimilarityQueries.semanticDedup.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+    val emb = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toVector)
+      .sortBy(_._1)
+    // same arithmetic as the engine/oracle: sequential-fold dot products,
+    // |c|² − 2·(x·c) argmin tie-broken by cell, per-pair ROUND(cos, 6)
+    // BEFORE the max (round-then-max, the x39 precedent)
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      (0 until 64).map(i => a(i) * b(i)).sum
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = emb.map { case (id, v) => id -> v.map(_.toDouble) }
+    val cellOf: Seq[Double] => Int = { v =>
+      IvfPinned.centroids.zipWithIndex.map { case (c, i) =>
+        (c.map(x => x * x).sum - 2.0 * dot(v, c), i)
+      }.min._2
+    }
+    val assigned = vecs.map { case (id, v) => (id, cellOf(v), v, math.sqrt(dot(v, v))) }
+    val expected = assigned.map { case (id, cell, v, nrm) =>
+      val priors = assigned.filter { case (pid, pcell, _, _) => pcell == cell && pid < id }
+        .map { case (_, _, pv, pnrm) => round6(dot(pv, v) / (pnrm * nrm)) }
+      val m = if (priors.isEmpty) -1.0 else priors.max
+      id -> ((cell, m, if (m >= SimilarityQueries.x67Tau) 1 else 0))
+    }.toMap
+    out shouldBe expected
+    // SemDeDup invariants: conservation, the earliest vector of every cell
+    // is never a dup, and the flag set is non-vacuous both ways
+    out.size shouldBe emb.length
+    assigned.groupBy(_._2).values.foreach { cellRows =>
+      val firstId = cellRows.map(_._1).min
+      out(firstId)._3 shouldBe 0 // no earlier same-cell vector to match
+    }
+    out.values.count(_._3 == 1) should be > 0
+    out.values.count(_._3 == 0) should be > 0
+  }
 }
