@@ -182,6 +182,12 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("x68: IVF-PQ probe and rerank are equi-joins, never all-pairs") {
+    val plan = planOf(SimilarityQueries.simPqTopk)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("x67: SemDeDup pairs come from a cell equi-join, never all-pairs") {
     val plan = planOf(SimilarityQueries.semanticDedup)
     plan should not include "CartesianProduct"

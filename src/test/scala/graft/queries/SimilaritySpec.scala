@@ -83,6 +83,42 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     IvfPinned.centroids.foreach(_.size shouldBe 64)
   }
 
+  test("PqPinned artifact is in sync with the corpus it was trained on") {
+    import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
+    // same fingerprint PqPin emits — a regenerated corpus desyncs from the
+    // committed codebooks and fails here instead of scoring hash-green
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val fp = emb.agg(count(lit(1)), bit_xor(xxhash64(col("vec_id")))).head()
+    fp.getLong(0) shouldBe PqPinned.corpusRows
+    fp.getLong(1) shouldBe PqPinned.corpusIdXor
+    PqPinned.nSub * PqPinned.subDim shouldBe 64 // subspaces tile the embedding
+    PqPinned.codebooks.size shouldBe PqPinned.nSub
+    PqPinned.codebooks.foreach { cb =>
+      cb.size shouldBe PqPinned.nCodes
+      cb.foreach(_.size shouldBe PqPinned.subDim)
+    }
+  }
+
+  test("x68 IVF-PQ: exact-rerank top-5 holds the recall floor vs brute") {
+    val sf = "/root/testdata/sf0.01"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(r.fieldIndex("q_id")),
+        r.getLong(r.fieldIndex("vec_id")))).toSet
+    val brute = pairs(SimilarityQueries.simBruteTopk.run(spark, sf))
+    val out = SimilarityQueries.simPqTopk.run(spark, sf).collect()
+    out.length shouldBe 50 // 10 queries × top-5
+    // per-query contract: ranks 1..5, exact-cosine scores non-increasing
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      rows.map(_.getInt(3)).sorted shouldBe (1 to 5)
+      val byRank = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      byRank.zip(byRank.tail).foreach { case (a, b) => a should be >= b }
+    }
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    info(f"x68 recall@5 vs brute: $recall%.2f (measured 0.64 on the shipped corpus)")
+    recall should be >= 0.6
+  }
+
   test("x17 IVF on a planted-cluster corpus: recall@5 ≥ 0.6 at a PRUNING probe count") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
