@@ -799,29 +799,57 @@ object SimilarityQueries {
     * corpus, which again does not shuffle). Recall vs exact brute is gated
     * in SimilaritySpec; the RESULT is deterministic arithmetic,
     * hash-checked against the DuckDB replication above. */
-  val simPqTopk = sql("x68_pq_topk", x68Oracle) { (s, d) =>
-    val nearestCells = nearestCellsBy(IvfPinned.centroids) _
-    val emb = Tables.embeddings(s, d)
-    val corpus = emb
-      .withColumn("cell", element_at(nearestCells(col("embedding"), 1), 1))
-      .withColumn("codes", array((0 until PqPinned.nSub).map(s0 =>
-        pqCodeOf(PqPinned.codebooks(s0), s0)(col("embedding"))): _*))
-      .select("vec_id", "cell", "codes")
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), pqLut(col("embedding")).as("lut"),
-        explode(nearestCells(col("embedding"), x17NProbe)).as("cell"))
+  /** The PQ corpus encoding (vec_id, cell, codes) — the 8-bytes-per-vector
+    * compressed index. [[savePqIndex]] persists exactly this frame; the
+    * x68 query computes it inline so the two can never drift. */
+  def pqCorpusCodes(emb: DataFrame): DataFrame = emb
+    .withColumn("cell",
+      element_at(nearestCellsBy(IvfPinned.centroids)(col("embedding"), 1), 1))
+    .withColumn("codes", array((0 until PqPinned.nSub).map(s0 =>
+      pqCodeOf(PqPinned.codebooks(s0), s0)(col("embedding"))): _*))
+    .select("vec_id", "cell", "codes")
+
+  /** ADC shortlist over an encoded corpus: probe the pinned-IVF cells and
+    * rank by the query LUT fold, top-[[pqShortlist]] per query. `queries`
+    * is any (q_id, q_emb) frame; `codes` is [[pqCorpusCodes]] or a
+    * [[savePqIndex]] artifact read back — the probe touches NOTHING else,
+    * which is the whole deployment point (the codes table is 32× smaller
+    * than the corpus and lives in memory). */
+  def pqShortlistOf(codes: DataFrame, queries: DataFrame,
+      shortlist: Int = pqShortlist): DataFrame = {
+    val probes = queries.select(col("q_id"), pqLut(col("q_emb")).as("lut"),
+      explode(nearestCellsBy(IvfPinned.centroids)(col("q_emb"), x17NProbe)).as("cell"))
     val wAdc = Window.partitionBy("q_id").orderBy(desc("adc"), col("vec_id"))
-    val shortlist = corpus.join(broadcast(queries), Seq("cell"))
+    codes.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc", round(aggregate(
         zip_with(col("codes"), col("lut"), (c, t) => element_at(t, c + 1)),
         lit(0.0), (a, x) => a + x), 6))
       .withColumn("rn", row_number().over(wAdc))
-      .filter(col("rn") <= pqShortlist)
-      .select("q_id", "vec_id")
-    // exact rerank: full vectors touch only the ≤ queries×shortlist rows
+      .filter(col("rn") <= shortlist)
+      .select("q_id", "vec_id", "adc")
+  }
+
+  /** Persist the PQ index artifact — encode once, probe forever (the
+    * saveIvfIndex/saveBandIndex contract for the codes table). */
+  def savePqIndex(s: SparkSession, d: String, path: String): Unit =
+    graft.sources.Sinks.parquet(pqCorpusCodes(Tables.embeddings(s, d)), path)
+
+  /** ADC shortlist reading ONLY a [[savePqIndex]] artifact — no corpus
+    * access (IndexDurabilitySpec proves it with a bogus corpus dir).
+    * Rerank is intentionally out of scope here: exact vectors live with
+    * the corpus, and a deployment reranks against that store. */
+  def pqShortlistFromIndex(s: SparkSession, queries: DataFrame,
+      path: String): DataFrame =
+    pqShortlistOf(s.read.parquet(path), queries)
+
+  val simPqTopk = sql("x68_pq_topk", x68Oracle) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
     val qExact = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val shortlist = pqShortlistOf(pqCorpusCodes(emb), qExact)
+      .select("q_id", "vec_id")
+    // exact rerank: full vectors touch only the ≤ queries×shortlist rows
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
     emb.join(broadcast(shortlist), Seq("vec_id"))
       .join(broadcast(qExact), Seq("q_id"))

@@ -48,6 +48,32 @@ class IndexDurabilitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     fromIndex shouldBe direct
   }
 
+  test("PQ codes artifact round-trips; shortlist-from-index matches, no corpus access") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("pq-index").toString + "/codes"
+    SimilarityQueries.savePqIndex(spark, sf, dir)
+    val emb = graft.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    // the from-index probe takes NO corpus directory — only the artifact
+    // path and the query frame; equality proves artifact ≡ inline encoding
+    val fromIndex = rows(SimilarityQueries.pqShortlistFromIndex(spark, queries, dir))
+    val inline = rows(SimilarityQueries.pqShortlistOf(
+      SimilarityQueries.pqCorpusCodes(emb), queries))
+    fromIndex shouldBe inline
+    fromIndex.length shouldBe 10 * 25 // every query fills its shortlist
+    // artifact shape: the compressed index really is 8 small codes per row
+    val codes = spark.read.parquet(dir)
+    codes.columns.sorted shouldBe Array("cell", "codes", "vec_id")
+    codes.collect().foreach { r =>
+      val cs = r.getSeq[Int](r.fieldIndex("codes"))
+      cs.length shouldBe PqPinned.nSub
+      cs.foreach { c => c should (be >= 0 and be < PqPinned.nCodes) }
+    }
+  }
+
   test("bucketed band index: probe matches, corpus side scans bucket-aligned") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("mh-band").toString + "/sigs"
