@@ -919,10 +919,13 @@ object SimilarityQueries {
     * is a partial-aggregated groupBy on vec_id. A production run at 100 TB
     * raises k so cells stay bounded (k ~ n/20k in the paper), which only
     * changes the literal table; the plan is unchanged. */
-  val semanticDedup = sql("x67_semantic_dedup", x67Oracle) { (s, d) =>
-    val assign = Tables.embeddings(s, d)
-      .withColumn("cell",
-        element_at(nearestCellsBy(IvfPinned.centroids)(col("embedding"), 1), 1))
+  /** The cell-scoped SemDeDup engine over any (vec_id, cell, embedding)
+    * frame — x67's plan, parameterized so AnnSoak can drive it with
+    * SCALED cell counts (the production contract: k grows with n so cells
+    * stay bounded and pairwise work stays Σ|cell|² ≈ linear). Unsorted;
+    * the registry query adds its deterministic ORDER BY. */
+  def semanticDedupOf(cellAssigned: DataFrame, tau: Double): DataFrame = {
+    val assign = cellAssigned
       .withColumn("nrm", norm(col("embedding")))
       .select("vec_id", "cell", "embedding", "nrm")
       .localCheckpoint(eager = false) // 3 consumers; don't re-run the argmin
@@ -936,8 +939,15 @@ object SimilarityQueries {
     assign.select("vec_id", "cell")
       .join(mx, Seq("vec_id"), "left")
       .withColumn("max_prior_cos", coalesce(col("m"), lit(-1.0)))
-      .withColumn("is_dup", when(col("max_prior_cos") >= x67Tau, 1).otherwise(0))
+      .withColumn("is_dup", when(col("max_prior_cos") >= tau, 1).otherwise(0))
       .select("vec_id", "cell", "max_prior_cos", "is_dup")
+  }
+
+  val semanticDedup = sql("x67_semantic_dedup", x67Oracle) { (s, d) =>
+    semanticDedupOf(
+      Tables.embeddings(s, d).withColumn("cell",
+        element_at(nearestCellsBy(IvfPinned.centroids)(col("embedding"), 1), 1)),
+      x67Tau)
       .orderBy("vec_id")
   }
 
