@@ -11,7 +11,9 @@ import graft.queries.TextQueries
   * replaced — adjacent pairs are near-dups, chain ends are not), so the
   * exact-dup pre-collapse, the band join, and the hash-min CC loop all get
   * their worst food: skewed identical groups and components whose diameter
-  * forces multiple label-propagation rounds.
+  * forces multiple label-propagation rounds. Round-10 stages: the x70
+  * Bloom membership steady state (bitmap build + row-local probe) and the
+  * x69 weighted-PageRank iteration over the verified pair graph.
   *
   * Stages run from the DURABLE signature artifact (sortedParquet, the
   * saveMinhashIndex boundary) rather than an in-heap localCheckpoint —
@@ -135,6 +137,45 @@ object DedupSoak {
         corpusSigs, threshold = 0.5).count()
     }
     calibration += Bench.calibrate(spark)
+    // x70 bloom stages: fold the corpus BoW keys ONCE into a fixed bitmap
+    // (bloom_build_sec), then check a 1000-doc ingest batch — half exact
+    // copies of corpus docs (guaranteed members), half fresh — through the
+    // row-local probe + broadcast verify (bloom_probe_sec). This is the
+    // membership steady state an ingest pays instead of a corpus-sized
+    // join; the ladder row proves build stays one linear scan and probe
+    // stays flat as the corpus grows. Bitmap 2^23 bits (1 MB): at the 1M-doc
+    // point (~440k distinct keys, k=4) FPR ≈ 1e-3 — probe cost is
+    // bloom-bounded, not FP-bounded.
+    val bloomM = 1 << 23
+    def bowKey(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("bk"))
+    val corpusKeys = bowKey(docs).select("bk")
+    val (tBloomBuild, bloomRow) = time {
+      TextQueries.bloomBuild(corpusKeys, "bk", bloomM).localCheckpoint(eager = true)
+    }
+    val bloomBatch = spark.range(1000L).map { i =>
+      val toks =
+        if (i % 2 == 0) (0 until nTok).map(t => s"b${i % nBase}w${(t * 7) % 97}") // member
+        else (0 until nTok).map(t => s"bfresh${i}t$t") // non-member
+      Doc(2000000000L + i, toks.mkString(" "))
+    }(Encoders.product[Doc]).toDF()
+    val (tBloomProbe, nBloomHits) = time {
+      TextQueries.bloomMembership(bowKey(bloomBatch), "bk", bloomRow, corpusKeys, bloomM)
+        .filter(col("n_matches").isNotNull).count()
+    }
+    calibration += Bench.calibrate(spark)
+    // x69 stage: Jaccard-weighted PageRank over the verified pair graph —
+    // five fixed iterative join+aggregate rounds over |edges| rows; the
+    // ladder row proves the iteration cost scales with the DUP GRAPH, not
+    // the corpus (pairs come banded from the artifact, like the x26 CC)
+    val (tPagerank, prStats) = time {
+      val pr = TextQueries.pagerankFromWeightedPairs(
+        TextQueries.weightedPairs(corpusSigs))
+      val a = pr.agg(count(lit(1)), max("pr")).head()
+      (a.getLong(0), a.getDouble(1))
+    }
+    calibration += Bench.calibrate(spark)
     // substring-level stages at the same corpus: x60 diagnostic and x61 cut
     // transform. The planted copies+chain mass makes both non-vacuous (every
     // copy's windows duplicate; chain docs overlap partially), and the
@@ -160,6 +201,10 @@ object DedupSoak {
       s""""probe_hits":$nProbeHits,"probe_sec":$tProbe,""" +
       s""""band_build_sec":$tBandBuild,"probe_bucketed_hits":$nProbeBucketedHits,""" +
       s""""probe_bucketed_sec":$tProbeBucketed,""" +
+      s""""bloom_build_sec":$tBloomBuild,"bloom_hits":$nBloomHits,""" +
+      s""""bloom_probe_sec":$tBloomProbe,""" +
+      s""""pagerank_nodes":${prStats._1},"pagerank_max_pr":${prStats._2},""" +
+      s""""pagerank_sec":$tPagerank,""" +
       s""""sub_dup_docs":$nSubDupDocs,"sub_dup_sec":$tSubDup,""" +
       s""""sub_cut_tokens":$subCutTokens,"sub_cut_sec":$tSubCut,""" +
       s""""calibration_sec":$calib}""")

@@ -388,6 +388,42 @@ SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_clust
 FROM ds a JOIN ds b ON a.rep = b.rep AND a.source < b.source
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** x69: Jaccard-weighted PageRank over the verified near-dup pair graph —
+    * the x03 chain's candidate pairs admitted by the INTEGER test
+    * `2·|∩| ≥ |∪|` and weighted `(|∩|·10^6) // |∪|` (ppm, straight from
+    * the shingle-set sizes — no float enters), made bidirectional, then
+    * FIVE fixed power iterations entirely in BIGINT micro-units so the
+    * hash check is exact across engines: rank starts at 1.0 = 1,000,000 µ;
+    * each step every node emits `(r·w) // Σw_out` along each edge (integer
+    * floor division — identical for the all-positive operands in both
+    * engines) and absorbs `150000 + (85 · Σ inbound) // 100` (damping 0.85
+    * in percent arithmetic). BIGINT sums are order-independent; the single
+    * rounded division at the end is the only double. Every node of the
+    * symmetric edge set has an in-edge, so the per-iteration
+    * join-aggregate loses no nodes. */
+  val dupPagerank: String = {
+    val its = (1 to 5).map { i =>
+      val prev = if (i == 1) "pr0" else s"pri${i - 1}"
+      s""",
+pri$i AS (SELECT e.d AS id,
+    150000::BIGINT + (85::BIGINT * SUM((p.r * e.w) // o.wout)) // 100 AS r
+  FROM predges e JOIN prout o ON o.id = e.s JOIN $prev p ON p.id = e.s GROUP BY e.d)"""
+    }.mkString
+    s"""$minhashCtes,
+prw AS (SELECT doc_a, doc_b,
+    CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS inter,
+    CAST(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)) AS BIGINT) AS uni
+  FROM ws),
+prf AS (SELECT doc_a, doc_b, (inter * 1000000::BIGINT) // uni AS w
+  FROM prw WHERE inter * 2 >= uni),
+predges AS (SELECT doc_a AS s, doc_b AS d, w FROM prf
+  UNION ALL SELECT doc_b, doc_a, w FROM prf),
+prout AS (SELECT s AS id, SUM(w) AS wout, COUNT(*) AS deg FROM predges GROUP BY s),
+pr0 AS (SELECT id, 1000000::BIGINT AS r FROM prout)$its
+SELECT pri5.id AS doc_id, prout.deg AS deg, ROUND(r / 1000000.0, 6) AS pr
+FROM pri5 JOIN prout ON prout.id = pri5.id ORDER BY doc_id"""
+  }
+
   /** x52: blocked record linkage — the x03 banding chain as the BLOCKING
     * stage (shared `cand` CTE over the exact-collapsed reps), then
     * edit-distance verification over exactly those candidate pairs:

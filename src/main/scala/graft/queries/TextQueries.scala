@@ -1485,6 +1485,170 @@ object TextQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** x69: PageRank centrality over the verified near-dup graph — which
+    * documents are TEMPLATE HUBS (boilerplate/mirror centers that near-match
+    * many others) rather than members of one tight clone cluster. x26's CC
+    * answers "which docs are together"; PageRank ranks WITHIN and ACROSS the
+    * blobs, the signal a curation pass uses to pick removal order (kill the
+    * hub, re-score the residue). Five fixed power iterations with damping
+    * 0.85 over the bidirectional x03 pair graph, edges WEIGHTED by Jaccard
+    * (a near-dup graph is made of degree-symmetric clique blobs on which
+    * unweighted PageRank is exactly uniform — the weights carry the signal).
+    *
+    * Cross-engine exactness: the whole iteration runs in BIGINT micro-units
+    * — weight = `(|∩|·10^6) div |∪|` straight from the shingle-set sizes,
+    * admission as the integer `2·|∩| ≥ |∪|`, contribution =
+    * `(r·w) div Σw_out` (integer floor), absorb =
+    * `150000 + (85·Σ) div 100` — so every sum is order-independent and the
+    * only float is the final rounded presentation division (the x62
+    * fixed-point lesson applied to an iterative kernel).
+    *
+    * Scale shape: the graph is the near-dup pair set (∝ dup density, never
+    * n²); each iteration is ONE equi-join of the static degree-annotated
+    * edge list against the current rank vector plus a partial-final
+    * aggregate, with a GC-scoped localCheckpoint per round keeping lineage
+    * flat (x26's CC loop discipline). Five rounds = five shuffles of
+    * |edges| rows — at 100 TB both sides pre-partition on the node id so
+    * the edge side's exchange is paid once (the documented x26 upgrade
+    * path applies verbatim). */
+  val dupPagerank = sql("x69_dup_pagerank", HashOracles.dupPagerank) { (s, d) =>
+    val sigs = minhashSignaturesOf(docs(s, d)).localCheckpoint(eager = false)
+    pagerankFromWeightedPairs(weightedPairs(sigs)).orderBy("doc_id")
+  }
+
+  /** Verified near-dup pairs with INTEGER ppm Jaccard weights from a
+    * signature table: band candidates, admission `2·|∩| ≥ |∪|`, weight
+    * `(|∩|·10^6) div |∪|` — no float enters (unweighted PageRank is
+    * uniform on the degree-symmetric clique blobs a near-dup graph is made
+    * of; the weights are what separate the hub from the rim). Output:
+    * (doc_a, doc_b, w). */
+  def weightedPairs(sigTable: DataFrame): DataFrame =
+    bandCandidates(sigTable)
+      .join(sigTable.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sigTable.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("doc_a"), col("doc_b"), expr("(inter * 1000000L) div uni").as("w"))
+
+  /** x69's iteration over any weighted pair frame (doc_a, doc_b, w): five
+    * fixed power iterations, damping 0.85, all BIGINT micro-units. Output:
+    * (doc_id, deg, pr) — unordered; callers sort for presentation. */
+  def pagerankFromWeightedPairs(pairs: DataFrame): DataFrame = {
+    val pw = pairs.localCheckpoint(eager = false)
+    val edges = pw.select(col("doc_a").as("src"), col("doc_b").as("dst"), col("w"))
+      .union(pw.select(col("doc_b").as("src"), col("doc_a").as("dst"), col("w")))
+    val outw = edges.groupBy("src")
+      .agg(sum("w").as("wout"), count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
+    // static per-edge (src, dst, w, wout(src)) — the join the loop re-reads
+    val edgesD = edges.join(outw.select("src", "wout"), Seq("src"))
+      .localCheckpoint(eager = false)
+    var ranks = outw.select(col("src"), lit(1000000L).as("r"))
+    for (_ <- 1 to 5) {
+      ranks = edgesD.join(ranks, Seq("src"))
+        .select(col("dst"), expr("(r * w) div wout").as("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+        .select(col("dst").as("src"), expr("150000L + (85L * sc) div 100L").as("r"))
+        .localCheckpoint(eager = false)
+    }
+    ranks.join(outw.select("src", "deg"), Seq("src"))
+      .select(col("src").as("doc_id"), col("deg"),
+        round(col("r").cast("double") / 1e6, 6).as("pr"))
+  }
+
+  /** x70: Bloom-prefiltered incremental dedup — the steady-state membership
+    * check of a 100 TB ingest: is each incoming document a token-reorder
+    * duplicate (the x02 canonical bag-of-words key; the shipped corpus has
+    * zero byte-identical cross-batch copies, so the BoW key is the exact
+    * tier with real hits) of ANYTHING already in the corpus? The exact
+    * answer at scale must not pay a corpus-sized join per batch, so the
+    * corpus keys are folded ONCE into a fixed-size Bloom bitmap
+    * ([[graft.functions.BloomBits]] — mergeable OR-state, map-side
+    * combined), broadcast to the batch, and probed ROW-LOCALLY (k=4
+    * xxhash64 probes, all codegen'd bit arithmetic). Only bloom survivors —
+    * true dups plus the ~2e-5 false-positive sliver at this sizing — reach
+    * the verify join, which runs on the x01 16-byte (hash, length) key with
+    * the SURVIVOR side broadcast, so the corpus never shuffles (the x35
+    * decontamination shape). The output is EXACT: Bloom filters have no
+    * false negatives (every set bit stays set), and the verify join kills
+    * the false positives — which is why a sketch-prefiltered plan still
+    * hash-matches a plain SQL membership oracle, the same
+    * prefilter-then-verify contract as x03's band join.
+    *
+    * Batch = doc_id ≡ 0 (mod 10), corpus = the rest (the x37 split). */
+  val bloomDedup = sql(
+    "x70_bloom_dedup",
+    """WITH k AS (SELECT doc_id,
+      |    array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS bk
+      |  FROM documents),
+      |cnt AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS n FROM k
+      |  WHERE doc_id % 10 <> 0 GROUP BY bk)
+      |SELECT b.doc_id,
+      |  COALESCE(cnt.n, 0) AS n_matches,
+      |  CAST(cnt.bk IS NOT NULL AS INTEGER) AS is_dup
+      |FROM k b LEFT JOIN cnt ON cnt.bk = b.bk
+      |WHERE b.doc_id % 10 = 0 ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+    val keyed = docs(s, d).select(col("doc_id"),
+      array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("bk"))
+    val batch = keyed.filter(col("doc_id") % 10 === 0)
+    val corpus = keyed.filter(col("doc_id") % 10 =!= 0).select("bk")
+    val bloom = bloomBuild(corpus, "bk", bloomMBits)
+    bloomMembership(batch, "bk", bloom, corpus, bloomMBits)
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("n_matches").isNotNull.cast("int").as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** x70's bitmap size: 2^18 bits (32 KB). At the shipped corpus (~4.5k
+    * keys, k=4) the theoretical FP rate is ~2e-5; see BloomBits' sizing
+    * contract for how m grows with the corpus. */
+  private val bloomMBits = 1 << 18
+
+  /** The k=4 Bloom probe positions of a key — ONE definition shared by
+    * the build and probe sides (a position derived two ways would break
+    * the no-false-negative guarantee). */
+  private def bloomPositions(keyCol: Column, mBits: Int): Column =
+    transform(sequence(lit(0), lit(3)),
+      j => pmod(xxhash64(keyCol, j), lit(mBits.toLong)))
+
+  /** ONE-row Bloom bitmap over `keys(keyCol)`: k=4 probe positions per key
+    * folded through the [[graft.functions.BloomBits]] OR-aggregator
+    * (map-side combined; the exchange carries positions, never keys). */
+  def bloomBuild(keys: DataFrame, keyCol: String, mBits: Int): DataFrame = {
+    keys.sparkSession.udf.register(s"graft_bloom_bits_$mBits",
+      org.apache.spark.sql.functions.udaf(new graft.functions.BloomBits(mBits)))
+    keys.select(explode(bloomPositions(col(keyCol), mBits)).as("pos"))
+      .agg(expr(s"graft_bloom_bits_$mBits(pos)").as("bits"))
+  }
+
+  /** Exact membership of `batch(keyCol)` against `corpus(keyCol)` through a
+    * [[bloomBuild]] bitmap: the bitmap attaches as a 1-row broadcast and is
+    * probed ROW-LOCALLY (codegen'd bit tests); only bloom survivors reach
+    * the verify join, which runs on the 16-byte (hash, length) key with the
+    * SURVIVOR side broadcast — the corpus never shuffles. Returns `batch`
+    * plus `n_matches` (BIGINT, null = no match; exact — Bloom false
+    * positives die in the verify join, false negatives cannot exist). */
+  def bloomMembership(batch: DataFrame, keyCol: String, bloom: DataFrame,
+      corpus: DataFrame, mBits: Int): DataFrame = {
+    val probed = batch.join(broadcast(bloom))
+      .withColumn("ps", bloomPositions(col(keyCol), mBits))
+      .withColumn("bloom_hit", expr(
+        """forall(ps, p -> (shiftright(element_at(bits, CAST(p div 64 AS INT) + 1),
+          |                            CAST(p % 64 AS INT)) & 1L) = 1L)""".stripMargin))
+    val cands = probed.filter(col("bloom_hit"))
+      .select(col("doc_id"), col(keyCol).as("__bk"),
+        xxhash64(col(keyCol)).as("__h"), length(col(keyCol)).as("__len"))
+    val matched = corpus
+      .select(xxhash64(col(keyCol)).as("__h"), length(col(keyCol)).as("__len"), col(keyCol))
+      .join(broadcast(cands), Seq("__h", "__len"))
+      .filter(col(keyCol) === col("__bk"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+    batch.join(broadcast(matched), Seq("doc_id"), "left")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -1493,5 +1657,5 @@ object TextQueries {
     textTopkTokens, textEditDistance, dedupApply, recordLinkage, textMixture,
     textPack, splitLeakageSafe, corpusShards, datasheetRollup, dupSourceMatrix,
     releaseManifest, substringDup, substringCut, textLmScore, bpePairs,
-    textQualityGate, scoreGateCalibration)
+    textQualityGate, scoreGateCalibration, dupPagerank, bloomDedup)
 }

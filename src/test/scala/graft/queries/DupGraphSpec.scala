@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** Independent recomputation of the round-10 dup-graph queries, driver-side
+  * in plain Scala — the in-CI twin of the DuckDB oracle (which CI can't
+  * run): x69's five fixed-point PageRank iterations replayed over the
+  * collected edge list, x70's membership flags replayed over the collected
+  * corpus keys. */
+class DupGraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("x69: engine ranks equal a driver-side replay of the integer iteration") {
+    val out = TextQueries.dupPagerank.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // independent edge list: the x03 chain replayed in plain Scala over the
+    // exact-collapsed reps — 32-hash MinHash, 8 bands of 4, candidates =
+    // pairs sharing a band SLICE (the engine band-joins on xxhash64 of the
+    // slice; slices collide iff equal up to a ~2^-64 hash collision), then
+    // the integer Jaccard admission and ppm weight on the candidate set
+    val reps = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).map { case (_, g) => g.minBy(_._1) }.toSeq
+      .map { case (id, text) => (id, shingles(text)) }
+    def mix64(z0: Long): Long = DupGraphSpec.mix64(z0)
+    def sig(sh: Set[Long]): IndexedSeq[Long] =
+      (0 until 32).map { j =>
+        val seed = mix64(j + 0x5851f42d4c957f2dL)
+        sh.map(h => mix64(h ^ seed)).min
+      }
+    val sigs = reps.map { case (id, sh) => (id, sh, sig(sh)) }
+    val pairs = for {
+      (a, sa, ga) <- sigs
+      (b, sb, gb) <- sigs
+      if a < b
+      if (0 until 8).exists(bd => ga.slice(bd * 4, bd * 4 + 4) == gb.slice(bd * 4, bd * 4 + 4))
+      inter = (sa intersect sb).size.toLong
+      uni = sa.size.toLong + sb.size.toLong - inter
+      if inter * 2 >= uni && uni > 0
+    } yield (a, b, inter * 1000000L / uni)
+
+    val edges = pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val wout = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var rank = wout.map { case (s, _) => s -> 1000000L }
+    for (_ <- 1 to 5) {
+      val inbound = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, w) => rank(s) * w / wout(s) }.sum
+      }
+      rank = rank.map { case (n, _) => n -> (150000L + 85L * inbound(n) / 100L) }
+    }
+    val expected = rank.toSeq.sortBy(_._1).map { case (n, r) =>
+      (n, deg(n), math.round(r / 1e6 * 1e6) / 1e6)
+    }
+    out.toSeq shouldBe expected
+    out.length should be > 0
+  }
+
+  test("x69: weighted ranks are NOT uniform on the shipped dup graph") {
+    // unweighted PageRank is exactly uniform on the degree-symmetric blobs
+    // a near-dup graph is made of — if every rank is 1.0 again, the
+    // weighting has silently fallen out of the iteration
+    val prs = TextQueries.dupPagerank.run(spark, "/root/testdata/sf0.01")
+      .select("pr").collect().map(_.getDouble(0)).distinct
+    prs.length should be > 1
+  }
+
+  test("x70: engine flags equal a driver-side exact-membership replay") {
+    val out = TextQueries.bloomDedup.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+
+    val keyed = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").distinct.sorted.mkString(" ")))
+    val corpusCounts = keyed.filter(_._1 % 10 != 0)
+      .groupBy(_._2).map { case (k, g) => k -> g.length.toLong }
+    val expected = keyed.filter(_._1 % 10 == 0).sortBy(_._1).map { case (id, k) =>
+      val n = corpusCounts.getOrElse(k, 0L)
+      (id, n, if (n > 0) 1 else 0)
+    }
+    out.toSeq shouldBe expected.toSeq
+    out.length should be > 0
+  }
+
+  /** TextHashes.shingleData semantics replayed in plain Scala (n = 3,
+    * trailing sub-n shingle kept) — the same replay TextHashesSpec pins. */
+  private def shingles(text: String): Set[Long] = {
+    def tokenHash(t: String): Long = {
+      var h = 0xcbf29ce484222325L
+      t.foreach { c => h = (h ^ c) * 0x100000001b3L }
+      DupGraphSpec.mix64(h)
+    }
+    val th = text.split(" ", -1).map(tokenHash)
+    val m = math.max(th.length - 2, 1)
+    (0 until m).map { k =>
+      var h = th(k)
+      var j = 1
+      while (j < 3 && k + j < th.length) {
+        h = DupGraphSpec.mix64(h ^ (th(k + j) + 0x9e3779b97f4a7c15L * j)); j += 1
+      }
+      h
+    }.toSet
+  }
+}
+
+object DupGraphSpec {
+  /** splitmix64 finalizer — TextHashes.mix64 replayed. */
+  def mix64(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33
+    z
+  }
+}

@@ -143,6 +143,18 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
       .map(_.group(1)).filter(_.contains("embedding")).toSeq shouldBe empty
   }
 
+  test("x70: bloom probe is row-local; no exchange ever carries the BoW key") {
+    val plan = planOf(TextQueries.bloomDedup)
+    // the bitmap attaches as a 1-row broadcast (BNLJ), the verify and flag
+    // joins are broadcast hash joins — the corpus side must never
+    // sort-merge, and no shuffle may partition on the document-sized key
+    plan should include("BroadcastNestedLoopJoin")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan)
+      .map(_.group(1)).filter(_.contains("bk")).toSeq shouldBe empty
+  }
+
   test("x52: record linkage verifies over band-join candidates, never all-pairs") {
     val plan = planOf(TextQueries.recordLinkage)
     plan should not include "CartesianProduct"
