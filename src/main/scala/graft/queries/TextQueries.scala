@@ -1610,9 +1610,16 @@ object TextQueries {
   /** The k=4 Bloom probe positions of a key — ONE definition shared by
     * the build and probe sides (a position derived two ways would break
     * the no-false-negative guarantee). */
-  private def bloomPositions(keyCol: Column, mBits: Int): Column =
+  private[graft] def bloomPositions(keyCol: Column, mBits: Int): Column =
     transform(sequence(lit(0), lit(3)),
       j => pmod(xxhash64(keyCol, j), lit(mBits.toLong)))
+
+  /** All-bits-set test over `ps` (the [[bloomPositions]] array) against a
+    * `bits` bitmap column — row-local codegen'd shift/mask arithmetic,
+    * shared by the batch probe and the streaming twin. */
+  private[graft] def bloomHitExpr: Column = expr(
+    """forall(ps, p -> (shiftright(element_at(bits, CAST(p div 64 AS INT) + 1),
+      |                            CAST(p % 64 AS INT)) & 1L) = 1L)""".stripMargin)
 
   /** ONE-row Bloom bitmap over `keys(keyCol)`: k=4 probe positions per key
     * folded through the [[graft.functions.BloomBits]] OR-aggregator
@@ -1635,9 +1642,7 @@ object TextQueries {
       corpus: DataFrame, mBits: Int): DataFrame = {
     val probed = batch.join(broadcast(bloom))
       .withColumn("ps", bloomPositions(col(keyCol), mBits))
-      .withColumn("bloom_hit", expr(
-        """forall(ps, p -> (shiftright(element_at(bits, CAST(p div 64 AS INT) + 1),
-          |                            CAST(p % 64 AS INT)) & 1L) = 1L)""".stripMargin))
+      .withColumn("bloom_hit", bloomHitExpr)
     val cands = probed.filter(col("bloom_hit"))
       .select(col("doc_id"), col(keyCol).as("__bk"),
         xxhash64(col(keyCol)).as("__h"), length(col(keyCol)).as("__len"))

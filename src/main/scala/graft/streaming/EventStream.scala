@@ -91,6 +91,34 @@ object EventStream {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("fp_md5")
 
+  /** Bloom-prefiltered exact membership of a document STREAM against a
+    * static corpus (the streaming twin of x70): the corpus bitmap — a
+    * [[graft.queries.TextQueries.bloomBuild]] artifact, loaded once at
+    * query start and attached as a LITERAL array, the production shape of
+    * "broadcast a fixed index to every micro-batch" — is probed row-locally
+    * (codegen'd bit tests), and only bloom survivors join the static
+    * per-key count table (broadcast; the `bloom_hit` conjunct in the join
+    * condition keeps non-survivors from ever reaching it). Stateless and
+    * watermark-free: every operator is row-local or stream-static, so
+    * append mode emits one exact row per incoming doc — Bloom false
+    * positives die in the verify join, false negatives cannot exist.
+    * `corpusCounts`: (`key`, n BIGINT). Output: (doc_id, n_matches,
+    * is_dup) — DocStreamSpec pins multiset parity with the batch
+    * [[graft.queries.TextQueries.bloomMembership]]. */
+  def bloomMembership(docs: DataFrame, keyCol: String, bits: Array[Long],
+      corpusCounts: DataFrame, mBits: Int): DataFrame = {
+    val probed = docs
+      .withColumn("bits", typedlit(bits))
+      .withColumn("ps", graft.queries.TextQueries.bloomPositions(col(keyCol), mBits))
+      .withColumn("bloom_hit", graft.queries.TextQueries.bloomHitExpr)
+    val cnt = broadcast(corpusCounts.toDF("__ck", "__n"))
+    probed
+      .join(cnt, probed(keyCol) === col("__ck") && col("bloom_hit"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("__n"), lit(0L)).as("n_matches"),
+        col("__n").isNotNull.cast("int").as("is_dup"))
+  }
+
   /** Per-window top-k tokens (the streaming twin of x42's heavy-hitters
     * shape): Misra-Gries summaries per (hourly window, lang) over a
     * watermarked document stream. The sketch is a fixed-size MERGEABLE

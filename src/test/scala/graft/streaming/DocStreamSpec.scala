@@ -54,6 +54,58 @@ class DocStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     streamed.map(_._1) should not contain 100003L
   }
 
+  test("streaming bloom membership ≡ batch x70 on the same rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_distinct, array_join, array_sort, col, split}
+    // static side: the x70 corpus (doc_id % 10 <> 0) keyed on the BoW key
+    val mBits = 1 << 18
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("bk"))
+    val corpus = keyed(spark.read.parquet(s"$sf/documents.parquet"))
+      .filter(col("doc_id") % 10 =!= 0).select("bk")
+    val corpusCounts = corpus.groupBy("bk").count()
+    val bits = TextQueries.bloomBuild(corpus, "bk", mBits)
+      .head().getSeq[Long](0).toArray
+
+    // incoming: one BoW-duplicate of a corpus doc (token-reorder), one
+    // byte-copy, one novel doc
+    val corpusTexts = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 10 =!= 0)
+      .orderBy("doc_id").select("text").limit(2).collect().map(_.getString(0))
+    val reordered = corpusTexts(0).split(" ").reverse.mkString(" ")
+    val incoming = Seq(
+      (200001L, reordered),
+      (200002L, corpusTexts(1)),
+      (200003L, "zzz qqq completely novel payload xyzzy plugh"))
+
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.bloomMembership(
+      keyed(input.toDF.toDF("doc_id", "text")), "bk", bits, corpusCounts, mBits)
+      .writeStream.format("memory").queryName("bloomprobe").outputMode("append").start()
+    val streamed = try {
+      input.addData(incoming.take(1))
+      q.processAllAvailable()
+      input.addData(incoming.drop(1)) // second trigger
+      q.processAllAvailable()
+      spark.table("bloomprobe").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    } finally q.stop()
+
+    val batch = TextQueries.bloomMembership(
+      keyed(incoming.toDF("doc_id", "text")), "bk",
+      TextQueries.bloomBuild(corpus, "bk", mBits), corpus, mBits)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.coalesce(col("n_matches"),
+          org.apache.spark.sql.functions.lit(0L)).as("n_matches"),
+        col("n_matches").isNotNull.cast("int").as("is_dup"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+
+    streamed shouldBe batch
+    // both duplicate forms hit; the novel doc does not
+    streamed.filter(_._3 == 1).map(_._1) shouldBe Array(200001L, 200002L)
+    streamed.filter(_._1 == 200003L).head._3 shouldBe 0
+  }
+
   test("streaming heavy hitters: per-window top-k tokens exact under capacity (x42 twin)") {
     import spark.implicits._
     def at(minute: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
