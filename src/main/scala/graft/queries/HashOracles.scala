@@ -272,6 +272,46 @@ jj AS (SELECT doc_id, corpus_doc_id, ${jaccard("sh_a", "sh_b", "jaccard")} FROM 
 SELECT doc_id, corpus_doc_id, jaccard FROM jj WHERE jaccard >= 0.5
 ORDER BY doc_id, corpus_doc_id"""
 
+  /** x71: ingest triage rollup — the incoming batch (x37 split) tiered
+    * EXCLUSIVELY as exact_bow (x70's canonical BoW membership) →
+    * near_dup (x37's verified probe, among the non-exact) → novel, rolled
+    * up per source. Reuses the x37 chain verbatim (inc/crep/u + banding +
+    * verify) plus x02's canonical-key membership; `bwk` avoids the chain's
+    * `bk` band-key name. */
+  val ingestTriage: String =
+    s"""WITH RECURSIVE
+inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+crep AS (SELECT min(doc_id) AS doc_id, text FROM documents WHERE doc_id % 10 <> 0 GROUP BY text),
+u AS (SELECT doc_id, text FROM inc UNION ALL SELECT doc_id, text FROM crep),
+${sigChainCtes("u")},
+cand AS (SELECT DISTINCT l.doc_id AS doc_id, r.doc_id AS corpus_doc_id
+  FROM bands2 l JOIN bands2 r ON l.b = r.b AND l.bk = r.bk
+  WHERE l.doc_id % 10 = 0 AND r.doc_id % 10 <> 0),
+ws AS (SELECT cand.doc_id AS doc_id, cand.corpus_doc_id AS corpus_doc_id,
+    p.sh AS sh_a, q.sh AS sh_b
+  FROM cand JOIN shset p ON p.doc_id = cand.doc_id
+  JOIN shset q ON q.doc_id = cand.corpus_doc_id),
+jj AS (SELECT doc_id, corpus_doc_id, ${jaccard("sh_a", "sh_b", "jaccard")} FROM ws),
+nh AS (SELECT DISTINCT doc_id FROM jj WHERE jaccard >= 0.5),
+kk AS (SELECT doc_id,
+    array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS bwk
+  FROM documents),
+ck AS (SELECT DISTINCT bwk FROM kk WHERE doc_id % 10 <> 0),
+tier AS (SELECT k.doc_id, d.source,
+    CASE WHEN ck.bwk IS NOT NULL THEN 'exact_bow'
+         WHEN nh.doc_id IS NOT NULL THEN 'near_dup'
+         ELSE 'novel' END AS tier
+  FROM kk k JOIN documents d ON d.doc_id = k.doc_id
+  LEFT JOIN ck ON ck.bwk = k.bwk
+  LEFT JOIN nh ON nh.doc_id = k.doc_id
+  WHERE k.doc_id % 10 = 0)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_incoming,
+  CAST(SUM(CASE WHEN tier = 'exact_bow' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+  CAST(SUM(CASE WHEN tier = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+  CAST(SUM(CASE WHEN tier = 'novel' THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+FROM tier GROUP BY source ORDER BY source"""
+
   /** x03: the pair output of the shared chain. */
   val dedupMinhash: String =
     s"""$minhashCtes

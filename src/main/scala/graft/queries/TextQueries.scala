@@ -1654,6 +1654,49 @@ object TextQueries {
     batch.join(broadcast(matched), Seq("doc_id"), "left")
   }
 
+  /** x71: ingest triage rollup — the decision table a crawl/ingest operator
+    * reads before admitting a batch: every incoming document tiered
+    * EXCLUSIVELY as `exact_bow` (token-reorder duplicate of the corpus —
+    * x70's Bloom-prefiltered canonical-key membership), else `near_dup`
+    * (x37's verified ≥ 0.5 Jaccard probe against the corpus signature
+    * artifact), else `novel`, rolled up per source: how much of the new
+    * crawl is actually new, and which sources are stale. Pure composition
+    * of the two proven probe paths — the tier precedence is the pipeline's
+    * real semantics (an exact copy also band-hits; it must count once, in
+    * the cheaper tier).
+    *
+    * Scale shape: both probes are batch-sized against corpus-sized
+    * ARTIFACTS (the bitmap broadcast + the signature/band equi-join); the
+    * rollup is a partial-final aggregate over the batch. Nothing here adds
+    * an exchange beyond the two probe plans audited under x70/x37. */
+  val ingestTriage = sql("x71_ingest_triage", HashOracles.ingestTriage) { (s, d) =>
+    val all = docs(s, d)
+    val incoming = all.filter(col("doc_id") % 10 === 0)
+    val corpus = all.filter(col("doc_id") % 10 =!= 0)
+    def bowKeyed(df: DataFrame) = df.select(col("doc_id"),
+      array_join(array_sort(array_distinct(split(col("text"), " "))), " ").as("bk"))
+    val corpusKeys = bowKeyed(corpus).select("bk")
+    val exact = bloomMembership(bowKeyed(incoming), "bk",
+      bloomBuild(corpusKeys, "bk", bloomMBits), corpusKeys, bloomMBits)
+      .select(col("doc_id"), col("n_matches").isNotNull.as("is_exact"))
+    val corpusSigs = minhashSignaturesOf(corpus).localCheckpoint(eager = false)
+    val near = nearDupProbe(incoming.select("doc_id", "text"), corpusSigs)
+      .select("doc_id").distinct().withColumn("is_near", lit(true))
+    incoming.select(col("doc_id"), col("source"))
+      .join(exact, Seq("doc_id"))
+      .join(near, Seq("doc_id"), "left")
+      .withColumn("tier",
+        when(col("is_exact"), "exact_bow")
+          .when(coalesce(col("is_near"), lit(false)), "near_dup")
+          .otherwise("novel"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_incoming"),
+        sum(when(col("tier") === "exact_bow", 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("tier") === "near_dup", 1L).otherwise(0L)).as("n_near"),
+        sum(when(col("tier") === "novel", 1L).otherwise(0L)).as("n_novel"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -1662,5 +1705,6 @@ object TextQueries {
     textTopkTokens, textEditDistance, dedupApply, recordLinkage, textMixture,
     textPack, splitLeakageSafe, corpusShards, datasheetRollup, dupSourceMatrix,
     releaseManifest, substringDup, substringCut, textLmScore, bpePairs,
-    textQualityGate, scoreGateCalibration, dupPagerank, bloomDedup)
+    textQualityGate, scoreGateCalibration, dupPagerank, bloomDedup,
+    ingestTriage)
 }

@@ -88,6 +88,33 @@ class DupGraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.length should be > 0
   }
 
+  test("x71: tiers are exclusive, account for every incoming doc, and agree with x70/x37") {
+    val sf01 = "/root/testdata/sf0.01"
+    val t = TextQueries.ingestTriage.run(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // exclusive tiers: per-source counts must sum exactly
+    t.foreach { case (src, n, e, nr, nv) =>
+      withClue(s"$src: ") { (e + nr + nv) shouldBe n }
+    }
+    // batch accounting: sources cover the whole incoming split
+    val nIncoming = graft.Tables.documents(spark, sf01)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0).count()
+    t.map(_._2).sum shouldBe nIncoming
+    // tier 1 agrees with x70 (same membership semantics)
+    val x70Dups = TextQueries.bloomDedup.run(spark, sf01)
+      .filter(org.apache.spark.sql.functions.col("is_dup") === 1).count()
+    t.map(_._3).sum shouldBe x70Dups
+    // tier 2 is bounded by x37's distinct probe hits (exact-BoW docs that
+    // also band-hit count in tier 1, never tier 2)
+    val x37Hits = TextQueries.dedupIncremental.run(spark, sf01)
+      .select("doc_id").distinct().count()
+    t.map(_._4).sum should be <= x37Hits
+    // non-vacuity: every tier is populated on the shipped corpus
+    t.map(_._3).sum should be > 0L
+    t.map(_._4).sum should be > 0L
+    t.map(_._5).sum should be > 0L
+  }
+
   /** TextHashes.shingleData semantics replayed in plain Scala (n = 3,
     * trailing sub-n shingle kept) — the same replay TextHashesSpec pins. */
   private def shingles(text: String): Set[Long] = {
