@@ -312,6 +312,26 @@ SELECT source,
   CAST(SUM(CASE WHEN tier = 'novel' THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
 FROM tier GROUP BY source ORDER BY source"""
 
+  /** x72: LSH band-collision histogram — per candidate pair the COUNT of
+    * colliding bands (each side has exactly one row per band, so the
+    * band-join row count IS the collision count), with the integer
+    * `2·|∩| ≥ |∪|` verification flag, rolled up to (n_bands → n_pairs,
+    * n_verified). The x03 chain's bands2/shset reused; DuckDB SUM(int)
+    * returns HUGEINT, hence the explicit BIGINT cast. */
+  val lshBandStats: String =
+    s"""$minhashCtes,
+pb AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+  FROM bands2 l JOIN bands2 r ON l.b = r.b AND l.bk = r.bk AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id),
+pv AS (SELECT pb.n_bands,
+    CASE WHEN 2 * len(list_intersect(p.sh, q.sh))
+           >= len(p.sh) + len(q.sh) - len(list_intersect(p.sh, q.sh))
+         THEN 1 ELSE 0 END AS ok
+  FROM pb JOIN shset p ON p.doc_id = pb.doc_a JOIN shset q ON q.doc_id = pb.doc_b)
+SELECT n_bands, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(ok) AS BIGINT) AS n_verified
+FROM pv GROUP BY n_bands ORDER BY n_bands"""
+
   /** x03: the pair output of the shared chain. */
   val dedupMinhash: String =
     s"""$minhashCtes

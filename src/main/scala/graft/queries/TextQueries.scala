@@ -176,6 +176,27 @@ object TextQueries {
   def dedupMinhashFromIndex(s: SparkSession, indexPath: String): DataFrame =
     minhashPairs(s.read.parquet(indexPath))
 
+  /** APPEND admitted documents to a durable [[saveMinhashIndex]] artifact —
+    * the missing third verb of the index lifecycle (build → probe →
+    * append): after a batch is probed and its novel docs accepted, sketch
+    * exactly those rows (row-local, batch-sized) and add them as new
+    * parquet files so the NEXT batch probes against the grown corpus. The
+    * existing files are untouched (parquet append = new files only), so
+    * the corpus is never re-sketched and the write cost is proportional to
+    * the batch, not the index. Caller contract: `accepted` must be novel
+    * (the probe's job) — the sketcher applies no exact-dup pre-collapse
+    * across the existing index. The appended files are range-sorted by
+    * doc_id within the batch like the original artifact's layout. */
+  def appendToMinhashIndex(accepted: DataFrame, indexPath: String): Unit = {
+    val sigs = accepted
+      .select(col("doc_id"), shingleHashes.as("sh"))
+      .withColumn("sig", expr("graft_minhash(sh, 32)"))
+    val n = math.max(accepted.sparkSession.sparkContext.defaultParallelism / 4, 1)
+    sigs.repartitionByRange(n, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("append").parquet(indexPath)
+  }
+
   /** Near-dup probe of incoming documents against an existing signature
     * table — the incremental-ingest half of corpus dedup. `incoming` needs
     * (doc_id, text); each row is sketched row-locally (native
@@ -1697,6 +1718,42 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** x72: LSH band-collision histogram — the tuning table that says how
+    * close the banding sits to its miss cliff: for every candidate pair,
+    * how many of the 8 bands collided, and how many pairs at each
+    * collision count pass the integer `2·|∩| ≥ |∪|` verification. Mass at
+    * n_bands = 1 among VERIFIED pairs means true dups are being caught by
+    * their last band (raise bands / shrink rows before recall drops);
+    * unverified mass at high n_bands means the bands are too coarse
+    * (wasted verify work). The observability read an LSH deployment
+    * watches when choosing (bands × rows) — published recall curves are
+    * P(≥1 band) = 1-(1-j^r)^b; this measures the empirical version on the
+    * live corpus.
+    *
+    * Scale shape: the same band equi-join as x03 (each side has exactly
+    * one row per band, so the join's row count per pair IS the collision
+    * count — a groupBy replaces x03's distinct), then the shingle-set
+    * fetch joins only candidate pairs. Nothing beyond the audited x03
+    * plan plus one partial-final aggregate. */
+  val lshBandStats = sql("x72_lsh_band_stats", HashOracles.lshBandStats) { (s, d) =>
+    val sigs = minhashSignaturesOf(docs(s, d)).localCheckpoint(eager = false)
+    val bands = bandRows(sigs, "doc_id").localCheckpoint(eager = false)
+    val pairBands = bands.as("l").join(bands.as("r"), Seq("band", "bh"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    pairBands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
+      .withColumn("ok", (col("inter") * 2 >= col("uni")).cast("long"))
+      .groupBy("n_bands")
+      .agg(count(lit(1)).as("n_pairs"), sum("ok").as("n_verified"))
+      .orderBy("n_bands")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -1706,5 +1763,5 @@ object TextQueries {
     textPack, splitLeakageSafe, corpusShards, datasheetRollup, dupSourceMatrix,
     releaseManifest, substringDup, substringCut, textLmScore, bpePairs,
     textQualityGate, scoreGateCalibration, dupPagerank, bloomDedup,
-    ingestTriage)
+    ingestTriage, lshBandStats)
 }

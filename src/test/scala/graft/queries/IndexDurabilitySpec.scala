@@ -48,6 +48,39 @@ class IndexDurabilitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     fromIndex shouldBe direct
   }
 
+  test("appendToMinhashIndex: the next probe finds docs accepted by the last one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("mh-append").toString + "/sigs"
+    TextQueries.saveMinhashIndex(spark, sf, dir)
+    val before = spark.read.parquet(dir).count()
+
+    // an accepted batch: one novel doc plus one near-dup mutation of it
+    // (novel vs the CORPUS — they only match each other)
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val mutated = ("zzz1 zzz2 " + (3 to 40).map(i => s"tok$i").mkString(" "))
+    val accepted = Seq((900001L, base)).toDF("doc_id", "text")
+    TextQueries.appendToMinhashIndex(accepted, dir)
+
+    // the grown index: original rows untouched, new row present
+    val after = spark.read.parquet(dir)
+    after.count() shouldBe before + 1
+    after.filter(col("doc_id") === 900001L).count() shouldBe 1L
+
+    // the NEXT batch's probe sees the appended doc as corpus
+    val hits = TextQueries.nearDupProbe(
+      Seq((900002L, mutated)).toDF("doc_id", "text"), after)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    hits should contain((900002L, 900001L))
+    // and the appended signature equals a fresh sketch of the same text
+    // (one shared definition — no drift between build and append paths)
+    val fresh = accepted
+      .selectExpr("graft_minhash(graft_shingles(text, 3), 32) AS sig")
+      .head().getSeq[Long](0)
+    after.filter(col("doc_id") === 900001L)
+      .select("sig").head().getSeq[Long](0) shouldBe fresh
+  }
+
   test("PQ codes artifact round-trips; shortlist-from-index matches, no corpus access") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("pq-index").toString + "/codes"
