@@ -461,7 +461,8 @@ GROUP BY 1, 2 ORDER BY 1, 2"""
     * rounded division at the end is the only double. Every node of the
     * symmetric edge set has an in-edge, so the per-iteration
     * join-aggregate loses no nodes. */
-  val dupPagerank: String = {
+  // a def, not a val: referenced by two vals below (declaration-order rule)
+  private def pagerankCtes: String = {
     val its = (1 to 5).map { i =>
       val prev = if (i == 1) "pr0" else s"pri${i - 1}"
       s""",
@@ -479,10 +480,36 @@ prf AS (SELECT doc_a, doc_b, (inter * 1000000::BIGINT) // uni AS w
 predges AS (SELECT doc_a AS s, doc_b AS d, w FROM prf
   UNION ALL SELECT doc_b, doc_a, w FROM prf),
 prout AS (SELECT s AS id, SUM(w) AS wout, COUNT(*) AS deg FROM predges GROUP BY s),
-pr0 AS (SELECT id, 1000000::BIGINT AS r FROM prout)$its
+pr0 AS (SELECT id, 1000000::BIGINT AS r FROM prout)$its"""
+  }
+
+  val dupPagerank: String =
+    s"""$pagerankCtes
 SELECT pri5.id AS doc_id, prout.deg AS deg, ROUND(r / 1000000.0, 6) AS pr
 FROM pri5 JOIN prout ON prout.id = pri5.id ORDER BY doc_id"""
-  }
+
+  /** x73: hub-removal what-if — the top-10 PageRank hubs (r desc, id asc —
+    * a total order) with the verified-pair mass each removal deletes,
+    * attributed SEQUENTIALLY: a pair touching two hubs counts once, for
+    * the better-ranked one (so Σ pairs_removed = total pairs touching any
+    * hub). The 999 sentinel marks a non-hub endpoint (hub ranks are
+    * 1..10, COALESCE/LEAST arithmetic stays NULL-free — DuckDB LEAST
+    * propagates NULL where Spark's skips it, so neither side ever feeds
+    * LEAST a NULL). */
+  val hubRemoval: String =
+    s"""$pagerankCtes,
+hubs AS (SELECT * FROM (
+    SELECT p.id, o.deg, p.r,
+      CAST(ROW_NUMBER() OVER (ORDER BY p.r DESC, p.id) AS INTEGER) AS rk
+    FROM pri5 p JOIN prout o ON o.id = p.id) q WHERE rk <= 10),
+att AS (SELECT LEAST(COALESCE(ha.rk, 999), COALESCE(hb.rk, 999)) AS rk
+  FROM prf LEFT JOIN hubs ha ON ha.id = prf.doc_a
+  LEFT JOIN hubs hb ON hb.id = prf.doc_b),
+rm AS (SELECT rk, CAST(COUNT(*) AS BIGINT) AS pairs_removed
+  FROM att WHERE rk < 999 GROUP BY rk)
+SELECT h.rk, h.id AS doc_id, h.deg, ROUND(h.r / 1000000.0, 6) AS pr,
+  COALESCE(rm.pairs_removed, 0) AS pairs_removed
+FROM hubs h LEFT JOIN rm ON rm.rk = h.rk ORDER BY h.rk"""
 
   /** x52: blocked record linkage — the x03 banding chain as the BLOCKING
     * stage (shared `cand` CTE over the exact-collapsed reps), then

@@ -1754,6 +1754,44 @@ object TextQueries {
       .orderBy("n_bands")
   }
 
+  /** x73: hub-removal what-if — the action x69's ranking exists for: take
+    * the top-10 PageRank hubs (pr desc, doc_id asc — a total order) and
+    * report the verified-pair mass each removal deletes, attributed
+    * SEQUENTIALLY (a pair touching two hubs counts once, for the
+    * better-ranked one), so Σ pairs_removed = total pairs touching any hub
+    * and the table reads as a removal-order simulation: rank → how much of
+    * the dup graph dies with this document.
+    *
+    * Scale shape: the rank table prunes to K rows via
+    * TakeOrderedAndProject (no global sort of the node table); the 10-row
+    * hub set broadcasts to the pair list twice; attribution is row-local
+    * COALESCE/LEAST arithmetic on the 999 non-hub sentinel (Spark's
+    * `least` SKIPS nulls where DuckDB's propagates them — the sentinel
+    * keeps NULL out of `least` on both engines); the rollup is a
+    * partial-final aggregate over ≤ K groups. */
+  val hubRemoval = sql("x73_hub_removal", HashOracles.hubRemoval) { (s, d) =>
+    val sigs = minhashSignaturesOf(docs(s, d)).localCheckpoint(eager = false)
+    val pw = weightedPairs(sigs).localCheckpoint(eager = false)
+    val hubs = pagerankFromWeightedPairs(pw)
+      .orderBy(col("pr").desc, col("doc_id")).limit(10)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pr").desc, col("doc_id"))).cast("int"))
+      .localCheckpoint(eager = false) // three consumers below
+    val attributed = pw
+      .join(broadcast(hubs.select(col("doc_id").as("doc_a"), col("rk").as("rk_a"))),
+        Seq("doc_a"), "left")
+      .join(broadcast(hubs.select(col("doc_id").as("doc_b"), col("rk").as("rk_b"))),
+        Seq("doc_b"), "left")
+      .withColumn("rk", least(coalesce(col("rk_a"), lit(999)), coalesce(col("rk_b"), lit(999))))
+      .filter(col("rk") < 999)
+      .groupBy("rk").agg(count(lit(1)).as("pairs_removed"))
+    hubs.join(attributed, Seq("rk"), "left")
+      .select(col("rk"), col("doc_id"), col("deg"), col("pr"),
+        coalesce(col("pairs_removed"), lit(0L)).as("pairs_removed"))
+      .orderBy("rk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -1763,5 +1801,5 @@ object TextQueries {
     textPack, splitLeakageSafe, corpusShards, datasheetRollup, dupSourceMatrix,
     releaseManifest, substringDup, substringCut, textLmScore, bpePairs,
     textQualityGate, scoreGateCalibration, dupPagerank, bloomDedup,
-    ingestTriage, lshBandStats)
+    ingestTriage, lshBandStats, hubRemoval)
 }
