@@ -406,7 +406,147 @@ object EventsQueries {
       .orderBy("user_id", "slot")
   }
 
+  /** x75: interval-OVERLAP join — concurrent-session pairs across the two
+    * user-parity halves, over x46's gap-session intervals. The big×big
+    * sibling of x29's point-in-interval: BOTH sides are fact-sized, so the
+    * naive inequality join is a broadcast-nested-loop the broadcast side of
+    * which may not even fit; `operators.IntervalJoin` meets the sides in a
+    * bucketed EQUI-join (1 h buckets ≥ the ~57 min max session, so
+    * replication ≤ 2 rows/interval) and dedups by the first-common-bucket
+    * rule — no distinct, no cartesian (PlanQualitySpec pins both). Exact
+    * integer microseconds end to end; the oracle runs the naive overlap
+    * join, affordable at test scale. */
+  val intervalOverlap = sql(
+    "x75_ev_interval_overlap",
+    """WITH g AS (
+      |  SELECT event_id, user_id, ts,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g),
+      |iv AS (SELECT user_id, session_id, MIN(us) AS lo_us, MAX(us) AS hi_us
+      |       FROM s GROUP BY user_id, session_id),
+      |a AS (SELECT user_id AS a_user, session_id AS a_session, lo_us, hi_us
+      |      FROM iv WHERE user_id % 2 = 0),
+      |b AS (SELECT user_id AS b_user, session_id AS b_session,
+      |             lo_us AS lo2, hi_us AS hi2
+      |      FROM iv WHERE user_id % 2 = 1)
+      |SELECT a_user, a_session, b_user, b_session,
+      |  LEAST(hi_us, hi2) - GREATEST(lo_us, lo2) AS overlap_us
+      |FROM a JOIN b ON lo_us <= hi2 AND lo2 <= hi_us
+      |ORDER BY a_user, a_session, b_user, b_session""".stripMargin) { (s, d) =>
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iv = Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(order))
+      .withColumn("session_id",
+        sum(when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1).otherwise(0))
+          .over(cum).cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(min("us").as("lo_us"), max("us").as("hi_us"))
+    val a = iv.filter(col("user_id") % 2 === 0)
+      .select(col("user_id").as("a_user"), col("session_id").as("a_session"),
+        col("lo_us"), col("hi_us"))
+    val b = iv.filter(col("user_id") % 2 === 1)
+      .select(col("user_id").as("b_user"), col("session_id").as("b_session"),
+        col("lo_us"), col("hi_us"))
+    graft.operators.IntervalJoin
+      .overlapJoin(a, b, loCol = "lo_us", hiCol = "hi_us",
+        bucketWidth = 3600000000L)
+      .select(col("a_user"), col("a_session"), col("b_user"), col("b_session"),
+        (least(col("hi_us"), col("hi_us_r")) -
+          greatest(col("lo_us"), col("lo_us_r"))).as("overlap_us"))
+      .orderBy("a_user", "a_session", "b_user", "b_session")
+  }
+
+  /** x76: key-SKEW report — the distribution diagnostic a shuffle planner
+    * reads before keying a 100 TB join or groupBy on a column: key count,
+    * hottest key and its parts-per-million share, and exact quantiles of
+    * the per-key row counts. Complements x34's per-COLUMN profiler (nulls/
+    * distincts/bounds) with the per-KEY mass distribution that decides
+    * salting (x41), AQE skew thresholds, and partition sizing. Plan: one
+    * partial-final count aggregate over the fact table, then all statistics
+    * over the keys-sized counts table — the fact is scanned once and never
+    * sorted; quantiles ride `Quantiles.singleGroupQuantiles`, whose size
+    * dispatch swaps in the spillable range-partitioned plan when the key
+    * table itself is huge. The hot key is argmax with a deterministic
+    * min-key tiebreak (max-struct with negated key — no second scan). */
+  val keySkewReport = sql(
+    "x76_ev_key_skew",
+    """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+      |m AS (SELECT MAX(cnt) AS mx FROM c)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |  CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+      |  CAST(FLOOR(MAX(cnt) * 1000000.0 / SUM(cnt)) AS BIGINT) AS max_share_ppm,
+      |  (SELECT MIN(user_id) FROM c, m WHERE cnt = mx) AS hot_key,
+      |  ROUND(AVG(cnt), 6) AS avg_key_rows,
+      |  ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY cnt), 6) AS p50_key_rows,
+      |  ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY cnt), 6) AS p90_key_rows,
+      |  ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY cnt), 6) AS p99_key_rows
+      |FROM c""".stripMargin) { (s, d) =>
+    val counts = Tables.events(s, d).groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false) // three consumers: stats, argmax, quantiles
+    val quantiles = graft.operators.Quantiles
+      .singleGroupQuantiles(counts.withColumn("__g", lit(1)), "__g", "cnt",
+        Seq(0.5, 0.9, 0.99))
+      .select(round(col("q0"), 6).as("p50_key_rows"),
+        round(col("q1"), 6).as("p90_key_rows"),
+        round(col("q2"), 6).as("p99_key_rows"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum("cnt").as("n_rows"),
+      max("cnt").as("max_key_rows"),
+      floor(max("cnt") * 1000000.0 / sum("cnt")).cast("long").as("max_share_ppm"),
+      (-max(struct(col("cnt"), (-col("user_id")).as("nk"))).getField("nk")).as("hot_key"),
+      round(avg("cnt"), 6).as("avg_key_rows"))
+      .withColumn("__g", lit(1))
+      .join(quantiles.withColumn("__g", lit(1)), Seq("__g"), "left")
+      .select("n_keys", "n_rows", "max_key_rows", "max_share_ppm", "hot_key",
+        "avg_key_rows", "p50_key_rows", "p90_key_rows", "p99_key_rows")
+  }
+
+  /** x77: TEMPORAL holdout split — each user's event history cut at the
+    * 70 %/85 % positions into train/val/test, the time-ordered split a
+    * sequence model needs (predict-the-future evaluation). Completes the
+    * split-assignment family: x31 hashes documents i.i.d., x55 keys on the
+    * near-dup cluster, x77 keys on event-time ORDER — train always
+    * precedes val precedes test within a user. Exact integer arithmetic
+    * (rn·10 ≤ n·7 etc., no float thresholds); both windows share the
+    * user_id partitioning, so the split costs ONE exchange
+    * (PlanQualitySpec pins it). */
+  val temporalSplit = sql(
+    "x77_ev_temporal_split",
+    """WITH r AS (
+      |  SELECT event_id, user_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  CASE WHEN rn * 10 <= n * 7 THEN 'train'
+      |       WHEN rn * 20 <= n * 17 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM r ORDER BY event_id""".stripMargin) { (s, d) =>
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val whole = Window.partitionBy("user_id")
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(order))
+      .withColumn("n", count(lit(1)).over(whole))
+      .select(col("event_id"), col("user_id"),
+        when(col("rn") * 10 <= col("n") * 7, "train")
+          .when(col("rn") * 20 <= col("n") * 17, "val")
+          .otherwise("test").as("split"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
     asofClickView, valueBands, funnel, rollingActivity, skewJoinDemo, zorderKey,
-    winsorize, zscore, sessionStats, resampleFfill)
+    winsorize, zscore, sessionStats, resampleFfill, intervalOverlap,
+    keySkewReport, temporalSplit)
 }

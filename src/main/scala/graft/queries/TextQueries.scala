@@ -1792,6 +1792,69 @@ object TextQueries {
       .orderBy("rk")
   }
 
+  /** x74: CDC snapshot MERGE — apply a changeset (inserts, updates,
+    * deletes, with in-batch conflicts resolved last-writer-wins on a
+    * sequence column) to the corpus snapshot via
+    * [[graft.operators.MergeInto]]. This is the maintenance verb the
+    * append-only lifecycle verbs (x37 probe, x70 membership, MinHash index
+    * APPEND) deliberately lack: a crawler refresh that REVISES and RETRACTS
+    * documents needs upsert/delete semantics, i.e. `MERGE INTO` without a
+    * table format. The changeset here derives deterministically from the
+    * corpus itself (doc_id residues pick update/delete/insert victims; one
+    * residue class gets a conflicting update-then-delete pair so the
+    * last-writer-wins arm is non-vacuous), so the oracle replays the exact
+    * relational plan: latest-per-key QUALIFY, NOT-EXISTS survivors, upsert
+    * union. Scale shape: the window runs over the batch-sized changeset
+    * only; the corpus side is ONE scan + a broadcast anti join — it never
+    * shuffles (PlanQualitySpec pins both). */
+  val snapshotMerge = sql(
+    "x74_snapshot_merge",
+    """WITH changes AS (
+      |  SELECT doc_id, text || ' [rev2]' AS text, lang, source,
+      |         n_chars + 7 AS n_chars, 'U' AS op, 2 AS seq
+      |  FROM documents WHERE doc_id % 10 = 3
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, source, n_chars, 'D', 3
+      |  FROM documents WHERE doc_id % 10 = 7
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, source, n_chars, 'D', 5
+      |  FROM documents WHERE doc_id % 20 = 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'new ' || text, lang, 'src_new',
+      |         n_chars + 4, 'I', 1
+      |  FROM documents WHERE doc_id % 10 = 5),
+      |latest AS (
+      |  SELECT * FROM changes
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY seq DESC, op DESC) = 1),
+      |survivors AS (
+      |  SELECT d.* FROM documents d
+      |  WHERE NOT EXISTS (SELECT 1 FROM latest c WHERE c.doc_id = d.doc_id))
+      |SELECT doc_id, text, lang, source, n_chars FROM survivors
+      |UNION ALL
+      |SELECT doc_id, text, lang, source, n_chars FROM latest WHERE op <> 'D'
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val snap = docs(s, d)
+    def slice(residue: Int, modulus: Int) = snap.filter(col("doc_id") % modulus === residue)
+    val changes = slice(3, 10)
+      .select(col("doc_id"), concat(col("text"), lit(" [rev2]")).as("text"),
+        col("lang"), col("source"), (col("n_chars") + 7).as("n_chars"),
+        lit("U").as("op"), lit(2).as("seq"))
+      .unionByName(slice(7, 10)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), lit("D").as("op"), lit(3).as("seq")))
+      .unionByName(slice(3, 20) // conflicts with the seq-2 update: D wins
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), lit("D").as("op"), lit(5).as("seq")))
+      .unionByName(slice(5, 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new "), col("text")).as("text"), col("lang"),
+          lit("src_new").as("source"), (col("n_chars") + 4).as("n_chars"),
+          lit("I").as("op"), lit(1).as("seq")))
+    graft.operators.MergeInto.applyChangeset(snap, changes, Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -1801,5 +1864,5 @@ object TextQueries {
     textPack, splitLeakageSafe, corpusShards, datasheetRollup, dupSourceMatrix,
     releaseManifest, substringDup, substringCut, textLmScore, bpePairs,
     textQualityGate, scoreGateCalibration, dupPagerank, bloomDedup,
-    ingestTriage, lshBandStats, hubRemoval)
+    ingestTriage, lshBandStats, hubRemoval, snapshotMerge)
 }
