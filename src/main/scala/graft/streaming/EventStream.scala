@@ -487,4 +487,52 @@ object EventStream {
           }
       }
   }
+
+  case class DocChange(doc_id: Long, text: String, lang: String, source: String,
+      n_chars: Long, op: String, seq: Long)
+  case class UpsertState(seq: Long, op: String, text: String, lang: String,
+      source: String, n_chars: Long)
+  case class DocVersion(doc_id: Long, text: String, lang: String, source: String,
+      n_chars: Long, deleted: Boolean, seq: Long)
+
+  /** CDC upsert view (the streaming twin of x74_snapshot_merge /
+    * `operators.MergeInto`): a stream of insert/update/delete changes
+    * keyed on doc_id, materialized as the LATEST version per key —
+    * last-writer-wins on (seq, op), the batch operator's exact conflict
+    * rule. Emits a snapshot row whenever a key's winning version changes
+    * (append mode; deletes surface as `deleted = true` tombstones so a
+    * downstream sink can retract), so "latest emission per key" at any
+    * point ≡ the batch merge over the changes seen so far — which
+    * EventStreamSpec asserts across micro-batch boundaries, including a
+    * stale change arriving AFTER the version it lost to.
+    *
+    * State is one winning version per key with NO timeout: an upsert view
+    * is permanent by definition (any key may be revised forever), so the
+    * bound is the KEY DOMAIN, not a time horizon — the honest cost of
+    * MERGE semantics over a stream. At corpus scale that means the
+    * RocksDB state store, or foreachBatch-compacting into a keyed table
+    * and letting x74's batch merge own the history; bounded-domain keys
+    * (the active-crawl frontier) fit executor memory directly. Seed the
+    * initial snapshot as op='I' rows with seq below every live change. */
+  def upsertLatest(changes: Dataset[DocChange]): Dataset[DocVersion] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[UpsertState, DocVersion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[DocChange], state: GroupState[UpsertState]) =>
+          val prev = state.getOption
+          // last-writer-wins across state + this batch: max (seq, op) —
+          // the same lexicographic tiebreak as MergeInto's window order
+          val best = (prev.toSeq ++ rows.map(c =>
+            UpsertState(c.seq, c.op, c.text, c.lang, c.source, c.n_chars)))
+            .maxBy(s => (s.seq, s.op))
+          if (prev.contains(best)) Iterator.empty // losers change nothing
+          else {
+            state.update(best)
+            Iterator.single(DocVersion(id, best.text, best.lang, best.source,
+              best.n_chars, best.op == "D", best.seq))
+          }
+      }
+  }
 }

@@ -278,4 +278,39 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     // explode → groupBy(h) → join(h) → groupBy(doc_id) → output sort
     "Exchange".r.findAllIn(plan).size should be <= 4
   }
+
+  test("x74: the corpus snapshot never shuffles for the merge (broadcast anti join)") {
+    val plan = planOf(TextQueries.snapshotMerge)
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftAnti")
+    plan should not include "SortMergeJoin"
+    // the last-writer-wins window runs over the batch-sized changeset; the
+    // only exchanges are the changeset's window partition + the output sort
+    plan should include("Window")
+  }
+
+  test("x75: interval overlap is a bucketed equi-join — no nested-loop, no distinct") {
+    val plan = planOf(EventsQueries.intervalOverlap)
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    plan should include("__bucket")
+    // dedup is the row-local first-common-bucket filter, not a re-shuffling
+    // distinct of the join output
+    plan should not include "HashAggregate(keys=[a_user"
+  }
+
+  test("x76: the fact table is scanned once and never sorted for the skew report") {
+    val plan = planOf(EventsQueries.keySkewReport)
+    // one partial-final count over the fact; every later stage runs on the
+    // keys-sized counts table
+    plan should include("partial_count")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("x77: both split windows share one exchange on user_id") {
+    val plan = planOf(EventsQueries.temporalSplit)
+    // window partition exchange + output range sort, nothing else
+    "Exchange".r.findAllIn(plan).size should be <= 2
+    plan should include("Window")
+  }
 }

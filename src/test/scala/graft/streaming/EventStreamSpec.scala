@@ -455,4 +455,75 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
         (1L, 1L, 1L), (2L, 2L, 1L), (3L, 2L, 1L), (4L, 1L, 1L))
     } finally q.stop()
   }
+
+  test("upsert parity: latest streamed version per key ≡ batch x74 on the same changes") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+    val snap = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    def ch(d: Doc, op: String, seq: Long) =
+      EventStream.DocChange(d.doc_id, d.text, d.lang, d.source, d.n_chars, op, seq)
+    // the exact x74 changeset, derived the same way from the same corpus
+    val updates = snap.filter(_.doc_id % 10 == 3).map(d =>
+      ch(d.copy(text = d.text + " [rev2]", n_chars = d.n_chars + 7), "U", 2))
+    val deletes3 = snap.filter(_.doc_id % 10 == 7).map(ch(_, "D", 3))
+    val deletes5 = snap.filter(_.doc_id % 20 == 3).map(ch(_, "D", 5))
+    val inserts = snap.filter(_.doc_id % 10 == 5).map(d =>
+      ch(d.copy(doc_id = d.doc_id + 1000000L, text = "new " + d.text,
+        source = "src_new", n_chars = d.n_chars + 4), "I", 1))
+    val input = MemoryStream[EventStream.DocChange]
+    val q = EventStream.upsertLatest(input.toDS())
+      .writeStream.format("memory").queryName("ups74").outputMode("append").start()
+    try {
+      // b1: the snapshot seeds as op='I' below every live seq
+      input.addData(snap.map(ch(_, "I", 0)).toSeq)
+      q.processAllAvailable()
+      // b2: the seq-5 deletes land FIRST, plus the inserts
+      input.addData((deletes5 ++ inserts).toSeq)
+      q.processAllAvailable()
+      // b3: the seq-2 updates arrive AFTER the seq-5 delete they lose to,
+      // plus the seq-3 deletes
+      input.addData((updates ++ deletes3).toSeq)
+      q.processAllAvailable()
+      // latest emission per key (max seq emitted), live rows only
+      val got = spark.table("ups74").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+          r.getLong(4), r.getBoolean(5), r.getLong(6)))
+        .groupBy(_._1).view.mapValues(_.maxBy(v => (v._7, if (v._6) "D" else "U")))
+        .values.filterNot(_._6)
+        .map(v => (v._1, v._2, v._3, v._4, v._5)).toSet
+      val want = graft.queries.TextQueries.snapshotMerge.run(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+          r.getLong(4))).toSet
+      got shouldBe want
+      got should not be empty
+    } finally q.stop()
+  }
+
+  test("upsert resolves in-batch conflicts and ignores stale late arrivals") {
+    import spark.implicits._
+    def c(id: Long, text: String, op: String, seq: Long) =
+      EventStream.DocChange(id, text, "en", "s", text.length.toLong, op, seq)
+    val input = MemoryStream[EventStream.DocChange]
+    val q = EventStream.upsertLatest(input.toDS())
+      .writeStream.format("memory").queryName("upsLww").outputMode("append").start()
+    try {
+      // one batch, conflicting ops: seq 5 wins over 1 and 3
+      input.addData(c(1L, "v1", "U", 1), c(1L, "v5", "U", 5), c(1L, "v3", "U", 3),
+        c(2L, "gone", "D", 2))
+      q.processAllAvailable()
+      // stale arrival (seq 4 < 5): state unchanged, NO emission
+      input.addData(c(1L, "stale", "U", 4))
+      q.processAllAvailable()
+      // genuine advance emits
+      input.addData(c(1L, "v9", "U", 9))
+      q.processAllAvailable()
+      val got = spark.table("upsLww").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(5), r.getLong(6))).toSet
+      got shouldBe Set(
+        (1L, "v5", false, 5L), (2L, "gone", true, 2L), (1L, "v9", false, 9L))
+    } finally q.stop()
+  }
 }
