@@ -545,8 +545,135 @@ object EventsQueries {
       .orderBy("event_id")
   }
 
+  /** x78: first-touch attribution — for every purchase, the microseconds
+    * since the FIRST 'view' of the SAME gap-session (x16's >30 min rule),
+    * NULL when the session had no view before the purchase. The
+    * conversion-lag table funnel analysis reads after x32 says *whether*
+    * sessions convert.
+    *
+    * The naive plan needs a second window keyed (user, session) — a second
+    * exchange, because session_id only exists after the first window. This
+    * plan keeps ONE exchange (PlanQualitySpec pins it): session_id is
+    * monotone per user in (ts, event_id) order, so the first view of the
+    * CURRENT session is recoverable from a running user-wide max of
+    * `struct(session_id, -us)` over view rows — lexicographic max keeps
+    * the LATEST session seen, and within it the EARLIEST view; a guard
+    * `fv_session = session_id` rejects carryover from earlier sessions.
+    * All three windows share the user_id partitioning and (ts, event_id)
+    * order: one exchange, one sort. Exact integer microseconds (x16). */
+  val attribution = sql(
+    "x78_ev_attribution",
+    """WITH g AS (
+      |  SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS us,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events),
+      |s AS (
+      |  SELECT *, CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g),
+      |f AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+      |    OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv_us
+      |  FROM s)
+      |SELECT event_id, user_id, session_id, CAST(us - fv_us AS BIGINT) AS ttc_us
+      |FROM f WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin) { (s, d) =>
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(order))
+      .withColumn("session_id",
+        sum(when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1).otherwise(0))
+          .over(cum).cast("long"))
+      .withColumn("fv",
+        max(when(col("event_type") === "view",
+          struct(col("session_id"), (-col("us")).as("nus")))).over(cum))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("session_id"),
+        when(col("fv.session_id") === col("session_id"),
+          col("us") + col("fv.nus")).as("ttc_us"))
+      .orderBy("event_id")
+  }
+
+  /** x79: weekly retention cohorts — users bucketed by their FIRST active
+    * week, counted in each later week they return: the (cohort_week,
+    * week_offset) → users triangle product analytics reads as a retention
+    * curve per acquisition cohort. Weeks are pure integer arithmetic on
+    * epoch microseconds (floor-div by 604 800 s), NOT calendar
+    * `date_trunc` — no week-start or timezone convention to disagree on
+    * across engines, and the bucket is a row-local expression any scan
+    * fuses.
+    *
+    * Plan: collapse the fact to DISTINCT (user, week) FIRST (partial-
+    * aggregated, so the 100 TB fact reduces map-side before its one
+    * shuffle), window-min the per-user cohort over that users×weeks-sized
+    * table, then a partial-final count by (cohort, offset). The fact is
+    * touched once; every later stage is bounded by |users|·|weeks|. */
+  val retentionCohorts = sql(
+    "x79_ev_retention",
+    """WITH w AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      |c AS (SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cohort FROM w)
+      |SELECT CAST(cohort AS BIGINT) AS cohort_week,
+      |  CAST(wk - cohort AS BIGINT) AS week_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS users
+      |FROM c GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+    val w = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+      .distinct()
+    w.withColumn("cohort", min("wk").over(Window.partitionBy("user_id")))
+      .groupBy(col("cohort").as("cohort_week"), (col("wk") - col("cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** x82: robust outlier report — per event_type median + MAD (median
+    * absolute deviation) and the count of modified-z outliers
+    * (0.6745·|x−med| > 3.5·MAD, the Iglewicz-Hoaglin rule). The
+    * data-cleaning diagnostic that survives the very outliers that poison
+    * x45's mean/stddev z-score.
+    *
+    * Two quantile passes by construction (MAD needs deviations FROM the
+    * median): each rides the skew-safe `Quantiles.groupQuantiles`
+    * (interpolation ≡ PERCENTILE_CONT, hash-stable vs DuckDB — the x44
+    * precedent), and each result is a per-group scalar broadcast back, so
+    * the fact never shuffles — it is scanned twice and exchanged zero
+    * times. The outlier test compares products of bit-identical doubles,
+    * so the flag is deterministic cross-engine. */
+  val madOutliers = sql(
+    "x82_ev_mad_outliers",
+    """WITH m AS (SELECT event_type, PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value) AS med
+      |  FROM events GROUP BY event_type),
+      |d AS (SELECT e.event_type, m.med, ABS(e.value - m.med) AS dev
+      |  FROM events e JOIN m ON e.event_type = m.event_type),
+      |md AS (SELECT event_type, PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+      |  FROM d GROUP BY event_type)
+      |SELECT d.event_type AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ROUND(MIN(d.med), 6) AS med, ROUND(MIN(md.mad), 6) AS mad,
+      |  CAST(SUM(CASE WHEN 0.6745 * d.dev > 3.5 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN md ON d.event_type = md.event_type
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val med = graft.operators.Quantiles
+      .groupQuantiles(ev, "event_type", "value", Seq(0.5))
+      .select(col("event_type"), col("q0").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = graft.operators.Quantiles
+      .groupQuantiles(dev, "event_type", "dev", Seq(0.5))
+      .select(col("event_type"), col("q0").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(min("med"), 6).as("med"), round(min("mad"), 6).as("mad"),
+        sum(when(lit(0.6745) * col("dev") > lit(3.5) * col("mad"), 1).otherwise(0))
+          .cast("long").as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
     asofClickView, valueBands, funnel, rollingActivity, skewJoinDemo, zorderKey,
     winsorize, zscore, sessionStats, resampleFfill, intervalOverlap,
-    keySkewReport, temporalSplit)
+    keySkewReport, temporalSplit, attribution, retentionCohorts, madOutliers)
 }

@@ -1227,15 +1227,19 @@ object TextQueries {
       |        CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INTEGER) AS shard
       |      FROM documents)
       |ORDER BY shard, pos""".stripMargin) { (s, d) =>
+    shardsOf(docs(s, d)).orderBy("shard", "pos")
+  }
+
+  /** x56's shard/position assignment over an arbitrary doc set (factored so
+    * x81 can lay out two snapshots with the identical rule). */
+  private[queries] def shardsOf(dd: DataFrame): DataFrame = {
     val k = md5(col("doc_id").cast("string"))
-    docs(s, d)
-      .select(col("doc_id"), k.as("k"),
+    dd.select(col("doc_id"), k.as("k"),
         (instr(lit("0123456789abcdef"), substring(k, 1, 1)) - 1).cast("int").as("shard"))
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("shard").orderBy("k", "doc_id"))
         .cast("long"))
       .select("doc_id", "shard", "pos")
-      .orderBy("shard", "pos")
   }
 
   /** x57: dataset datasheet — the per-source + grand-total rollup every
@@ -1855,6 +1859,114 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** x80: sparse TF-IDF cosine pairs — document similarity through the
+    * INVERTED INDEX: docs sharing rare tokens are paired via an equi-join
+    * on the token, weighted by an idf-style integer weight, and scored
+    * with the cosine over the pruned term space. The sparse-retrieval
+    * sibling of the dense-embedding pair scores (x11/x21): it surfaces
+    * lexical near-dups whose embeddings drifted and needs no model at all.
+    *
+    * The document-frequency CAP IS the scale story: it is the
+    * posting-length prune every sparse retrieval system applies —
+    * stopword-grade tokens would contribute df² candidate pairs each
+    * (corpus-quadratic), while capped postings bound the join output by
+    * Σ_rare df². The band is `df ≥ 2 AND (df ≤ 10 OR df·10 ≤ N)`: the
+    * absolute arm is the production posting cap; the relative arm keeps
+    * the prune meaningful on the shipped synthetic corpus, whose 31-token
+    * vocabulary has NO absolute-rare tail (min df 25 of 500 — a real
+    * crawl's Zipf tail makes the absolute arm bite instead; the plan is
+    * identical either way, only the filter constant differs). df=1 terms
+    * pair nothing and are dropped too. Weights are EXACT integers (1e6
+    * div df — the x27 ln-free idf stance), so dot and norms aggregate as
+    * BIGINTs in any order; floats appear only in the final per-row
+    * sqrt/divide over those exact sums, which is deterministic
+    * cross-engine (ROUND 6, x45 precedent). */
+  val sparseCosine = sql(
+    "x80_sparse_cosine",
+    """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+      |  FROM documents),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+      |r AS (SELECT term, 1000000 // df AS w FROM dfreq CROSS JOIN n
+      |  WHERE df >= 2 AND (df <= 10 OR df * 10 <= n)),
+      |p AS (SELECT t.doc_id, t.term, r.w FROM tok t JOIN r ON t.term = r.term),
+      |nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS norm_sq FROM p GROUP BY doc_id),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared, CAST(SUM(a.w * a.w) AS BIGINT) AS dot
+      |  FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, n_shared,
+      |  ROUND(CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE))), 6) AS cos_sim
+      |FROM pr JOIN nrm na ON pr.doc_a = na.doc_id JOIN nrm nb ON pr.doc_b = nb.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+    val n = docs(s, d).agg(count(lit(1)).as("n"))
+    val rare = tok.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= 2 && (col("df") <= 10 || col("df") * 10 <= col("n")))
+      .select(col("term"), expr("1000000 div df").as("w"))
+    val p = tok.join(rare, Seq("term"))
+    val nrm = p.groupBy("doc_id").agg(sum(col("w") * col("w")).as("norm_sq"))
+    val pr = p.select(col("doc_id").as("doc_a"), col("term"), col("w"))
+      .join(p.select(col("doc_id").as("doc_b"), col("term")), Seq("term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"), sum(col("w") * col("w")).as("dot"))
+    pr.join(nrm.select(col("doc_id").as("doc_a"), col("norm_sq").as("na")), Seq("doc_a"))
+      .join(nrm.select(col("doc_id").as("doc_b"), col("norm_sq").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6).as("cos_sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** x81: release diff — the regression report between two corpus release
+    * layouts: per (shard, status) counts of docs `added`, `removed`,
+    * `changed` (same doc, different in-shard position — layout churn) and
+    * `same`, via [[graft.operators.SnapshotDiff]]'s full-outer key diff
+    * over x56's shard/position rule applied to two simulated crawls
+    * (doc_id % 17 ≠ 0 as the previous release, % 13 ≠ 0 as the next — all
+    * four statuses non-vacuous on the shipped corpus).
+    *
+    * Plan: each snapshot is the x56 writer plan (one exchange + in-shard
+    * row_number), the diff is ONE full-outer sort-merge join on doc_id
+    * (both sides manifest-sized — neither broadcasts, which is the right
+    * call at 100 TB), and the rollup is a partial-final count. Layout
+    * churn here is honest signal: dropping a doc shifts every later
+    * position in its shard, which is exactly what an incremental-release
+    * planner needs to see before rewriting shards. */
+  val releaseDiff = sql(
+    "x81_release_diff",
+    """WITH sa AS (
+      |  SELECT doc_id, shard, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+      |  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+      |          CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INTEGER) AS shard
+      |        FROM documents WHERE doc_id % 17 <> 0)),
+      |sb AS (
+      |  SELECT doc_id, shard, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+      |  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+      |          CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INTEGER) AS shard
+      |        FROM documents WHERE doc_id % 13 <> 0)),
+      |d AS (
+      |  SELECT COALESCE(sa.shard, sb.shard) AS shard,
+      |    CASE WHEN sa.doc_id IS NULL THEN 'added'
+      |         WHEN sb.doc_id IS NULL THEN 'removed'
+      |         WHEN NOT (sa.shard IS NOT DISTINCT FROM sb.shard
+      |                   AND sa.pos IS NOT DISTINCT FROM sb.pos) THEN 'changed'
+      |         ELSE 'same' END AS status
+      |  FROM sa FULL OUTER JOIN sb ON sa.doc_id = sb.doc_id)
+      |SELECT shard, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM d GROUP BY shard, status ORDER BY shard, status""".stripMargin) { (s, d) =>
+    val prev = shardsOf(docs(s, d).filter(col("doc_id") % 17 =!= 0))
+    val next = shardsOf(docs(s, d).filter(col("doc_id") % 13 =!= 0))
+    graft.operators.SnapshotDiff.diff(prev, next, "doc_id", Seq("shard", "pos"))
+      .groupBy(coalesce(col("old_shard"), col("new_shard")).as("shard"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("shard", "status")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -1864,5 +1976,6 @@ object TextQueries {
     textPack, splitLeakageSafe, corpusShards, datasheetRollup, dupSourceMatrix,
     releaseManifest, substringDup, substringCut, textLmScore, bpePairs,
     textQualityGate, scoreGateCalibration, dupPagerank, bloomDedup,
-    ingestTriage, lshBandStats, hubRemoval, snapshotMerge)
+    ingestTriage, lshBandStats, hubRemoval, snapshotMerge, sparseCosine,
+    releaseDiff)
 }

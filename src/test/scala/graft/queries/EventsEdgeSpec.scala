@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.{SparkTestBase, Tables}
+
+/** Driver-side recomputation gates for the round-10 event queries: the
+  * DuckDB oracle proves cross-engine agreement; these prove the SEMANTICS
+  * against a from-scratch Scala reimplementation on the real sf0.001 rows,
+  * so both engines can't share one misreading of the spec. */
+class EventsEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private case class Ev(id: Long, user: Long, typ: String, us: Long)
+
+  private def rawEvents(): Seq[Ev] =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  /** x16's session rule, recomputed imperatively per user. */
+  private def sessionsOf(evs: Seq[Ev]): Map[Long, Long] = {
+    evs.groupBy(_.user).iterator.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e.us, e.id))
+      var sid = 0L
+      var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || e.us - prev > 1800000000L) sid += 1
+        prev = e.us
+        e.id -> sid
+      }
+    }.toMap
+  }
+
+  test("x78 attribution ≡ an imperative per-session first-view scan") {
+    val evs = rawEvents()
+    val sid = sessionsOf(evs)
+    // expected: per purchase, us - min view-us in the same (user, session)
+    // among views at-or-before the purchase
+    val expected = evs.groupBy(_.user).iterator.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e.us, e.id))
+      var firstView = Map.empty[Long, Long] // session -> first view us
+      sorted.flatMap { e =>
+        if (e.typ == "view" && !firstView.contains(sid(e.id)))
+          firstView += sid(e.id) -> e.us
+        if (e.typ == "purchase")
+          Some(e.id -> firstView.get(sid(e.id)).map(e.us - _))
+        else None
+      }
+    }.toMap
+    val got = EventsQueries.attribution.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    got shouldBe expected
+    // non-vacuous on the shipped data: both attributed and orphan purchases
+    got.values.count(_.isDefined) should be > 0
+    got.values.count(_.isEmpty) should be > 0
+    got.values.flatten.foreach(_ should be >= 0L)
+  }
+
+  test("x79 retention ≡ a driver-side cohort triangle") {
+    val evs = rawEvents()
+    val userWeeks = evs.groupBy(_.user).map { case (u, es) =>
+      u -> es.map(_.us / 604800000000L).distinct.sorted
+    }
+    val expected = userWeeks.toSeq
+      .flatMap { case (_, wks) => wks.map(w => (wks.head, w - wks.head)) }
+      .groupBy(identity).map { case ((c, o), xs) => (c, o) -> xs.size.toLong }
+    val got = EventsQueries.retentionCohorts.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got shouldBe expected
+    // offset 0 carries every user exactly once (the cohort diagonal)
+    got.collect { case ((c, 0L), n) => n }.sum shouldBe userWeeks.size.toLong
+    // all offsets are non-negative (cohort = first week, by construction)
+    got.keys.foreach { case (_, off) => off should be >= 0L }
+  }
+
+  test("x82 MAD report: accounting + robustness invariants on the shipped rows") {
+    val vals = Tables.events(spark, dir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    val byType = vals.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = EventsQueries.madOutliers.run(spark, dir).collect()
+    rows.map(_.getString(0)).sorted shouldBe byType.keys.toSeq.sorted
+    rows.foreach { r =>
+      val (typ, n, med, mad, out) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      n shouldBe byType(typ).size.toLong
+      med should (be >= byType(typ).min and be <= byType(typ).max)
+      mad should be >= 0.0
+      out should be <= n
+      // the median really is central: at least half the values on each side
+      byType(typ).count(_ <= med) * 2L should be >= n
+      byType(typ).count(_ >= med) * 2L should be >= n
+      // recompute the flag from the reported stats; ROUND(…,6) can flip a
+      // knife-edge row, so allow a ±1-per-ulp band rather than exactness
+      val flagged = byType(typ).count(v => 0.6745 * math.abs(v - med) > 3.5 * mad).toLong
+      math.abs(flagged - out) should be <= 1L
+    }
+    // non-vacuous: the report flags something somewhere
+    rows.map(_.getLong(4)).sum should be > 0L
+  }
+}

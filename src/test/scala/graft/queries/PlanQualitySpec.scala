@@ -313,4 +313,50 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     "Exchange".r.findAllIn(plan).size should be <= 2
     plan should include("Window")
   }
+
+  test("x78: attribution rides ONE user_id exchange — no (user, session) re-shuffle") {
+    val plan = planOf(EventsQueries.attribution)
+    // the naive plan re-partitions by (user_id, session_id) for the
+    // first-view window; the running struct-max trick keeps everything on
+    // the x16 session exchange. Window partition + output sort only.
+    "Exchange".r.findAllIn(plan).size should be <= 2
+    // no exchange keys on the derived session_id (that's the naive plan)
+    "hashpartitioning\\([^)]*session_id".r.findFirstIn(plan) shouldBe None
+    plan should include("Window")
+  }
+
+  test("x79: retention collapses the fact before any window or join") {
+    val plan = planOf(EventsQueries.retentionCohorts)
+    // distinct (partial-final) → cohort window over users×weeks → final
+    // partial-final count → output sort; the raw fact shuffles once, and
+    // map-side combined at that
+    plan should include("partial_")
+    plan should not include "SortMergeJoin"
+    "Exchange".r.findAllIn(plan).size should be <= 4
+  }
+
+  test("x80: sparse cosine pairs via posting equi-joins, never all-pairs") {
+    val plan = planOf(TextQueries.sparseCosine)
+    plan should not include "CartesianProduct"
+    // nested-loop appears ONLY as the single-row corpus-count attach (the
+    // x27 `crossJoin(broadcast(n))` shape); the doc-pair join itself must
+    // be an EQUI-join keyed on the posting term
+    "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[term".r
+      .findFirstIn(plan) should not be None
+    // tf/df aggregations are map-side combined before their shuffles
+    plan should include("partial_count")
+  }
+
+  test("x81: release diff is one full-outer merge join — neither manifest broadcasts") {
+    val plan = planOf(TextQueries.releaseDiff)
+    plan should include("FullOuter")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("x82: MAD stats broadcast back — the fact never sort-merge-joins") {
+    val plan = planOf(EventsQueries.madOutliers)
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
 }

@@ -176,4 +176,46 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.sliding(2).foreach { w => w.head._6 should be <= w.last._5 }
     (out.map(_._4).max - out.map(_._4).min) should be > 0.0
   }
+
+  test("x80 sparse cosine ≡ brute force over the df-capped space; hot tokens pair nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docs-sparse").toString
+    // every doc carries the stopword "the" (df = 13 > cap → pruned), a
+    // unique df=1 term (pruned), and a shared rare term; doc 13 bridges
+    // two groups for a cosine < 1 case
+    val corpus = (1 to 12).map(i => (i.toLong, s"the t$i common${i % 3}")) :+
+      (13L, "the t13 common0 common1")
+    corpus.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    // driver-side brute force with the query's exact rules
+    val bow = corpus.map { case (id, t) => id -> t.split(" ").distinct.toSet }.toMap
+    val df = bow.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val nDocs = corpus.size
+    val w = df.collect {
+      case (t, f) if f >= 2 && (f <= 10 || f * 10 <= nDocs) => t -> (1000000L / f)
+    }
+    def kept(id: Long) = bow(id).filter(w.contains)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ids = corpus.map(_._1)
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      shared = kept(a) & kept(b) if shared.nonEmpty
+    } yield {
+      val dot = shared.toSeq.map(t => w(t) * w(t)).sum
+      def nrm(id: Long) = math.sqrt(kept(id).toSeq.map(t => w(t) * w(t)).sum.toDouble)
+      (a, b) -> (shared.size.toLong, r6(dot.toDouble / (nrm(a) * nrm(b))))
+    }).toMap
+
+    val gotByName = TextQueries.sparseCosine.run(spark, dir)
+      .select("doc_a", "doc_b", "n_shared", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    gotByName shouldBe expected
+    // the stopword never manufactured a pair: groups only touch via doc 13
+    gotByName.keys.foreach { case (a, b) =>
+      assert((kept(a) & kept(b)).nonEmpty)
+    }
+    // non-vacuity: identical-BoW pairs at cos 1.0 AND a partial overlap < 1
+    gotByName.values.map(_._2).toSet should contain(1.0)
+    gotByName.values.map(_._2).exists(c => c > 0 && c < 1) shouldBe true
+  }
 }
