@@ -174,6 +174,60 @@ object Media {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
+  /** Per-partition batched perceptual hashing: image rows → a 64-bit
+    * average-hash (aHash) over the 8×8 nearest-neighbor thumbnail — bit
+    * idx = 1 iff pixel(idx) is strictly above the thumbnail mean
+    * (`px·64 > Σpx`, exact integers — no float mean to disagree on).
+    * The standard image near-dup fingerprint: re-encodes, minor edits and
+    * small crops keep most bits, so hamming distance ranks similarity.
+    * Same mapPartitions batch shape (and the same DecodeStub swap point)
+    * as extractFeatures/resizeImages; stateless, so it applies to
+    * `readMediaStream` unchanged. Output: (media_id, ahash BIGINT). */
+  def imageHashes(media: DataFrame, outW: Int = 8, outH: Int = 8): DataFrame = {
+    require(outW * outH == 64, "aHash packs exactly 64 bits — need an 8×8 grid")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media
+      .filter(col("meta.media_type") === "image" &&
+        col("meta.width").isNotNull && col("meta.height").isNotNull)
+      .select(col("media_id"), col("content"), col("meta.width"), col("meta.height"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val px = DecodeStub.resizeImage(
+            r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3), outW, outH)
+          var sum = 0L
+          px.foreach(b => sum += (b & 0xff))
+          var h = 0L
+          var i = 0
+          while (i < 64) {
+            if ((px(i) & 0xff).toLong * 64L > sum) h |= (1L << i)
+            i += 1
+          }
+          Row(r.getLong(0), h)
+        }
+      }(enc)
+  }
+
+  /** `syntheticMedia` plus PLANTED image near-duplicates: every 15th base
+    * id (an image row) gets a twin at id 1000+i whose payload carries +50
+    * (mod 251) on its first 8 bytes — a localized edit that keeps most
+    * thumbnail bits, so the pair lands within aHash hamming ≤ 8 (one twin
+    * intentionally drifts past the threshold and must be MISSED). Base
+    * rows are bit-identical to `syntheticMedia(n)`. */
+  def syntheticMediaWithDups(spark: SparkSession, n: Int): DataFrame = {
+    val dups = (0 until n by 15).map { i =>
+      val payload = Array.tabulate[Byte](64 + (i % 32)) { j =>
+        val base = (i * 31 + j * 7) % 251
+        (if (j < 8) (base + 50) % 251 else base).toByte
+      }
+      Row(1000L + i, payload, Row("image", "png", 32, 32, null))
+    }
+    syntheticMedia(spark, n).unionByName(
+      spark.createDataFrame(spark.sparkContext.parallelize(dups, 2), mediaSchema))
+  }
+
   /** Metadata-only stats — shows pruning: reads `meta`, never `content`. */
   def mediaStats(media: DataFrame): DataFrame =
     media.groupBy(col("meta.media_type").as("media_type"))

@@ -672,8 +672,61 @@ object EventsQueries {
       .orderBy("event_type")
   }
 
+  /** x83: session transition matrix — within-session (event_type →
+    * next event_type) counts and row-normalized probabilities: the
+    * user-journey Markov table behind funnel design (x32 checks ONE
+    * ordered path; this measures ALL empirical steps). Transitions never
+    * cross a session boundary (the `next_session = session_id` guard).
+    *
+    * Plan: the lead windows share x16's single user_id exchange, the
+    * count is a partial-final groupBy, and the normalizing window runs
+    * over the aggregated |types|² table (≤ 25 rows at any corpus scale) —
+    * the fact is exchanged once. p is an exact-sums division rounded to 6
+    * (x45 float stance). */
+  val sessionTransitions = sql(
+    "x83_ev_transitions",
+    """WITH g AS (
+      |  SELECT event_id, user_id, event_type, ts,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events),
+      |s AS (
+      |  SELECT *, CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g),
+      |t AS (
+      |  SELECT event_type, session_id,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+      |    LEAD(session_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_session
+      |  FROM s),
+      |c AS (
+      |  SELECT event_type AS prev_type, next_type, COUNT(*) AS n FROM t
+      |  WHERE next_type IS NOT NULL AND next_session = session_id
+      |  GROUP BY 1, 2)
+      |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+      |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+      |FROM c ORDER BY prev_type, next_type""".stripMargin) { (s, d) =>
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = Tables.events(s, d)
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(order))
+      .withColumn("session_id",
+        sum(when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1).otherwise(0))
+          .over(cum).cast("long"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(order))
+      .withColumn("next_session", lead(col("session_id"), 1).over(order))
+      .filter(col("next_type").isNotNull && col("next_session") === col("session_id"))
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    c.withColumn("p",
+        round(col("n").cast("double") / sum("n").over(Window.partitionBy("prev_type")), 6))
+      .select("prev_type", "next_type", "n", "p")
+      .orderBy("prev_type", "next_type")
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
     asofClickView, valueBands, funnel, rollingActivity, skewJoinDemo, zorderKey,
     winsorize, zscore, sessionStats, resampleFfill, intervalOverlap,
-    keySkewReport, temporalSplit, attribution, retentionCohorts, madOutliers)
+    keySkewReport, temporalSplit, attribution, retentionCohorts, madOutliers,
+    sessionTransitions)
 }

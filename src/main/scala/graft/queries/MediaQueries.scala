@@ -100,5 +100,74 @@ object MediaQueries {
       .orderBy("media_id")
   }
 
-  val all: Seq[QueryDef] = Seq(mediaFeatures, mediaFrames, mediaResize)
+  /** x84: perceptual-hash image near-dup — the multimodal sibling of the
+    * text dedup family: 64-bit aHash per image ([[Media.imageHashes]] —
+    * thumbnail bit = pixel strictly above the exact integer mean), then
+    * banded-LSH candidate pairs (8 bands × 8 bits: a pair within hamming 8
+    * almost surely agrees on SOME byte) verified by `bit_count(xor) ≤ 8`.
+    * Candidate generation is an EQUI-join on (band idx, band value) —
+    * never all-pairs, the x04 SimHash discipline — and the verify runs
+    * only on banded candidates. Inputs are [[Media.syntheticMediaWithDups]]
+    * (planted twins with a localized +50 payload edit; one twin drifts
+    * past the threshold and must be missed; two coincidental thumbnail
+    * collisions of the synthetic grid are genuinely within range and are
+    * kept). The oracle regenerates thumbnail pixels, the integer-mean bit
+    * rule, the HUGEINT hash assembly, the banding, and the hamming verify
+    * in pure SQL. */
+  val mediaPhashDedup = sql(
+    "x84_media_phash_dedup",
+    s"""WITH imgs AS (
+      |  SELECT i::BIGINT AS media_id, i::BIGINT AS src, 0 AS pert
+      |  FROM range($N) t(i) WHERE i % 3 = 0
+      |  UNION ALL
+      |  SELECT (1000 + i)::BIGINT, i::BIGINT, 1 FROM range($N) t(i) WHERE i % 15 = 0),
+      |px AS (
+      |  SELECT media_id, (8*r + c)::BIGINT AS idx,
+      |    ((src*31 + ((128*r + 4*c) % (64 + src % 32))*7) % 251
+      |      + CASE WHEN pert = 1 AND (128*r + 4*c) % (64 + src % 32) < 8
+      |             THEN 50 ELSE 0 END) % 251 AS val
+      |  FROM imgs, range(8) rr(r), range(8) cc(c)),
+      |sums AS (SELECT media_id, SUM(val) AS s FROM px GROUP BY media_id),
+      |hu AS (
+      |  SELECT px.media_id,
+      |    SUM(CASE WHEN val * 64 > s THEN 1::HUGEINT << idx::INTEGER
+      |             ELSE 0::HUGEINT END) AS h
+      |  FROM px JOIN sums ON px.media_id = sums.media_id GROUP BY px.media_id),
+      |hashes AS (
+      |  SELECT media_id,
+      |    CASE WHEN h >= 9223372036854775808::HUGEINT
+      |         THEN (h - 18446744073709551616::HUGEINT)::BIGINT
+      |         ELSE h::BIGINT END AS ahash
+      |  FROM hu),
+      |bands AS (
+      |  SELECT media_id, ahash, k, (ahash >> (8*k::INTEGER)) & 255 AS bv
+      |  FROM hashes, range(8) kk(k)),
+      |cand AS (
+      |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+      |    a.ahash AS ha, b.ahash AS hb
+      |  FROM bands a JOIN bands b
+      |    ON a.k = b.k AND a.bv = b.bv AND a.media_id < b.media_id)
+      |SELECT media_a, media_b,
+      |  CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+      |ORDER BY media_a, media_b""".stripMargin) { (s, _) =>
+    val hashes = Media.imageHashes(Media.syntheticMediaWithDups(s, N))
+    val bands = hashes.select(col("media_id"), col("ahash"),
+      explode(expr("sequence(0, 7)")).as("k"))
+      .withColumn("bv", expr("shiftright(ahash, 8 * k) & 255"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 8)
+      .select("media_a", "media_b", "hamming")
+      .orderBy("media_a", "media_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(mediaFeatures, mediaFrames, mediaResize, mediaPhashDedup)
 }

@@ -359,4 +359,20 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
   }
+
+  test("x83: transition windows share x16's exchange; normalization is post-agg") {
+    val plan = planOf(EventsQueries.sessionTransitions)
+    // fact window exchange + partial-final groupBy + tiny prev_type window
+    // + output sort — and the lead/lag windows never add a second fact
+    // exchange (no (user, session) partitioning)
+    "hashpartitioning\\([^)]*session_id".r.findFirstIn(plan) shouldBe None
+    "Exchange".r.findAllIn(plan).size should be <= 4
+    plan should include("partial_count")
+  }
+
+  test("x84: phash candidates via (band, value) equi-join, never all-pairs") {
+    val plan = planOf(graft.queries.MediaQueries.mediaPhashDedup)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }
