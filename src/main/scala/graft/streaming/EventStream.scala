@@ -344,6 +344,65 @@ object EventStream {
       }
   }
 
+  case class AttributionInput(event_id: Long, user_id: Long, ts: Timestamp,
+      event_type: String)
+  case class AttribState(lastUs: Long, firstViewUs: Long) // firstViewUs < 0 = none yet
+  case class AttributionRow(event_id: Long, user_id: Long, ttc_us: Option[Long])
+
+  /** First-touch attribution (the streaming twin of x78_ev_attribution):
+    * per purchase, the µs since the FIRST view of the same gap-session,
+    * emitted the moment the purchase is processed (append mode — one row
+    * per purchase, no snapshots to reconcile). The batch query's
+    * session_id ordinal is deliberately NOT emitted: numbering sessions
+    * 1..k per user needs a counter that must outlive every session (state
+    * could never expire); the conversion lag is the product signal, and
+    * the parity test compares on (event_id, ttc_us).
+    *
+    * State per user is two longs: last event time and the current
+    * session's first view (if any). The expiry story is TIGHTER than the
+    * other twins': once the watermark passes `lastUs + gap`, any later
+    * event necessarily starts a NEW session with no carryover — so state
+    * can expire at the session-gap horizon itself with zero behavioral
+    * difference, not merely after an idle grace period. In-order arrival
+    * reproduces batch x78 exactly (EventStreamSpec); within a micro-batch
+    * rows are replayed in (event-time, event_id) order like [[sessionize]]. */
+  def attribution(events: Dataset[AttributionInput], gapSeconds: Long = 1800,
+      lateness: String = "10 minutes"): Dataset[AttributionRow] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttribState, AttributionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[AttributionInput], state: GroupState[AttribState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(AttribState(Long.MinValue, -1L))
+            val out = Seq.newBuilder[AttributionRow]
+            evs.foreach { e =>
+              val us = micros(e.ts)
+              if (st.lastUs != Long.MinValue && us - st.lastUs > gapUs)
+                st = st.copy(firstViewUs = -1L) // silence gap: new session
+              if (e.event_type == "view" && st.firstViewUs < 0L)
+                st = st.copy(firstViewUs = us)
+              if (e.event_type == "purchase")
+                out += AttributionRow(e.event_id, user,
+                  if (st.firstViewUs >= 0L) Some(us - st.firstViewUs) else None)
+              st = st.copy(lastUs = us)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(
+              st.lastUs / 1000L + gapSeconds * 1000L + 1,
+              state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   case class ResampleInput(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
   case class ResampleState(slot: Long, bestUs: Long, bestId: Long,
       bestValue: Double, finalEmitted: Boolean)

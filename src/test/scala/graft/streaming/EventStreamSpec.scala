@@ -286,6 +286,57 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("attribution parity: streamed purchases ≡ batch x78 on the same rows") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => EventStream.AttributionInput(
+        r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+      .sortBy(e => (e.ts.getTime, e.event_id)) // the documented ordering contract
+    val input = MemoryStream[EventStream.AttributionInput]
+    val q = EventStream.attribution(input.toDS())
+      .writeStream.format("memory").queryName("attr78").outputMode("append").start()
+    try {
+      val (first, second) = ev.splitAt(ev.length / 2)
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("attr78").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+      val want = graft.queries.EventsQueries.attribution.run(spark, dir)
+        .select("event_id", "ttc_us").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      got shouldBe want
+      got should not be empty
+      got.values.exists(_ >= 0L) shouldBe true // attributed purchases exist
+      got.values.exists(_ == -1L) shouldBe true // orphan purchases exist
+    } finally q.stop()
+  }
+
+  test("attribution state expires at the session-gap horizon; a reappearing purchase is orphaned") {
+    import spark.implicits._
+    val input = MemoryStream[EventStream.AttributionInput]
+    // tiny lateness so the watermark advances past the gap quickly
+    val q = EventStream.attribution(input.toDS(), gapSeconds = 60, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("attrexp").outputMode("append").start()
+    try {
+      input.addData(EventStream.AttributionInput(1L, 7L, ts(0), "view"))
+      q.processAllAvailable()
+      // push the watermark far past ts(0) + gap: user 7's state expires
+      input.addData(EventStream.AttributionInput(2L, 8L, ts(30), "view"))
+      q.processAllAvailable()
+      // same user returns: the silence gap means a NEW session — purchase
+      // has no view in ITS session whether state survived or expired
+      input.addData(EventStream.AttributionInput(3L, 7L, ts(40), "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("attrexp").collect()
+        .map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+      rows shouldBe Map(3L -> true) // orphaned, and views emit nothing
+    } finally q.stop()
+  }
+
   test("funnel resolves a click and its qualifying view inside one batch (ties included)") {
     import spark.implicits._
     val input = MemoryStream[EventStream.FunnelInput]
