@@ -228,6 +228,75 @@ object Media {
       spark.createDataFrame(spark.sparkContext.parallelize(dups, 2), mediaSchema))
   }
 
+  /** Banded-LSH near-dup pairs over aHash fingerprints: candidates are an
+    * EQUI-join on (band idx, band value), verified row-locally by
+    * `bit_count(xor) ≤ tau` — never all-pairs (x04's SimHash discipline).
+    *
+    * Scale boundary (documented, and the reason [[phashNearDupPairsMih]]
+    * exists): with `nBands` bands of 64/nBands bits, the band-key space is
+    * 2^(64/nBands) — 8-bit bands give 256 buckets per band, so once the
+    * image population outgrows ~thousands, every bucket holds n/256 rows
+    * and candidate generation degrades toward n²/256 even for unrelated
+    * images. Narrow bands are a RECALL knob at small n (8×8 recovers
+    * hamming-8 pairs that 4×16 misses); at corpus scale switch to the MIH
+    * variant, whose recall is a pigeonhole GUARANTEE, not a band-width
+    * bet. */
+  def phashNearDupPairs(hashes: DataFrame, nBands: Int = 8, tau: Int = 8): DataFrame = {
+    require(nBands > 0 && 64 % nBands == 0, s"64 bits must split evenly, got $nBands bands")
+    val w = 64 / nBands
+    val mask = if (w == 64) -1L else (1L << w) - 1L
+    val bands = hashes.select(col("media_id"), col("ahash"),
+        explode(expr(s"sequence(0, ${nBands - 1})")).as("k"))
+      .withColumn("bv", expr(s"shiftright(ahash, $w * k) & $mask"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= tau)
+      .select("media_a", "media_b", "hamming")
+  }
+
+  /** EXACT hamming-≤ tau pairs by multi-index hashing (Norouzi et al.,
+    * "Fast Search in Hamming Space with Multi-Index Hashing", CVPR 2012):
+    * 4 substrings of 16 bits; by pigeonhole, any pair within hamming tau
+    * agrees within radius ⌊tau/4⌋ on SOME substring — so enumerating each
+    * image's per-band keys out to that radius (1 + 16 + 120 = 137 keys at
+    * radius 2) and equi-joining against the other side's EXACT band keys
+    * finds every qualifying pair, with zero misses, by construction.
+    *
+    * Scale shape: the corpus side stores 4 exact keys per image; the probe
+    * side explodes 4×137 keys per image — a CONSTANT fan-out, so shuffle
+    * volume is linear in n and bucket occupancy is n·4/65536 per band key
+    * (vs n/256 for the 8-bit heuristic). The verify still runs only on
+    * banded candidates. This is the form that survives an internet-scale
+    * image corpus; [[phashNearDupPairs]] is the cheaper small-n heuristic. */
+  def phashNearDupPairsMih(hashes: DataFrame, tau: Int = 8): DataFrame = {
+    // radius-2 enumeration guarantees exactness for tau ≤ 4*2+3 = 11
+    require(tau >= 0 && tau <= 11, s"radius-2 MIH is exact only for tau <= 11, got $tau")
+    val masks: Array[Int] = (Seq(0) ++ (0 until 16).map(1 << _) ++
+      (for (i <- 0 until 16; j <- i + 1 until 16) yield (1 << i) | (1 << j))).toArray
+    val exact = hashes.select(col("media_id").as("media_b"), col("ahash").as("hb"),
+        explode(expr("sequence(0, 3)")).as("k"))
+      .withColumn("bv", expr("shiftright(hb, 16 * k) & 65535"))
+    val probe = hashes.select(col("media_id").as("media_a"), col("ahash").as("ha"),
+        explode(expr("sequence(0, 3)")).as("k"))
+      .withColumn("bv0", expr("shiftright(ha, 16 * k) & 65535"))
+      .select(col("media_a"), col("ha"), col("k"),
+        explode(transform(typedLit(masks), m => col("bv0").bitwiseXOR(m.cast("long"))))
+          .as("bv"))
+    probe.join(exact, Seq("k", "bv"))
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b", "ha", "hb")
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= tau)
+      .select("media_a", "media_b", "hamming")
+  }
+
   /** Metadata-only stats — shows pruning: reads `meta`, never `content`. */
   def mediaStats(media: DataFrame): DataFrame =
     media.groupBy(col("meta.media_type").as("media_type"))

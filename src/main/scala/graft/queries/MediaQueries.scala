@@ -151,23 +151,55 @@ object MediaQueries {
       |  CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 8
       |ORDER BY media_a, media_b""".stripMargin) { (s, _) =>
-    val hashes = Media.imageHashes(Media.syntheticMediaWithDups(s, N))
-    val bands = hashes.select(col("media_id"), col("ahash"),
-      explode(expr("sequence(0, 7)")).as("k"))
-      .withColumn("bv", expr("shiftright(ahash, 8 * k) & 255"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
-        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
-      .distinct()
-    cand
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .filter(col("hamming") <= 8)
-      .select("media_a", "media_b", "hamming")
+    Media.phashNearDupPairs(
+        Media.imageHashes(Media.syntheticMediaWithDups(s, N)), nBands = 8, tau = 8)
       .orderBy("media_a", "media_b")
   }
 
-  val all: Seq[QueryDef] = Seq(mediaFeatures, mediaFrames, mediaResize, mediaPhashDedup)
+  /** x85: EXACT hamming-≤8 image pairs via multi-index hashing
+    * ([[Media.phashNearDupPairsMih]] — Norouzi et al. 2012): 16-bit
+    * substrings with radius-2 key enumeration, a pigeonhole recall
+    * GUARANTEE where x84's 8-bit bands are a recall heuristic. The oracle
+    * is deliberately the brute-force ground truth — ALL pairs with
+    * `bit_count(xor) ≤ 8`, no banding replicated — so the hash match
+    * PROVES the MIH candidate generation misses nothing on this corpus
+    * (x84's oracle can only prove the banding was replicated
+    * faithfully). */
+  val mediaPhashMih = sql(
+    "x85_media_phash_mih",
+    s"""WITH imgs AS (
+      |  SELECT i::BIGINT AS media_id, i::BIGINT AS src, 0 AS pert
+      |  FROM range($N) t(i) WHERE i % 3 = 0
+      |  UNION ALL
+      |  SELECT (1000 + i)::BIGINT, i::BIGINT, 1 FROM range($N) t(i) WHERE i % 15 = 0),
+      |px AS (
+      |  SELECT media_id, (8*r + c)::BIGINT AS idx,
+      |    ((src*31 + ((128*r + 4*c) % (64 + src % 32))*7) % 251
+      |      + CASE WHEN pert = 1 AND (128*r + 4*c) % (64 + src % 32) < 8
+      |             THEN 50 ELSE 0 END) % 251 AS val
+      |  FROM imgs, range(8) rr(r), range(8) cc(c)),
+      |sums AS (SELECT media_id, SUM(val) AS s FROM px GROUP BY media_id),
+      |hu AS (
+      |  SELECT px.media_id,
+      |    SUM(CASE WHEN val * 64 > s THEN 1::HUGEINT << idx::INTEGER
+      |             ELSE 0::HUGEINT END) AS h
+      |  FROM px JOIN sums ON px.media_id = sums.media_id GROUP BY px.media_id),
+      |hashes AS (
+      |  SELECT media_id,
+      |    CASE WHEN h >= 9223372036854775808::HUGEINT
+      |         THEN (h - 18446744073709551616::HUGEINT)::BIGINT
+      |         ELSE h::BIGINT END AS ahash
+      |  FROM hu)
+      |SELECT a.media_id AS media_a, b.media_id AS media_b,
+      |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+      |FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.ahash, b.ahash)) <= 8
+      |ORDER BY media_a, media_b""".stripMargin) { (s, _) =>
+    Media.phashNearDupPairsMih(
+        Media.imageHashes(Media.syntheticMediaWithDups(s, N)), tau = 8)
+      .orderBy("media_a", "media_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(mediaFeatures, mediaFrames, mediaResize,
+    mediaPhashDedup, mediaPhashMih)
 }

@@ -97,4 +97,31 @@ class MediaSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     baseHashes.foreach { case (id, h) => hashes(id) shouldBe h }
   }
+
+  test("MIH ≡ brute force; catches the adversarial spread the 8-bit banding misses") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rand = (1L to 400L).map(_ -> rnd.nextLong())
+    // adversarial planted pair: EXACTLY one flip in each 8-bit band (8
+    // flips total) — every 8-bit band differs, so the banded heuristic
+    // cannot see it; each 16-bit MIH band carries 2 flips = radius 2, so
+    // the pigeonhole guarantee must
+    val base = rnd.nextLong()
+    val spread = (0 until 8).foldLeft(base)((h, k) => h ^ (1L << (8 * k + (k % 8))))
+    java.lang.Long.bitCount(base ^ spread) shouldBe 8
+    val hashes = (rand ++ Seq(9001L -> base, 9002L -> spread)).toDF("media_id", "ahash")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val mih = pairs(Media.phashNearDupPairsMih(hashes, tau = 8))
+    val brute = (for {
+      (a, ha) <- rand ++ Seq(9001L -> base, 9002L -> spread)
+      (b, hb) <- rand ++ Seq(9001L -> base, 9002L -> spread) if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 8
+    } yield (a, b, d)).toSet
+    mih shouldBe brute // EXACT — the pigeonhole guarantee, verified
+    mih should contain((9001L, 9002L, 8))
+    // and the 8-bit banding indeed misses the adversarial spread
+    pairs(Media.phashNearDupPairs(hashes, nBands = 8, tau = 8)) should not contain
+      ((9001L, 9002L, 8))
+  }
 }

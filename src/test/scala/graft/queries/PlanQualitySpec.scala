@@ -375,4 +375,12 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("x85: MIH probe keys equi-join the exact band table — no all-pairs") {
+    val plan = planOf(graft.queries.MediaQueries.mediaPhashMih)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the probe side's constant 137-key enumeration is a generator, not a join
+    plan should include("Generate")
+  }
 }
