@@ -572,8 +572,60 @@ FROM t GROUP BY decile ORDER BY decile"""
       .orderBy("decile")
   }
 
+  /** x87: K-fold leakage-safe target encoding (the m-estimate / Micci-
+    * Barreca form) — each (customer, fold) cell gets the customer's mean
+    * order value computed EXCLUDING that fold's own rows, blended toward
+    * the global mean with weight m=10: the high-cardinality categorical
+    * feature a tabular model consumes, with the train-fold leak removed
+    * by construction (a cell never sees its own target values) and rare
+    * customers shrunk toward the prior instead of memorizing noise.
+    *
+    * Determinism contract: target sums ride as exact BIGINT cents
+    * (`ROUND(price·100)` — the fixed-point pattern the streaming rolling
+    * sum uses), so partial aggregation order can't perturb them; doubles
+    * appear only in the final per-cell expression, with both engines
+    * evaluating the identical operand chain (ROUND 6).
+    *
+    * Plan: ONE partial-final groupBy over the fact on (custkey, fold);
+    * per-customer totals and the global prior derive from the CELLS table
+    * (customers×K rows), the prior broadcasts as a single row — the fact
+    * is scanned and exchanged exactly once at any scale. */
+  val x87 = sql(
+    "x87_target_encode",
+    """WITH cells AS (
+      |  SELECT o_custkey, o_orderkey % 5 AS fold, COUNT(*) AS n,
+      |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |tot AS (SELECT o_custkey, SUM(n) AS nn, SUM(cents) AS cc FROM cells GROUP BY 1),
+      |g AS (SELECT SUM(n) AS gn, SUM(cents) AS gc FROM cells)
+      |SELECT c.o_custkey AS o_custkey, CAST(c.fold AS BIGINT) AS fold,
+      |  CAST(c.n AS BIGINT) AS n_in_fold,
+      |  ROUND((CAST(t.cc - c.cents AS DOUBLE) / 100.0
+      |          + 10.0 * (CAST(g.gc AS DOUBLE) / 100.0 / g.gn))
+      |        / (CAST(t.nn - c.n AS DOUBLE) + 10.0), 6) AS enc
+      |FROM cells c JOIN tot t ON c.o_custkey = t.o_custkey CROSS JOIN g
+      |ORDER BY c.o_custkey, fold""".stripMargin) { (s, d) =>
+    val cells = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), (col("o_orderkey") % 5).as("fold"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .localCheckpoint(eager = false) // three consumers: totals, prior, join —
+      // without this the FACT would be re-scanned per consumer
+    val tot = cells.groupBy("o_custkey")
+      .agg(sum("n").as("nn"), sum("cents").as("cc"))
+    val g = cells.agg(sum("n").as("gn"), sum("cents").as("gc"))
+    cells.join(tot, Seq("o_custkey"))
+      .crossJoin(broadcast(g))
+      .select(col("o_custkey"), col("fold").cast("long").as("fold"),
+        col("n").as("n_in_fold"),
+        round(((col("cc") - col("cents")).cast("double") / 100.0
+            + lit(10.0) * (col("gc").cast("double") / 100.0 / col("gn")))
+          / ((col("nn") - col("n")).cast("double") + 10.0), 6).as("enc"))
+      .orderBy("o_custkey", "fold")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, x34,
-    x49, x50)
+    x49, x50, x87)
 }

@@ -724,9 +724,38 @@ object EventsQueries {
       .orderBy("prev_type", "next_type")
   }
 
+  /** x86: equi-depth feature binning through the DURABLE-edges contract
+    * ([[graft.operators.FeatureBins]] — the feature-store fit/transform
+    * pair): quartile edges learned per event_type, applied as a broadcast
+    * + row-local bucket. The per-GROUP, artifact-backed sibling of x50's
+    * single-pass deciles; serve-time plan is a BroadcastHashJoin + a
+    * codegen'd filter-HOF, the fact never shuffles (PlanQualitySpec).
+    * Strict `v > edge` bucketing over PERCENTILE_CONT-identical doubles
+    * is deterministic cross-engine (x44/x50 precedent). */
+  val featureBins = sql(
+    "x86_ev_feature_bins",
+    """WITH p AS (
+      |  SELECT event_type,
+      |    PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+      |    PERCENTILE_CONT(0.5)  WITHIN GROUP (ORDER BY value) AS q2,
+      |    PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY value) AS q3
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_id, e.event_type,
+      |  CAST(1 + (CASE WHEN e.value > p.q1 THEN 1 ELSE 0 END)
+      |         + (CASE WHEN e.value > p.q2 THEN 1 ELSE 0 END)
+      |         + (CASE WHEN e.value > p.q3 THEN 1 ELSE 0 END) AS INTEGER) AS bin
+      |FROM events e JOIN p ON e.event_type = p.event_type
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val bins = graft.operators.FeatureBins.fitBins(ev, "event_type", "value", nBins = 4)
+    graft.operators.FeatureBins.applyBins(ev, bins, "event_type", "value")
+      .select("event_id", "event_type", "bin")
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
     asofClickView, valueBands, funnel, rollingActivity, skewJoinDemo, zorderKey,
     winsorize, zscore, sessionStats, resampleFfill, intervalOverlap,
     keySkewReport, temporalSplit, attribution, retentionCohorts, madOutliers,
-    sessionTransitions)
+    sessionTransitions, featureBins)
 }

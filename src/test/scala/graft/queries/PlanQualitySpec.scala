@@ -383,4 +383,19 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     // the probe side's constant 137-key enumeration is a generator, not a join
     plan should include("Generate")
   }
+
+  test("x86: serve-time binning broadcasts the edges — the fact never shuffles") {
+    val plan = planOf(EventsQueries.featureBins)
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("x87: the fact is scanned once; encoding math runs on the cells table") {
+    val plan = planOf(CoreQueries.x87)
+    // the localCheckpoint splits the three cells consumers off the fact:
+    // the final plan's ONLY inputs are the checkpointed cells RDD — the
+    // orders parquet is read exactly once, inside the checkpoint subtree
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 0
+    plan should include("ExistingRDD")
+  }
 }
