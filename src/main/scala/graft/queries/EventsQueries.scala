@@ -753,9 +753,93 @@ object EventsQueries {
       .orderBy("event_id")
   }
 
+  /** x88: distribution-drift report — the PSI-shaped monitor an ML
+    * deployment runs on its features: the event stream is cut at its
+    * temporal midpoint into a REFERENCE and a CURRENT window, reference
+    * quartile edges bin both sides, and the per-(type, bin) table carries
+    * exact ppm proportions plus the per-type L1 drift (Σ|ref−cur| ppm —
+    * 0 = identical shape, 2e6 = disjoint). Everything after the quantiles
+    * is INTEGER arithmetic (counts, floor-div ppm): no ln/log libm call,
+    * so the drift numbers are bit-identical cross-engine where a textbook
+    * PSI (Σ(p−q)·ln(p/q)) would gamble on last-ulp libm agreement.
+    *
+    * Plan: midpoint = one broadcast scalar; edges = the skew-safe quantile
+    * operator over the reference half; binning is the x86 broadcast +
+    * row-local bucket; counts are ONE partial-final groupBy over (type,
+    * bin, side); the dense (type × 4 bins) frame and the L1 window run on
+    * that ≤ |types|·4 table. The fact is scanned twice (quantiles, then
+    * binning) and never sort-merge-joined. */
+  val driftReport = sql(
+    "x88_ev_drift",
+    """WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS thr FROM events),
+      |e AS (SELECT event_type, value,
+      |        CASE WHEN epoch_us(ts) <= (SELECT thr FROM b) THEN 0 ELSE 1 END AS side
+      |      FROM events),
+      |p AS (SELECT event_type,
+      |        PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+      |        PERCENTILE_CONT(0.5)  WITHIN GROUP (ORDER BY value) AS q2,
+      |        PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY value) AS q3
+      |      FROM e WHERE side = 0 GROUP BY event_type),
+      |binned AS (
+      |  SELECT e.event_type, e.side,
+      |    1 + (CASE WHEN e.value > p.q1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN e.value > p.q2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN e.value > p.q3 THEN 1 ELSE 0 END) AS bin
+      |  FROM e JOIN p ON e.event_type = p.event_type),
+      |counts AS (
+      |  SELECT event_type, bin, side, COUNT(*) AS n FROM binned GROUP BY 1, 2, 3),
+      |dense AS (
+      |  SELECT d.event_type, bb.bin,
+      |    COALESCE(MAX(CASE WHEN c.side = 0 THEN c.n END), 0) AS n_ref,
+      |    COALESCE(MAX(CASE WHEN c.side = 1 THEN c.n END), 0) AS n_cur
+      |  FROM (SELECT DISTINCT event_type FROM e) d
+      |  CROSS JOIN (SELECT unnest(range(1, 5)) AS bin) bb
+      |  LEFT JOIN counts c ON c.event_type = d.event_type AND c.bin = bb.bin
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT event_type, SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM dense GROUP BY 1),
+      |ppm AS (
+      |  SELECT dense.event_type, bin, n_ref, n_cur,
+      |    CASE WHEN tr > 0 THEN n_ref * 1000000 // tr ELSE 0 END AS ref_ppm,
+      |    CASE WHEN tc > 0 THEN n_cur * 1000000 // tc ELSE 0 END AS cur_ppm
+      |  FROM dense JOIN tot ON dense.event_type = tot.event_type)
+      |SELECT event_type, CAST(bin AS INTEGER) AS bin,
+      |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+      |  CAST(ref_ppm AS BIGINT) AS ref_ppm, CAST(cur_ppm AS BIGINT) AS cur_ppm,
+      |  CAST(SUM(ABS(ref_ppm - cur_ppm)) OVER (PARTITION BY event_type) AS BIGINT) AS l1_ppm
+      |FROM ppm ORDER BY event_type, bin""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+    val thr = ev.agg(expr("(min(us) + max(us)) div 2").as("thr"))
+    val e = ev.crossJoin(broadcast(thr))
+      .withColumn("side", when(col("us") <= col("thr"), 0).otherwise(1))
+      .select("event_type", "value", "side")
+    val edges = graft.operators.FeatureBins
+      .fitBins(e.filter(col("side") === 0), "event_type", "value", nBins = 4)
+    val counts = graft.operators.FeatureBins.applyBins(e, edges, "event_type", "value")
+      .groupBy("event_type", "bin", "side").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // tiny; consumed by the dense frame twice
+    val dense = counts.select("event_type").distinct()
+      .crossJoin(s.range(1, 5).select(col("id").cast("int").as("bin")))
+      .join(counts.filter(col("side") === 0).select(col("event_type"), col("bin"), col("n").as("n_ref")),
+        Seq("event_type", "bin"), "left")
+      .join(counts.filter(col("side") === 1).select(col("event_type"), col("bin"), col("n").as("n_cur")),
+        Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val tot = Window.partitionBy("event_type")
+    dense
+      .withColumn("tr", sum("n_ref").over(tot))
+      .withColumn("tc", sum("n_cur").over(tot))
+      .withColumn("ref_ppm",
+        when(col("tr") > 0, expr("n_ref * 1000000 div tr")).otherwise(0L))
+      .withColumn("cur_ppm",
+        when(col("tc") > 0, expr("n_cur * 1000000 div tc")).otherwise(0L))
+      .withColumn("l1_ppm", sum(abs(col("ref_ppm") - col("cur_ppm"))).over(tot))
+      .select("event_type", "bin", "n_ref", "n_cur", "ref_ppm", "cur_ppm", "l1_ppm")
+      .orderBy("event_type", "bin")
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
     asofClickView, valueBands, funnel, rollingActivity, skewJoinDemo, zorderKey,
     winsorize, zscore, sessionStats, resampleFfill, intervalOverlap,
     keySkewReport, temporalSplit, attribution, retentionCohorts, madOutliers,
-    sessionTransitions, featureBins)
+    sessionTransitions, featureBins, driftReport)
 }

@@ -390,6 +390,13 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "SortMergeJoin"
   }
 
+  test("x88: drift binning broadcasts edges; the fact never sort-merge-joins") {
+    val plan = planOf(EventsQueries.driftReport)
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:
