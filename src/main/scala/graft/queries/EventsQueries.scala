@@ -837,9 +837,70 @@ object EventsQueries {
       .orderBy("event_type", "bin")
   }
 
+  /** x89: A/B conversion test — the two-proportion z-test an
+    * experimentation platform runs: users split into arms by a
+    * deterministic id hash (user_id mod 2 here; production salts the
+    * experiment id in), per-arm user-level conversion (≥ 1 HIGH-VALUE purchase, value > 150 —
+    * plain any-purchase is degenerate on the shipped corpus: every user
+    * converts, pooled variance hits exactly 0 and z is 0/0; a metric with
+    * actual variance is what a real experiment would pick too), and the
+    * pooled z statistic with the 1.96 significance verdict.
+    *
+    * Everything reduces to four integers (users and converters per arm);
+    * the z chain is doubles from those integers in one mirrored operand
+    * order — sqrt is IEEE-correctly-rounded on both engines (unlike ln,
+    * which x88 dodges), so the statistic hash-matches bit-exactly.
+    *
+    * Plan: ONE partial-final groupBy on user_id collapses the fact to a
+    * per-user (arm, converted) row; the arm rollup and the z arithmetic
+    * run on that users-sized table and a single output row. */
+  val abTest = sql(
+    "x89_ev_ab_test",
+    """WITH u AS (
+      |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+      |    MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1
+      |  FROM u)
+      |SELECT n0, n1, x0, x1,
+      |  ROUND(CAST(x0 AS DOUBLE) / n0, 6) AS p0,
+      |  ROUND(CAST(x1 AS DOUBLE) / n1, 6) AS p1,
+      |  ROUND((CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1)
+      |    / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+      |      * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+      |      * (1.0 / n0 + 1.0 / n1)), 6) AS z,
+      |  CASE WHEN ABS((CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1)
+      |    / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+      |      * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+      |      * (1.0 / n0 + 1.0 / n1))) > 1.96 THEN 1 ELSE 0 END AS significant
+      |FROM a""".stripMargin) { (s, d) =>
+    val u = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1)
+        .otherwise(0)).as("conv"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    val a = u.agg(
+      sum(when(col("arm") === 0, 1).otherwise(0)).cast("long").as("n0"),
+      sum(when(col("arm") === 1, 1).otherwise(0)).cast("long").as("n1"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0)).cast("long").as("x0"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0)).cast("long").as("x1"))
+    val p0 = col("x0").cast("double") / col("n0")
+    val p1 = col("x1").cast("double") / col("n1")
+    val pp = (col("x0") + col("x1")).cast("double") / (col("n0") + col("n1"))
+    val z = (p0 - p1) / sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+    a.select(col("n0"), col("n1"), col("x0"), col("x1"),
+      round(p0, 6).as("p0"), round(p1, 6).as("p1"), round(z, 6).as("z"),
+      when(abs(z) > 1.96, 1).otherwise(0).as("significant"))
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
     asofClickView, valueBands, funnel, rollingActivity, skewJoinDemo, zorderKey,
     winsorize, zscore, sessionStats, resampleFfill, intervalOverlap,
     keySkewReport, temporalSplit, attribution, retentionCohorts, madOutliers,
-    sessionTransitions, featureBins, driftReport)
+    sessionTransitions, featureBins, driftReport, abTest)
 }

@@ -390,6 +390,13 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "SortMergeJoin"
   }
 
+  test("x89: A/B test is one partial-final pass; z math runs on one row") {
+    val plan = planOf(EventsQueries.abTest)
+    plan should include("partial_")
+    plan should not include "SortMergeJoin"
+    "Exchange".r.findAllIn(plan).size should be <= 2 // user groupBy + global agg
+  }
+
   test("x88: drift binning broadcasts edges; the fact never sort-merge-joins") {
     val plan = planOf(EventsQueries.driftReport)
     plan should include("BroadcastHashJoin")
