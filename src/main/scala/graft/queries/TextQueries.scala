@@ -1900,9 +1900,15 @@ object TextQueries {
       |    (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE))), 6) AS cos_sim
       |FROM pr JOIN nrm na ON pr.doc_a = na.doc_id JOIN nrm nb ON pr.doc_b = nb.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val tok = docs(s, d)
+    sparseCosinePairsOf(docs(s, d)).orderBy("doc_a", "doc_b")
+  }
+
+  /** x80's engine over an arbitrary (doc_id, text) frame (factored so
+    * SparseSoak ladders the identical plan). */
+  def sparseCosinePairsOf(dd: DataFrame): DataFrame = {
+    val tok = dd
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
-    val n = docs(s, d).agg(count(lit(1)).as("n"))
+    val n = dd.agg(count(lit(1)).as("n"))
     val rare = tok.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
       .filter(col("df") >= 2 && (col("df") <= 10 || col("df") * 10 <= col("n")))
@@ -1919,7 +1925,6 @@ object TextQueries {
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         round(col("dot").cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6).as("cos_sim"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** x81: release diff — the regression report between two corpus release
