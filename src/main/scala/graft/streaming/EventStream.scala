@@ -61,6 +61,25 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour").as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
 
+  /** Streaming drift-bin counts (the x88_ev_drift shape, live): each
+    * event-time window's values bucketed against PINNED reference edges —
+    * the production form of drift monitoring, where the reference
+    * distribution is a durable artifact ([[graft.operators.FeatureBins]]
+    * fit offline, loaded here) and every closed window appends its
+    * (window, type, bin, n) counts. The binning is
+    * `FeatureBins.applyBins` unchanged — a stream-static broadcast join +
+    * row-local bucket, stateless — so the only state is the windowed
+    * count aggregate, bounded by the watermark. The ppm/L1 reduction of
+    * x88 is a trivial batch rollup over this sink's rows (per-window
+    * totals need the window CLOSED, which is exactly what append mode
+    * guarantees here). */
+  def driftBinCounts(events: DataFrame, edges: DataFrame,
+      windowLength: String = "1 hour", lateness: String = "10 minutes"): DataFrame =
+    graft.operators.FeatureBins
+      .applyBins(events.withWatermark("ts", lateness), edges, "event_type", "value")
+      .groupBy(window(col("ts"), windowLength).as("win"), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+
   /** Idempotent ingest: drop replayed event_ids within the watermark horizon
     * (exactly-once-ish dedup for at-least-once sources). */
   def dedupe(events: DataFrame, horizon: String = "1 hour"): DataFrame =

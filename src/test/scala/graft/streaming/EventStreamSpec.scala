@@ -32,6 +32,46 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("drift-bin counts parity: streamed windows ≡ batch binning on the same rows (x88 shape)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val raw = graft.Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // pinned reference artifact: quartile edges fit OFFLINE on the full set
+    val edges = graft.operators.FeatureBins.fitBins(raw, "event_type", "value", nBins = 4)
+    val ev = raw.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e._2.getTime, e._1))
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF.toDF("event_id", "ts", "event_type", "value")
+    val q = EventStream.driftBinCounts(events, edges)
+      .writeStream.format("memory").queryName("drift88").outputMode("update").start()
+    try {
+      val (first, second) = ev.splitAt(ev.length / 2)
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      // update mode: the latest row per (win, type, bin) is the final count
+      val got = spark.table("drift88")
+        .groupBy("win", "event_type", "bin").agg(org.apache.spark.sql.functions.max("n").as("n"))
+        .collect()
+        .map(r => (r.getStruct(0).getTimestamp(0), r.getString(1), r.getInt(2)) -> r.getLong(3))
+        .toMap
+      val want = graft.operators.FeatureBins.applyBins(raw, edges, "event_type", "value")
+        .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour").as("win"),
+          col("event_type"), col("bin"))
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getStruct(0).getTimestamp(0), r.getString(1), r.getInt(2)) -> r.getLong(3))
+        .toMap
+      got shouldBe want
+      got should not be empty
+      // every bin 1..4 appears somewhere (the reference quartiles are live)
+      got.keys.map(_._3).toSet shouldBe Set(1, 2, 3, 4)
+    } finally q.stop()
+  }
+
   test("watermarked dedup drops replayed event ids (idempotent ingest)") {
     import spark.implicits._
     val input = MemoryStream[(Long, Timestamp, String, Double)]
