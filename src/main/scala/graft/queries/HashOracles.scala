@@ -337,6 +337,35 @@ FROM pv GROUP BY n_bands ORDER BY n_bands"""
     s"""$minhashCtes
 SELECT doc_a, doc_b, jaccard FROM jj WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
 
+  /** x90: sampled recall audit — md5-ordered 32-rep sample, brute-force
+    * ≥ 0.5-Jaccard ground truth over exact shingle sets, membership check
+    * against the band-join candidate table (canonical (lo, hi)
+    * orientation), global recall in exact ppm. */
+  val recallAudit: String =
+    s"""$minhashCtes,
+smp AS (SELECT doc_id AS sid, sh AS sh_s FROM shset
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 32),
+truth AS (SELECT smp.sid,
+    LEAST(smp.sid, o.doc_id) AS lo, GREATEST(smp.sid, o.doc_id) AS hi
+  FROM smp JOIN shset o ON o.doc_id <> smp.sid
+  WHERE 2 * len(list_intersect(smp.sh_s, o.sh)) >=
+        len(smp.sh_s) + len(o.sh) - len(list_intersect(smp.sh_s, o.sh))),
+caught AS (SELECT t.sid FROM truth t
+  JOIN cand c ON c.doc_a = t.lo AND c.doc_b = t.hi),
+pt AS (SELECT sid, COUNT(*) AS n_true FROM truth GROUP BY sid),
+pc AS (SELECT sid, COUNT(*) AS n_caught FROM caught GROUP BY sid),
+tots AS (SELECT
+  (SELECT COALESCE(SUM(n_true), 0) FROM pt) AS tt,
+  (SELECT COALESCE(SUM(n_caught), 0) FROM pc) AS tc)
+SELECT smp.sid AS doc_id,
+  CAST(COALESCE(pt.n_true, 0) AS BIGINT) AS n_true,
+  CAST(COALESCE(pc.n_caught, 0) AS BIGINT) AS n_caught,
+  CAST(CASE WHEN tots.tt > 0 THEN tots.tc * 1000000 // tots.tt
+       ELSE 1000000 END AS BIGINT) AS recall_ppm
+FROM smp LEFT JOIN pt ON pt.sid = smp.sid
+LEFT JOIN pc ON pc.sid = smp.sid CROSS JOIN tots
+ORDER BY doc_id"""
+
   /** x26: hierarchical cluster dedup — verified pairs → transitive closure
     * (recursive CTE with UNION-distinct, the SQL fixpoint of the engine's
     * hash-min loop) → rep = min reachable doc_id → cluster signature =

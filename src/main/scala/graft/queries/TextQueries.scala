@@ -1903,6 +1903,55 @@ object TextQueries {
     sparseCosinePairsOf(docs(s, d)).orderBy("doc_a", "doc_b")
   }
 
+  /** x90: sampled recall audit of the banded MinHash index — the
+    * index-quality check a production dedup deployment schedules: pick a
+    * deterministic sample of reps (md5 order, K = 32), brute-force their
+    * TRUE ≥ 0.5-Jaccard neighbors against the whole corpus (exact shingle
+    * sets — K·n row-local work, linear because K is fixed), and measure
+    * which of those true pairs the band join actually surfaced. x72 reads
+    * the margin of the pairs the bands DID catch; this measures what they
+    * MISSED — the number the 1-(1-j^r)^b curve only predicts.
+    *
+    * Output: per sample doc (n_true, n_caught) + the global recall_ppm
+    * (1e6 when the sample has nothing to find). Plan: the K-row sample
+    * broadcasts into one corpus scan (the only quadratic-looking step is
+    * K×n with K fixed); truth pairs equi-join the candidate table in
+    * canonical (lo, hi) orientation — no OR-join, no cartesian. */
+  val dedupRecallAudit = sql(
+    "x90_dedup_recall_audit",
+    s"""${HashOracles.recallAudit}""") { (s, d) =>
+    val sigs = minhashSignaturesOf(docs(s, d)).localCheckpoint(eager = false)
+    val cand = bandCandidates(sigs)
+    val sample = sigs
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(32)
+      .select(col("doc_id").as("sid"), col("sh").as("sh_s"))
+    val truth = sigs.select(col("doc_id").as("oid"), col("sh").as("sh_o"))
+      .crossJoin(broadcast(sample))
+      .filter(col("sid") =!= col("oid"))
+      .withColumn("inter", size(array_intersect(col("sh_s"), col("sh_o"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sh_s")) + size(col("sh_o"))).cast("long") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("sid"),
+        least(col("sid"), col("oid")).as("lo"), greatest(col("sid"), col("oid")).as("hi"))
+    // NOTE deliberately NO further checkpoints below: truth/perDoc re-derive
+    // from the sigs RDD (already materialized above), never from parquet,
+    // and keeping the lineage visible lets PlanQualitySpec pin the shape
+    val caught = truth
+      .join(cand, col("lo") === col("doc_a") && col("hi") === col("doc_b"), "left_semi")
+    val perDoc = sample.select(col("sid"))
+      .join(truth.groupBy("sid").agg(count(lit(1)).as("n_true")), Seq("sid"), "left")
+      .join(caught.groupBy("sid").agg(count(lit(1)).as("n_caught")), Seq("sid"), "left")
+      .na.fill(0L, Seq("n_true", "n_caught"))
+    val tots = perDoc.agg(sum("n_true").as("tt"), sum("n_caught").as("tc"))
+    perDoc.crossJoin(broadcast(tots))
+      .select(col("sid").as("doc_id"), col("n_true"), col("n_caught"),
+        when(col("tt") > 0, expr("tc * 1000000 div tt")).otherwise(1000000L)
+          .cast("long").as("recall_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** x80's engine over an arbitrary (doc_id, text) frame (factored so
     * SparseSoak ladders the identical plan). */
   def sparseCosinePairsOf(dd: DataFrame): DataFrame = {
@@ -1982,5 +2031,5 @@ object TextQueries {
     releaseManifest, substringDup, substringCut, textLmScore, bpePairs,
     textQualityGate, scoreGateCalibration, dupPagerank, bloomDedup,
     ingestTriage, lshBandStats, hubRemoval, snapshotMerge, sparseCosine,
-    releaseDiff)
+    releaseDiff, dedupRecallAudit)
 }

@@ -390,6 +390,15 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "SortMergeJoin"
   }
 
+  test("x90: recall audit — truth via K-row broadcast, caught via equi semi-join") {
+    val plan = planOf(TextQueries.dedupRecallAudit)
+    plan should not include "CartesianProduct"
+    // the caught check is a canonical-orientation (lo, hi) EQUI semi-join,
+    // never an OR-condition nested loop over the candidate table
+    plan should include("LeftSemi")
+    plan should include("TakeOrderedAndProject") // the md5-order sample prune
+  }
+
   test("x89: A/B test is one partial-final pass; z math runs on one row") {
     val plan = planOf(EventsQueries.abTest)
     plan should include("partial_")
