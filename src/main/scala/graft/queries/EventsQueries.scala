@@ -898,9 +898,50 @@ object EventsQueries {
       when(abs(z) > 1.96, 1).otherwise(0).as("significant"))
   }
 
+  /** x91: hashing-trick feature vectorization (Weinberger et al. 2009) —
+    * categorical features mapped to a FIXED 512-slot space by hashing the
+    * feature string, no vocabulary anywhere: the zero-shuffle alternative
+    * to x40's vocabulary broadcast and x87's per-category table when the
+    * category space is unbounded (new values at serve time just hash).
+    * Completes the tabular-prep family's third strategy (learned bins,
+    * learned encodings, learned-NOTHING hashing).
+    *
+    * Slot = first 4 md5 hex digits as an integer, mod 512 — portable
+    * string arithmetic (the x31/x56 md5-hex stance; no engine-specific
+    * hash in sight). Fully row-local: explode + hash + mod fuse into the
+    * scan, the only exchange is the oracle-mandated output sort. */
+  val featureHashing = sql(
+    "x91_ev_feature_hash",
+    """WITH f AS (
+      |  SELECT event_id, unnest([
+      |    'type=' || event_type,
+      |    'kb=' || CAST(COALESCE(CAST(json_extract_string(props, '$.k') AS INTEGER), -1) // 10 AS VARCHAR)
+      |  ]) AS feature FROM events),
+      |h AS (SELECT event_id, feature, md5(feature) AS hx FROM f)
+      |SELECT event_id, feature,
+      |  CAST(((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096
+      |      + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256
+      |      + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 512 AS INTEGER) AS slot
+      |FROM h ORDER BY event_id, feature""".stripMargin) { (s, d) =>
+    val hex = "0123456789abcdef"
+    def digit(i: Int) = instr(lit(hex), substring(col("hx"), i, 1)) - 1
+    Tables.events(s, d)
+      .select(col("event_id"), explode(array(
+        concat(lit("type="), col("event_type")),
+        concat(lit("kb="),
+          expr("CAST(COALESCE(CAST(get_json_object(props, '$.k') AS INT), -1) div 10 AS STRING)"))))
+        .as("feature"))
+      .withColumn("hx", md5(col("feature")))
+      .select(col("event_id"), col("feature"),
+        ((digit(1) * 4096 + digit(2) * 256 + digit(3) * 16 + digit(4)) % 512)
+          .cast("int").as("slot"))
+      .orderBy("event_id", "feature")
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
     asofClickView, valueBands, funnel, rollingActivity, skewJoinDemo, zorderKey,
     winsorize, zscore, sessionStats, resampleFfill, intervalOverlap,
     keySkewReport, temporalSplit, attribution, retentionCohorts, madOutliers,
-    sessionTransitions, featureBins, driftReport, abTest)
+    sessionTransitions, featureBins, driftReport, abTest, featureHashing)
 }

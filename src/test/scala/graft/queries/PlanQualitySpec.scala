@@ -399,6 +399,13 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("TakeOrderedAndProject") // the md5-order sample prune
   }
 
+  test("x91: hashed features are row-local — the only exchange is the output sort") {
+    val plan = planOf(EventsQueries.featureHashing)
+    "Exchange".r.findAllIn(plan).size should be <= 1
+    plan should not include "Join"
+    plan should include("Generate") // the feature explode
+  }
+
   test("x89: A/B test is one partial-final pass; z math runs on one row") {
     val plan = planOf(EventsQueries.abTest)
     plan should include("partial_")
