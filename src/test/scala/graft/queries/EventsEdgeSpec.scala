@@ -104,4 +104,24 @@ class EventsEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // non-vacuous: the report flags something somewhere
     rows.map(_.getLong(4)).sum should be > 0L
   }
+
+  test("x91 slots ≡ JVM MessageDigest md5 arithmetic (portability proof)") {
+    def slotOf(feature: String): Int = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(feature.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val hexv = "0123456789abcdef"
+      (hexv.indexOf(hx(0)) * 4096 + hexv.indexOf(hx(1)) * 256 +
+        hexv.indexOf(hx(2)) * 16 + hexv.indexOf(hx(3))) % 512
+    }
+    val rows = EventsQueries.featureHashing.run(spark, dir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getInt(2) shouldBe slotOf(r.getString(1))
+    }
+    // the slot space is actually used (not everything collides into a few)
+    rows.map(_.getInt(2)).distinct.length should be > 8
+    // every event contributes both features
+    rows.groupBy(_.getLong(0)).values.foreach(_.length shouldBe 2)
+  }
 }
