@@ -939,9 +939,71 @@ object EventsQueries {
       .orderBy("event_id", "feature")
   }
 
+  /** x92: percentile-rank transform — each value mapped to its exact
+    * within-group CUME_DIST (the rank-based feature scaling that is
+    * immune to the outliers x82 flags and the distribution drift x88
+    * monitors; "rank-gauss" pipelines start exactly here). CUME_DIST is
+    * peers-counting integer arithmetic (rank/n), so ties and the final
+    * ROUND(…,6) agree cross-engine with no float-sum risk. One window
+    * exchange on the group key. */
+  val percentileRank = sql(
+    "x92_ev_percentile_rank",
+    """SELECT event_id, event_type,
+      |  ROUND(CUME_DIST() OVER (PARTITION BY event_type ORDER BY value), 6) AS pct_rank
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        round(cume_dist().over(
+          Window.partitionBy("event_type").orderBy("value")), 6).as("pct_rank"))
+      .orderBy("event_id")
+  }
+
+  /** x93: lag-feature matrix — per user, the 1/2/3-step lagged values and
+    * the trailing 3-observation mean: the feature block a sequence model
+    * (or gradient-boosted forecaster) trains on. All four features ride
+    * ONE user_id window exchange. The trailing mean is NOT a windowed
+    * AVG of doubles (frame summation order is engine-private): it is
+    * rebuilt from the lags as exact fixed-point cents over a counted
+    * denominator — the x87 determinism stance — so the row hash-matches
+    * bit-exactly. */
+  val lagFeatures = sql(
+    "x93_ev_lag_features",
+    """WITH l AS (
+      |  SELECT event_id, user_id, value,
+      |    LAG(value, 1) OVER w AS lag1,
+      |    LAG(value, 2) OVER w AS lag2,
+      |    LAG(value, 3) OVER w AS lag3
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_id, user_id, lag1, lag2, lag3,
+      |  CASE WHEN lag1 IS NULL THEN NULL ELSE
+      |    ROUND((COALESCE(CAST(ROUND(lag1 * 100) AS BIGINT), 0)
+      |         + COALESCE(CAST(ROUND(lag2 * 100) AS BIGINT), 0)
+      |         + COALESCE(CAST(ROUND(lag3 * 100) AS BIGINT), 0))
+      |      / (100.0 * ((CASE WHEN lag1 IS NULL THEN 0 ELSE 1 END)
+      |                + (CASE WHEN lag2 IS NULL THEN 0 ELSE 1 END)
+      |                + (CASE WHEN lag3 IS NULL THEN 0 ELSE 1 END))), 6)
+      |  END AS rmean3
+      |FROM l ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    def cents(c: org.apache.spark.sql.Column) =
+      coalesce(round(c * 100).cast("long"), lit(0L))
+    def present(c: org.apache.spark.sql.Column) = when(c.isNull, 0).otherwise(1)
+    Tables.events(s, d)
+      .withColumn("lag1", lag(col("value"), 1).over(w))
+      .withColumn("lag2", lag(col("value"), 2).over(w))
+      .withColumn("lag3", lag(col("value"), 3).over(w))
+      .select(col("event_id"), col("user_id"), col("lag1"), col("lag2"), col("lag3"),
+        when(col("lag1").isNull, lit(null)).otherwise(
+          round((cents(col("lag1")) + cents(col("lag2")) + cents(col("lag3")))
+            / (lit(100.0) * (present(col("lag1")) + present(col("lag2"))
+              + present(col("lag3")))), 6)).as("rmean3"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
     asofClickView, valueBands, funnel, rollingActivity, skewJoinDemo, zorderKey,
     winsorize, zscore, sessionStats, resampleFfill, intervalOverlap,
     keySkewReport, temporalSplit, attribution, retentionCohorts, madOutliers,
-    sessionTransitions, featureBins, driftReport, abTest, featureHashing)
+    sessionTransitions, featureBins, driftReport, abTest, featureHashing,
+    percentileRank, lagFeatures)
 }

@@ -406,6 +406,17 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("Generate") // the feature explode
   }
 
+  test("x92/x93: rank and lag features ride one window exchange each") {
+    for (q <- Seq(EventsQueries.percentileRank, EventsQueries.lagFeatures)) {
+      val plan = planOf(q)
+      withClue(q.name + ": ") {
+        "Exchange".r.findAllIn(plan).size should be <= 2 // window + output sort
+        plan should include("Window")
+        plan should not include "Join"
+      }
+    }
+  }
+
   test("x89: A/B test is one partial-final pass; z math runs on one row") {
     val plan = planOf(EventsQueries.abTest)
     plan should include("partial_")
