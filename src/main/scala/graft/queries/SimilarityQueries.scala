@@ -843,6 +843,19 @@ object SimilarityQueries {
       path: String): DataFrame =
     pqShortlistOf(s.read.parquet(path), queries)
 
+  /** APPEND newly accepted vectors to a [[savePqIndex]] artifact — the
+    * ingest-side maintenance verb completing the PQ lifecycle (build →
+    * probe → append), mirroring [[graft.queries.TextQueries.appendToMinhashIndex]]:
+    * the batch is encoded row-locally against the PINNED centroids and
+    * codebooks (no retrain, no corpus re-encode — write cost ∝ batch) and
+    * lands as new files the next [[pqShortlistFromIndex]] probe reads
+    * automatically. Codebook staleness is a quality concern, not a
+    * correctness one: appended codes quantize exactly like a full
+    * rebuild's would (IndexDurabilitySpec asserts bit-identity), and the
+    * periodic re-pin (`PqPin`) remains the refresh path. */
+  def appendToPqIndex(accepted: DataFrame, indexPath: String): Unit =
+    pqCorpusCodes(accepted).write.mode("append").parquet(indexPath)
+
   val simPqTopk = sql("x68_pq_topk", x68Oracle) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val qExact = emb.filter(col("vec_id") < 10)

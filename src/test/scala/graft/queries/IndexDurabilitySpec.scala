@@ -107,6 +107,33 @@ class IndexDurabilitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("appendToPqIndex: the next probe sees appended vectors; codes ≡ fresh encode") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("pq-append").toString + "/codes"
+    val emb = graft.Tables.embeddings(spark, sf)
+    // initial index: all but the last 20 vectors; then append those 20
+    val maxId = emb.agg(org.apache.spark.sql.functions.max("vec_id")).head().getLong(0)
+    val base = emb.filter(col("vec_id") <= maxId - 20)
+    val batch = emb.filter(col("vec_id") > maxId - 20)
+    graft.sources.Sinks.parquet(SimilarityQueries.pqCorpusCodes(base), dir)
+    SimilarityQueries.appendToPqIndex(batch, dir)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    // append ≡ full build: the probe over the appended artifact matches a
+    // probe over a from-scratch encode of the WHOLE corpus
+    rows(SimilarityQueries.pqShortlistFromIndex(spark, queries, dir)) shouldBe
+      rows(SimilarityQueries.pqShortlistOf(SimilarityQueries.pqCorpusCodes(emb), queries))
+    // and the appended rows' codes are bit-identical to a fresh encode
+    val appended = spark.read.parquet(dir).filter(col("vec_id") > maxId - 20)
+    val fresh = SimilarityQueries.pqCorpusCodes(batch)
+    appended.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getSeq[Int](2))).sortBy(_._1).toSeq shouldBe
+      fresh.collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2))).sortBy(_._1).toSeq
+  }
+
   test("bucketed band index: probe matches, corpus side scans bucket-aligned") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("mh-band").toString + "/sigs"
