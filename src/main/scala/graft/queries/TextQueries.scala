@@ -1952,6 +1952,63 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** x94: weight-proportional sampling without replacement — PRIORITY
+    * sampling (Duffield, Lund, Thorup 2007): each doc draws a
+    * deterministic uniform u from its id hash and competes on priority
+    * u/w (w = length in chars), bottom-k per source — longer docs
+    * proportionally likelier, reproducible across engines, runs, and
+    * cluster sizes (the property a seeded RNG sample does NOT have under
+    * repartitioning). Completes the sampling family: x36 caps uniformly,
+    * x53 cuts to a token budget in priority order, x94 samples
+    * ∝ weight.
+    *
+    * u is the first 13 md5 hex digits as an EXACT 52-bit integer via
+    * Horner/strpos string arithmetic (the x31/x56/x91 portable-hash
+    * stance — no engine-specific hash or float RNG anywhere); priority is
+    * one double division of exact integers, identical cross-engine. Plan:
+    * row-local scoring, ONE exchange for the per-source window, and the
+    * rank ≤ k prune rides WindowGroupLimit so no source's full list
+    * survives the sort. */
+  val weightedSample = sql(
+    "x94_text_weighted_sample",
+    s"""WITH h AS (
+      |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS w,
+      |    md5(CAST(doc_id AS VARCHAR)) AS hx
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id, source, w,
+      |    ${(1 to 13).map(i =>
+            s"(strpos('0123456789abcdef', substring(hx, $i, 1)) - 1) * ${java.math.BigInteger.valueOf(16L).pow(13 - i)}::BIGINT")
+            .mkString("(", "\n      |     + ", ")")} AS uv
+      |  FROM h),
+      |r AS (
+      |  SELECT doc_id, source, w, CAST(uv AS DOUBLE) / w AS priority,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY CAST(uv AS DOUBLE) / w, doc_id) AS rk
+      |  FROM u)
+      |SELECT doc_id, source, w, priority, CAST(rk AS INTEGER) AS rk
+      |FROM r WHERE rk <= 8 ORDER BY source, rk""".stripMargin) { (s, d) =>
+    val hex = "0123456789abcdef"
+    val uv = (1 to 13).map(i =>
+      (instr(lit(hex), substring(col("hx"), i, 1)) - 1).cast("long") *
+        lit(math.pow(16, 13 - i).toLong)).reduce(_ + _)
+    val byPriority = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("priority", "doc_id")
+    docs(s, d)
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("w"),
+        md5(col("doc_id").cast("string")).as("hx"))
+      .withColumn("priority", uv.cast("double") / col("w"))
+      .withColumn("rk", row_number().over(byPriority))
+      .filter(col("rk") <= 8)
+      // priority ships UNROUNDED: it is one division of exact integers —
+      // bit-identical cross-engine — while ROUND(x, 6) at 1e12 magnitude
+      // is itself the nondeterminism (DuckDB multiplies through a double,
+      // Spark rounds via BigDecimal; they disagree by an ulp)
+      .select(col("doc_id"), col("source"), col("w"),
+        col("priority"), col("rk").cast("int").as("rk"))
+      .orderBy("source", "rk")
+  }
+
   /** x80's engine over an arbitrary (doc_id, text) frame (factored so
     * SparseSoak ladders the identical plan). */
   def sparseCosinePairsOf(dd: DataFrame): DataFrame = {
@@ -2031,5 +2088,5 @@ object TextQueries {
     releaseManifest, substringDup, substringCut, textLmScore, bpePairs,
     textQualityGate, scoreGateCalibration, dupPagerank, bloomDedup,
     ingestTriage, lshBandStats, hubRemoval, snapshotMerge, sparseCosine,
-    releaseDiff, dedupRecallAudit)
+    releaseDiff, dedupRecallAudit, weightedSample)
 }

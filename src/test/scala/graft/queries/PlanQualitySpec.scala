@@ -390,6 +390,13 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "SortMergeJoin"
   }
 
+  test("x94: priority sample prunes inside the window sort (WindowGroupLimit)") {
+    val plan = planOf(TextQueries.weightedSample)
+    plan should include("WindowGroupLimit") // rk<=8 pushed into the sort
+    plan should not include "Join"
+    "Exchange".r.findAllIn(plan).size should be <= 2 // source window + output sort
+  }
+
   test("x90: recall audit — truth via K-row broadcast, caught via equi semi-join") {
     val plan = planOf(TextQueries.dedupRecallAudit)
     plan should not include "CartesianProduct"
