@@ -128,10 +128,17 @@ object Bench {
     val qs = samples.map { case (k, ts) =>
       "\"" + shortKey(k) + "\":" + d3(ts.min)
     }.mkString("{", ",", "}")
+    // hot_max is the only UNBOUNDED part of the line (a badly contended
+    // host could mark half the registry hot) — cap it at the 8 worst
+    // max/min ratios so the artifact stays inside the driver's 2000-char
+    // tail capture no matter what the host does (round-10 sizing: a real
+    // 119-query line with 5 hot rows measured 1823 bytes)
     val hot = samples.collect {
       case (k, ts) if ts.min > 0 && ts.max >= 2 * ts.min =>
-        "\"" + shortKey(k) + "\":" + d3(ts.max)
-    }.mkString("{", ",", "}")
+        (shortKey(k), ts.max, ts.max / ts.min)
+    }.sortBy(-_._3).take(8)
+      .map { case (k, mx, _) => "\"" + k + "\":" + d3(mx) }
+      .mkString("{", ",", "}")
     val mins = samples.map { case (_, ts) => ts.min }
     val failed = mins.count(_ < 0)
     val total = mins.filter(_ >= 0).sum

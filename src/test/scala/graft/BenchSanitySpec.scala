@@ -85,6 +85,19 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
     root.get("hot_max").get("x44").asDouble() shouldBe 8.652 +- 1e-3
   }
 
+  test("hot_max caps at the 8 worst ratios — a fully contended host can't blow the line") {
+    // 30 hot rows with DISTINCT ratios; only the 8 worst survive
+    val samples = (1 to 30).map { i =>
+      f"x$i%02d_hot" -> Seq(1.0, 1.0 + i, 1.0)
+    }
+    val root = mapper.readTree(render(samples))
+    root.get("hot_max").size shouldBe 8
+    // the survivors are the highest-ratio rows (x23..x30)
+    (23 to 30).foreach { i =>
+      root.get("hot_max").get(f"x$i%02d").asDouble() shouldBe (1.0 + i) +- 1e-3
+    }
+  }
+
   test("a failed query reports -1, is excluded from the total, and never marks hot") {
     val samples = Seq("q01_ok" -> Seq(0.5, 0.4, 0.6), "x02_bad" -> Seq(-1.0))
     val root = mapper.readTree(render(samples))
