@@ -129,24 +129,26 @@ object Bench {
       "\"" + shortKey(k) + "\":" + d3(ts.min)
     }.mkString("{", ",", "}")
     // hot_max is the only UNBOUNDED part of the line (a badly contended
-    // host could mark half the registry hot) — cap it at the 8 worst
+    // host could mark half the registry hot) — cap it at the 6 worst
     // max/min ratios so the artifact stays inside the driver's 2000-char
-    // tail capture no matter what the host does (round-10 sizing: a real
-    // 119-query line with 5 hot rows measured 1823 bytes)
+    // tail capture no matter what the host does (round-11 sizing: a real
+    // 119-query line with 6 hot rows measured 1811 bytes, so the static
+    // "keys"/"calibration_job" documentation fields moved OUT of the line
+    // — they live in PLANS.md "bench calibration" and the verify skill)
     val hot = samples.collect {
       case (k, ts) if ts.min > 0 && ts.max >= 2 * ts.min =>
         (shortKey(k), ts.max, ts.max / ts.min)
-    }.sortBy(-_._3).take(8)
+    }.sortBy(-_._3).take(6)
       .map { case (k, mx, _) => "\"" + k + "\":" + d3(mx) }
       .mkString("{", ",", "}")
     val mins = samples.map { case (_, ts) => ts.min }
     val failed = mins.count(_ < 0)
     val total = mins.filter(_ >= 0).sum
     val calib = calibration.map(d3).mkString("[", ",", "]")
-    s"""{"metric":"total","unit":"sec","runs":3,"keys":"registry id prefix",""" +
+    s"""{"metric":"total","unit":"sec","runs":3,""" +
       s""""queries":$qs,"hot_max":$hot,""" +
       s""""ivf_train_sec":${d3(ivfTrain)},"x03_probe_only_sec":${d3(probeOnly)},""" +
-      s""""calibration_job":"range64M-xxhash64-xor","failed":$failed,""" +
+      s""""failed":$failed,""" +
       s""""calibration_sec":$calib,"value":${d3(total)},"sf":"$sfDir"}"""
   }
 }

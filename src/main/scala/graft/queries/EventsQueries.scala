@@ -1000,10 +1000,104 @@ object EventsQueries {
       .orderBy("event_id")
   }
 
+  /** x95: multi-dimensional CUBE datasheet — every (event_type × hour-of-day)
+    * cell PLUS both marginals PLUS the grand total in ONE pass: Spark plans
+    * an Expand (4 grouping sets) over a single scan with partial
+    * aggregation, so the 100 TB log is read once for all four
+    * granularities instead of once per report. `gid` = 2·GROUPING(type) +
+    * GROUPING(hod) disambiguates a genuine NULL dimension value from a
+    * super-aggregate row (the classic CUBE pitfall); the value sum rides
+    * the x38 exact-cents discipline so every cell hash-matches.
+    *
+    * Scale note: Expand multiplies scanned rows ×4 BEFORE the partial
+    * aggregate — fine for the 4-set CUBE here; a d-dimension cube is 2^d
+    * sets, where the production path is re-aggregating the gid=0 cells
+    * (low-cardinality, already tiny) instead of widening the Expand. The
+    * COUNT(DISTINCT user_id) forces a second Expand internally; at corpus
+    * scale swap it for the x22 HLL++ sketch column. */
+  val cubeDatasheet = sql(
+    "x95_ev_cube",
+    """WITH e AS (SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents, user_id FROM events)
+      |SELECT COALESCE(event_type, 'ALL') AS event_type,
+      |  CAST(COALESCE(hod, -1) AS INTEGER) AS hod,
+      |  CAST(2 * GROUPING(event_type) + GROUPING(hod) AS INTEGER) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS cents,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM e GROUP BY CUBE(event_type, hod)
+      |ORDER BY gid, event_type, hod""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), hour(col("ts")).as("hod"),
+        floor(col("value") * 100).cast("long").as("cents"), col("user_id"))
+      .cube(col("event_type"), col("hod"))
+      .agg(
+        (grouping(col("event_type")).cast("int") * 2
+          + grouping(col("hod")).cast("int")).as("gid"),
+        count(lit(1)).as("n"),
+        sum("cents").as("cents"),
+        count_distinct(col("user_id")).as("n_users"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("hod"), lit(-1)).cast("int").as("hod"),
+        col("gid"), col("n"), col("cents"), col("n_users"))
+      .orderBy("gid", "event_type", "hod")
+  }
+
+  /** x97: per-type Pearson components + diurnal value correlation — the
+    * mergeable-moments pattern every distributed stats layer reduces to:
+    * (n, Σx, Σy, Σxy, Σx², Σy²) are BIGINT partial aggregates (map-side
+    * combined, order-independent, mergeable across shards/days — the form
+    * a 100 TB job SHOULD persist, since any corr/variance/covariance over
+    * any union of shards recomposes from them by addition alone). x =
+    * value in exact cents (x38 discipline), y = hour-of-day: corr_r > 0
+    * means value trends with time of day (diurnal pricing signal). The
+    * single presentation double mirrors the textbook formula with the
+    * SAME explicit cast tree on both engines — every operand is an
+    * exactly-representable integer, so the IEEE mul/sub/sqrt/div sequence
+    * is bit-identical and ROUND(…,6) of a value in [-1,1] is safe (the
+    * x94 large-quotient hazard does not apply at this magnitude). */
+  val corrReport = sql(
+    "x97_ev_corr_report",
+    """WITH e AS (SELECT event_type,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS x,
+      |    CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |  CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |  CAST(SUM(x * x) AS BIGINT) AS sx2, CAST(SUM(y * y) AS BIGINT) AS sy2,
+      |  ROUND((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * y) AS DOUBLE)
+      |       - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+      |    / SQRT((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+      |          - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+      |         * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(y * y) AS DOUBLE)
+      |          - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))), 6) AS corr_r
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val m = Tables.events(s, d)
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("x"),
+        hour(col("ts")).cast("long").as("y"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"), sum(col("y") * col("y")).as("sy2"))
+    def d_(c: String) = col(c).cast("double")
+    m.select(col("event_type"), col("n"), col("sx"), col("sy"), col("sxy"),
+        col("sx2"), col("sy2"),
+        round((d_("n") * d_("sxy") - d_("sx") * d_("sy"))
+          / sqrt((d_("n") * d_("sx2") - d_("sx") * d_("sx"))
+               * (d_("n") * d_("sy2") - d_("sy") * d_("sy"))), 6).as("corr_r"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
     asofClickView, valueBands, funnel, rollingActivity, skewJoinDemo, zorderKey,
     winsorize, zscore, sessionStats, resampleFfill, intervalOverlap,
     keySkewReport, temporalSplit, attribution, retentionCohorts, madOutliers,
     sessionTransitions, featureBins, driftReport, abTest, featureHashing,
-    percentileRank, lagFeatures)
+    percentileRank, lagFeatures, cubeDatasheet, corrReport)
 }

@@ -540,6 +540,33 @@ SELECT h.rk, h.id AS doc_id, h.deg, ROUND(h.r / 1000000.0, 6) AS pr,
   COALESCE(rm.pairs_removed, 0) AS pairs_removed
 FROM hubs h LEFT JOIN rm ON rm.rk = h.rk ORDER BY h.rk"""
 
+  /** x96: per-node triangle count + local clustering coefficient over the
+    * verified near-dup graph (x69's edge set, unweighted). The oracle
+    * enumerates each triangle once via the id-orientation (a < b < c):
+    * wedge join on the middle vertex, then the closing-edge probe. The
+    * engine enumerates via DEGREE orientation instead (each triangle found
+    * from its lowest-degree vertex) — a different traversal of the same
+    * graph, so the per-node tallies agree exactly. cc stays in the x69 ppm
+    * fixed point: `(2·10^6 · tri) // (deg · (deg−1))` — BIGINT end to end,
+    * no float. */
+  val dupTriangles: String =
+    s"""$minhashCtes,
+trf AS (SELECT doc_a, doc_b FROM ws
+  WHERE 2 * len(list_intersect(sh_a, sh_b))
+      >= len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))),
+tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM trf e1 JOIN trf e2 ON e2.doc_a = e1.doc_b
+  JOIN trf e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+trn AS (SELECT unnest([a, b, c]) AS doc_id FROM tri),
+trc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM trn GROUP BY doc_id),
+dg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM
+  (SELECT doc_a AS doc_id FROM trf UNION ALL SELECT doc_b FROM trf) ed GROUP BY doc_id)
+SELECT dg.doc_id, dg.deg, COALESCE(trc.n_tri, 0::BIGINT) AS n_tri,
+  CASE WHEN dg.deg >= 2
+    THEN (2000000::BIGINT * COALESCE(trc.n_tri, 0::BIGINT)) // (dg.deg * (dg.deg - 1))
+    ELSE 0::BIGINT END AS cc_ppm
+FROM dg LEFT JOIN trc ON trc.doc_id = dg.doc_id ORDER BY dg.doc_id"""
+
   /** x52: blocked record linkage — the x03 banding chain as the BLOCKING
     * stage (shared `cand` CTE over the exact-collapsed reps), then
     * edit-distance verification over exactly those candidate pairs:

@@ -1796,6 +1796,36 @@ object TextQueries {
       .orderBy("rk")
   }
 
+  /** x96: per-node triangle count + local clustering coefficient over the
+    * verified near-dup graph — the structural complement to x69's
+    * centrality: a high-degree node with cc≈0 is a TEMPLATE HUB (star —
+    * many documents each near-matching the boilerplate but not each
+    * other), while cc≈10^6 ppm marks a tight CLONE CLIQUE (mirror set);
+    * removal policy differs (rewrite the template vs keep-one-drop-rest),
+    * which is why curation wants both numbers per node.
+    *
+    * Enumeration uses DEGREE ORIENTATION (Ortmann/Brandes): every edge is
+    * directed from its (deg, id)-smaller endpoint, each triangle is found
+    * exactly once from its lowest-degree vertex, and — the scale point —
+    * the wedge join fans out per-node as out-degree², which orientation
+    * bounds by O(√|E|) per node on any graph. Under id-orientation a
+    * single 10^6-degree template hub would contribute 10^12 wedges; under
+    * degree orientation its edges all point INWARD and it contributes
+    * none. The closing-edge probe is an equi-join on (v, w); per-node
+    * tallies are partial-final aggregates; the DuckDB oracle traverses
+    * the same graph by id-orientation — different wedge sets, identical
+    * triangles. cc stays in x69's BIGINT ppm fixed point (no float).
+    * Kernel: [[graft.operators.Triangles]] (GraphSoak measures the
+    * orientation gap on a planted-hub graph). */
+  val dupTriangles = sql("x96_dup_triangles", HashOracles.dupTriangles) { (s, d) =>
+    val sigs = minhashSignaturesOf(docs(s, d)).localCheckpoint(eager = false)
+    val pf = weightedPairs(sigs)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    graft.operators.Triangles.tallies(pf)
+      .select(col("node").as("doc_id"), col("deg"), col("n_tri"), col("cc_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** x74: CDC snapshot MERGE — apply a changeset (inserts, updates,
     * deletes, with in-batch conflicts resolved last-writer-wins on a
     * sequence column) to the corpus snapshot via
@@ -2088,5 +2118,5 @@ object TextQueries {
     releaseManifest, substringDup, substringCut, textLmScore, bpePairs,
     textQualityGate, scoreGateCalibration, dupPagerank, bloomDedup,
     ingestTriage, lshBandStats, hubRemoval, snapshotMerge, sparseCosine,
-    releaseDiff, dedupRecallAudit, weightedSample)
+    releaseDiff, dedupRecallAudit, weightedSample, dupTriangles)
 }

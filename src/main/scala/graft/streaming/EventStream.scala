@@ -192,6 +192,40 @@ object EventStream {
         col("asof.event_id").as("view_event_id"),
         (unix_micros(col("ts")) - unix_micros(col("asof.ts"))).as("gap_us"))
 
+  /** TRUE stream-stream interval join — two unbounded inputs, neither
+    * broadcastable: every click pairs with EVERY view by the same user in
+    * the trailing `horizon`, the general form [[enrichClicksWithViews]]'s
+    * stream-static as-of lookup cannot express once the view side is
+    * itself a live stream. Both sides carry a watermark and the join
+    * condition bounds `view_ts` to a click-relative range, which is what
+    * lets Spark size and EVICT the two state stores: a buffered view can
+    * only match clicks until `click_watermark − horizon` passes it, so
+    * state is O(rate × (horizon + lateness)) per side, never unbounded.
+    * Inner join in append mode emits exactly-once pairs; pass
+    * `joinType = "leftOuter"` for click-with-no-view rows (emitted when
+    * the watermark proves no view can arrive — same state bound).
+    *
+    * At cluster scale both sides hash-partition on `user_id` (the join
+    * key) — the same co-partitioning a batch interval join pays, amortized
+    * across micro-batches by the state store. */
+  def clickViewPairs(clicks: DataFrame, views: DataFrame,
+      horizon: String = "30 minutes", lateness: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", lateness)
+    c.join(v,
+        col("user_id") === col("v_user")
+          && col("view_ts") <= col("click_ts")
+          && col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"),
+        joinType)
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+  }
+
   /** Per-session rollup (the streaming twin of x46_ev_session_stats):
     * Spark's native `session_window` merges events < `gap` apart into one
     * window per (user, session), and the aggregation emits each session's

@@ -63,7 +63,10 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
     val calib = root.get("calibration_sec")
     calib.isArray shouldBe true
     calib.size shouldBe 3
-    root.get("calibration_job").asText() shouldBe "range64M-xxhash64-xor"
+    // the calibration-job description ("range64M-xxhash64-xor") and the
+    // key legend are documented OUT of the line (PLANS.md, verify skill)
+    // — every in-line byte competes with query rows for tail capture
+    root.get("calibration_job") shouldBe null
     root.get("ivf_train_sec").asDouble() shouldBe 1.5 +- 1e-9
     root.get("x03_probe_only_sec").asDouble() shouldBe 0.8 +- 1e-9
     // summary fields ride at the END of the line (truncation-from-the-
@@ -85,15 +88,15 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
     root.get("hot_max").get("x44").asDouble() shouldBe 8.652 +- 1e-3
   }
 
-  test("hot_max caps at the 8 worst ratios — a fully contended host can't blow the line") {
-    // 30 hot rows with DISTINCT ratios; only the 8 worst survive
+  test("hot_max caps at the 6 worst ratios — a fully contended host can't blow the line") {
+    // 30 hot rows with DISTINCT ratios; only the 6 worst survive
     val samples = (1 to 30).map { i =>
       f"x$i%02d_hot" -> Seq(1.0, 1.0 + i, 1.0)
     }
     val root = mapper.readTree(render(samples))
-    root.get("hot_max").size shouldBe 8
-    // the survivors are the highest-ratio rows (x23..x30)
-    (23 to 30).foreach { i =>
+    root.get("hot_max").size shouldBe 6
+    // the survivors are the highest-ratio rows (x25..x30)
+    (25 to 30).foreach { i =>
       root.get("hot_max").get(f"x$i%02d").asDouble() shouldBe (1.0 + i) +- 1e-3
     }
   }

@@ -23,27 +23,7 @@ class DupGraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // pairs sharing a band SLICE (the engine band-joins on xxhash64 of the
     // slice; slices collide iff equal up to a ~2^-64 hash collision), then
     // the integer Jaccard admission and ppm weight on the candidate set
-    val reps = graft.Tables.documents(spark, dir)
-      .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
-      .groupBy(_._2).map { case (_, g) => g.minBy(_._1) }.toSeq
-      .map { case (id, text) => (id, shingles(text)) }
-    def mix64(z0: Long): Long = DupGraphSpec.mix64(z0)
-    def sig(sh: Set[Long]): IndexedSeq[Long] =
-      (0 until 32).map { j =>
-        val seed = mix64(j + 0x5851f42d4c957f2dL)
-        sh.map(h => mix64(h ^ seed)).min
-      }
-    val sigs = reps.map { case (id, sh) => (id, sh, sig(sh)) }
-    val pairs = for {
-      (a, sa, ga) <- sigs
-      (b, sb, gb) <- sigs
-      if a < b
-      if (0 until 8).exists(bd => ga.slice(bd * 4, bd * 4 + 4) == gb.slice(bd * 4, bd * 4 + 4))
-      inter = (sa intersect sb).size.toLong
-      uni = sa.size.toLong + sb.size.toLong - inter
-      if inter * 2 >= uni && uni > 0
-    } yield (a, b, inter * 1000000L / uni)
+    val pairs = replayPairs(dir)
 
     val edges = pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
     val wout = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
@@ -113,6 +93,59 @@ class DupGraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
     t.map(_._3).sum should be > 0L
     t.map(_._4).sum should be > 0L
     t.map(_._5).sum should be > 0L
+  }
+
+  test("x96: engine triangle tallies equal a brute-force replay") {
+    val out = TextQueries.dupTriangles.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    val pairs = replayPairs(dir).map { case (a, b, _) => (a, b) }
+    val edgeSet = pairs.toSet
+    val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- pairs
+      (b2, c) <- pairs if b2 == b && edgeSet.contains((a, c))
+    } { triCount(a) += 1; triCount(b) += 1; triCount(c) += 1 }
+    val deg = pairs.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, g) => n -> g.size.toLong }
+    val expected = deg.toSeq.sortBy(_._1).map { case (n, dg) =>
+      val t = triCount(n)
+      (n, dg, t, if (dg >= 2) 2000000L * t / (dg * (dg - 1)) else 0L)
+    }
+    out.toSeq shouldBe expected
+    out.length should be > 0
+    // non-vacuity: the shipped dup graph has clone cliques, so triangles exist
+    out.map(_._3).sum should be > 0L
+  }
+
+  /** The x03 chain replayed in plain Scala over the exact-collapsed reps —
+    * 32-hash MinHash, 8 bands of 4, candidates = pairs sharing a band SLICE
+    * (the engine band-joins on xxhash64 of the slice; slices collide iff
+    * equal up to a ~2^-64 hash collision), then the integer Jaccard
+    * admission and ppm weight on the candidate set. Output (a, b, w_ppm)
+    * with a < b. */
+  private def replayPairs(dir: String): Seq[(Long, Long, Long)] = {
+    val reps = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).map { case (_, g) => g.minBy(_._1) }.toSeq
+      .map { case (id, text) => (id, shingles(text)) }
+    def mix64(z0: Long): Long = DupGraphSpec.mix64(z0)
+    def sig(sh: Set[Long]): IndexedSeq[Long] =
+      (0 until 32).map { j =>
+        val seed = mix64(j + 0x5851f42d4c957f2dL)
+        sh.map(h => mix64(h ^ seed)).min
+      }
+    val sigs = reps.map { case (id, sh) => (id, sh, sig(sh)) }
+    for {
+      (a, sa, ga) <- sigs
+      (b, sb, gb) <- sigs
+      if a < b
+      if (0 until 8).exists(bd => ga.slice(bd * 4, bd * 4 + 4) == gb.slice(bd * 4, bd * 4 + 4))
+      inter = (sa intersect sb).size.toLong
+      uni = sa.size.toLong + sb.size.toLong - inter
+      if inter * 2 >= uni && uni > 0
+    } yield (a, b, inter * 1000000L / uni)
   }
 
   /** TextHashes.shingleData semantics replayed in plain Scala (n = 3,

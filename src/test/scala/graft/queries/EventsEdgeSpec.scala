@@ -124,4 +124,45 @@ class EventsEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // every event contributes both features
     rows.groupBy(_.getLong(0)).values.foreach(_.length shouldBe 2)
   }
+
+  test("x95 cube: marginals and grand total recompose from the base cells") {
+    val rows = EventsQueries.cubeDatasheet.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    val base = rows.filter(_._3 == 0)
+    base should not be empty
+    // gid=1: per-type marginal = Σ over that type's base cells
+    rows.filter(_._3 == 1).foreach { case (t, hod, _, n, cents) =>
+      hod shouldBe -1
+      n shouldBe base.filter(_._1 == t).map(_._4).sum
+      cents shouldBe base.filter(_._1 == t).map(_._5).sum
+    }
+    // gid=2: per-hour marginal = Σ over that hour's base cells
+    rows.filter(_._3 == 2).foreach { case (t, hod, _, n, cents) =>
+      t shouldBe "ALL"
+      n shouldBe base.filter(_._2 == hod).map(_._4).sum
+      cents shouldBe base.filter(_._2 == hod).map(_._5).sum
+    }
+    // gid=3: exactly one grand total covering every event
+    val g = rows.filter(_._3 == 3)
+    g.length shouldBe 1
+    g.head._4 shouldBe graft.Tables.events(spark, dir).count()
+    g.head._5 shouldBe base.map(_._5).sum
+  }
+
+  test("x97: shipped components reproduce commons-math-style Pearson r") {
+    val rows = EventsQueries.corrReport.run(spark, dir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (n, sx, sy, sxy, sx2, sy2) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+      // recompose corr from the mergeable moments exactly as a reader would
+      val num = n.toDouble * sxy - sx.toDouble * sy
+      val den = math.sqrt((n.toDouble * sx2 - sx.toDouble * sx)
+        * (n.toDouble * sy2 - sy.toDouble * sy))
+      val expected = BigDecimal(num / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      r.getDouble(7) shouldBe expected
+      r.getDouble(7) should (be >= -1.0 and be <= 1.0)
+    }
+  }
 }

@@ -438,6 +438,33 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "CartesianProduct"
   }
 
+  test("x95: the cube is ONE scan through an Expand with partial aggregation") {
+    val plan = planOf(EventsQueries.cubeDatasheet)
+    plan should include("Expand")
+    plan should include("partial_")
+    // one events scan feeds all four grouping sets — a per-granularity
+    // re-scan would show up as multiple parquet reads
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Join"
+  }
+
+  test("x96: triangle closure is equi-joins only — no all-pairs anywhere") {
+    val plan = planOf(TextQueries.dupTriangles)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the wedge-order filter (v ≺ w in degree order) must sit ABOVE an
+    // equi-join on the shared wedge vertex, not turn the join theta
+    plan should include("SortMergeJoin") // corpus-scale posture under AQE off
+  }
+
+  test("x97: moments are one partial-final pass; corr math is post-agg") {
+    val plan = planOf(EventsQueries.corrReport)
+    plan should include("partial_")
+    plan should not include "Join"
+    "Exchange".r.findAllIn(plan).size should be <= 2 // type groupBy + output sort
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 1
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:

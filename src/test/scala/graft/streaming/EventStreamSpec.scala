@@ -205,6 +205,49 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join parity: live clicks × live views ≡ batch pairs") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+    def side(t: String) = ev.filter(col("event_type") === t)
+      .select("event_id", "user_id", "ts")
+    val clickRows = side("click").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val viewRows = side("view").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+
+    val ci = MemoryStream[(Long, Long, Timestamp)]
+    val vi = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStream.clickViewPairs(
+        ci.toDF.toDF("event_id", "user_id", "ts"),
+        vi.toDF.toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("sspairs").outputMode("append").start()
+    try {
+      // both sides split across micro-batches, views lagging clicks by one
+      // batch — pairs spanning the batch boundary must come from the state
+      // store, which is the property under test
+      val (c1, c2) = clickRows.splitAt(clickRows.length / 2)
+      val (v1, v2) = viewRows.splitAt(viewRows.length / 2)
+      ci.addData(c1.toSeq); q.processAllAvailable()
+      vi.addData(v1.toSeq); q.processAllAvailable()
+      ci.addData(c2.toSeq); vi.addData(v2.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("sspairs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // batch twin: the same interval condition as a plain join
+      val want = (for {
+        (cid, cu, cts) <- clickRows
+        (vid, vu, vts) <- viewRows
+        if cu == vu
+        cus = cts.getTime * 1000 + cts.getNanos / 1000 % 1000
+        vus = vts.getTime * 1000 + vts.getNanos / 1000 % 1000
+        if vus <= cus && vus >= cus - 1800000000L
+      } yield (cid, cu, vid, cus - vus)).toSet
+      got shouldBe want
+      got should not be empty
+    } finally q.stop()
+  }
+
   test("rolling 1h activity parity: streamed events ≡ batch x38 on the same rows") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
