@@ -102,6 +102,13 @@ object Bench {
   private def d3(x: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
 
+  /** `%.2f` for the per-query rows: 10 ms resolution is ample for a
+    * baseline comparison (calm rows measure 0.1–4 s) and the lost byte per
+    * row is exactly the line's scarcest resource — at 123 registry rows
+    * the map is ~92% of the artifact. */
+  private def d2(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+
   /** Short artifact key for a registry name: its id prefix (`q01`, `x31`).
     * Registry ids are unique by construction (BenchSanitySpec asserts it),
     * and the full name is recoverable from `SparkEntry.defs`. */
@@ -117,7 +124,7 @@ object Bench {
     * r6 two-map line was ~6.2 KB, the r7 merged-[min,max] line ~4.6 KB —
     * both truncated from the front, so `parsed` stayed null three rounds
     * running). Budget ≤ 1800 chars: per-query keys are the short registry
-    * id (`q01`, `x31`), values the min-of-3 at %.3f, and the per-row
+    * id (`q01`, `x31`), values the min-of-3 at %.2f, and the per-row
     * spread is kept only where it carries signal — `hot_max` lists max
     * for rows where max ≥ 2×min (the host-contended rows; read rule:
     * trust min, PLANS.md "bench calibration"). Scalar summary fields —
@@ -126,7 +133,7 @@ object Bench {
   def renderJson(samples: Seq[(String, Seq[Double])], calibration: Seq[Double],
                  ivfTrain: Double, probeOnly: Double, sfDir: String): String = {
     val qs = samples.map { case (k, ts) =>
-      "\"" + shortKey(k) + "\":" + d3(ts.min)
+      "\"" + shortKey(k) + "\":" + d2(ts.min)
     }.mkString("{", ",", "}")
     // hot_max is the only UNBOUNDED part of the line (a badly contended
     // host could mark half the registry hot) — cap it at the 6 worst
@@ -139,7 +146,7 @@ object Bench {
       case (k, ts) if ts.min > 0 && ts.max >= 2 * ts.min =>
         (shortKey(k), ts.max, ts.max / ts.min)
     }.sortBy(-_._3).take(6)
-      .map { case (k, mx, _) => "\"" + k + "\":" + d3(mx) }
+      .map { case (k, mx, _) => "\"" + k + "\":" + d2(mx) }
       .mkString("{", ",", "}")
     val mins = samples.map { case (_, ts) => ts.min }
     val failed = mins.count(_ < 0)

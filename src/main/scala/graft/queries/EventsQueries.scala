@@ -1094,10 +1094,78 @@ object EventsQueries {
       .orderBy("event_type")
   }
 
+  /** x98: session co-occurrence lift — the market-basket association
+    * report with gap-sessions as baskets and event types as items: which
+    * behaviors travel together within a visit (lift > 10^6 ppm) and which
+    * repel (< 10^6)? Sessions come from x16's exact integer gap rule; a
+    * basket's item set is the DISTINCT types it contains; the pair stage
+    * is a within-basket self equi-join whose fan-out is bounded by the
+    * ITEM-DOMAIN² (≤ |types|² per basket regardless of basket size — the
+    * distinct collapse first is what kills the quadratic-in-events risk).
+    * At a large item domain the classic A-priori move applies unchanged:
+    * support-prune `bt` before pairing. Lift stays exact in BIGINT ppm —
+    * `(n_ab · N · 10^6) // (n_a · n_b)` — no float anywhere.
+    *
+    * The singleton totals attach via broadcastable aggregates: `nb` is ONE
+    * row (broadcast nested-loop by construction, never a shuffle) and `ca`
+    * is |types| rows. */
+  val cooccurrence = sql(
+    "x98_ev_cooccurrence",
+    """WITH g AS (SELECT user_id, ts, event_id, event_type,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events),
+      |s AS (SELECT user_id, event_type,
+      |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g),
+      |bt AS (SELECT DISTINCT user_id, session_id, event_type FROM s),
+      |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets
+      |  FROM (SELECT DISTINCT user_id, session_id FROM bt) b0),
+      |ca AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM bt GROUP BY event_type),
+      |pp AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM bt a JOIN bt b ON a.user_id = b.user_id AND a.session_id = b.session_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT pp.type_a, pp.type_b, pp.n_ab, ca1.n_t AS n_a, ca2.n_t AS n_b,
+      |  nb.n_baskets,
+      |  (pp.n_ab * nb.n_baskets * 1000000::BIGINT) // (ca1.n_t * ca2.n_t) AS lift_ppm
+      |FROM pp JOIN ca ca1 ON ca1.event_type = pp.type_a
+      |  JOIN ca ca2 ON ca2.event_type = pp.type_b CROSS JOIN nb
+      |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bt = Tables.events(s, d)
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(order))
+      .withColumn("session_id",
+        sum(when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1).otherwise(0)).over(cum))
+      .select("user_id", "session_id", "event_type")
+      .distinct()
+      .localCheckpoint(eager = false) // four consumers below
+    val nb = bt.select("user_id", "session_id").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val ca = bt.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val pp = bt.select(col("user_id"), col("session_id"), col("event_type").as("type_a"))
+      .join(bt.select(col("user_id"), col("session_id"), col("event_type").as("type_b")),
+        Seq("user_id", "session_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+    pp.join(broadcast(ca.select(col("event_type").as("type_a"), col("n_t").as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(ca.select(col("event_type").as("type_b"), col("n_t").as("n_b"))),
+        Seq("type_b"))
+      .crossJoin(broadcast(nb))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_baskets"),
+        expr("(n_ab * n_baskets * 1000000L) div (n_a * n_b)").as("lift_ppm"))
+      .orderBy("type_a", "type_b")
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
     asofClickView, valueBands, funnel, rollingActivity, skewJoinDemo, zorderKey,
     winsorize, zscore, sessionStats, resampleFfill, intervalOverlap,
     keySkewReport, temporalSplit, attribution, retentionCohorts, madOutliers,
     sessionTransitions, featureBins, driftReport, abTest, featureHashing,
-    percentileRank, lagFeatures, cubeDatasheet, corrReport)
+    percentileRank, lagFeatures, cubeDatasheet, corrReport, cooccurrence)
 }

@@ -13,6 +13,24 @@ object Sinks {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** JSONL (one JSON object per line) corpus export — the interchange
+    * format corpus releases actually ship (and what most raw crawls arrive
+    * as). gzip per-file: JSONL compresses ~5× and stays SPLITTABLE at the
+    * file level because each file is one member (a 1000-file export reads
+    * with 1000-way parallelism; only intra-file parallelism is lost, which
+    * `maxRecordsPerFile`-style sizing at write time already bounds). */
+  def jsonlCorpus(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+  /** JSONL corpus read with an EXPLICIT schema — never schema inference,
+    * which at corpus scale is a full extra pass over 100 TB before the
+    * first real job, and silently widens/narrows types when a shard's
+    * fields drift. Malformed lines land in `_corrupt_record` (PERMISSIVE)
+    * instead of killing the read: a crawl dump always has a few. */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
   /** Hive-style partitioned parquet with a bounded file count per directory.
     *
     * Repartitioning on the partition columns alone hashes each distinct

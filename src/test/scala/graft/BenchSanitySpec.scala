@@ -54,7 +54,10 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
     qKeys shouldBe shorts
     names.zipWithIndex.foreach { case (n, i) =>
       val expMin = 0.1 + i * 0.001
-      root.get("queries").get(Bench.shortKey(n)).asDouble() shouldBe expMin +- 5e-4
+      // per-query rows render at %.2f (10 ms) — the map is ~92% of the
+      // line, so row precision is the lever that keeps 123+ rows inside
+      // the tail budget
+      root.get("queries").get(Bench.shortKey(n)).asDouble() shouldBe expMin +- 5.1e-3
     }
     // all synthetic rows are calm (max/min < 2) → hot_max is empty
     root.get("hot_max").size shouldBe 0
@@ -82,10 +85,10 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
       "q01_calm" -> Seq(0.5, 0.4, 0.6),           // max/min = 1.5 → calm
       "x44_contended" -> Seq(0.513, 8.652, 0.6))  // max/min ≈ 16.9 → hot
     val root = mapper.readTree(render(samples))
-    root.get("queries").get("q01").asDouble() shouldBe 0.4 +- 1e-3
-    root.get("queries").get("x44").asDouble() shouldBe 0.513 +- 1e-3
+    root.get("queries").get("q01").asDouble() shouldBe 0.4 +- 5.1e-3
+    root.get("queries").get("x44").asDouble() shouldBe 0.51 +- 5.1e-3
     root.get("hot_max").size shouldBe 1
-    root.get("hot_max").get("x44").asDouble() shouldBe 8.652 +- 1e-3
+    root.get("hot_max").get("x44").asDouble() shouldBe 8.65 +- 5.1e-3
   }
 
   test("hot_max caps at the 6 worst ratios — a fully contended host can't blow the line") {

@@ -465,6 +465,15 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     "FileScan parquet".r.findAllIn(plan).size shouldBe 1
   }
 
+  test("x98: basket pairing is an equi-join on the basket key; totals attach by broadcast") {
+    val plan = planOf(EventsQueries.cooccurrence)
+    plan should not include "CartesianProduct"
+    // the 1-row n_baskets attach is the only nested-loop — broadcast by
+    // construction, never a shuffle
+    plan should include("BroadcastNestedLoopJoin")
+    plan should include("BroadcastHashJoin") // the |types|-row ca attaches
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:

@@ -70,6 +70,32 @@ class SinksSpec extends AnyFunSuite with Matchers with SparkTestBase {
     spark.read.parquet(dir).count() shouldBe 50000L
   }
 
+  test("jsonlCorpus roundtrip: documents survive JSONL export byte-exactly; corrupt lines quarantine") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString + "/corpus"
+    Sinks.jsonlCorpus(docs, dir)
+    val back = Sinks.readJsonl(spark, dir, docs.schema)
+    // exact multiset parity — text with quotes/newlines/unicode must
+    // survive the JSON escaping roundtrip
+    back.count() shouldBe docs.count()
+    back.exceptAll(docs).count() shouldBe 0L
+    docs.exceptAll(back).count() shouldBe 0L
+    // a malformed line must not kill the read: it quarantines
+    val bad = java.nio.file.Files.createTempDirectory("jsonl-bad").toString + "/corpus"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(bad))
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad, "part-00000.json"),
+      ("""{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}""" +
+        "\nnot json at all\n").getBytes("UTF-8"))
+    val schemaWithCorrupt = org.apache.spark.sql.types.StructType(
+      docs.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_corrupt_record", org.apache.spark.sql.types.StringType))
+    val mixed = Sinks.readJsonl(spark, bad, schemaWithCorrupt).cache()
+    mixed.filter(col("_corrupt_record").isNull).count() shouldBe 1L
+    mixed.filter(col("_corrupt_record").isNotNull).count() shouldBe 1L
+    mixed.unpersist()
+  }
+
   test("compactParquet preserves hive partition layout when told about it") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -248,6 +248,34 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream leftOuter: an unmatched click emits its null-view row once the watermark proves no view can come") {
+    import spark.implicits._
+    def at(hhmm: String) = Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val ci = MemoryStream[(Long, Long, Timestamp)]
+    val vi = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStream.clickViewPairs(
+        ci.toDF.toDF("event_id", "user_id", "ts"),
+        vi.toDF.toDF("event_id", "user_id", "ts"),
+        joinType = "leftOuter")
+      .writeStream.format("memory").queryName("sslo").outputMode("append").start()
+    try {
+      ci.addData((1L, 7L, at("10:00"))) // the orphan click — user 7 never views
+      vi.addData((100L, 8L, at("10:00"))) // unrelated user so the view watermark moves
+      q.processAllAvailable()
+      // the orphan must NOT emit yet: a matching view could still arrive
+      spark.table("sslo").count() shouldBe 0
+      // push BOTH watermarks past click_ts + horizon + lateness
+      ci.addData((2L, 9L, at("14:00")))
+      vi.addData((101L, 9L, at("14:00")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val orphan = spark.table("sslo").collect().filter(_.getLong(0) == 1L)
+      orphan.length shouldBe 1
+      orphan.head.isNullAt(2) shouldBe true // view_id
+      orphan.head.isNullAt(3) shouldBe true // gap_us
+    } finally q.stop()
+  }
+
   test("rolling 1h activity parity: streamed events ≡ batch x38 on the same rows") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
