@@ -912,6 +912,89 @@ object TextQueries {
       .orderBy("rk")
   }
 
+  /** x99: BPE vocabulary learning — the first 3 merge steps of
+    * byte-pair-encoding training (Sennrich et al. 2016), the algorithm
+    * behind every production subword tokenizer, run as 3 UNROLLED
+    * declarative iterations (the x69 fixed-iteration discipline applied to
+    * a string kernel). The ONLY corpus-sized work is the initial word
+    * count (one scan, map-side combined); every iteration after that is
+    * VOCABULARY-sized: pair counts expand each distinct word once weighted
+    * by its count, the argmax is a 1-row limit, and the merge rewrite is a
+    * row-local string `replace` on the spaced-symbol form (" h e l l o ")
+    * against the broadcast 1-row best pair. Greedy left-to-right
+    * non-overlapping replace IS the BPE merge rule, and both engines'
+    * `replace` scan exactly that way, which is what makes the oracle
+    * bit-exact. Deterministic tie-break: count desc, then (lhs, rhs) asc.
+    *
+    * Production note: a full k-merge trainer (k ≈ 32000) recounts only the
+    * pairs the last merge touched (SentencePiece's heap); this fixed-k
+    * demo recounts per step — same semantics, O(k·vocab) instead of
+    * O(k·Δ), scaladoc'd so nobody mistakes the demo loop for the scale
+    * path. Output: (step, lhs, rhs, cnt) — the learned merge table a
+    * tokenizer ships as its vocab artifact. */
+  val bpeMerges = sql(
+    "x99_bpe_merges",
+    """WITH uw AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+      |wcnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM uw WHERE length(w) > 0 GROUP BY w),
+      |w0 AS (SELECT n, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s FROM wcnt),
+      |p0 AS (SELECT ss[i+1] AS lhs, ss[i+2] AS rhs, CAST(SUM(n) AS BIGINT) AS cnt
+      |  FROM (SELECT n, ss, unnest(range(0, len(ss)-1)) AS i
+      |        FROM (SELECT n, string_split(trim(s), ' ') AS ss FROM w0) q0) q1
+      |  GROUP BY 1, 2),
+      |b1 AS (SELECT lhs, rhs, cnt FROM p0 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      |w1 AS (SELECT n, replace(s, ' '||b1.lhs||' '||b1.rhs||' ', ' '||b1.lhs||b1.rhs||' ') AS s
+      |  FROM w0, b1),
+      |p1 AS (SELECT ss[i+1] AS lhs, ss[i+2] AS rhs, CAST(SUM(n) AS BIGINT) AS cnt
+      |  FROM (SELECT n, ss, unnest(range(0, len(ss)-1)) AS i
+      |        FROM (SELECT n, string_split(trim(s), ' ') AS ss FROM w1) q0) q1
+      |  GROUP BY 1, 2),
+      |b2 AS (SELECT lhs, rhs, cnt FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      |w2 AS (SELECT n, replace(s, ' '||b2.lhs||' '||b2.rhs||' ', ' '||b2.lhs||b2.rhs||' ') AS s
+      |  FROM w1, b2),
+      |p2 AS (SELECT ss[i+1] AS lhs, ss[i+2] AS rhs, CAST(SUM(n) AS BIGINT) AS cnt
+      |  FROM (SELECT n, ss, unnest(range(0, len(ss)-1)) AS i
+      |        FROM (SELECT n, string_split(trim(s), ' ') AS ss FROM w2) q0) q1
+      |  GROUP BY 1, 2),
+      |b3 AS (SELECT lhs, rhs, cnt FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS INTEGER) AS step, lhs, rhs, cnt FROM b1
+      |  UNION ALL SELECT 2, lhs, rhs, cnt FROM b2
+      |  UNION ALL SELECT 3, lhs, rhs, cnt FROM b3) u
+      |ORDER BY step""".stripMargin) { (s, d) =>
+    // corpus-sized stage: one scan -> word counts (partial agg map-side)
+    val w0 = docs(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"))
+      .localCheckpoint(eager = false) // each iteration re-reads the vocab
+    def pairCounts(wdf: org.apache.spark.sql.DataFrame) =
+      wdf.select(col("n"), split(trim(col("s")), " ").as("ss"))
+        .filter(size(col("ss")) >= 2) // Spark sequence(0,-1) would DESCEND
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(ss) - 2), i -> struct(ss[i] AS lhs, ss[i+1] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("n").as("cnt"))
+    def bestOf(pc: org.apache.spark.sql.DataFrame) =
+      pc.orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
+        .localCheckpoint(eager = false) // consumed by the rewrite AND the output
+    def merge(wdf: org.apache.spark.sql.DataFrame, best: org.apache.spark.sql.DataFrame) =
+      wdf.crossJoin(broadcast(best))
+        .select(col("n"), expr(
+          "replace(s, concat(' ', lhs, ' ', rhs, ' '), concat(' ', lhs, rhs, ' '))").as("s"))
+        .localCheckpoint(eager = false)
+    val b1 = bestOf(pairCounts(w0))
+    val w1 = merge(w0, b1)
+    val b2 = bestOf(pairCounts(w1))
+    val w2 = merge(w1, b2)
+    val b3 = bestOf(pairCounts(w2))
+    b1.select(lit(1).cast("int").as("step"), col("lhs"), col("rhs"), col("cnt"))
+      .unionAll(b2.select(lit(2).cast("int").as("step"), col("lhs"), col("rhs"), col("cnt")))
+      .unionAll(b3.select(lit(3).cast("int").as("step"), col("lhs"), col("rhs"), col("cnt")))
+      .orderBy("step")
+  }
+
   /** x64: Gopher/Dolma-style composite quality GATE — the multi-rule
     * pass/fail filter a curation pipeline applies after scoring: word-count
     * band, mean-word-length band, duplicate-bigram-fraction cap (the
@@ -2118,5 +2201,5 @@ object TextQueries {
     releaseManifest, substringDup, substringCut, textLmScore, bpePairs,
     textQualityGate, scoreGateCalibration, dupPagerank, bloomDedup,
     ingestTriage, lshBandStats, hubRemoval, snapshotMerge, sparseCosine,
-    releaseDiff, dedupRecallAudit, weightedSample, dupTriangles)
+    releaseDiff, dedupRecallAudit, weightedSample, dupTriangles, bpeMerges)
 }

@@ -474,6 +474,16 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("BroadcastHashJoin") // the |types|-row ca attaches
   }
 
+  test("x99: the corpus is scanned only inside the word-count checkpoint; iterations are vocab-sized") {
+    val plan = planOf(TextQueries.bpeMerges)
+    // every stage reads a checkpointed boundary (vocab / 1-row best): a
+    // parquet scan in the FINAL plan would mean an iteration re-reads the
+    // corpus
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 0
+    plan should include("ExistingRDD")
+    plan should not include "CartesianProduct"
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:

@@ -218,4 +218,53 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     gotByName.values.map(_._2).toSet should contain(1.0)
     gotByName.values.map(_._2).exists(c => c > 0 && c < 1) shouldBe true
   }
+
+  test("x99 bpe merges ≡ an imperative 3-step BPE trainer on the same corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val out = TextQueries.bpeMerges.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+    // imperative replay: vocab as symbol sequences, 3 greedy merge rounds
+    var vocab: Map[Vector[String], Long] = graft.Tables.documents(spark, sf)
+      .select("text").collect()
+      .flatMap(_.getString(0).trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) =>
+        w.map(_.toString).toVector -> g.length.toLong
+      }
+    val merges = (1 to 3).map { step =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (ss, n) =>
+        ss.indices.dropRight(1).foreach(i => pc((ss(i), ss(i + 1))) += n)
+      }
+      val ((l, r), c) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+      vocab = vocab.map { case (ss, n) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < ss.length) { // greedy left-to-right, non-overlapping
+          if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) { b += l + r; i += 2 }
+          else { b += ss(i); i += 1 }
+        }
+        b.result() -> n
+      }.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+      (step, l, r, c)
+    }
+    out.toSeq shouldBe merges
+  }
+
+  test("x99 bpe merges: a later merge consumes an earlier merged symbol; ties break lexicographically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe-edge").toString
+    // aaab/aaac: step 1 must merge (a,a) (count 4N); the rewritten " aa a b "
+    // then makes (aa,a) the 2N winner — a pair whose LEFT SIDE only exists
+    // because of merge 1 — and step 3 is an exact (aaa,b)/(aaa,c) tie that
+    // the (lhs, rhs) ascending rule must resolve to b
+    val n = 5L
+    (1L to 2 * n).map(i => (i, if (i <= n) "aaab" else "aaac"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.bpeMerges.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      (1, "a", "a", 4 * n), (2, "aa", "a", 2 * n), (3, "aaa", "b", n))
+  }
 }
