@@ -964,7 +964,56 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Pinned ±1 sign for the x100 projection matrix: first md5 byte parity
+    * of "rp:i:j". Computed ONCE at plan build in Scala and embedded as
+    * LITERALS in both the Spark expression tree and the oracle SQL — the
+    * IvfPinned stance applied to a sign matrix, which makes cross-engine
+    * agreement a non-question (no portable-hash contract needed). */
+  private def rpSign(i: Int, j: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$i:$j".getBytes("UTF-8"))
+    if ((d(0) & 1) == 0) 1.0 else -1.0
+  }
+  private val rpK = 8
+
+  /** x100: Johnson-Lindenstrauss random projection 64 → 8 dims with the
+    * Achlioptas ±1 sign matrix (database-friendly JL: signs, not
+    * gaussians — the fold is adds/subtracts only). The cheap front half
+    * of every embedding pipeline that can't afford full-width distance
+    * math: pairwise distances survive within (1±ε) whp, so coarse
+    * filtering/bucketing runs at k/d = 1/8 the bandwidth and the
+    * full-width kernel only sees survivors (same shortlist-then-rerank
+    * shape as x68). Entirely row-local codegen'd HOF folds — zero
+    * shuffles beyond the presentation sort; the fold order is pinned
+    * (`aggregate` left-to-right ≡ the oracle's ordered
+    * `list_sum ∘ list_transform`, the x11 precedent), and 1/√k is the
+    * standard JL scale. */
+  val embRandomProjection: QueryDef = {
+    val sqlCols = (0 until rpK).map { j =>
+      val lits = (0 until 64).map(i =>
+        if (rpSign(i, j) > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"""  ROUND(list_sum(list_transform(range(1, 65),
+         |    i -> CAST(embedding[i] AS DOUBLE) * ($lits)[i])) / sqrt(8.0), 6) AS p$j"""
+        .stripMargin
+    }.mkString(",\n")
+    sql(
+      "x100_emb_rproj",
+      s"""SELECT vec_id,
+$sqlCols
+FROM embeddings ORDER BY vec_id""") { (s, d) =>
+      def proj(j: Int): Column = {
+        val sarr = array((0 until 64).map(i => lit(rpSign(i, j))): _*)
+        round(aggregate(sequence(lit(1), lit(64)), lit(0.0),
+          (acc, i) => acc + element_at(col("embedding"), i).cast("double")
+            * element_at(sarr, i)) / sqrt(lit(8.0)), 6).as(s"p$j")
+      }
+      Tables.embeddings(s, d)
+        .select(col("vec_id") +: (0 until rpK).map(proj): _*)
+        .orderBy("vec_id")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(embNorm, embPairCosine, simBruteTopk, simLshTopk, simIvfTopk,
     simIvfCells, simPqTopk, dedupEmbedding, dedupEmbLsh, embQuantize, simContamination,
-    semanticDedup)
+    semanticDedup, embRandomProjection)
 }

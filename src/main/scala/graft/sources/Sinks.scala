@@ -22,6 +22,20 @@ object Sinks {
   def jsonlCorpus(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("compression", "gzip").json(path)
 
+  /** As-of read over an epoch-partitioned table (the read half of
+    * `streaming.EventStream.exactlyOnceParquetSink`'s contract): the state
+    * of the table as of micro-batch `epoch`, served by Hive PARTITION
+    * PRUNING — the `__epoch <= N` predicate resolves against directory
+    * names at planning time, so later epochs' files are never opened, let
+    * alone read (the poor man's time travel that a transactional table
+    * format replaces with snapshot metadata). SinksSpec asserts the
+    * pruning in the plan, not just the row set. */
+  def readAsOfEpoch(spark: org.apache.spark.sql.SparkSession, path: String,
+      epoch: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(path).filter(col("__epoch") <= epoch)
+  }
+
   /** JSONL corpus read with an EXPLICIT schema — never schema inference,
     * which at corpus scale is a full extra pass over 100 TB before the
     * first real job, and silently widens/narrows types when a shard's

@@ -647,4 +647,38 @@ object EventStream {
           }
       }
   }
+
+  /** EXACTLY-ONCE durable sink: stream → parquet table partitioned by
+    * epoch, written via `foreachBatch` with per-epoch OVERWRITE. The
+    * failure contract this buys: Structured Streaming replays a micro-batch
+    * whose commit was not recorded, so an APPEND sink duplicates that
+    * epoch's rows on recovery — dynamic partition overwrite makes the
+    * replay REPLACE its own partition instead, and (epoch write + commit
+    * log) together become idempotent. This is the standard exactly-once
+    * recipe for sinks without transactions; a table format with atomic
+    * commits (Iceberg/Delta-class) subsumes it.
+    *
+    * The downstream reader sees `__epoch` as a hive partition column —
+    * per-epoch directories also give retention/compaction a natural unit
+    * ([[graft.sources.Sinks.compactParquet]] with partition awareness). */
+  def exactlyOnceParquetSink(df: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        writeEpoch(batch.toDF(), epoch, path)
+      }
+      .start()
+
+  /** The idempotent epoch write `exactlyOnceParquetSink` commits: replayed
+    * epochs overwrite ONLY their own partition (dynamic mode), leaving
+    * every other epoch's data untouched. Factored out so the idempotence
+    * is testable without restart choreography. */
+  def writeEpoch(batch: DataFrame, epoch: Long, path: String): Unit =
+    batch.withColumn("__epoch", lit(epoch))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("__epoch")
+      .parquet(path)
 }

@@ -484,6 +484,13 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "CartesianProduct"
   }
 
+  test("x100: the projection is row-local — one scan, no exchange but the output sort") {
+    val plan = planOf(SimilarityQueries.embRandomProjection)
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 1
+    "Exchange".r.findAllIn(plan).size should be <= 1 // presentation sort only
+    plan should not include "Join"
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:

@@ -282,4 +282,26 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.values.count(_._3 == 1) should be > 0
     out.values.count(_._3 == 0) should be > 0
   }
+
+  test("x100 JL projection: pairwise distances survive within JL distortion bounds") {
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val proj = SimilarityQueries.embRandomProjection.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getDouble).toArray).toMap
+    // consecutive-id pairs (the x11 pairing): squared-distance ratio
+    // proj²/orig² should concentrate near 1 — k=8 is coarse, so assert the
+    // MEAN lands in a wide-but-meaningful band and no ratio degenerates
+    val ratios = emb.keys.toSeq.sorted.sliding(2).collect {
+      case Seq(a, b) if emb.contains(b) =>
+        def d2(x: Array[Double], y: Array[Double]) =
+          x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum
+        d2(proj(a), proj(b)) / d2(emb(a), emb(b))
+    }.toSeq
+    ratios should not be empty
+    val mean = ratios.sum / ratios.size
+    mean should (be > 0.6 and be < 1.4)
+    // the projection is not collapsing: no pair maps to (near-)zero distance
+    ratios.min should be > 0.01
+  }
 }

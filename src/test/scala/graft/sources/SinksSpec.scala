@@ -96,6 +96,28 @@ class SinksSpec extends AnyFunSuite with Matchers with SparkTestBase {
     mixed.unpersist()
   }
 
+  test("readAsOfEpoch serves the table as of N via partition pruning, not a full scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("asof").toString + "/t"
+    graft.streaming.EventStream.writeEpoch(Seq((1L, "a")).toDF("id", "v"), 0L, path)
+    graft.streaming.EventStream.writeEpoch(Seq((2L, "b")).toDF("id", "v"), 1L, path)
+    graft.streaming.EventStream.writeEpoch(Seq((3L, "c")).toDF("id", "v"), 2L, path)
+    val asOf1 = Sinks.readAsOfEpoch(spark, path, 1L)
+    asOf1.select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L)
+    // the predicate must prune at the DIRECTORY level: the scan's
+    // partition filters carry __epoch, and epoch-2 files are never touched
+    val scan = asOf1.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in plan"))
+    scan.partitionFilters.map(_.toString).mkString should include("__epoch")
+    val filesRead = scan.inputRDDs().head.partitions.length
+    val allFiles = spark.read.parquet(path).inputFiles.length
+    withClue(s"scan tasks $filesRead vs $allFiles total files: ") {
+      filesRead should be < allFiles
+    }
+  }
+
   test("compactParquet preserves hive partition layout when told about it") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

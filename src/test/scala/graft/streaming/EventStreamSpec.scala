@@ -248,6 +248,39 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("exactly-once parquet sink: an epoch replay replaces its own partition, never duplicates") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("eo-sink").toString
+    val path = s"$base/table"
+    // epochs 0 and 1 commit
+    EventStream.writeEpoch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L, path)
+    EventStream.writeEpoch(Seq((3L, "c")).toDF("id", "v"), 1L, path)
+    // recovery replays epoch 0 — same rows again must NOT duplicate
+    EventStream.writeEpoch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L, path)
+    val t1 = spark.read.parquet(path)
+    t1.count() shouldBe 3
+    t1.filter(col("__epoch") === 0).count() shouldBe 2
+    // a replay that RECOMPUTES differently (upstream fix) replaces cleanly
+    EventStream.writeEpoch(Seq((9L, "z")).toDF("id", "v"), 0L, path)
+    val t2 = spark.read.parquet(path)
+    t2.count() shouldBe 2
+    t2.filter(col("__epoch") === 0).select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(9L)
+    t2.filter(col("__epoch") === 1).count() shouldBe 1 // other epochs untouched
+
+    // end-to-end: the foreachBatch sink lands each micro-batch once
+    val input = MemoryStream[(Long, String)]
+    val p2 = s"$base/stream"
+    val q = EventStream.exactlyOnceParquetSink(
+      input.toDF.toDF("id", "v"), p2, s"$base/ckpt")
+    try {
+      input.addData((10L, "x")); q.processAllAvailable()
+      input.addData((11L, "y")); q.processAllAvailable()
+      val got = spark.read.parquet(p2)
+      got.select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(10L, 11L)
+      got.select("__epoch").distinct().count() shouldBe 2
+    } finally q.stop()
+  }
+
   test("stream-stream leftOuter: an unmatched click emits its null-view row once the watermark proves no view can come") {
     import spark.implicits._
     def at(hhmm: String) = Timestamp.valueOf(s"2026-01-01 $hhmm:00")
