@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+
+/** Scale soak for the x99 BPE merge kernel, separating its two cost axes:
+  *
+  *  - CORPUS ladder (vocab fixed, occurrences ×4 per step): only the
+  *    initial word-count stage sees more rows, so total time should grow
+  *    far slower than the corpus — the iterations run on the DISTINCT-word
+  *    vocabulary and never touch the corpus again.
+  *  - VOCAB ladder (occurrences fixed, distinct words ×4 per step): the
+  *    iterations' own input grows, so time should track vocab roughly
+  *    linearly — the honest cost axis of BPE training.
+  *
+  * Each run synthesizes documents.parquet in a temp dir (50 words/doc,
+  * splitmix-derived 8-letter words — deterministic, collision-mixed across
+  * the id space) and times the WHOLE 3-merge x99 query end to end.
+  *
+  * `runMain graft.BpeSoak [vocab] [occurrences]` — defaults 20000, 1000000
+  * for the ladder base; prints one JSON line per ladder point plus
+  * Bench-style calibration samples.
+  */
+object BpeSoak {
+  final case class Doc(doc_id: Long, text: String)
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def word(id: Long): String = {
+    val h = mix64(id)
+    val sb = new StringBuilder(8)
+    var x = h
+    (0 until 8).foreach { _ =>
+      sb += ('a' + java.lang.Long.remainderUnsigned(x, 26L).toInt).toChar
+      x = x >>> 5 | x << 59
+    }
+    sb.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseVocab = if (args.length > 0) args(0).toInt else 20000
+    val baseOcc = if (args.length > 1) args(1).toLong else 1000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def synth(vocab: Int, occurrences: Long): String = {
+      val dir = java.nio.file.Files.createTempDirectory("bpe-soak").toString
+      val nDocs = occurrences / 50
+      spark.range(nDocs).map { d =>
+        val toks = (0 until 50).map(k =>
+          word(java.lang.Long.remainderUnsigned(mix64(d * 50 + k), vocab.toLong)))
+        Doc(d, toks.mkString(" "))
+      }(Encoders.product[Doc]).toDF()
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def runPoint(tag: String, vocab: Int, occ: Long): Unit = {
+      val dir = synth(vocab, occ)
+      val calib0 = Bench.calibrate(spark)
+      val sec = time {
+        graft.queries.TextQueries.bpeMerges.run(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val calib1 = Bench.calibrate(spark)
+      def d3(x: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+      println(s"""{"soak":"bpe","ladder":"$tag","vocab":$vocab,""" +
+        s""""occurrences":$occ,"merge3_sec":${d3(sec)},""" +
+        s""""calibration_sec":[${d3(calib0)},${d3(calib1)}]}""")
+    }
+    Bench.calibrate(spark) // untimed JIT warm-up
+
+    runPoint("corpus", baseVocab, baseOcc)
+    runPoint("corpus", baseVocab, baseOcc * 4)
+    runPoint("corpus", baseVocab, baseOcc * 16)
+    runPoint("vocab", baseVocab, baseOcc * 4)
+    runPoint("vocab", baseVocab * 4, baseOcc * 4)
+    runPoint("vocab", baseVocab * 16, baseOcc * 4)
+    spark.stop()
+  }
+}

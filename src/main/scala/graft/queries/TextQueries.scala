@@ -912,6 +912,44 @@ object TextQueries {
       .orderBy("rk")
   }
 
+  /** x101: mass-weighted median document length — the packing statistic
+    * x54's sequence packer actually needs: the length L such that HALF THE
+    * CORPUS CHARACTERS live in documents shorter than (or at) L. The
+    * count-median (q10's machinery) answers "what does the typical DOC
+    * look like"; the mass-median answers "where does the typical BYTE
+    * live" — on heavy-tailed corpora they diverge wildly (shipped corpus:
+    * see PLANS), and packing/sharding policy follows the mass, not the
+    * count. Exact by construction: integer cumulative weight against an
+    * integer total (2·cum ≥ tot crossover), deterministic order
+    * (n_chars, doc_id) — no interpolation, no floats. One window exchange
+    * per the F1 discipline; the crossover pick is a partial-final MIN. */
+  val massMedian = sql(
+    "x101_mass_median",
+    """WITH c AS (SELECT source, n_chars,
+      |    SUM(n_chars) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(n_chars) OVER (PARTITION BY source) AS tot
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(MIN(CASE WHEN 2 * cum >= tot THEN n_chars END) AS BIGINT) AS mass_median_chars,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MIN(tot) AS BIGINT) AS total_chars
+      |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byMass = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("source")
+    docs(s, d)
+      .withColumn("cum", sum("n_chars").over(byMass))
+      .withColumn("tot", sum("n_chars").over(whole))
+      .groupBy("source")
+      .agg(
+        min(when(col("cum") * 2 >= col("tot"), col("n_chars"))).as("mass_median_chars"),
+        count(lit(1)).as("n_docs"),
+        min("tot").as("total_chars"))
+      .orderBy("source")
+  }
+
   /** x99: BPE vocabulary learning — the first 3 merge steps of
     * byte-pair-encoding training (Sennrich et al. 2016), the algorithm
     * behind every production subword tokenizer, run as 3 UNROLLED
@@ -2201,5 +2239,6 @@ object TextQueries {
     releaseManifest, substringDup, substringCut, textLmScore, bpePairs,
     textQualityGate, scoreGateCalibration, dupPagerank, bloomDedup,
     ingestTriage, lshBandStats, hubRemoval, snapshotMerge, sparseCosine,
-    releaseDiff, dedupRecallAudit, weightedSample, dupTriangles, bpeMerges)
+    releaseDiff, dedupRecallAudit, weightedSample, dupTriangles, bpeMerges,
+    massMedian)
 }

@@ -491,6 +491,14 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "Join"
   }
 
+  test("x101: the mass-median crossover rides one window exchange") {
+    val plan = planOf(TextQueries.massMedian)
+    "Exchange".r.findAllIn(plan).size should be <= 2 // source window + output sort
+    plan should include("Window")
+    plan should not include "Join"
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 1
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:
