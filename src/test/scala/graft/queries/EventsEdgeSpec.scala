@@ -149,6 +149,31 @@ class EventsEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     g.head._5 shouldBe base.map(_._5).sum
   }
 
+  test("x97 moments MERGE across shards ≡ recompute on the union (the claim that justifies persisting them)") {
+    import org.apache.spark.sql.functions._
+    // shard the events by epoch-style halves, run x97 per shard, ADD the
+    // component columns, and require bit-equality with the whole-table run
+    val whole = EventsQueries.corrReport.run(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val shards = Seq(0L, 1L).map { half =>
+      val sub = java.nio.file.Files.createTempDirectory(s"x97m$half").toString
+      graft.Tables.events(spark, dir).filter(col("event_id") % 2 === half)
+        .write.parquet(s"$sub/events.parquet")
+      EventsQueries.corrReport.run(spark, sub).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    }
+    whole.foreach { case (t, (n, sx, sy, sxy, sx2, sy2)) =>
+      def m(f: ((Long, Long, Long, Long, Long, Long)) => Long) =
+        shards.map(s => s.get(t).map(f).getOrElse(0L)).sum
+      withClue(s"$t: ") {
+        (m(_._1), m(_._2), m(_._3), m(_._4), m(_._5), m(_._6)) shouldBe
+          ((n, sx, sy, sxy, sx2, sy2))
+      }
+    }
+  }
+
   test("x97: shipped components reproduce commons-math-style Pearson r") {
     val rows = EventsQueries.corrReport.run(spark, dir).collect()
     rows should not be empty
