@@ -855,7 +855,7 @@ object TextQueries {
       |    CAST(FLOOR(CAST(c2 AS DOUBLE) / c1 * 1000000) AS BIGINT) AS f
       |  FROM bg JOIN cpair USING (w1, w2) JOIN cctx USING (w1))
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
-      |  ROUND(CAST(SUM(f) AS DOUBLE) / COUNT(*) / 1000000, 6) AS lm_score
+      |  CAST(SUM(f) AS DOUBLE) / COUNT(*) / 1000000 AS lm_score
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     lmScoreOf(docs(s, d)).orderBy("doc_id")
   }
@@ -875,7 +875,7 @@ object TextQueries {
       .withColumn("f", floor(col("c2").cast("double") / col("c1") * 1e6))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trans"),
-        round(sum("f").cast("double") / count(lit(1)) / 1e6, 6).as("lm_score"))
+        (sum("f").cast("double") / count(lit(1)) / lit(1e6)).as("lm_score"))
   }
 
   /** x63: BPE first-merge pair counts — the tokenizer-induction step: count
@@ -1133,7 +1133,7 @@ object TextQueries {
         |    CAST(FLOOR(CAST(c2 AS DOUBLE) / c1 * 1000000) AS BIGINT) AS f
         |  FROM lbg JOIN lcp USING (w1, w2) JOIN lcc USING (w1)),
         |score AS (SELECT doc_id,
-        |    ROUND(CAST(SUM(f) AS DOUBLE) / COUNT(*) / 1000000, 6) AS lm_score
+        |    CAST(SUM(f) AS DOUBLE) / COUNT(*) / 1000000 AS lm_score
         |  FROM lpx GROUP BY doc_id),
         |gs AS (SELECT doc_id,
         |    CAST(len(toks) AS INTEGER) AS n_words,
@@ -1161,7 +1161,7 @@ object TextQueries {
         |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(pass) AS BIGINT) AS n_pass,
         |  ROUND(CAST(SUM(pass) AS DOUBLE) / COUNT(*), 6) AS pass_rate,
-        |  ROUND(MIN(lm_score), 6) AS lo, ROUND(MAX(lm_score), 6) AS hi
+        |  MIN(lm_score) AS lo, MAX(lm_score) AS hi
         |FROM t2 GROUP BY decile ORDER BY decile""".stripMargin
     }) { (s, d) =>
     val dd = docs(s, d)
@@ -1181,7 +1181,7 @@ object TextQueries {
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"), sum("pass").as("n_pass"),
         round(sum("pass").cast("double") / count(lit(1)), 6).as("pass_rate"),
-        round(min("lm_score"), 6).as("lo"), round(max("lm_score"), 6).as("hi"))
+        min("lm_score").as("lo"), max("lm_score").as("hi"))
       .orderBy("decile")
   }
 
