@@ -485,7 +485,7 @@ object EventsQueries {
       |  CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
       |  CAST(FLOOR(MAX(cnt) * 1000000.0 / SUM(cnt)) AS BIGINT) AS max_share_ppm,
       |  (SELECT MIN(user_id) FROM c, m WHERE cnt = mx) AS hot_key,
-      |  ROUND(AVG(cnt), 6) AS avg_key_rows,
+      |  AVG(cnt) AS avg_key_rows,
       |  ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY cnt), 6) AS p50_key_rows,
       |  ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY cnt), 6) AS p90_key_rows,
       |  ROUND(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY cnt), 6) AS p99_key_rows
@@ -505,7 +505,7 @@ object EventsQueries {
       max("cnt").as("max_key_rows"),
       floor(max("cnt") * 1000000.0 / sum("cnt")).cast("long").as("max_share_ppm"),
       (-max(struct(col("cnt"), (-col("user_id")).as("nk"))).getField("nk")).as("hot_key"),
-      round(avg("cnt"), 6).as("avg_key_rows"))
+      avg("cnt").as("avg_key_rows"))
       .withColumn("__g", lit(1))
       .join(quantiles.withColumn("__g", lit(1)), Seq("__g"), "left")
       .select("n_keys", "n_rows", "max_key_rows", "max_share_ppm", "hot_key",
@@ -704,7 +704,7 @@ object EventsQueries {
       |  WHERE next_type IS NOT NULL AND next_session = session_id
       |  GROUP BY 1, 2)
       |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
-      |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+      |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
       |FROM c ORDER BY prev_type, next_type""".stripMargin) { (s, d) =>
     val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -719,7 +719,7 @@ object EventsQueries {
       .groupBy(col("event_type").as("prev_type"), col("next_type"))
       .agg(count(lit(1)).as("n"))
     c.withColumn("p",
-        round(col("n").cast("double") / sum("n").over(Window.partitionBy("prev_type")), 6))
+        col("n").cast("double") / sum("n").over(Window.partitionBy("prev_type")))
       .select("prev_type", "next_type", "n", "p")
       .orderBy("prev_type", "next_type")
   }
@@ -867,8 +867,8 @@ object EventsQueries {
       |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1
       |  FROM u)
       |SELECT n0, n1, x0, x1,
-      |  ROUND(CAST(x0 AS DOUBLE) / n0, 6) AS p0,
-      |  ROUND(CAST(x1 AS DOUBLE) / n1, 6) AS p1,
+      |  CAST(x0 AS DOUBLE) / n0 AS p0,
+      |  CAST(x1 AS DOUBLE) / n1 AS p1,
       |  ROUND((CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1)
       |    / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
       |      * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
@@ -894,7 +894,7 @@ object EventsQueries {
     val z = (p0 - p1) / sqrt(pp * (lit(1.0) - pp) *
       (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
     a.select(col("n0"), col("n1"), col("x0"), col("x1"),
-      round(p0, 6).as("p0"), round(p1, 6).as("p1"), round(z, 6).as("z"),
+      p0.as("p0"), p1.as("p1"), round(z, 6).as("z"),
       when(abs(z) > 1.96, 1).otherwise(0).as("significant"))
   }
 
@@ -943,18 +943,19 @@ object EventsQueries {
     * within-group CUME_DIST (the rank-based feature scaling that is
     * immune to the outliers x82 flags and the distribution drift x88
     * monitors; "rank-gauss" pipelines start exactly here). CUME_DIST is
-    * peers-counting integer arithmetic (rank/n), so ties and the final
-    * ROUND(…,6) agree cross-engine with no float-sum risk. One window
-    * exchange on the group key. */
+    * peers-counting integer arithmetic (rank/n) shipped as the RAW IEEE
+    * quotient — bit-identical cross-engine, and immune to the
+    * round-a-tie hazard (x62 round-11 lesson). One window exchange on
+    * the group key. */
   val percentileRank = sql(
     "x92_ev_percentile_rank",
     """SELECT event_id, event_type,
-      |  ROUND(CUME_DIST() OVER (PARTITION BY event_type ORDER BY value), 6) AS pct_rank
+      |  CUME_DIST() OVER (PARTITION BY event_type ORDER BY value) AS pct_rank
       |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .select(col("event_id"), col("event_type"),
-        round(cume_dist().over(
-          Window.partitionBy("event_type").orderBy("value")), 6).as("pct_rank"))
+        cume_dist().over(
+          Window.partitionBy("event_type").orderBy("value")).as("pct_rank"))
       .orderBy("event_id")
   }
 

@@ -82,10 +82,13 @@ $fin AS (SELECT ${cols}xor(z4, z4 // 8589934592::HUGEINT) AS $out FROM ${prefix}
   private def signed(c: String): String =
     s"CASE WHEN ($c) >= 9223372036854775808::HUGEINT THEN (($c) - $M64)::BIGINT ELSE ($c)::BIGINT END"
 
-  /** |A ∩ B| / |A ∪ B| over distinct-element lists, rounded to 6 dp. */
+  /** |A ∩ B| / |A ∪ B| over distinct-element lists — shipped as the RAW
+    * IEEE quotient (exact-int numerator/denominator ⇒ bit-identical
+    * cross-engine; ROUND(…,6) on such a quotient is itself the only
+    * divergence risk — the x62 round-11 lesson). */
   private def jaccard(a: String, b: String, out: String): String =
-    s"""ROUND(CAST(len(list_intersect($a, $b)) AS DOUBLE)
-       |    / (len($a) + len($b) - len(list_intersect($a, $b))), 6) AS $out""".stripMargin
+    s"""CAST(len(list_intersect($a, $b)) AS DOUBLE)
+       |    / (len($a) + len($b) - len(list_intersect($a, $b))) AS $out""".stripMargin
 
   /** Token FNV-1a + mix64 per (doc_id, pos): CTEs `t`..`the` with `the`
     * holding (doc_id, pos, h) — the finalized unsigned token hash. */
@@ -177,7 +180,7 @@ per AS (SELECT w.doc_id,
     CAST(COUNT(*) FILTER (WHERE c.nd >= 2) AS BIGINT) AS dup_win
   FROM wset w JOIN wcnt c ON c.h = w.h GROUP BY w.doc_id)
 SELECT doc_id, n_win, dup_win,
-  ROUND(CAST(dup_win AS DOUBLE) / n_win, 6) AS dup_frac
+  CAST(dup_win AS DOUBLE) / n_win AS dup_frac
 FROM per ORDER BY doc_id"""
 
   /** x61: exact-substring dedup CUT (the Lee et al. TRANSFORM, not just the

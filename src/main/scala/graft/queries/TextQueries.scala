@@ -149,8 +149,8 @@ object TextQueries {
       .join(sigTable.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
     withSets
       .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b")))
-          .cast("double") / size(array_union(col("sh_a"), col("sh_b"))), 6))
+        size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast("double") / size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -258,8 +258,8 @@ object TextQueries {
       .join(sigTable.select(col("doc_id").as("corpus_doc_id"), col("sh").as("sh_c")),
         Seq("corpus_doc_id"))
       .withColumn("jaccard",
-        round(size(array_intersect(col("sh"), col("sh_c")))
-          .cast("double") / size(array_union(col("sh"), col("sh_c"))), 6))
+        size(array_intersect(col("sh"), col("sh_c")))
+          .cast("double") / size(array_union(col("sh"), col("sh_c"))))
       .filter(col("jaccard") >= threshold)
       .select("doc_id", "corpus_doc_id", "jaccard")
   }
@@ -321,8 +321,8 @@ object TextQueries {
       .filter(col("doc_a") < col("doc_b"))
     candidates
       .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b")))
-          .cast("double") / size(array_union(col("sh_a"), col("sh_b"))), 6))
+        size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast("double") / size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= 0.3)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -352,22 +352,22 @@ object TextQueries {
   val textQuality = sql(
     "x07_text_quality",
     """SELECT doc_id,
-      |  ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-      |        / length(text), 6) AS alpha_ratio,
-      |  ROUND(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
-      |        / length(text), 6) AS space_ratio,
-      |  ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-      |        / len(string_split_regex(trim(text), '\s+')), 6) AS mean_tok_len
+      |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+      |        / length(text) AS alpha_ratio,
+      |  CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+      |        / length(text) AS space_ratio,
+      |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |        / len(string_split_regex(trim(text), '\s+')) AS mean_tok_len
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     val txt = col("text")
     docs(s, d)
       .withColumn("alpha_ratio",
-        round(length(regexp_replace(txt, "[^a-z]", "")).cast("double") / length(txt), 6))
+        length(regexp_replace(txt, "[^a-z]", "")).cast("double") / length(txt))
       .withColumn("space_ratio",
-        round((length(txt) - length(regexp_replace(txt, " ", ""))).cast("double") / length(txt), 6))
+        (length(txt) - length(regexp_replace(txt, " ", ""))).cast("double") / length(txt))
       .withColumn("mean_tok_len",
-        round(length(regexp_replace(txt, " ", "")).cast("double")
-          / size(split(trim(txt), "\\s+")), 6))
+        length(regexp_replace(txt, " ", "")).cast("double")
+          / size(split(trim(txt), "\\s+")))
       .select("doc_id", "alpha_ratio", "space_ratio", "mean_tok_len")
       .orderBy("doc_id")
   }
@@ -473,8 +473,8 @@ object TextQueries {
       .join(base.select(col("doc_id").as("doc_a"), col("ch").as("ch_a")), Seq("doc_a"))
       .join(base.select(col("doc_id").as("doc_b"), col("ch").as("ch_b")), Seq("doc_b"))
       .withColumn("overlap",
-        round(size(array_intersect(col("ch_a"), col("ch_b"))).cast("double")
-          / size(array_union(col("ch_a"), col("ch_b"))), 6))
+        size(array_intersect(col("ch_a"), col("ch_b"))).cast("double")
+          / size(array_union(col("ch_a"), col("ch_b"))))
       .filter(col("overlap") >= 0.5)
       .select("doc_a", "doc_b", "overlap")
       .orderBy("doc_a", "doc_b")
@@ -594,25 +594,25 @@ object TextQueries {
       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
       |  FROM t)
       |SELECT doc_id,
-      |  ROUND(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+      |  1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
       |    AS dup_token_ratio,
       |  CASE WHEN len(toks) >= 3
-      |    THEN ROUND(1 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6)
+      |    THEN 1 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
       |    ELSE CAST(0.0 AS DOUBLE) END AS dup_3gram_ratio,
-      |  ROUND(CAST(list_max(list_transform(list_distinct(toks),
+      |  CAST(list_max(list_transform(list_distinct(toks),
       |      tok -> len(list_filter(toks, x -> x = tok)))) AS DOUBLE)
-      |    / len(toks), 6) AS top_token_share
+      |    / len(toks) AS top_token_share
       |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
     docs(s, d)
       .withColumn("st", expr("graft_token_stats(text)"))
       .withColumn("dup_token_ratio",
-        round(lit(1) - col("st.n_distinct").cast("double") / col("st.n_tokens"), 6))
+        lit(1) - col("st.n_distinct").cast("double") / col("st.n_tokens"))
       .withColumn("dup_3gram_ratio",
         when(col("st.n_tokens") >= 3,
-          round(lit(1) - col("st.sh_distinct").cast("double") / col("st.n_shingles"), 6))
+          lit(1) - col("st.sh_distinct").cast("double") / col("st.n_shingles"))
           .otherwise(lit(0.0)))
       .withColumn("top_token_share",
-        round(col("st.top_count").cast("double") / col("st.n_tokens"), 6))
+        col("st.top_count").cast("double") / col("st.n_tokens"))
       .select("doc_id", "dup_token_ratio", "dup_3gram_ratio", "top_token_share")
       .orderBy("doc_id")
   }
@@ -634,7 +634,7 @@ object TextQueries {
       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
       |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
       |n AS (SELECT COUNT(*) AS n FROM documents),
-      |s AS (SELECT doc_id, term, ROUND(CAST(tf AS DOUBLE) * (n + 1) / (df + 1), 6) AS tfidf
+      |s AS (SELECT doc_id, term, CAST(tf AS DOUBLE) * (n + 1) / (df + 1) AS tfidf
       |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
       |r AS (SELECT doc_id, term, tfidf,
       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
@@ -650,7 +650,7 @@ object TextQueries {
     tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
-        round(col("tf").cast("double") * (col("n") + 1) / (col("df") + 1), 6))
+        col("tf").cast("double") * (col("n") + 1) / (col("df") + 1))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select("doc_id", "term", "tfidf", "rk")
@@ -811,7 +811,7 @@ object TextQueries {
       |vocab AS (SELECT tok, COUNT(*) AS freq FROM tok GROUP BY tok)
       |SELECT t.doc_id,
       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
-      |  ROUND(CAST(SUM(v.freq) AS DOUBLE) / COUNT(*), 6) AS mean_tok_freq,
+      |  CAST(SUM(v.freq) AS DOUBLE) / COUNT(*) AS mean_tok_freq,
       |  CAST(MIN(v.freq) AS BIGINT) AS min_tok_freq
       |FROM tok t JOIN vocab v USING (tok)
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
@@ -821,7 +821,7 @@ object TextQueries {
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(sum("freq").cast("double") / count(lit(1)), 6).as("mean_tok_freq"),
+        (sum("freq").cast("double") / count(lit(1))).as("mean_tok_freq"),
         min("freq").as("min_tok_freq"))
       .orderBy("doc_id")
   }
@@ -1047,8 +1047,10 @@ object TextQueries {
     * Scale stance: every rule is row-local codegen'd HOFs over one split of
     * the text — one scan, zero shuffles (the orderBy is presentation-only);
     * at 100 TB the gate is a pure map pass fused into whatever scan feeds
-    * it. Floats compared on ROUND(·,6) both sides; rule flags are INTs so
-    * the hash oracle sees identical types. */
+    * it. The float columns ship as RAW exact-integer quotients (the x62
+    * round-11 lesson: ROUND on such a quotient is itself the only
+    * divergence risk); rule flags are INTs so the hash oracle sees
+    * identical types. */
   val textQualityGate = sql(
     "x64_quality_gate",
     """WITH w AS (
@@ -1056,13 +1058,13 @@ object TextQueries {
       |), s AS (
       |  SELECT doc_id,
       |    CAST(len(toks) AS INTEGER) AS n_words,
-      |    ROUND(CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
-      |          / len(toks), 6) AS mean_wlen,
+      |    CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+      |          / len(toks) AS mean_wlen,
       |    CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS INTEGER) AS stop_hits,
       |    CASE WHEN len(toks) < 2 THEN CAST(0.0 AS DOUBLE) ELSE
-      |      ROUND(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+      |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
       |        i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)))) AS DOUBLE)
-      |        / (len(toks) - 1), 6)
+      |        / (len(toks) - 1)
       |    END AS dup_bigram_frac
       |  FROM w
       |)
@@ -1083,16 +1085,16 @@ object TextQueries {
     val base = dd
       .withColumn("w", tokens)
       .withColumn("n_words", size(col("w")))
-      .withColumn("mean_wlen", round(
+      .withColumn("mean_wlen",
         expr("aggregate(w, 0L, (a, t) -> a + length(t))").cast("double")
-          / col("n_words"), 6))
+          / col("n_words"))
       .withColumn("stop_hits",
         size(filter(col("w"), t => t === "the" || t === "a")))
       // sequence(1, 0) DESCENDS in Spark — guard the 1-word doc explicitly
       .withColumn("dup_bigram_frac", when(col("n_words") < 2, lit(0.0)).otherwise(
-        round(lit(1.0) - size(array_distinct(expr(
+        lit(1.0) - size(array_distinct(expr(
           "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")))
-          .cast("double") / (col("n_words") - 1), 6)))
+          .cast("double") / (col("n_words") - 1)))
     val rLen = col("n_words").between(25, 5000)
     val rWlen = col("mean_wlen").between(4.0, 5.0)
     val rRep = col("dup_bigram_frac") <= 0.08
@@ -1137,13 +1139,13 @@ object TextQueries {
         |  FROM lpx GROUP BY doc_id),
         |gs AS (SELECT doc_id,
         |    CAST(len(toks) AS INTEGER) AS n_words,
-        |    ROUND(CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
-        |          / len(toks), 6) AS mean_wlen,
+        |    CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+        |          / len(toks) AS mean_wlen,
         |    CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS INTEGER) AS stop_hits,
         |    CASE WHEN len(toks) < 2 THEN CAST(0.0 AS DOUBLE) ELSE
-        |      ROUND(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
         |        i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)))) AS DOUBLE)
-        |        / (len(toks) - 1), 6)
+        |        / (len(toks) - 1)
         |    END AS dup_bigram_frac
         |  FROM lt),
         |gate AS (SELECT doc_id,
@@ -1160,7 +1162,7 @@ object TextQueries {
         |  FROM j CROSS JOIN b)
         |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(pass) AS BIGINT) AS n_pass,
-        |  ROUND(CAST(SUM(pass) AS DOUBLE) / COUNT(*), 6) AS pass_rate,
+        |  CAST(SUM(pass) AS DOUBLE) / COUNT(*) AS pass_rate,
         |  MIN(lm_score) AS lo, MAX(lm_score) AS hi
         |FROM t2 GROUP BY decile ORDER BY decile""".stripMargin
     }) { (s, d) =>
@@ -1180,7 +1182,7 @@ object TextQueries {
           x => col("lm_score") > x)) + 1).as("decile"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"), sum("pass").as("n_pass"),
-        round(sum("pass").cast("double") / count(lit(1)), 6).as("pass_rate"),
+        (sum("pass").cast("double") / count(lit(1))).as("pass_rate"),
         min("lm_score").as("lo"), max("lm_score").as("hi"))
       .orderBy("decile")
   }
@@ -1378,7 +1380,7 @@ object TextQueries {
       |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
       |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-      |  ROUND(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 6) AS mean_chars
+      |  CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS mean_chars
       |FROM documents GROUP BY ROLLUP(source) ORDER BY source""".stripMargin) { (s, d) =>
     docs(s, d)
       .rollup(col("source"))
@@ -1387,7 +1389,7 @@ object TextQueries {
         sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"),
         sum(length(col("text")).cast("long")).as("n_chars"),
         count_distinct(col("lang")).as("n_langs"),
-        round(sum(length(col("text"))).cast("double") / count(lit(1)), 6).as("mean_chars"))
+        (sum(length(col("text"))).cast("double") / count(lit(1))).as("mean_chars"))
       .select(coalesce(col("source"), lit("TOTAL")).as("source"),
         col("n_docs"), col("n_tokens"), col("n_chars"), col("n_langs"), col("mean_chars"))
       .orderBy("source")
@@ -1488,7 +1490,7 @@ object TextQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_win"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_win"))
-      .withColumn("dup_frac", round(col("dup_win") / col("n_win"), 6))
+      .withColumn("dup_frac", col("dup_win").cast("double") / col("n_win"))
       .orderBy("doc_id")
   }
 

@@ -109,7 +109,7 @@ class ClusterDedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
       val ws = winsByDoc(id)
       nWin shouldBe ws.size.toLong
       dupWin shouldBe ws.count(w => holders(w) >= 2).toLong
-      frac shouldBe (math.rint(dupWin.toDouble / nWin * 1e6) / 1e6)
+      frac shouldBe dupWin.toDouble / nWin // raw IEEE quotient (x62 lesson)
     }
     // the stat discriminates on the shipped corpus, not saturates: fully
     // duplicated docs, PARTIAL overlaps (what cluster dedup can't see),

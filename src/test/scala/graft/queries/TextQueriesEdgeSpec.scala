@@ -113,17 +113,16 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .toMap
     val docs = graft.Tables.documents(spark, sf)
       .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
-    def r6(x: Double): Double = // Spark ROUND = HALF_UP, never math.rint
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     out.size shouldBe docs.length
     docs.foreach { case (id, text) =>
       val w = text.split(" ", -1)
       val nWords = w.length
-      val meanWlen = r6(w.map(_.length).sum.toDouble / nWords)
+      // raw IEEE quotients — the engine ships them unrounded (x62 lesson)
+      val meanWlen = w.map(_.length).sum.toDouble / nWords
       val stopHits = w.count(t => t == "the" || t == "a")
       val bigrams = w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
       val frac = if (nWords < 2) 0.0
-        else r6(1.0 - bigrams.distinct.length.toDouble / (nWords - 1))
+        else 1.0 - bigrams.distinct.length.toDouble / (nWords - 1)
       val rl = if (nWords >= 25 && nWords <= 5000) 1 else 0
       val rw = if (meanWlen >= 4.0 && meanWlen <= 5.0) 1 else 0
       val rr = if (frac <= 0.08) 1 else 0
@@ -161,13 +160,11 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
       if (lo + 1 < sorted.length) sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
       else sorted(lo)
     }
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val expected = j.groupBy { case (s, _) => 1 + bounds.count(s > _) }
       .toSeq.map { case (dec, rows) =>
         val n = rows.length.toLong
         val np = rows.map(_._2).sum.toLong
-        (dec, n, np, r6(np.toDouble / n),
+        (dec, n, np, np.toDouble / n,
           rows.map(_._1).min, rows.map(_._1).max)
       }.sortBy(_._1)
     out.toSeq shouldBe expected
