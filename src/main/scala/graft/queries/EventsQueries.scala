@@ -1163,10 +1163,37 @@ object EventsQueries {
       .orderBy("type_a", "type_b")
   }
 
+  /** x102: top-k WITH TIES — RANK() ≤ 3, the "give me the top 3 values,
+    * and everyone who ties them" semantics that ROW_NUMBER-based top-k
+    * (q16, x42) silently violates: a row_number cut drops tied rows by
+    * arbitrary physical order, which on a value column with real ties is
+    * nondeterministic output. RANK's gap semantics keep the cut
+    * deterministic with no tiebreak column needed. Spark still prunes
+    * inside the window sort (WindowGroupLimit handles rank() like
+    * row_number(), plan-asserted), so the group never fully sorts at
+    * scale; cents comparison keeps the tie notion exact cross-engine. */
+  val topkTies = sql(
+    "x102_ev_topk_ties",
+    """WITH c AS (SELECT event_id, event_type,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+      |r AS (SELECT event_id, event_type, cents,
+      |    CAST(RANK() OVER (PARTITION BY event_type ORDER BY cents DESC) AS INTEGER) AS rk
+      |  FROM c)
+      |SELECT event_id, event_type, cents, rk FROM r WHERE rk <= 3
+      |ORDER BY event_type, rk, event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rk", rank().over(
+        Window.partitionBy("event_type").orderBy(col("cents").desc)).cast("int"))
+      .filter(col("rk") <= 3)
+      .orderBy("event_type", "rk", "event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
     asofClickView, valueBands, funnel, rollingActivity, skewJoinDemo, zorderKey,
     winsorize, zscore, sessionStats, resampleFfill, intervalOverlap,
     keySkewReport, temporalSplit, attribution, retentionCohorts, madOutliers,
     sessionTransitions, featureBins, driftReport, abTest, featureHashing,
-    percentileRank, lagFeatures, cubeDatasheet, corrReport, cooccurrence)
+    percentileRank, lagFeatures, cubeDatasheet, corrReport, cooccurrence, topkTies)
 }

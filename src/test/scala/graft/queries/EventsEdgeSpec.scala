@@ -149,6 +149,27 @@ class EventsEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     g.head._5 shouldBe base.map(_._5).sum
   }
 
+  test("x102 top-k WITH TIES: a tie at the cut keeps every tied row (row_number would drop some)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("topk-ties").toString
+    // four rows tie the 3rd-best value: RANK ≤ 3 must return 6 rows
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    Seq(
+      (1L, ts0, 1L, "click", 9.00, "{}"),
+      (2L, ts0, 1L, "click", 8.00, "{}"),
+      (3L, ts0, 1L, "click", 7.00, "{}"),
+      (4L, ts0, 1L, "click", 7.00, "{}"),
+      (5L, ts0, 1L, "click", 7.00, "{}"),
+      (6L, ts0, 1L, "click", 7.00, "{}"),
+      (7L, ts0, 1L, "click", 1.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$tmp/events.parquet")
+    val out = EventsQueries.topkTies.run(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(3)))
+    out.map(_._1).sorted.toSeq shouldBe Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    out.filter(_._2 == 3).map(_._1).sorted.toSeq shouldBe Seq(3L, 4L, 5L, 6L)
+  }
+
   test("x97 moments MERGE across shards ≡ recompute on the union (the claim that justifies persisting them)") {
     import org.apache.spark.sql.functions._
     // shard the events by epoch-style halves, run x97 per shard, ADD the

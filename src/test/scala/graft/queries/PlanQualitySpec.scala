@@ -499,6 +499,12 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     "FileScan parquet".r.findAllIn(plan).size shouldBe 1
   }
 
+  test("x102: the rank cut prunes inside the window sort (WindowGroupLimit)") {
+    val plan = planOf(EventsQueries.topkTies)
+    plan should include("WindowGroupLimit")
+    plan should not include "Join"
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:
