@@ -436,7 +436,7 @@ object SimilarityQueries {
       |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rn
       |  FROM lc) m WHERE rn = 1)
       |SELECT t.cell, t.n_vecs, t.n_labels, m.maj_label, m.maj_n,
-      |  ROUND(CAST(m.maj_n AS DOUBLE) / t.n_vecs, 6) AS purity
+      |  CAST(m.maj_n AS DOUBLE) / t.n_vecs AS purity
       |FROM tot t JOIN maj m USING (cell) ORDER BY cell""".stripMargin
   }
 
@@ -467,7 +467,7 @@ object SimilarityQueries {
     val tot = lc.groupBy("cell").agg(sum("n").as("n_vecs"), count(lit(1)).as("n_labels"))
     maj.join(tot, Seq("cell"))
       .select(col("cell"), col("n_vecs"), col("n_labels"), col("maj_label"),
-        col("maj_n"), round(col("maj_n").cast("double") / col("n_vecs"), 6).as("purity"))
+        col("maj_n"), (col("maj_n").cast("double") / col("n_vecs")).as("purity"))
       .orderBy("cell")
   }
 

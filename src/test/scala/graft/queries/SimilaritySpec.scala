@@ -229,8 +229,7 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
       val (majLabel, majN) = byLabel.sortBy { case (l, n) => (-n, l) }.head
       val nVecs = rows.length.toLong
       cell -> ((nVecs, byLabel.length.toLong, majLabel, majN,
-        BigDecimal(majN.toDouble / nVecs)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        majN.toDouble / nVecs)) // raw IEEE quotient (x62 lesson)
     }
     out shouldBe expected
     // census invariants: every vector lands somewhere, purity is sane
