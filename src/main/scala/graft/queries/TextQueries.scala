@@ -950,55 +950,77 @@ object TextQueries {
       .orderBy("source")
   }
 
-  /** x99: BPE vocabulary learning — the first 3 merge steps of
-    * byte-pair-encoding training (Sennrich et al. 2016), the algorithm
-    * behind every production subword tokenizer, run as 3 UNROLLED
-    * declarative iterations (the x69 fixed-iteration discipline applied to
-    * a string kernel). The ONLY corpus-sized work is the initial word
-    * count (one scan, map-side combined); every iteration after that is
-    * VOCABULARY-sized: pair counts expand each distinct word once weighted
-    * by its count, the argmax is a 1-row limit, and the merge rewrite is a
-    * row-local string `replace` on the spaced-symbol form (" h e l l o ")
-    * against the broadcast 1-row best pair. Greedy left-to-right
-    * non-overlapping replace IS the BPE merge rule, and both engines'
-    * `replace` scan exactly that way, which is what makes the oracle
-    * bit-exact. Deterministic tie-break: count desc, then (lhs, rhs) asc.
-    *
-    * Production note: a full k-merge trainer (k ≈ 32000) recounts only the
-    * pairs the last merge touched (SentencePiece's heap); this fixed-k
-    * demo recounts per step — same semantics, O(k·vocab) instead of
-    * O(k·Δ), scaladoc'd so nobody mistakes the demo loop for the scale
-    * path. Output: (step, lhs, rhs, cnt) — the learned merge table a
-    * tokenizer ships as its vocab artifact. */
-  val bpeMerges = sql(
-    "x99_bpe_merges",
-    """WITH uw AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
-      |wcnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM uw WHERE length(w) > 0 GROUP BY w),
-      |w0 AS (SELECT n, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s FROM wcnt),
-      |p0 AS (SELECT ss[i+1] AS lhs, ss[i+2] AS rhs, CAST(SUM(n) AS BIGINT) AS cnt
-      |  FROM (SELECT n, ss, unnest(range(0, len(ss)-1)) AS i
-      |        FROM (SELECT n, string_split(trim(s), ' ') AS ss FROM w0) q0) q1
-      |  GROUP BY 1, 2),
-      |b1 AS (SELECT lhs, rhs, cnt FROM p0 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-      |w1 AS (SELECT n, replace(s, ' '||b1.lhs||' '||b1.rhs||' ', ' '||b1.lhs||b1.rhs||' ') AS s
-      |  FROM w0, b1),
-      |p1 AS (SELECT ss[i+1] AS lhs, ss[i+2] AS rhs, CAST(SUM(n) AS BIGINT) AS cnt
-      |  FROM (SELECT n, ss, unnest(range(0, len(ss)-1)) AS i
-      |        FROM (SELECT n, string_split(trim(s), ' ') AS ss FROM w1) q0) q1
-      |  GROUP BY 1, 2),
-      |b2 AS (SELECT lhs, rhs, cnt FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-      |w2 AS (SELECT n, replace(s, ' '||b2.lhs||' '||b2.rhs||' ', ' '||b2.lhs||b2.rhs||' ') AS s
-      |  FROM w1, b2),
-      |p2 AS (SELECT ss[i+1] AS lhs, ss[i+2] AS rhs, CAST(SUM(n) AS BIGINT) AS cnt
-      |  FROM (SELECT n, ss, unnest(range(0, len(ss)-1)) AS i
-      |        FROM (SELECT n, string_split(trim(s), ' ') AS ss FROM w2) q0) q1
-      |  GROUP BY 1, 2),
-      |b3 AS (SELECT lhs, rhs, cnt FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1)
-      |SELECT * FROM (
-      |  SELECT CAST(1 AS INTEGER) AS step, lhs, rhs, cnt FROM b1
-      |  UNION ALL SELECT 2, lhs, rhs, cnt FROM b2
-      |  UNION ALL SELECT 3, lhs, rhs, cnt FROM b3) u
-      |ORDER BY step""".stripMargin) { (s, d) =>
+  /** Greedy left-to-right BPE merge of the broadcast pair (`ml`, `mr`)
+    * against the spaced-symbol form `ss = split(trim(s), ' ')`: scan the
+    * symbol array once, and wherever `ss[i] = ml && ss[i+1] = mr` emit the
+    * merged symbol and SKIP BOTH (i += 2), else emit `ss[i]` (i += 1) —
+    * exactly the rewrite step of Sennrich et al. 2016 and of every
+    * production tokenizer. A string `replace` on the spaced form is NOT
+    * equivalent: consecutive occurrences share their boundary space, so
+    * `replace(' a a a a ', ' a a ', ' aa ')` yields [aa, a, a] where greedy
+    * BPE yields [aa, aa] (any run like 'aaaa', or chain like 'erer' when
+    * 'er' wins, diverges). Implemented as a codegen'd `aggregate` fold over
+    * the symbol indices carrying (accumulated string, skip flag) — row-local,
+    * zero shuffle; the DuckDB oracle replicates the identical scan as a
+    * recursive CTE stepping i by 1 or 2. Pinned by TextQueriesEdgeSpec's
+    * adjacent-double corpus ('aaaa'/'abab'). */
+  private val bpeGreedyMergeExpr: String =
+    """aggregate(
+      |  sequence(0, size(ss) - 1),
+      |  named_struct('acc', '', 'skip', false),
+      |  (st, i) -> if(st.skip,
+      |      named_struct('acc', st.acc, 'skip', false),
+      |      if(i < size(ss) - 1 and ss[i] = ml and ss[i+1] = mr,
+      |         named_struct('acc', concat(st.acc, ' ', ml, mr), 'skip', true),
+      |         named_struct('acc', concat(st.acc, ' ', ss[i]), 'skip', false))),
+      |  st -> concat(st.acc, ' '))""".stripMargin
+
+  /** The DuckDB twin of [[bpeGreedyMergeExpr]]: a recursive CTE scanning the
+    * 1-based symbol list with the same i+=2-on-match rule. `from` must have
+    * columns (n, s[, w]); the produced CTE pair is `m<k>` (scan states) and
+    * `w<k>` (terminal rewritten rows). */
+  private def bpeOracleMergeCte(k: Int, from: String, best: String, carryW: Boolean): String = {
+    val w = if (carryW) "w, " else ""
+    s"""m$k AS (
+       |  SELECT ${w}n, string_split(trim(s), ' ') AS ss, $best.lhs AS ml, $best.rhs AS mr, 1 AS i, '' AS acc
+       |  FROM $from, $best
+       |  UNION ALL
+       |  SELECT ${w}n, ss, ml, mr,
+       |    CASE WHEN i < len(ss) AND ss[i] = ml AND ss[i+1] = mr THEN i + 2 ELSE i + 1 END,
+       |    acc || ' ' || CASE WHEN i < len(ss) AND ss[i] = ml AND ss[i+1] = mr THEN ml || mr ELSE ss[i] END
+       |  FROM m$k WHERE i <= len(ss)),
+       |w$k AS (SELECT ${w}n, acc || ' ' AS s FROM m$k WHERE i > len(ss))""".stripMargin
+  }
+
+  /** Shared x99/x103 oracle SQL prologue: word counts -> spaced symbol form
+    * (optionally carrying the raw word `w` for the encode join) -> 3 rounds
+    * of pair-count / argmax / greedy-merge, exposing b1/b2/b3 and w0..w3. */
+  private def bpeOracleLearnSql(carryW: Boolean): String = {
+    val w = if (carryW) "w, " else ""
+    def pairs(k: Int, from: String) =
+      s"""p$k AS (SELECT ss[i+1] AS lhs, ss[i+2] AS rhs, CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM (SELECT n, ss, unnest(range(0, len(ss)-1)) AS i
+         |        FROM (SELECT n, string_split(trim(s), ' ') AS ss FROM $from) q0) q1
+         |  GROUP BY 1, 2)""".stripMargin
+    def best(k: Int) =
+      s"b${k + 1} AS (SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+    s"""uw AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents),
+       |wcnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM uw WHERE length(w) > 0 GROUP BY w),
+       |w0 AS (SELECT ${w}n, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s FROM wcnt),
+       |${pairs(0, "w0")},
+       |${best(0)},
+       |${bpeOracleMergeCte(1, "w0", "b1", carryW)},
+       |${pairs(1, "w1")},
+       |${best(1)},
+       |${bpeOracleMergeCte(2, "w1", "b2", carryW)},
+       |${pairs(2, "w2")},
+       |${best(2)}""".stripMargin
+  }
+
+  /** Spark-side BPE learning shared by x99/x103: the corpus-sized word count
+    * plus 3 vocabulary-sized (pair-count, argmax, greedy-merge) rounds.
+    * Returns the three 1-row best-pair frames (lhs, rhs, cnt). */
+  private def bpeBests(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     // corpus-sized stage: one scan -> word counts (partial agg map-side)
     val w0 = docs(s, d)
       .select(explode(split(trim(col("text")), "\\s+")).as("w"))
@@ -1007,30 +1029,140 @@ object TextQueries {
       .select(col("n"),
         concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"))
       .localCheckpoint(eager = false) // each iteration re-reads the vocab
-    def pairCounts(wdf: org.apache.spark.sql.DataFrame) =
+    def pairCounts(wdf: DataFrame) =
       wdf.select(col("n"), split(trim(col("s")), " ").as("ss"))
         .filter(size(col("ss")) >= 2) // Spark sequence(0,-1) would DESCEND
         .select(col("n"), explode(expr(
           "transform(sequence(0, size(ss) - 2), i -> struct(ss[i] AS lhs, ss[i+1] AS rhs))")).as("p"))
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum("n").as("cnt"))
-    def bestOf(pc: org.apache.spark.sql.DataFrame) =
+    def bestOf(pc: DataFrame) =
       pc.orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
         .localCheckpoint(eager = false) // consumed by the rewrite AND the output
-    def merge(wdf: org.apache.spark.sql.DataFrame, best: org.apache.spark.sql.DataFrame) =
-      wdf.crossJoin(broadcast(best))
-        .select(col("n"), expr(
-          "replace(s, concat(' ', lhs, ' ', rhs, ' '), concat(' ', lhs, rhs, ' '))").as("s"))
+    def merge(wdf: DataFrame, best: DataFrame) =
+      wdf.crossJoin(broadcast(best.select(col("lhs").as("ml"), col("rhs").as("mr"))))
+        .select(col("n"), split(trim(col("s")), " ").as("ss"), col("ml"), col("mr"))
+        .select(col("n"), expr(bpeGreedyMergeExpr).as("s"))
         .localCheckpoint(eager = false)
     val b1 = bestOf(pairCounts(w0))
     val w1 = merge(w0, b1)
     val b2 = bestOf(pairCounts(w1))
     val w2 = merge(w1, b2)
     val b3 = bestOf(pairCounts(w2))
+    (b1, b2, b3)
+  }
+
+  /** x99: BPE vocabulary learning — the first 3 merge steps of
+    * byte-pair-encoding training (Sennrich et al. 2016), the algorithm
+    * behind every production subword tokenizer, run as 3 UNROLLED
+    * declarative iterations (the x69 fixed-iteration discipline applied to
+    * a string kernel). The ONLY corpus-sized work is the initial word
+    * count (one scan, map-side combined); every iteration after that is
+    * VOCABULARY-sized: pair counts expand each distinct word once weighted
+    * by its count, the argmax is a 1-row limit, and the merge rewrite is a
+    * row-local greedy symbol-wise scan ([[bpeGreedyMergeExpr]] — NOT a
+    * string `replace`, which mishandles back-to-back pair occurrences)
+    * against the broadcast 1-row best pair, replicated scan-for-scan by the
+    * oracle's recursive CTE. Deterministic tie-break: count desc, then
+    * (lhs, rhs) asc.
+    *
+    * Production note: a full k-merge trainer (k ≈ 32000) recounts only the
+    * pairs the last merge touched (SentencePiece's heap); this fixed-k
+    * demo recounts per step — same semantics, O(k·vocab) instead of
+    * O(k·Δ), scaladoc'd so nobody mistakes the demo loop for the scale
+    * path. Output: (step, lhs, rhs, cnt) — the learned merge table a
+    * tokenizer ships as its vocab artifact; x103 applies it back to the
+    * corpus. */
+  val bpeMerges = sql(
+    "x99_bpe_merges",
+    s"""WITH RECURSIVE ${bpeOracleLearnSql(carryW = false)}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS INTEGER) AS step, lhs, rhs, cnt FROM b1
+       |  UNION ALL SELECT 2, lhs, rhs, cnt FROM b2
+       |  UNION ALL SELECT 3, lhs, rhs, cnt FROM b3) u
+       |ORDER BY step""".stripMargin) { (s, d) =>
+    val (b1, b2, b3) = bpeBests(s, d)
     b1.select(lit(1).cast("int").as("step"), col("lhs"), col("rhs"), col("cnt"))
       .unionAll(b2.select(lit(2).cast("int").as("step"), col("lhs"), col("rhs"), col("cnt")))
       .unionAll(b3.select(lit(3).cast("int").as("step"), col("lhs"), col("rhs"), col("cnt")))
       .orderBy("step")
+  }
+
+  /** The array-in/array-out twin of [[bpeGreedyMergeExpr]], applied inside a
+    * lambda: greedily merges pair (`l`, `r`) in symbol array `a`. */
+  private def bpeMergeArrExpr(a: String, l: String, r: String): String =
+    s"""aggregate(
+       |  sequence(0, size($a) - 1),
+       |  named_struct('out', cast(array() as array<string>), 'skip', false),
+       |  (st, i) -> if(st.skip,
+       |      named_struct('out', st.out, 'skip', false),
+       |      if(i < size($a) - 1 and $a[i] = $l and $a[i+1] = $r,
+       |         named_struct('out', concat(st.out, array(concat($l, $r))), 'skip', true),
+       |         named_struct('out', concat(st.out, array($a[i])), 'skip', false))),
+       |  st -> st.out)""".stripMargin
+
+  /** x103: BPE ENCODE — the other half of the tokenizer lifecycle x99
+    * started: apply the 3 learned merges back to every document, in
+    * learning order, and emit (doc_id, n_tokens, head_tokens). This is
+    * exactly what a production tokenizer does at inference: split to
+    * words, explode each word to character symbols, then run the merge
+    * table IN ORDER, each merge a greedy left-to-right symbol scan
+    * ([[bpeMergeArrExpr]] — same fold as training, so encode(train-corpus)
+    * reproduces the trained vocab segmentation bit-for-bit).
+    *
+    * Scale stance: the merge table (1 row, 6 strings) is BROADCAST and the
+    * entire encode is a row-local expression chain over one corpus scan —
+    * zero corpus-side shuffle (plan-asserted). Nested-lambda let-binding
+    * (`transform(array(x), v -> …)[0]`) keeps each merge's input bound to
+    * a lambda variable, so the expression tree stays linear in k rather
+    * than exponential from textual re-substitution. The alternative —
+    * encode each DISTINCT word once and join back — trades this CPU for a
+    * corpus-wide shuffle on the word key; at 100 TB the zero-shuffle form
+    * wins (encode cost is linear and pipelined into the scan; the join
+    * form re-materializes the corpus). The learning stages reuse
+    * [[bpeBests]] (vocabulary-sized; see x99). The DuckDB oracle DOES use
+    * the word-join form (its recursive-CTE scan is per distinct word) —
+    * divergent plans, identical results, which is the point of a
+    * differential oracle. */
+  val bpeEncode = sql(
+    "x103_bpe_encode",
+    s"""WITH RECURSIVE ${bpeOracleLearnSql(carryW = true)},
+       |${bpeOracleMergeCte(3, "w2", "b3", carryW = true)},
+       |venc AS (SELECT w, trim(s) AS ts FROM w3),
+       |dw AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS pos
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0) AS ws
+       |        FROM documents) q
+       |  WHERE len(ws) > 0),
+       |perdoc AS (SELECT d.doc_id, string_agg(v.ts, ' ' ORDER BY d.pos) AS toks
+       |  FROM dw d JOIN venc v ON v.w = d.ws[d.pos]
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id,
+       |  CAST(len(string_split(toks, ' ')) AS BIGINT) AS n_tokens,
+       |  array_to_string((string_split(toks, ' '))[1:8], ' ') AS head_tokens
+       |FROM perdoc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val (b1, b2, b3) = bpeBests(s, d)
+    val mergeTable = broadcast(
+      b1.select(col("lhs").as("l1"), col("rhs").as("r1"))
+        .crossJoin(b2.select(col("lhs").as("l2"), col("rhs").as("r2")))
+        .crossJoin(b3.select(col("lhs").as("l3"), col("rhs").as("r3"))))
+    // per word: chars -> merge1 -> merge2 -> merge3, let-bound via 1-element
+    // transform so each stage's input is a lambda variable
+    val encodeExpr =
+      s"""flatten(transform(words, w ->
+         |  transform(array(split(trim(concat(' ', regexp_replace(w, '(.)', '$$1 '))), ' ')), a0 ->
+         |    transform(array(${bpeMergeArrExpr("a0", "l1", "r1")}), a1 ->
+         |      transform(array(${bpeMergeArrExpr("a1", "l2", "r2")}), a2 ->
+         |        ${bpeMergeArrExpr("a2", "l3", "r3")})[0])[0])[0]))""".stripMargin
+    docs(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)").as("words"))
+      .filter(size(col("words")) > 0)
+      .crossJoin(mergeTable)
+      .select(col("doc_id"), expr(encodeExpr).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        array_join(slice(col("toks"), 1, 8), " ").as("head_tokens"))
+      .orderBy("doc_id")
   }
 
   /** x64: Gopher/Dolma-style composite quality GATE — the multi-rule
@@ -2242,5 +2374,5 @@ object TextQueries {
     textQualityGate, scoreGateCalibration, dupPagerank, bloomDedup,
     ingestTriage, lshBandStats, hubRemoval, snapshotMerge, sparseCosine,
     releaseDiff, dedupRecallAudit, weightedSample, dupTriangles, bpeMerges,
-    massMedian)
+    massMedian, bpeEncode)
 }

@@ -40,6 +40,30 @@ class RepoHygieneSpec extends AnyFunSuite with Matchers {
     text("SURVEY.md") should include(s"the $noOracle remaining")
   }
 
+  test("EVERY numeric 'registered queries' tally in the current-state docs matches the registry") {
+    // The r10 verdict's top finding, and the THIRD consecutive round in
+    // which some tally went stale: the prose check above pins one phrase,
+    // but README's component-map line ("N registered queries + oracle SQL")
+    // drifted anyway. Kill the class: scan README/SURVEY/COVERAGE for ANY
+    // "<n> registered queries" / "<g> of the <n> registered queries" and
+    // assert the numbers, wherever and however often they appear.
+    // (PLANS.md is exempt by design — its round close-outs are dated logs
+    // of PAST registry states.)
+    val total = SparkEntry.defs.size
+    val green = SparkEntry.defs.count(_.oracle.isDefined)
+    val tally = raw"(?:(\d+) of the )?(\d+) registered queries".r
+    for (f <- Seq("README.md", "SURVEY.md", "COVERAGE.md")) {
+      val text = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8")
+      for (m <- tally.findAllMatchIn(text)) {
+        withClue(s"$f: stale tally '${m.matched}' (registry: $green of $total): ") {
+          Option(m.group(1)).foreach(_.toInt shouldBe green)
+          m.group(2).toInt shouldBe total
+        }
+      }
+    }
+  }
+
   test("repo root has no unexpected files") {
     // tests run from the repo root — don't hardcode a checkout path, and
     // treat an unreadable root as a FAILURE, not a vacuous pass

@@ -484,6 +484,19 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "CartesianProduct"
   }
 
+  test("x103: encode is one corpus scan, merges attach by broadcast, zero corpus-side shuffle") {
+    val plan = planOf(TextQueries.bpeEncode)
+    // the learning stages sit behind checkpoints (ExistingRDD); the ONLY
+    // parquet scan in the final plan is the corpus application pass
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 1
+    plan should not include "CartesianProduct"
+    plan should include("BroadcastNestedLoopJoin") // the 1-row merge table
+    plan should not include "SortMergeJoin" // encode never shuffles the corpus to join
+    // BroadcastExchange (the merge table) is fine; SHUFFLE exchanges must be
+    // the presentation sort only
+    "Exchange (range|hash)partitioning".r.findAllIn(plan).size should be <= 1
+  }
+
   test("x100: the projection is row-local — one scan, no exchange but the output sort") {
     val plan = planOf(SimilarityQueries.embRandomProjection)
     "FileScan parquet".r.findAllIn(plan).size shouldBe 1

@@ -265,4 +265,80 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.toSeq shouldBe Seq(
       (1, "a", "a", 4 * n), (2, "aa", "a", 2 * n), (3, "aaa", "b", n))
   }
+
+  test("x99 merge is greedy symbol-wise, not string replace: back-to-back pair occurrences both merge") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe-greedy").toString
+    // 'aaaa' must rewrite to [aa, aa] under merge (a,a) — a string replace on
+    // the spaced form yields [aa, a, a] because consecutive occurrences share
+    // their boundary space. Step 3's winner (aa, aa) with count 3 EXISTS ONLY
+    // under the greedy rewrite: it is the adjacency the replace form destroys.
+    // Same for 'abab' under merge (a,b) at step 2 (count 4 = 2 docs × 2
+    // disjoint occurrences, boundary-sharing in string form).
+    Seq((1L, "aaaa abab"), (2L, "aaaa aaaa"), (3L, "abab hello"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.bpeMerges.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    out.toSeq shouldBe Seq((1, "a", "a", 9L), (2, "a", "b", 4L), (3, "aa", "aa", 3L))
+  }
+
+  test("x103 encode applies the learned merges in order with the greedy scan (hand-pinned)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe-encode").toString
+    // merges learned on this corpus: (a,a), (a,b), (aa,aa) — see the x99
+    // greedy test. Encode: 'aaaa' -> m1 [aa,aa] -> m3 [aaaa]; 'abab' -> m2
+    // [ab,ab]; 'hello' -> untouched chars.
+    Seq((1L, "aaaa abab"), (2L, "aaaa aaaa"), (3L, "abab hello"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.bpeEncode.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    out.toSeq shouldBe Seq(
+      (1L, 3L, "aaaa ab ab"),
+      (2L, 2L, "aaaa aaaa"),
+      (3L, 7L, "ab ab h e l l o"))
+  }
+
+  test("x103 encode ≡ imperative train-then-encode replay on the sf corpus") {
+    val sf = "/root/testdata/sf0.001"
+    // imperative replay: train 3 merges (greedy, count desc / (lhs, rhs) asc
+    // tie-break), then encode every doc word by word in merge order
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    var vocab: Map[Vector[String], Long] = texts
+      .flatMap(_._2.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) =>
+        w.map(_.toString).toVector -> g.length.toLong
+      }
+    def mergeGreedy(ss: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < ss.length) {
+        if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) { b += l + r; i += 2 }
+        else { b += ss(i); i += 1 }
+      }
+      b.result()
+    }
+    val merges = (1 to 3).map { _ =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (ss, n) =>
+        ss.indices.dropRight(1).foreach(i => pc((ss(i), ss(i + 1))) += n)
+      }
+      val ((l, r), _) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+      vocab = vocab.map { case (ss, n) => mergeGreedy(ss, l, r) -> n }
+        .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+      (l, r)
+    }
+    val expected = texts.map { case (id, t) =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty).toVector.flatMap { w =>
+        merges.foldLeft(w.map(_.toString).toVector) { case (ss, (l, r)) => mergeGreedy(ss, l, r) }
+      }
+      (id, toks.length.toLong, toks.take(8).mkString(" "))
+    }.sortBy(_._1).toSeq
+    val out = TextQueries.bpeEncode.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    out shouldBe expected
+  }
 }
