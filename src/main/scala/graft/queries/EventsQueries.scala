@@ -66,18 +66,71 @@ object EventsQueries {
     * and quantile reporting: HyperLogLog++ distinct counts and quantile
     * sketches are mergeable partial aggregates (map-side combine, fixed-size
     * state per group), where exact distinct/percentile would buffer whole
-    * groups. rows-only by design: sketch internals are engine-specific, so
-    * no cross-engine oracle exists — ApproxStatsSpec gates accuracy against
-    * the exact answers instead (HLL++ rsd ≤ 5 %, quantile rank error ≤ 1 %).
-    */
-  val approxStats = QueryDef.rowsOnly("x22_ev_approx_stats") { (s, d) =>
-    Tables.events(s, d)
-      .groupBy("event_type")
+    * groups.
+    *
+    * THE EXACT-REGIME ORACLE (the x42 move, applied to the last `no_oracle`
+    * row): sketch INTERNALS are engine-specific, but each sketch has a
+    * provable exact regime, and inputs can be CONSTRUCTED to sit inside it
+    * at every scale factor:
+    *
+    *  - HLL++: its register state is a function of the DISTINCT-VALUE SET
+    *    only (insert = register max, merge = register max — row count and
+    *    partitioning are irrelevant), and in the small-cardinality range the
+    *    estimator is linear counting `m·ln(m/(m−k))`, whose error ≈ k²/2m
+    *    rounds to zero for k ≪ √m. `user_id % 16` pins the distinct set to
+    *    ⊆ {0..15} at EVERY sf, so k ≤ 16 ≪ √512 = the rsd-0.05 register
+    *    count, and the estimate IS the exact distinct count (probed: exact
+    *    for domains ≤ 32, invariant under 1/7/32-way partitioning). The
+    *    oracle is plain COUNT(DISTINCT user_id % 16).
+    *  - percentile_approx(…, accuracy 10⁴): a Greenwald-Khanna summary
+    *    never compresses while n ≤ accuracy (merge threshold 2·n/accuracy
+    *    < 1 can never absorb a g = 1 sample, through partial-final merges
+    *    too), so every observation is retained with exact rank and the
+    *    query returns the element at 1-based rank ⌈q·n⌉. Aggregating the
+    *    per-`user_id % 256` bucket maxima bounds n ≤ 256 per group BY
+    *    CONSTRUCTION at every sf. The oracle replicates the rank rule
+    *    explicitly: ROW_NUMBER = CEIL(q·n) — same double arithmetic, no
+    *    quantile-function semantics gamble.
+    *
+    * The free-range sketches (raw user_id, raw value stream — genuinely
+    * approximate) remain gated by ApproxStatsSpec (accuracy vs exact) and
+    * SketchCanarySpec (pinned outputs); this query is the registry's
+    * hash-checked witness that the SAME mergeable aggregates are exact
+    * where theory says they must be. Cohort/bucket pre-aggregation is
+    * itself the production pattern (per-cohort cardinality, per-cohort-max
+    * percentiles), not a test artifice. */
+  val approxStats = sql(
+    "x22_ev_approx_stats",
+    """WITH bm AS (
+      |  SELECT event_type, user_id % 256 AS bucket, MAX(value) AS bucket_max
+      |  FROM events GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT event_type, bucket_max,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket_max) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM bm),
+      |pct AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN bucket_max END) AS p50_bucket_max,
+      |    MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN bucket_max END) AS p95_bucket_max
+      |  FROM rk GROUP BY event_type),
+      |hll AS (
+      |  SELECT event_type, CAST(COUNT(DISTINCT user_id % 16) AS BIGINT) AS approx_user_cohorts
+      |  FROM events GROUP BY event_type)
+      |SELECT h.event_type, h.approx_user_cohorts, p.p50_bucket_max, p.p95_bucket_max
+      |FROM hll h JOIN pct p USING (event_type) ORDER BY event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val hll = ev.groupBy("event_type")
+      .agg(approx_count_distinct(pmod(col("user_id"), lit(16)), rsd = 0.05)
+        .as("approx_user_cohorts"))
+    val bucketMax = ev
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(256)).as("bucket"))
+      .agg(max("value").as("bucket_max"))
+    val pct = bucketMax.groupBy("event_type")
       .agg(
-        approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
-        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
-      .orderBy("event_type")
+        percentile_approx(col("bucket_max"), lit(0.5), lit(10000)).as("p50_bucket_max"),
+        percentile_approx(col("bucket_max"), lit(0.95), lit(10000)).as("p95_bucket_max"))
+    hll.join(pct, Seq("event_type")).orderBy("event_type")
   }
 
   /** As-of enrichment: every click gets the latest view by the same user

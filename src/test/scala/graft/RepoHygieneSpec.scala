@@ -33,11 +33,17 @@ class RepoHygieneSpec extends AnyFunSuite with Matchers {
     withClue(s"SURVEY.md must say '$phrase': ") {
       text("SURVEY.md") should include(phrase)
     }
-    // the "N remaining" clause must agree too — both docs phrase the
-    // no-oracle tail as "The/the <n> remaining"
+    // the "N remaining" clause must agree too — while any no-oracle rows
+    // exist the docs phrase the tail as "The/the <n> remaining"; at zero
+    // (x22 flipped in round 11) no such claim may linger
     val noOracle = total - green
-    text("README.md") should include(s"The $noOracle remaining")
-    text("SURVEY.md") should include(s"the $noOracle remaining")
+    if (noOracle > 0) {
+      text("README.md") should include(s"The $noOracle remaining")
+      text("SURVEY.md") should include(s"the $noOracle remaining")
+    } else {
+      text("README.md") should not include regex(raw"he \d+ remaining")
+      text("SURVEY.md") should not include regex(raw"he \d+ remaining")
+    }
   }
 
   test("EVERY numeric 'registered queries' tally in the current-state docs matches the registry") {

@@ -6,16 +6,26 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.{SparkTestBase, Tables}
 
-/** Accuracy gates for the sketch aggregates (x22): no cross-engine oracle
-  * exists for engine-specific sketch internals, so the check is against the
-  * EXACT answers on the same data — HLL++ within its configured relative
-  * standard deviation, quantile sketch within its rank-error bound. */
+/** Accuracy gates for the FREE-RANGE sketch aggregates (raw user_id
+  * cardinality, raw value-stream quantiles — the genuinely-approximate
+  * regime): the check is against the EXACT answers on the same data —
+  * HLL++ within its configured relative standard deviation, quantile
+  * sketch within its rank-error bound. (x22 itself now runs the sketches
+  * in their constructed EXACT regimes and is hash-checked by the DuckDB
+  * gate; this spec keeps gating the approximate regime the registry query
+  * no longer exercises, alongside SketchCanarySpec's pinned outputs.) */
 class ApproxStatsSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   private val dir = "/root/testdata/sf0.01"
 
-  test("x22: HLL++ distinct counts within 3×rsd of exact; quantiles within rank error") {
-    val approx = EventsQueries.approxStats.run(spark, dir).collect()
+  test("free-range sketches: HLL++ distinct counts within 3×rsd of exact; quantiles within rank error") {
+    val approx = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
+      .orderBy("event_type").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
     val exact = Tables.events(spark, dir)
       .groupBy("event_type")
@@ -37,6 +47,32 @@ class ApproxStatsSpec extends AnyFunSuite with Matchers with SparkTestBase {
       // exact 49th/51st (94th/96th) percentiles bracket it generously.
       withClue(s"$et p50: ") { aP50 should (be >= p48 and be <= p52) }
       withClue(s"$et p95: ") { aP95 should (be >= p94 and be <= p96) }
+    }
+  }
+
+  test("x22 exact regime: sketch outputs EQUAL the exact answers (the DuckDB-oracle premise)") {
+    // the claim the oracle rests on, asserted in-engine: HLL++ on the
+    // 16-value modded domain returns the exact distinct count, and the
+    // uncompressed GK summary returns the element at 1-based rank ceil(q*n)
+    // of the <=256 bucket maxima
+    val got = EventsQueries.approxStats.run(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val bm = Tables.events(spark, dir)
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(256)).as("bucket"))
+      .agg(max("value").as("bucket_max"))
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+      .groupBy(_._1).map { case (et, a) => et -> a.map(_._2).sorted.toVector }
+    val exactDistinct = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(pmod(col("user_id"), lit(16))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.keySet shouldBe bm.keySet
+    got.foreach { case (et, (cohorts, p50, p95)) =>
+      withClue(s"$et HLL must be exact: ") { cohorts shouldBe exactDistinct(et) }
+      val v = bm(et); val n = v.length
+      n should be <= 256
+      withClue(s"$et p50 rank rule: ") { p50 shouldBe v(math.ceil(0.5 * n).toInt - 1) }
+      withClue(s"$et p95 rank rule: ") { p95 shouldBe v(math.ceil(0.95 * n).toInt - 1) }
     }
   }
 }

@@ -457,6 +457,14 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("SortMergeJoin") // corpus-scale posture under AQE off
   }
 
+  test("x22: both sketch aggs are partial-final; the 5-row frames join by broadcast") {
+    val plan = planOf(EventsQueries.approxStats)
+    plan should include("partial_")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("x97: moments are one partial-final pass; corr math is post-agg") {
     val plan = planOf(EventsQueries.corrReport)
     plan should include("partial_")
