@@ -109,6 +109,10 @@ object Bench {
   private def d2(x: Double): String =
     String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
 
+  /** `%.1f` — the last rung of the self-sizing ladder (see renderJson). */
+  private def d1(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(x))
+
   /** Short artifact key for a registry name: its id prefix (`q01`, `x31`).
     * Registry ids are unique by construction (BenchSanitySpec asserts it),
     * and the full name is recoverable from `SparkEntry.defs`. */
@@ -132,30 +136,42 @@ object Bench {
     * truncation-from-the-front costs the least-diagnostic bytes. */
   def renderJson(samples: Seq[(String, Seq[Double])], calibration: Seq[Double],
                  ivfTrain: Double, probeOnly: Double, sfDir: String): String = {
-    val qs = samples.map { case (k, ts) =>
-      "\"" + shortKey(k) + "\":" + d2(ts.min)
-    }.mkString("{", ",", "}")
     // hot_max is the only UNBOUNDED part of the line (a badly contended
-    // host could mark half the registry hot) — cap it at the 6 worst
+    // host could mark half the registry hot) — cap it at the worst
     // max/min ratios so the artifact stays inside the driver's 2000-char
-    // tail capture no matter what the host does (round-11 sizing: a real
+    // tail capture no matter what the host does (round-9 sizing: a real
     // 119-query line with 6 hot rows measured 1811 bytes, so the static
     // "keys"/"calibration_job" documentation fields moved OUT of the line
-    // — they live in PLANS.md "bench calibration" and the verify skill)
-    val hot = samples.collect {
+    // — they live in PLANS.md "bench calibration" and the verify skill).
+    // The registry grows ~8-12 rows a round (r10 line: 1686 bytes of the
+    // 2000 cap), so the cap is now SELF-SIZING, shedding the least
+    // diagnostic bytes first until the line fits 1900: 6 hot rows → 4 →
+    // 0 → per-query precision %.2f → %.1f (100 ms still ranks every row
+    // against a calm baseline). Per-query rows and the scalar tail
+    // (failed/calibration/value) always survive intact.
+    val hotAll = samples.collect {
       case (k, ts) if ts.min > 0 && ts.max >= 2 * ts.min =>
         (shortKey(k), ts.max, ts.max / ts.min)
-    }.sortBy(-_._3).take(6)
-      .map { case (k, mx, _) => "\"" + k + "\":" + d2(mx) }
-      .mkString("{", ",", "}")
+    }.sortBy(-_._3)
     val mins = samples.map { case (_, ts) => ts.min }
     val failed = mins.count(_ < 0)
     val total = mins.filter(_ >= 0).sum
     val calib = calibration.map(d3).mkString("[", ",", "]")
-    s"""{"metric":"total","unit":"sec","runs":3,""" +
-      s""""queries":$qs,"hot_max":$hot,""" +
-      s""""ivf_train_sec":${d3(ivfTrain)},"x03_probe_only_sec":${d3(probeOnly)},""" +
-      s""""failed":$failed,""" +
-      s""""calibration_sec":$calib,"value":${d3(total)},"sf":"$sfDir"}"""
+    def render(hotCap: Int, dq: Double => String): String = {
+      val qs = samples.map { case (k, ts) =>
+        "\"" + shortKey(k) + "\":" + dq(ts.min)
+      }.mkString("{", ",", "}")
+      val hot = hotAll.take(hotCap)
+        .map { case (k, mx, _) => "\"" + k + "\":" + dq(mx) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","unit":"sec","runs":3,""" +
+        s""""queries":$qs,"hot_max":$hot,""" +
+        s""""ivf_train_sec":${d3(ivfTrain)},"x03_probe_only_sec":${d3(probeOnly)},""" +
+        s""""failed":$failed,""" +
+        s""""calibration_sec":$calib,"value":${d3(total)},"sf":"$sfDir"}"""
+    }
+    val ladder = Seq((6, d2 _), (4, d2 _), (0, d2 _), (0, d1 _))
+    ladder.map { case (h, p) => render(h, p) }.find(_.length <= 1900)
+      .getOrElse(render(0, d1))
   }
 }

@@ -88,8 +88,10 @@ object MediaSoak {
 
     val (tMih, mihStats) = time {
       val out = Media.phashNearDupPairsMih(hashes, tau = 8)
+      // coalesce: sum() over ZERO pairs is null — a corpus/tau with no
+      // near-dups must print a zero row, not NPE the soak
       val agg = out.agg(count(lit(1)),
-        sum(when(col("media_b") >= 2000000000L, 1).otherwise(0))).head()
+        coalesce(sum(when(col("media_b") >= 2000000000L, 1).otherwise(0)), lit(0L))).head()
       (agg.getLong(0), agg.getLong(1))
     }
     calibration += Bench.calibrate(spark)

@@ -1157,8 +1157,13 @@ object EventsQueries {
     * ITEM-DOMAIN² (≤ |types|² per basket regardless of basket size — the
     * distinct collapse first is what kills the quadratic-in-events risk).
     * At a large item domain the classic A-priori move applies unchanged:
-    * support-prune `bt` before pairing. Lift stays exact in BIGINT ppm —
-    * `(n_ab · N · 10^6) // (n_a · n_b)` — no float anywhere.
+    * support-prune `bt` before pairing. Lift stays exact integer ppm —
+    * `(n_ab · N · 10^6) // (n_a · n_b)` — no float anywhere; the numerator
+    * is computed in 128-bit (DECIMAL(38,0) / HUGEINT) because at the
+    * 100 TB posture (N ~ 10^9-10^10 baskets) `n_ab · N · 10^6` can reach
+    * ~10^26 and would silently wrap a BIGINT; the quotient itself is ≤
+    * N·10^6 and lands back in BIGINT exactly. The 128-bit arithmetic runs
+    * only on the |types|²-row pairs table, never the fact.
     *
     * The singleton totals attach via broadcastable aggregates: `nb` is ONE
     * row (broadcast nested-loop by construction, never a shuffle) and `ca`
@@ -1184,7 +1189,7 @@ object EventsQueries {
       |  GROUP BY 1, 2)
       |SELECT pp.type_a, pp.type_b, pp.n_ab, ca1.n_t AS n_a, ca2.n_t AS n_b,
       |  nb.n_baskets,
-      |  (pp.n_ab * nb.n_baskets * 1000000::BIGINT) // (ca1.n_t * ca2.n_t) AS lift_ppm
+      |  CAST((pp.n_ab::HUGEINT * nb.n_baskets * 1000000) // (ca1.n_t::HUGEINT * ca2.n_t) AS BIGINT) AS lift_ppm
       |FROM pp JOIN ca ca1 ON ca1.event_type = pp.type_a
       |  JOIN ca ca2 ON ca2.event_type = pp.type_b CROSS JOIN nb
       |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
@@ -1212,7 +1217,7 @@ object EventsQueries {
       .crossJoin(broadcast(nb))
       .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"),
         col("n_baskets"),
-        expr("(n_ab * n_baskets * 1000000L) div (n_a * n_b)").as("lift_ppm"))
+        expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * n_baskets * 1000000) div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_ppm"))
       .orderBy("type_a", "type_b")
   }
 

@@ -104,6 +104,24 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("self-sizing: when the registry outgrows the budget, hot_max degrades before anything else") {
+    // 140 registry rows (the ~r20 horizon at the current ~8-12 rows/round
+    // growth) with 30 badly contended rows: the 6-hot render exceeds 1900,
+    // so renderJson must shed hot_max entries until the line fits — the
+    // per-query mins and the scalar tail are never the bytes sacrificed
+    val samples = (1 to 140).map { i =>
+      val base = 10.0 + i * 0.01 // double-digit timings: worst-case row width
+      f"x$i%03d_big" -> (if (i <= 30) Seq(base, base * 20, base) else Seq(base, base * 1.1, base))
+    }
+    val line = render(samples)
+    line.getBytes("UTF-8").length should be <= 1900
+    val root = mapper.readTree(line)
+    root.get("hot_max").size should be < 6
+    root.get("queries").size shouldBe 140 // every min survives
+    root.get("value").isNumber shouldBe true
+    root.get("calibration_sec").size shouldBe 3 // scalar tail intact
+  }
+
   test("a failed query reports -1, is excluded from the total, and never marks hot") {
     val samples = Seq("q01_ok" -> Seq(0.5, 0.4, 0.6), "x02_bad" -> Seq(-1.0))
     val root = mapper.readTree(render(samples))
