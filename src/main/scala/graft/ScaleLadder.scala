@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The >sf0.1 measured point the r10 verdict asked for: synthesize an N×
+  * corpus from an sf dir and time the registry's most expensive queries at
+  * 1× and N×, so superlinear growth is caught by measurement, not inferred
+  * from plan shape (`runMain graft.ScaleLadder [factor] [outDir]`).
+  *
+  * The N× corpus is N id-shifted copies of the base tables — the one
+  * scale-up that provably preserves the base distributions: per-copy
+  * structure (per-user event streams, per-customer order counts, per-doc
+  * text, duplicate clusters) is bit-identical to the base, and NOTHING is
+  * manufactured across copies:
+  *   - ids shift by k·10⁷ (disjoint ranges; group COUNTS scale ×N while
+  *     per-group sizes stay constant — the realistic growth axis);
+  *   - document tokens are salted per copy (`w → w_k`), so copy k's
+  *     vocabulary is disjoint from copy j's and NO cross-copy near-dups
+  *     exist: dup/shingle/cluster mass scales exactly ×N (appending copies
+  *     verbatim would instead make every doc a 10-clique of exact dups and
+  *     quadratically inflate the dedup families); n_chars recomputed;
+  *   - embeddings perturb by +k/1000 per dimension (distinct vectors, same
+  *     geometry per copy; x68 encodes against the committed PqPinned
+  *     codebooks as it would any drifted corpus — timing is what matters
+  *     here, recall gates live in SimilaritySpec).
+  *
+  * Reads like a soak artifact: one JSON line per query with the 1× and N×
+  * min-of-2 noop-sink times, output rows at both scales, and the
+  * time-ratio/N "linearity" figure (≤ ~1 ⇒ at-most-linear; calibration
+  * samples let a reader discount host contention exactly as in Bench).
+  */
+object ScaleLadder {
+
+  /** The 10 most expensive registry rows per BENCH_r10 (verdict item 4). */
+  val hotQueries: Seq[String] = Seq(
+    "x50_deciles", "x34_profile_orders", "x03_dedup_minhash",
+    "x48_ev_resample_ffill", "q10_median", "x61_substring_cut",
+    "x68_pq_topk", "x26_dedup_clusters", "x58_dup_source_matrix",
+    "x59_release_manifest")
+
+  private val Shift = 10000000L // id stride between copies (disjoint ranges)
+
+  /** N distribution-preserving copies: per-copy transform then union-all. */
+  private def copies(n: Int)(mk: Int => DataFrame): DataFrame =
+    (0 until n).map(mk).reduce(_ unionAll _)
+
+  def synthesize(spark: SparkSession, base: String, out: String, n: Int): Unit = {
+    val dir = new java.io.File(out)
+    dir.mkdirs()
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    val ev = Tables.events(spark, base)
+    write(copies(n) { k =>
+      ev.withColumn("event_id", col("event_id") + k * Shift)
+        .withColumn("user_id", col("user_id") + k * Shift)
+    }, "events")
+
+    val docs = Tables.documents(spark, base)
+    write(copies(n) { k =>
+      docs
+        .withColumn("doc_id", col("doc_id") + k * Shift)
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1_" + k))
+        .withColumn("n_chars", length(col("text")))
+    }, "documents")
+
+    val emb = Tables.embeddings(spark, base)
+    write(copies(n) { k =>
+      emb.withColumn("vec_id", col("vec_id") + k * Shift)
+        .withColumn("embedding",
+          expr(s"transform(embedding, v -> CAST(v + $k / 1000.0 AS FLOAT))"))
+    }, "embeddings")
+
+    val ord = Tables.orders(spark, base)
+    write(copies(n) { k =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + k * Shift)
+        .withColumn("o_custkey", col("o_custkey") + k * Shift)
+    }, "orders")
+
+    val li = Tables.lineitem(spark, base)
+    write(copies(n) { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + k * Shift)
+    }, "lineitem")
+  }
+
+  private def d3(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+
+  /** Min-of-2 noop-sink time + output rows (rows from the SECOND run so the
+    * timing runs stay pure noop sinks). -1 on failure, like Bench. */
+  private def time2(q: queries.QueryDef, spark: SparkSession, dir: String): (Double, Long) =
+    try {
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        q.run(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (ts.min, q.run(spark, dir).count())
+    } catch { case e: Throwable =>
+      System.err.println(s"[ladder] ${q.name} @ $dir: $e"); (-1.0, -1L)
+    }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val out = if (args.length > 1) args(1) else "/tmp/graft_scale_ladder"
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tSynth = System.nanoTime()
+    synthesize(spark, base, out, factor)
+    val synthSec = (System.nanoTime() - tSynth) / 1e9
+    Bench.calibrate(spark) // untimed JIT warm-up
+    println(s"""{"ladder":"synth","factor":$factor,"base":"$base","sec":${d3(synthSec)},""" +
+      s""""calibration_sec":${d3(Bench.calibrate(spark))}}""")
+
+    val defs = SparkEntry.defs.filter(q => hotQueries.contains(q.name))
+    defs.foreach { q =>
+      val (t1, r1) = time2(q, spark, base)
+      val (tN, rN) = time2(q, spark, out)
+      // linearity: time ratio over the input ratio; ≤ ~1 means the query
+      // scaled at-most-linearly on this rung (host noise rides the
+      // calibration column, read it like Bench's)
+      val lin = if (t1 > 0 && tN > 0) tN / (t1 * factor) else -1.0
+      println(s"""{"ladder":"${q.name}","sec_1x":${d3(t1)},"sec_${factor}x":${d3(tN)},""" +
+        s""""rows_1x":$r1,"rows_${factor}x":$rN,"linearity":${d3(lin)},""" +
+        s""""calibration_sec":${d3(Bench.calibrate(spark))}}""")
+    }
+    spark.stop()
+  }
+}

@@ -425,6 +425,33 @@ chain AS (SELECT e.doc_id, l.rep FROM erep e JOIN labels l ON l.doc_id = e.e_rep
 SELECT rep AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM chain GROUP BY rep ORDER BY keep_id"""
 
+  /** x104: per-shard duplication-rate rollup — x56's shard rule joined to
+    * the x51 doc→exact-rep→cluster-label chain, then per-shard counts of
+    * dup-cluster membership and of clusters that STRADDLE shards (the
+    * content-independent shard hash splits every multi-doc cluster across
+    * shards by design — this is the number a release manager reads to see
+    * how much cross-shard dup mass a per-shard-only dedup pass would
+    * miss). */
+  val shardDupRate: String =
+    s"""$minhashCtes,
+$ccCtes,
+erep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS e_rep FROM documents),
+chain AS (SELECT e.doc_id, l.rep FROM erep e JOIN labels l ON l.doc_id = e.e_rep),
+shrd AS (SELECT doc_id, CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INTEGER) AS shard
+  FROM documents),
+cs AS (SELECT c.doc_id, c.rep, s.shard FROM chain c JOIN shrd s ON s.doc_id = c.doc_id),
+csz AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+    CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards
+  FROM cs GROUP BY rep)
+SELECT c.shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN z.cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+  CAST(COUNT(DISTINCT c.rep) AS BIGINT) AS n_clusters,
+  CAST(COUNT(DISTINCT CASE WHEN z.n_shards > 1 THEN c.rep END) AS BIGINT) AS n_crossing_clusters,
+  (CAST(SUM(CASE WHEN z.cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // COUNT(*) AS dup_ppm
+FROM cs c JOIN csz z ON z.rep = c.rep
+GROUP BY c.shard ORDER BY c.shard"""
+
   /** x55: leakage-safe split — the x51 doc→exact-rep→cluster-label chain,
     * then x31's hex-bucket assignment keyed on the CLUSTER rep, so no
     * near-dup cluster ever straddles two splits. */

@@ -1553,6 +1553,47 @@ object TextQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** x104: per-shard duplication-rate rollup — the datasheet row a release
+    * manager reads per SHARD (x58 reads it per source pair): x56's
+    * content-independent shard rule joined to the x51 doc→exact-rep→CC-label
+    * chain, rolled up to (docs, dup-cluster members, clusters, clusters
+    * STRADDLING shards, dup ppm). The straddle count is the point: shard
+    * hashing is deliberately decorrelated from content, so every multi-doc
+    * cluster scatters across shards — n_crossing_clusters measures exactly
+    * the dup mass a per-shard-only (map-side) dedup pass would MISS, i.e.
+    * why the dedup families shuffle on content keys instead of running
+    * within shards.
+    *
+    * Scale: the doc→rep chain is the already-proven x03/x26 plan; after it,
+    * one groupBy(rep) sizes clusters (≤ corpus rows, partial-final), one
+    * rep-keyed equi-join attaches sizes (clusters are corpus-scale ÷ dup
+    * factor — NOT broadcastable, so it shuffles on rep like x51), and the
+    * final shard rollup is 16 rows. dup_ppm in exact integer floor-div
+    * (x69 discipline). */
+  val shardDupRate = sql("x104_shard_dup_rate", HashOracles.shardDupRate) { (s, d) =>
+    val (_, labels) = sigsAndLabels(s, d)
+    val chain = docExactRep(docs(s, d))
+      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
+      .select("doc_id", "rep")
+    val k = md5(col("doc_id").cast("string"))
+    val shards = docs(s, d).select(col("doc_id"),
+      (instr(lit("0123456789abcdef"), substring(k, 1, 1)) - 1).cast("int").as("shard"))
+    val cs = chain.join(shards, Seq("doc_id"))
+      .localCheckpoint(eager = false) // sized once, consumed twice
+    val csz = cs.groupBy("rep").agg(
+      count(lit(1)).as("cluster_size"),
+      count_distinct(col("shard")).as("n_shards"))
+    cs.join(csz, Seq("rep"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_size") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        count_distinct(col("rep")).as("n_clusters"),
+        count_distinct(when(col("n_shards") > 1, col("rep"))).as("n_crossing_clusters"))
+      .withColumn("dup_ppm", expr("(n_dup_docs * 1000000L) div n_docs"))
+      .orderBy("shard")
+  }
+
   /** x59: end-to-end RELEASE MANIFEST — the whole corpus-release pipeline
     * as ONE declarative plan, composed from stages each already
     * hash-proven in isolation: quality gate (x06/x07's token counting) →
@@ -2374,5 +2415,5 @@ object TextQueries {
     textQualityGate, scoreGateCalibration, dupPagerank, bloomDedup,
     ingestTriage, lshBandStats, hubRemoval, snapshotMerge, sparseCosine,
     releaseDiff, dedupRecallAudit, weightedSample, dupTriangles, bpeMerges,
-    massMedian, bpeEncode)
+    massMedian, bpeEncode, shardDupRate)
 }

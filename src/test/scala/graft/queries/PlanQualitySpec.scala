@@ -505,6 +505,13 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     "Exchange (range|hash)partitioning".r.findAllIn(plan).size should be <= 1
   }
 
+  test("x104: the shard rollup rides the proven dup chain — equi-joins only, partial-final aggs") {
+    val plan = planOf(TextQueries.shardDupRate)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("partial_") // cluster sizing + shard rollup combine map-side
+  }
+
   test("x100: the projection is row-local — one scan, no exchange but the output sort") {
     val plan = planOf(SimilarityQueries.embRandomProjection)
     "FileScan parquet".r.findAllIn(plan).size shouldBe 1
