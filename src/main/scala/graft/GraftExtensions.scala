@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{ChunkHashes, DotProduct, MinHashSignature, ShingleHashes, ShinglePosHashes, SimHash64, TokenStats}
+import graft.functions.{BpeTokens, ChunkHashes, DotProduct, MinHashSignature, ShingleHashes, ShinglePosHashes, SimHash64, TokenStats}
 
 /** SparkSessionExtensions registering the engine's native expressions, so
   * they are callable from SQL and `expr(...)` alike:
@@ -18,6 +18,8 @@ import graft.functions.{ChunkHashes, DotProduct, MinHashSignature, ShingleHashes
   *   graft_chunks(text, b, m) → ARRAY<BIGINT> content-defined chunk hashes
   *   graft_token_stats(text)  → STRUCT token/shingle repetition counts
   *   graft_dot(a, b)          → DOUBLE sequential-fold dot product
+  *   graft_bpe_tokens(text, merges) → ARRAY<STRING> BPE tokens (greedy
+  *                              in-order merge application; see x103)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -77,6 +79,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => DotProduct(a, b)
         case _ => throw new IllegalArgumentException("graft_dot(a, b)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_tokens"),
+      new ExpressionInfo(classOf[BpeTokens].getName, "graft_bpe_tokens"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, merges) => BpeTokens(text, merges)
+        case _ => throw new IllegalArgumentException("graft_bpe_tokens(text, merges)")
       }))
   }
 }

@@ -1088,19 +1088,6 @@ object TextQueries {
       .orderBy("step")
   }
 
-  /** The array-in/array-out twin of [[bpeGreedyMergeExpr]], applied inside a
-    * lambda: greedily merges pair (`l`, `r`) in symbol array `a`. */
-  private def bpeMergeArrExpr(a: String, l: String, r: String): String =
-    s"""aggregate(
-       |  sequence(0, size($a) - 1),
-       |  named_struct('out', cast(array() as array<string>), 'skip', false),
-       |  (st, i) -> if(st.skip,
-       |      named_struct('out', st.out, 'skip', false),
-       |      if(i < size($a) - 1 and $a[i] = $l and $a[i+1] = $r,
-       |         named_struct('out', concat(st.out, array(concat($l, $r))), 'skip', true),
-       |         named_struct('out', concat(st.out, array($a[i])), 'skip', false))),
-       |  st -> st.out)""".stripMargin
-
   /** x103: BPE ENCODE — the other half of the tokenizer lifecycle x99
     * started: apply the 3 learned merges back to every document, in
     * learning order, and emit (doc_id, n_tokens, head_tokens). This is
@@ -1110,12 +1097,16 @@ object TextQueries {
     * ([[bpeMergeArrExpr]] — same fold as training, so encode(train-corpus)
     * reproduces the trained vocab segmentation bit-for-bit).
     *
-    * Scale stance: the merge table (1 row, 6 strings) is BROADCAST and the
-    * entire encode is a row-local expression chain over one corpus scan —
-    * zero corpus-side shuffle (plan-asserted). Nested-lambda let-binding
-    * (`transform(array(x), v -> …)[0]`) keeps each merge's input bound to
-    * a lambda variable, so the expression tree stays linear in k rather
-    * than exponential from textual re-substitution. The alternative —
+    * Scale stance: the merge table (1 row, flattened to one string) is
+    * BROADCAST and the entire encode is ONE native codegen'd kernel call
+    * per row over one corpus scan — zero corpus-side shuffle
+    * (plan-asserted). The kernel ([[graft.functions.BpeEncode]],
+    * `graft_bpe_tokens`) runs the split + char symbols + k greedy merge
+    * passes as a single JVM loop on span indices; the nested-HOF
+    * formulation it replaced walked words × symbols × merges interpreted
+    * lambda frames per row and measured ~15 s at sf0.1 vs native
+    * (BpeEncodeSpec pins imperative reference ≡ kernel ≡ codegen). The
+    * alternative —
     * encode each DISTINCT word once and join back — trades this CPU for a
     * corpus-wide shuffle on the word key; at 100 TB the zero-shuffle form
     * wins (encode cost is linear and pipelined into the scan; the join
@@ -1140,28 +1131,144 @@ object TextQueries {
        |  CAST(len(string_split(toks, ' ')) AS BIGINT) AS n_tokens,
        |  array_to_string((string_split(toks, ' '))[1:8], ' ') AS head_tokens
        |FROM perdoc ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val (b1, b2, b3) = bpeBests(s, d)
-    val mergeTable = broadcast(
-      b1.select(col("lhs").as("l1"), col("rhs").as("r1"))
-        .crossJoin(b2.select(col("lhs").as("l2"), col("rhs").as("r2")))
-        .crossJoin(b3.select(col("lhs").as("l3"), col("rhs").as("r3"))))
-    // per word: chars -> merge1 -> merge2 -> merge3, let-bound via 1-element
-    // transform so each stage's input is a lambda variable
-    val encodeExpr =
-      s"""flatten(transform(words, w ->
-         |  transform(array(split(trim(concat(' ', regexp_replace(w, '(.)', '$$1 '))), ' ')), a0 ->
-         |    transform(array(${bpeMergeArrExpr("a0", "l1", "r1")}), a1 ->
-         |      transform(array(${bpeMergeArrExpr("a1", "l2", "r2")}), a2 ->
-         |        ${bpeMergeArrExpr("a2", "l3", "r3")})[0])[0])[0]))""".stripMargin
     docs(s, d)
-      .select(col("doc_id"),
-        expr("filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)").as("words"))
-      .filter(size(col("words")) > 0)
-      .crossJoin(mergeTable)
-      .select(col("doc_id"), expr(encodeExpr).as("toks"))
+      .crossJoin(bpeMergeTable(s, d))
+      .select(col("doc_id"), expr("graft_bpe_tokens(text, merges)").as("toks"))
+      .filter(size(col("toks")) > 0) // a doc has >=1 token iff >=1 word
       .select(col("doc_id"),
         size(col("toks")).cast("bigint").as("n_tokens"),
         array_join(slice(col("toks"), 1, 8), " ").as("head_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** The learned 3-merge table flattened to the `graft_bpe_tokens` pair-list
+    * form, as a broadcast 1-row frame (shared by x103/x105). */
+  private def bpeMergeTable(s: SparkSession, d: String): DataFrame = {
+    val (b1, b2, b3) = bpeBests(s, d)
+    broadcast(
+      b1.select(col("lhs").as("l1"), col("rhs").as("r1"))
+        .crossJoin(b2.select(col("lhs").as("l2"), col("rhs").as("r2")))
+        .crossJoin(b3.select(col("lhs").as("l3"), col("rhs").as("r3")))
+        .select(concat_ws(" ", col("l1"), col("r1"), col("l2"), col("r2"),
+          col("l3"), col("r3")).as("merges")))
+  }
+
+  /** x105: tokenizer COMPRESSION datasheet — chars-per-1000-tokens by
+    * source, the figure of merit a tokenizer release ships (and the one a
+    * mixture designer reads next to x53: a source whose text compresses
+    * badly under the shared vocab costs proportionally more sequence
+    * budget per character of signal). Uses the x99-learned merges via the
+    * same native kernel as x103; n_chars counts exactly the NON-WHITESPACE
+    * characters (the tokens partition each word's characters, so
+    * Σ|token| ≡ Σ|word| ≡ length(text minus \s) — asserted by the oracle
+    * equality, which computes it per word on the other side). Ratio in
+    * exact integer chars-per-1000-tokens (floor div, deround-safe).
+    *
+    * Scale: identical posture to x103 (broadcast merges, one corpus scan,
+    * row-local kernel) plus one 20-group partial-final aggregate. */
+  val bpeCompression = sql(
+    "x105_bpe_compression",
+    s"""WITH RECURSIVE ${bpeOracleLearnSql(carryW = true)},
+       |${bpeOracleMergeCte(3, "w2", "b3", carryW = true)},
+       |venc AS (SELECT w, trim(s) AS ts FROM w3),
+       |dw AS (SELECT doc_id, source, ws, unnest(range(1, len(ws)+1)) AS pos
+       |  FROM (SELECT doc_id, source, list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0) AS ws
+       |        FROM documents) q
+       |  WHERE len(ws) > 0),
+       |wt AS (SELECT d.doc_id, d.source,
+       |    CAST(len(string_split(v.ts, ' ')) AS BIGINT) AS n_toks,
+       |    CAST(length(d.ws[d.pos]) AS BIGINT) AS n_chars
+       |  FROM dw d JOIN venc v ON v.w = d.ws[d.pos])
+       |SELECT source,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  (CAST(SUM(n_chars) AS BIGINT) * 1000) // CAST(SUM(n_toks) AS BIGINT) AS chars_per_1000_tokens
+       |FROM wt GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .crossJoin(bpeMergeTable(s, d))
+      .select(col("source"), expr("graft_bpe_tokens(text, merges)").as("toks"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("bigint").as("nc"))
+      .filter(size(col("toks")) > 0)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("bigint")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"))
+      .withColumn("chars_per_1000_tokens", expr("(n_chars * 1000L) div n_tokens"))
+      .orderBy("source")
+  }
+
+  // PII patterns shared by the x106 engine plan and its DuckDB oracle —
+  // written once in the RE2 ∩ java.util.regex common subset (no lookaround,
+  // no backrefs; \b, \d, bounded repetition behave identically), single-
+  // backslash form. The Spark side doubles the backslashes because Spark's
+  // SQL literal parser processes escapes where DuckDB's does not.
+  private val piiEmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiPhonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val piiIpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private def sparkPat(p: String) = p.replace("\\", "\\\\")
+
+  /** x106: PII scan + redaction — the C4/Dolma curation stage the registry
+    * was missing: count email / phone / IPv4 spans per document and emit
+    * the redacted text's fingerprint and length. Row-local regex chain
+    * fused into the scan (regexp_extract_all counts, then three chained
+    * regexp_replace passes, email first so its dots never feed the IP
+    * rule); ONE corpus pass, zero shuffles beyond the presentation sort.
+    *
+    * The shipped corpus contains no PII-shaped spans (verified: zero
+    * digits), so the query PLANTS deterministic spans derived from doc_id
+    * (the x81 simulated-crawl move): docs ≡0 mod 7 get an email, mod 11
+    * an internal IP, mod 13 a US-format phone — overlapping residues give
+    * multi-PII docs. Both engines build the identical planted string, so
+    * the oracle hash checks the ENTIRE regex semantics cross-engine
+    * (match boundaries, greediness, global replace) — the arithmetic a
+    * production run applies to text that arrives with real spans. */
+  val piiRedact = sql(
+    "x106_pii_redact",
+    s"""WITH p AS (SELECT doc_id,
+       |    text
+       |      || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+       |      || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 logged' ELSE '' END
+       |      || CASE WHEN doc_id % 13 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' soon' ELSE '' END
+       |      AS planted
+       |  FROM documents),
+       |r AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(planted, '$piiEmailPat')) AS BIGINT) AS n_emails,
+       |    CAST(len(regexp_extract_all(planted, '$piiPhonePat')) AS BIGINT) AS n_phones,
+       |    CAST(len(regexp_extract_all(planted, '$piiIpPat')) AS BIGINT) AS n_ips,
+       |    regexp_replace(regexp_replace(regexp_replace(planted,
+       |      '$piiEmailPat', '<EMAIL>', 'g'),
+       |      '$piiPhonePat', '<PHONE>', 'g'),
+       |      '$piiIpPat', '<IP>', 'g') AS clean
+       |  FROM p)
+       |SELECT doc_id, n_emails, n_phones, n_ips,
+       |  md5(clean) AS clean_md5, CAST(length(clean) AS BIGINT) AS n_chars_clean
+       |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val planted = concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com now")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".1 logged")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" call 415-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" soon")))
+        .otherwise(lit("")))
+    docs(s, d)
+      .select(col("doc_id"), planted.as("planted"))
+      .select(col("doc_id"),
+        expr(s"CAST(size(regexp_extract_all(planted, '${sparkPat(piiEmailPat)}', 0)) AS BIGINT)").as("n_emails"),
+        expr(s"CAST(size(regexp_extract_all(planted, '${sparkPat(piiPhonePat)}', 0)) AS BIGINT)").as("n_phones"),
+        expr(s"CAST(size(regexp_extract_all(planted, '${sparkPat(piiIpPat)}', 0)) AS BIGINT)").as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace(col("planted"),
+          piiEmailPat, "<EMAIL>"),
+          piiPhonePat, "<PHONE>"),
+          piiIpPat, "<IP>").as("clean"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        md5(col("clean")).as("clean_md5"),
+        length(col("clean")).cast("bigint").as("n_chars_clean"))
       .orderBy("doc_id")
   }
 
@@ -2415,5 +2522,5 @@ object TextQueries {
     textQualityGate, scoreGateCalibration, dupPagerank, bloomDedup,
     ingestTriage, lshBandStats, hubRemoval, snapshotMerge, sparseCosine,
     releaseDiff, dedupRecallAudit, weightedSample, dupTriangles, bpeMerges,
-    massMedian, bpeEncode, shardDupRate)
+    massMedian, bpeEncode, shardDupRate, bpeCompression, piiRedact)
 }

@@ -512,6 +512,22 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("partial_") // cluster sizing + shard rollup combine map-side
   }
 
+  test("x105: compression datasheet is one corpus scan + one partial-final agg; merges broadcast") {
+    val plan = planOf(TextQueries.bpeCompression)
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 1 // learning behind checkpoints
+    plan should include("BroadcastNestedLoopJoin") // the 1-row merge table
+    plan should not include "SortMergeJoin"
+    plan should include("partial_")
+    "Exchange (range|hash)partitioning".r.findAllIn(plan).size should be <= 2 // agg + sort
+  }
+
+  test("x106: PII scan/redact is fully row-local — one scan, no join, presentation sort only") {
+    val plan = planOf(TextQueries.piiRedact)
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Join"
+    "Exchange".r.findAllIn(plan).size should be <= 1
+  }
+
   test("x100: the projection is row-local — one scan, no exchange but the output sort") {
     val plan = planOf(SimilarityQueries.embRandomProjection)
     "FileScan parquet".r.findAllIn(plan).size shouldBe 1
