@@ -32,12 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleLadder {
 
-  /** The 10 most expensive registry rows per BENCH_r10 (verdict item 4). */
+  /** The most expensive registry rows per BENCH_r10 (verdict item 4), plus
+    * the round-11 additions that joined that tier (x104's dup-chain rollup). */
   val hotQueries: Seq[String] = Seq(
     "x50_deciles", "x34_profile_orders", "x03_dedup_minhash",
     "x48_ev_resample_ffill", "q10_median", "x61_substring_cut",
     "x68_pq_topk", "x26_dedup_clusters", "x58_dup_source_matrix",
-    "x59_release_manifest")
+    "x59_release_manifest", "x104_shard_dup_rate")
 
   private val Shift = 10000000L // id stride between copies (disjoint ranges)
 
@@ -116,8 +117,11 @@ object ScaleLadder {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // an already-synthesized outDir is reused (delete it to force a rebuild)
+    // so iterating on the query list doesn't pay the ~11 s synth each run
     val tSynth = System.nanoTime()
-    synthesize(spark, base, out, factor)
+    val reused = new java.io.File(s"$out/events.parquet").exists()
+    if (!reused) synthesize(spark, base, out, factor)
     val synthSec = (System.nanoTime() - tSynth) / 1e9
     Bench.calibrate(spark) // untimed JIT warm-up
     println(s"""{"ladder":"synth","factor":$factor,"base":"$base","sec":${d3(synthSec)},""" +
