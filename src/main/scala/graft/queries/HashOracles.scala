@@ -452,6 +452,23 @@ SELECT c.shard,
 FROM cs c JOIN csz z ON z.rep = c.rep
 GROUP BY c.shard ORDER BY c.shard"""
 
+  /** x107: dedup KEEP-BEST — the production selection policy (keep the
+    * longest document per near-dup cluster, doc_id tiebreak) on the x51
+    * chain, vs x51's keep-min-id bookkeeping rep. */
+  val dedupKeepBest: String =
+    s"""$minhashCtes,
+$ccCtes,
+erep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS e_rep FROM documents),
+chain AS (SELECT e.doc_id, l.rep FROM erep e JOIN labels l ON l.doc_id = e.e_rep),
+cd AS (SELECT c.rep, c.doc_id, d.n_chars,
+    ROW_NUMBER() OVER (PARTITION BY c.rep ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+    COUNT(*) OVER (PARTITION BY c.rep) AS n_docs
+  FROM chain c JOIN documents d ON d.doc_id = c.doc_id)
+SELECT rep AS cluster_rep, doc_id AS keep_id, CAST(n_chars AS BIGINT) AS keep_chars,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  CASE WHEN doc_id <> rep THEN 1 ELSE 0 END AS kept_differs_from_min_id
+FROM cd WHERE rk = 1 ORDER BY cluster_rep"""
+
   /** x55: leakage-safe split — the x51 doc→exact-rep→cluster-label chain,
     * then x31's hex-bucket assignment keyed on the CLUSTER rep, so no
     * near-dup cluster ever straddles two splits. */

@@ -1546,6 +1546,36 @@ object TextQueries {
       .orderBy("keep_id")
   }
 
+  /** x107: dedup KEEP-BEST — the survivor-selection policy production
+    * pipelines actually run (FineWeb/Dolma-style: keep the LONGEST document
+    * in each duplicate cluster, deterministic doc_id tiebreak), vs x51's
+    * keep-min-id, which is a bookkeeping convention that throws away
+    * content whenever the longest variant isn't the oldest id. Same
+    * doc→exact-rep→CC-label chain as x51; the selection is one
+    * row_number window over the cluster key (the chain's existing
+    * partitioning) ordered by (n_chars DESC, doc_id). The
+    * `kept_differs_from_min_id` flag makes the policy difference
+    * measurable — nonzero rows are exactly the clusters where min-id
+    * selection would have shipped a shorter variant. */
+  val dedupKeepBest = sql("x107_dedup_keep_best", HashOracles.dedupKeepBest) { (s, d) =>
+    val (_, labels) = sigsAndLabels(s, d)
+    val chain = docExactRep(docs(s, d))
+      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
+      .select("doc_id", "rep")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("rep").orderBy(col("n_chars").desc, col("doc_id"))
+    chain.join(docs(s, d).select("doc_id", "n_chars"), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("rep")))
+      .filter(col("rk") === 1)
+      .select(col("rep").as("cluster_rep"), col("doc_id").as("keep_id"),
+        col("n_chars").cast("bigint").as("keep_chars"),
+        col("n_docs").cast("bigint").as("n_docs"),
+        when(col("doc_id") =!= col("rep"), 1).otherwise(0).as("kept_differs_from_min_id"))
+      .orderBy("cluster_rep")
+  }
+
   /** x55: LEAKAGE-SAFE split assignment — x31's deterministic hex-bucket
     * split keyed on the near-dup CLUSTER rep instead of the doc id, so a
     * whole duplicate cluster (exact copies + near-dup mutations) lands in
@@ -2522,5 +2552,6 @@ object TextQueries {
     textQualityGate, scoreGateCalibration, dupPagerank, bloomDedup,
     ingestTriage, lshBandStats, hubRemoval, snapshotMerge, sparseCosine,
     releaseDiff, dedupRecallAudit, weightedSample, dupTriangles, bpeMerges,
-    massMedian, bpeEncode, shardDupRate, bpeCompression, piiRedact)
+    massMedian, bpeEncode, shardDupRate, bpeCompression, piiRedact,
+    dedupKeepBest)
 }

@@ -528,6 +528,13 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     "Exchange".r.findAllIn(plan).size should be <= 1
   }
 
+  test("x107: keep-best selection rides the chain's cluster key — windows, equi-joins, no cartesian") {
+    val plan = planOf(TextQueries.dedupKeepBest)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("Window")
+  }
+
   test("x100: the projection is row-local — one scan, no exchange but the output sort") {
     val plan = planOf(SimilarityQueries.embRandomProjection)
     "FileScan parquet".r.findAllIn(plan).size shouldBe 1
