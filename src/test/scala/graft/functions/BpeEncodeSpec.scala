@@ -72,6 +72,19 @@ class BpeEncodeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("tokens partition each word's characters (the x105 n_chars identity)") {
+    // x105 computes n_chars as length(text minus \s) and claims it equals
+    // Σ|token|; that identity is a property of the kernel (spans partition
+    // every word), so pin it directly
+    val rnd = new scala.util.Random(7L)
+    (1 to 100).foreach { _ =>
+      val text = Seq.fill(rnd.nextInt(6) + 1)(
+        Seq.fill(rnd.nextInt(12) + 1)("aab" (rnd.nextInt(3))).mkString).mkString("  ")
+      val toks = kernel(text, merges3)
+      toks.map(_.length).sum shouldBe text.replaceAll("\\s", "").length
+    }
+  }
+
   test("interpreted eval and codegen agree; null propagates") {
     import spark.implicits._
     val rows = Seq(("aaaa abab", "a a a b"), ("hello", ""), ("erer", "e r er er"))

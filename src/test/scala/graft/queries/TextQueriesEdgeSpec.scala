@@ -300,6 +300,48 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
       (3L, 7L, "ab ab h e l l o"))
   }
 
+  test("x106 PII scan/redact: hand-pinned adversarial spans (overlap, 5-octet, digit boundaries)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pii-edge").toString
+    // ids chosen so only 7/77/1001 hit the planting residues (7 | 7·11 | 7·11·13)
+    Seq(
+      (1L, "reach me at a.b-c_d@ex-ample.co.uk ok"),
+      (2L, "ip 1.2.3.4.5 here"),
+      (3L, "call 123-456-7890 or 1234-567-8901"),
+      (4L, "a 1.2.3.4@x.io b"),
+      (7L, "hello"),
+      (77L, "x"),
+      (1001L, "y"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val out = TextQueries.piiRedact.run(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5))).toMap
+    // (n_emails, n_phones, n_ips, expected REDACTED text)
+    val expected = Map(
+      // greedy domain takes the multi-label tail; trailing word excluded
+      1L -> (1L, 0L, 0L, "reach me at <EMAIL> ok"),
+      // a 5-octet run redacts its first 4 octets (\b holds at the 4th digit)
+      2L -> (0L, 0L, 1L, "ip <IP>.5 here"),
+      // 4-digit leading group can't match \d{3}- and digits deny \b inside
+      3L -> (0L, 1L, 0L, "call <PHONE> or 1234-567-8901"),
+      // overlap: counts scan the RAW text (both email and IP see their
+      // span); redaction order email-first means the IP pass finds nothing
+      4L -> (1L, 0L, 1L, "a <EMAIL> b"),
+      7L -> (1L, 0L, 0L, "hello contact <EMAIL> now"),
+      77L -> (1L, 0L, 1L, "x contact <EMAIL> now from <IP> logged"),
+      1001L -> (1L, 1L, 1L, "y contact <EMAIL> now from <IP> logged call <PHONE> soon"))
+    out.keySet shouldBe expected.keySet
+    expected.foreach { case (id, (e, p, i, clean)) =>
+      withClue(s"doc $id: ") {
+        out(id) shouldBe ((e, p, i, md5hex(clean), clean.length.toLong))
+      }
+    }
+  }
+
   test("x103 encode ≡ imperative train-then-encode replay on the sf corpus") {
     val sf = "/root/testdata/sf0.001"
     // imperative replay: train 3 merges (greedy, count desc / (lhs, rhs) asc
