@@ -139,14 +139,20 @@ object Quantiles {
       .map(_.asInstanceOf[Long]).getOrElse(0L) // null ⇔ empty input
 
   /** The high-cardinality path: builtin `percentile` — per-group buffered
-    * aggregation, right when groups are many and individually small. */
+    * aggregation, right when groups are many and individually small. ONE
+    * aggregate with the array-of-percentages form: k separate
+    * `percentile(v, p_i)` calls each buffer the whole group independently
+    * (k per-partition value maps, k sorted merges — the x50 plan showed 9
+    * `partial_percentile` buffers over the same column); the array form
+    * buffers once and reads all k ranks off the single sorted counts map.
+    * Same `Percentile` expression, bit-identical interpolation. */
   private[graft] def builtinQuantiles(df: DataFrame, groupCol: String,
       valueCol: String, ps: Seq[Double]): DataFrame = {
     val v = col(valueCol).cast("double")
     df.filter(col(valueCol).isNotNull)
       .groupBy(groupCol)
-      .agg(percentile(v, lit(ps.head)).as("q0"),
-        (1 until ps.length).map(i => percentile(v, lit(ps(i))).as(s"q$i")): _*)
+      .agg(percentile(v, typedLit(ps)).as("__qs"))
+      .select(col(groupCol) +: ps.indices.map(i => col("__qs").getItem(i).as(s"q$i")): _*)
   }
 
   /** The low-cardinality path: range-partitioned exact ranks (see the
