@@ -36,6 +36,25 @@ class OracleAssumptionsSpec extends AnyFunSuite with Matchers with SparkTestBase
     }
   }
 
+  test("documents corpora are \\x0B-free (Java vs RE2 whitespace-split parity)") {
+    // Java-regex \s (Spark's split, the BpeEncode kernel's isWs) includes
+    // \x0B (vertical tab); DuckDB/RE2's \s does not. The x99/x103/x105
+    // hash gates therefore assume the corpora carry no \x0B — assert it,
+    // so a corpus regeneration that introduces one fails HERE with the
+    // reason instead of as an opaque cross-engine hash mismatch.
+    dirs should not be empty
+    dirs.foreach { d =>
+      val vt = graft.Tables.documents(spark, d)
+        .filter(col("text").contains("\u000B"))
+        .count()
+      withClue(s"$d/documents contains \\x0B (vertical tab); Java and RE2 " +
+        "\\s+ split such text differently, breaking the x99/x103/x105 " +
+        "oracle equality: ") {
+        vt shouldBe 0L
+      }
+    }
+  }
+
   test("per-lang token vocabularies fit the x42 Misra-Gries capacity (m=1024)") {
     // x42's hash-oracle equality holds only while every per-lang vocabulary
     // stays under the HeavyHitters capacity: within capacity no lossy
