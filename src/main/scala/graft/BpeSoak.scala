@@ -16,9 +16,19 @@ import org.apache.spark.sql.{Encoders, SparkSession}
   * splitmix-derived 8-letter words — deterministic, collision-mixed across
   * the id space) and times the WHOLE 3-merge x99 query end to end.
   *
+  * Plus the ENCODE ladder (x103's `graft_bpe_tokens` kernel) on the merge-
+  * count axis k ∈ {3, 300, 3000}: a fixed corpus encoded with trained-shape
+  * k-merge tables, timing the per-pass SCAN form, the heap-of-pairs form,
+  * and the shipped dispatch end to end through Spark. The claim under test
+  * is the production-scale one: heap per-doc cost is ~FLAT in k (the heap
+  * does O(len·log len) work regardless of table size) while the scan form
+  * grows ~linearly in k — at a real 32k-merge vocab only the heap form is
+  * viable, and the dispatch picks it.
+  *
   * `runMain graft.BpeSoak [vocab] [occurrences]` — defaults 20000, 1000000
-  * for the ladder base; prints one JSON line per ladder point plus
-  * Bench-style calibration samples.
+  * for the ladder base; `runMain graft.BpeSoak encode` runs only the encode
+  * ladder. Prints one JSON line per ladder point plus Bench-style
+  * calibration samples.
   */
 object BpeSoak {
   final case class Doc(doc_id: Long, text: String)
@@ -41,9 +51,29 @@ object BpeSoak {
     sb.result()
   }
 
+  /** A k-merge table in valid BPE shape (mirrors BpeEncodeSpec's
+    * generator): each merge pairs two symbols from the pool built so far,
+    * so later merges consume earlier products like a trained vocab. */
+  private def syntheticMerges(k: Int, seed: Long): Seq[(String, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val pool = scala.collection.mutable.ArrayBuffer[String]("a", "b", "c", "d")
+    val seen = scala.collection.mutable.HashSet.empty[(String, String)]
+    val out = Seq.newBuilder[(String, String)]
+    var made = 0
+    while (made < k) {
+      val l = pool(rnd.nextInt(pool.length))
+      val r = pool(rnd.nextInt(pool.length))
+      if (l.length + r.length <= 12 && seen.add((l, r))) {
+        out += ((l, r)); pool += l + r; made += 1
+      }
+    }
+    out.result()
+  }
+
   def main(args: Array[String]): Unit = {
-    val baseVocab = if (args.length > 0) args(0).toInt else 20000
-    val baseOcc = if (args.length > 1) args(1).toLong else 1000000L
+    val encodeOnly = args.headOption.contains("encode")
+    val baseVocab = if (!encodeOnly && args.length > 0) args(0).toInt else 20000
+    val baseOcc = if (!encodeOnly && args.length > 1) args(1).toLong else 1000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -84,12 +114,49 @@ object BpeSoak {
     }
     Bench.calibrate(spark) // untimed JIT warm-up
 
-    runPoint("corpus", baseVocab, baseOcc)
-    runPoint("corpus", baseVocab, baseOcc * 4)
-    runPoint("corpus", baseVocab, baseOcc * 16)
-    runPoint("vocab", baseVocab, baseOcc * 4)
-    runPoint("vocab", baseVocab * 4, baseOcc * 4)
-    runPoint("vocab", baseVocab * 16, baseOcc * 4)
+    if (!encodeOnly) {
+      runPoint("corpus", baseVocab, baseOcc)
+      runPoint("corpus", baseVocab, baseOcc * 4)
+      runPoint("corpus", baseVocab, baseOcc * 16)
+      runPoint("vocab", baseVocab, baseOcc * 4)
+      runPoint("vocab", baseVocab * 4, baseOcc * 4)
+      runPoint("vocab", baseVocab * 16, baseOcc * 4)
+    }
+
+    // ---- ENCODE ladder: per-doc cost vs merge count k -------------------
+    def d3(x: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+    val encRnd = new scala.util.Random(20260814L)
+    val alphabet = "aabbccd" // heavy repeats so deep merge chains fire
+    val nDocs = 2000
+    val docs: Array[String] = Array.fill(nDocs)(
+      Seq.fill(50)(Seq.fill(encRnd.nextInt(20) + 4)(
+        alphabet(encRnd.nextInt(alphabet.length))).mkString).mkString(" "))
+    val docsDf = spark.createDataset(
+      docs.toIndexedSeq.zipWithIndex.map { case (t, i) => Doc(i.toLong, t) }
+    )(Encoders.product[Doc]).toDF().repartition(cpus.toInt).cache()
+    docsDf.count()
+    Seq(3, 300, 3000).foreach { k =>
+      val fl = syntheticMerges(k, seed = 99L)
+        .flatMap(p => Seq(p._1, p._2)).mkString(" ")
+      def kernelSec(heap: Boolean): Double = {
+        docs.take(200).foreach(d => graft.functions.BpeEncode.tokensPath(d, fl, heap))
+        val t0 = System.nanoTime()
+        docs.foreach(d => graft.functions.BpeEncode.tokensPath(d, fl, heap))
+        (System.nanoTime() - t0) / 1e9
+      }
+      val heapSec = kernelSec(heap = true)
+      val scanSec = kernelSec(heap = false)
+      val calib0 = Bench.calibrate(spark)
+      val sparkSec = time {
+        docsDf.selectExpr(s"graft_bpe_tokens(text, '$fl') AS toks")
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(s"""{"soak":"bpe","ladder":"encode","k":$k,"n_docs":$nDocs,""" +
+        s""""per_doc_us_scan":${d3(scanSec / nDocs * 1e6)},""" +
+        s""""per_doc_us_heap":${d3(heapSec / nDocs * 1e6)},""" +
+        s""""spark_dispatch_sec":${d3(sparkSec)},""" +
+        s""""calibration_sec":[${d3(calib0)}]}""")
+    }
     spark.stop()
   }
 }

@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * TextQueriesEdgeSpec adjacent-double corpus pins all three). The table is
   * parsed ONCE per thread and cached (it is a broadcast 1-row frame, so
   * every row of a query carries the identical string; the cache revalidates
-  * by byte equality).
+  * by byte equality and is evicted when the owning Spark task completes, so
+  * idle executor threads retain nothing).
   *
   * Two encode paths, dispatched on merge count ([[HeapDispatchMerges]]):
   *
@@ -78,18 +79,96 @@ object BpeEncode {
     * realistically-sized vocab goes to the heap). */
   val HeapDispatchMerges = 16
 
-  /** The merge table parsed once: pair arrays in learning order plus a
-    * rank map keyed "l r" (symbols never contain whitespace, so the space
-    * join is unambiguous). `src` is a defensive copy of the raw string for
-    * cache revalidation — codegen inputs may point into reused row
+  /** Open-addressed (left, right) symbol-pair → rank table probed directly
+    * by character spans of the document string — the heap path's hot lookup
+    * runs zero allocations (no substring or concatenated-key String per
+    * probe; the spans hash in place and candidates verify via
+    * `regionMatches`). Duplicate (l, r) pairs keep the FIRST rank (the
+    * `putIfAbsent` semantics the dup-fallback check relies on). */
+  private final class PairRank(l: Array[String], r: Array[String]) {
+    private val mask = {
+      var c = 16
+      while (c < l.length * 2) c <<= 1
+      c - 1
+    }
+    private val slot = new Array[Int](mask + 1) // rank+1; 0 = empty
+    var hasDup = false
+
+    @inline private def mix(hl: Int, hr: Int): Int = {
+      var h = hl * 0x9e3779b1 + hr
+      h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13
+      h
+    }
+    @inline private def hashStr(t: String): Int = {
+      var h = 0; var i = 0
+      while (i < t.length) { h = h * 31 + t.charAt(i); i += 1 }
+      h
+    }
+    @inline private def hashSpan(s: String, from: Int, until: Int): Int = {
+      var h = 0; var i = from
+      while (i < until) { h = h * 31 + s.charAt(i); i += 1 }
+      h
+    }
+
+    {
+      var i = 0
+      while (i < l.length) {
+        var p = mix(hashStr(l(i)), hashStr(r(i))) & mask
+        var placed = false
+        while (!placed) {
+          val v = slot(p)
+          if (v == 0) { slot(p) = i + 1; placed = true }
+          else if (l(v - 1) == l(i) && r(v - 1) == r(i)) { hasDup = true; placed = true }
+          else p = (p + 1) & mask
+        }
+        i += 1
+      }
+    }
+
+    /** Rank of the pair (s[aSt,aEn), s[bSt,bEn)), or -1 if not a merge. */
+    def rank(s: String, aSt: Int, aEn: Int, bSt: Int, bEn: Int): Int = {
+      var p = mix(hashSpan(s, aSt, aEn), hashSpan(s, bSt, bEn)) & mask
+      while (true) {
+        val v = slot(p)
+        if (v == 0) return -1
+        val i = v - 1
+        if (spanIs(s, aSt, aEn, l(i)) && spanIs(s, bSt, bEn, r(i))) return i
+        p = (p + 1) & mask
+      }
+      -1
+    }
+  }
+
+  /** The merge table parsed once: pair arrays in learning order plus the
+    * span-probing rank table. `src` is a defensive copy of the raw string
+    * for cache revalidation — codegen inputs may point into reused row
     * buffers, so the cache must never retain the caller's UTF8String. */
   private final class MergeTable(val src: UTF8String, val l: Array[String],
-      val r: Array[String], val rank: java.util.HashMap[String, Integer],
-      val hasDup: Boolean) {
+      val r: Array[String], val pairRank: PairRank, val hasDup: Boolean) {
     val k: Int = l.length
   }
 
   private val cached = new ThreadLocal[MergeTable]
+  private val evictorTask = new ThreadLocal[java.lang.Long]
+
+  /** Inside a Spark task, bound the per-thread cache's retention to the
+    * task lifetime: one completion listener per (thread, task) clears it,
+    * so an executor thread never retains a production-sized table (k≈32k
+    * ranks + pair arrays) past its last task (ADVICE r12). The next task
+    * re-parses once — O(k), negligible against the rows it serves. Driver
+    * / test threads (no TaskContext) keep the process-lifetime cache. */
+  private def armEviction(): Unit = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) {
+      val id = java.lang.Long.valueOf(tc.taskAttemptId())
+      if (!id.equals(evictorTask.get())) {
+        tc.addTaskCompletionListener[Unit] { _ =>
+          cached.remove(); evictorTask.remove()
+        }
+        evictorTask.set(id)
+      }
+    }
+  }
 
   private def table(mergesU: UTF8String): MergeTable = {
     var t = cached.get()
@@ -102,15 +181,14 @@ object BpeEncode {
       val k = mp.length / 2
       val l = new Array[String](k)
       val r = new Array[String](k)
-      val rank = new java.util.HashMap[String, Integer](k * 2)
-      var dup = false
       var i = 0
       while (i < k) {
         l(i) = mp(2 * i); r(i) = mp(2 * i + 1)
-        if (rank.putIfAbsent(l(i) + " " + r(i), Integer.valueOf(i)) != null) dup = true
         i += 1
       }
-      t = new MergeTable(mergesU.clone(), l, r, rank, dup)
+      val pr = new PairRank(l, r)
+      t = new MergeTable(mergesU.clone(), l, r, pr, pr.hasDup)
+      armEviction()
       cached.set(t)
     }
     t
@@ -184,12 +262,12 @@ object BpeEncode {
     var q = 0
     while (q < n) { nxt(q) = q + 1; prv(q) = q - 1; alive(q) = true; q += 1 }
     nxt(n - 1) = -1
-    val rank = t.rank
+    val rank = t.pairRank
     val h = new LongHeap(n)
     q = 0
     while (q < n - 1) {
-      val rk = rank.get(s.substring(st(q), en(q)) + " " + s.substring(st(q + 1), en(q + 1)))
-      if (rk != null) h.push((rk.longValue() << 32) | q.toLong)
+      val rk = rank.rank(s, st(q), en(q), st(q + 1), en(q + 1))
+      if (rk >= 0) h.push((rk.toLong << 32) | q.toLong)
       q += 1
     }
     while (h.nonEmpty) {
@@ -207,14 +285,12 @@ object BpeEncode {
           if (j1 != -1) prv(j1) = i0
           val hh = prv(i0)
           if (hh != -1) {
-            val rk = rank.get(s.substring(st(hh), en(hh)) + " " +
-              s.substring(st(i0), en(i0)))
-            if (rk != null && rk.intValue() > p) h.push((rk.longValue() << 32) | hh.toLong)
+            val rk = rank.rank(s, st(hh), en(hh), st(i0), en(i0))
+            if (rk > p) h.push((rk.toLong << 32) | hh.toLong)
           }
           if (j1 != -1) {
-            val rk = rank.get(s.substring(st(i0), en(i0)) + " " +
-              s.substring(st(j1), en(j1)))
-            if (rk != null && rk.intValue() > p) h.push((rk.longValue() << 32) | i0.toLong)
+            val rk = rank.rank(s, st(i0), en(i0), st(j1), en(j1))
+            if (rk > p) h.push((rk.toLong << 32) | i0.toLong)
           }
         }
       }
@@ -235,7 +311,7 @@ object BpeEncode {
 
   /** Test hook: run a specific encode path (heap is refused for
     * duplicate-pair tables, whose rank map would be ambiguous). */
-  private[functions] def tokensPath(text: String, merges: String, heap: Boolean): ArrayData = {
+  private[graft] def tokensPath(text: String, merges: String, heap: Boolean): ArrayData = {
     val t = table(UTF8String.fromString(merges))
     encode(text, t, useHeap = heap && !t.hasDup)
   }
