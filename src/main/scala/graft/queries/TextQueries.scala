@@ -1131,19 +1131,27 @@ object TextQueries {
        |  CAST(len(string_split(toks, ' ')) AS BIGINT) AS n_tokens,
        |  array_to_string((string_split(toks, ' '))[1:8], ' ') AS head_tokens
        |FROM perdoc ORDER BY doc_id""".stripMargin) { (s, d) =>
-    docs(s, d)
-      .crossJoin(bpeMergeTable(s, d))
+    bpeEncodeDocs(docs(s, d), bpeMergeTable(s, d)).orderBy("doc_id")
+  }
+
+  /** The x103 encode transform on its own: (doc_id, text) × broadcast
+    * 1-row merge table → (doc_id, n_tokens, head_tokens). Row-local and
+    * stateless, so it runs unchanged over a STREAMING frame (the
+    * stream-static cross join broadcasts the static side) — shared
+    * verbatim by batch x103 and [[graft.streaming.DocStream.encodeTokens]]
+    * so the two can never drift. */
+  private[graft] def bpeEncodeDocs(docsDf: DataFrame, mergesDf: DataFrame): DataFrame =
+    docsDf
+      .crossJoin(mergesDf)
       .select(col("doc_id"), expr("graft_bpe_tokens(text, merges)").as("toks"))
       .filter(size(col("toks")) > 0) // a doc has >=1 token iff >=1 word
       .select(col("doc_id"),
         size(col("toks")).cast("bigint").as("n_tokens"),
         array_join(slice(col("toks"), 1, 8), " ").as("head_tokens"))
-      .orderBy("doc_id")
-  }
 
   /** The learned 3-merge table flattened to the `graft_bpe_tokens` pair-list
     * form, as a broadcast 1-row frame (shared by x103/x105). */
-  private def bpeMergeTable(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bpeMergeTable(s: SparkSession, d: String): DataFrame = {
     val (b1, b2, b3) = bpeBests(s, d)
     broadcast(
       b1.select(col("lhs").as("l1"), col("rhs").as("r1"))
@@ -1258,7 +1266,17 @@ object TextQueries {
         .otherwise(lit("")))
     docs(s, d)
       .select(col("doc_id"), planted.as("planted"))
-      .select(col("doc_id"),
+      .transform(piiScanRedact)
+      .orderBy("doc_id")
+  }
+
+  /** The x106 scan+redact transform on its own: (doc_id, planted) →
+    * per-pattern counts + redacted-text fingerprint. Pure row-local regex
+    * chain — no state, no shuffle — so it runs unchanged over a STREAMING
+    * frame; shared verbatim by batch x106 and
+    * [[graft.streaming.DocStream.piiRedact]] so the two can never drift. */
+  private[graft] def piiScanRedact(in: DataFrame): DataFrame =
+    in.select(col("doc_id"),
         expr(s"CAST(size(regexp_extract_all(planted, '${sparkPat(piiEmailPat)}', 0)) AS BIGINT)").as("n_emails"),
         expr(s"CAST(size(regexp_extract_all(planted, '${sparkPat(piiPhonePat)}', 0)) AS BIGINT)").as("n_phones"),
         expr(s"CAST(size(regexp_extract_all(planted, '${sparkPat(piiIpPat)}', 0)) AS BIGINT)").as("n_ips"),
@@ -1269,8 +1287,6 @@ object TextQueries {
       .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
         md5(col("clean")).as("clean_md5"),
         length(col("clean")).cast("bigint").as("n_chars_clean"))
-      .orderBy("doc_id")
-  }
 
   /** x64: Gopher/Dolma-style composite quality GATE — the multi-rule
     * pass/fail filter a curation pipeline applies after scoring: word-count

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.queries.TextQueries
+
+/** Structured Streaming twins of the stateless document-curation operators
+  * (SURVEY.md §2.1 L; the ingest-curation stages a production pipeline
+  * actually streams): BPE tokenization against the trained vocab artifact
+  * (x103) and PII scan+redaction (x106). Both are one-pass row-local maps —
+  * zero state, zero watermark, append mode — so the streaming form IS the
+  * batch transform applied to an unbounded frame: each twin delegates to
+  * the exact private[graft] transform the oracle-checked batch query runs
+  * (TextQueries.bpeEncodeDocs / piiScanRedact), which makes batch/stream
+  * drift structurally impossible. DocStreamSpec pins parity per micro-batch
+  * against the batch output on the same rows.
+  *
+  * Scale stance: a stateless map pipeline backpressures purely on source
+  * throughput — executors hold no state store, checkpoints carry only
+  * source offsets, and the per-row cost is identical to batch (same
+  * codegen'd kernels: `graft_bpe_tokens`, the fused regex chain). The
+  * merge table joins stream-static as a broadcast 1-row frame, exactly the
+  * artifact posture of batch x103 (vocab trained offline, applied online).
+  */
+object DocStream {
+
+  /** File-source ingest: tail a directory of documents parquet as an
+    * unbounded stream (the batch twin is the `documents` table). Explicit
+    * schema — streaming sources cannot infer. */
+  def readDocuments(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("source", StringType),
+        StructField("lang", StringType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Streaming BPE encode (x103 twin): tokenize each arriving document
+    * against the trained merge table (static 1-row broadcast frame, e.g.
+    * `TextQueries.bpeMergeTable` output or a vocab artifact read from
+    * parquet). Emits (doc_id, n_tokens, head_tokens) in append mode. */
+  def encodeTokens(docs: DataFrame, merges: DataFrame): DataFrame =
+    TextQueries.bpeEncodeDocs(docs, merges)
+
+  /** Streaming PII scan + redaction (x106 twin): per-pattern counts and
+    * the redacted text's fingerprint for each arriving document. Emits
+    * (doc_id, n_emails, n_phones, n_ips, clean_md5, n_chars_clean) in
+    * append mode. */
+  def piiRedact(docs: DataFrame): DataFrame =
+    TextQueries.piiScanRedact(
+      docs.select(docs.col("doc_id"), docs.col("text").as("planted")))
+}

@@ -75,4 +75,43 @@ class ApproxStatsSpec extends AnyFunSuite with Matchers with SparkTestBase {
       withClue(s"$et p95 rank rule: ") { p95 shouldBe v(math.ceil(0.95 * n).toInt - 1) }
     }
   }
+
+  test("red path: OUTSIDE the constructed regime the premise checks fail loudly (the oracle is load-bearing)") {
+    // The exact-regime oracle's value rests on the claim that a stale or
+    // broken regime would hash-mismatch, not silently pass. Perturb each
+    // regime the way a careless edit of x22 would (deterministic inputs,
+    // so these are stable assertions, not flaky near-misses):
+    //
+    // (1) HLL++: domain k = 64 > the probed exact range (<= 32 at rsd
+    //     0.05). Linear counting's k²/2m error no longer rounds to zero,
+    //     so the estimate must NOT equal the exact distinct count — the
+    //     x22 premise check (`cohorts shouldBe exactDistinct`) would go
+    //     red if `% 16` drifted to `% 64`.
+    val hllPerturbed = Tables.events(spark, dir)
+      .agg(approx_count_distinct(pmod(col("user_id"), lit(64)), rsd = 0.05).as("a"),
+        countDistinct(pmod(col("user_id"), lit(64))).as("e"))
+      .head()
+    withClue("HLL++ at domain 64 must diverge from exact, or the regime bound is meaningless: ") {
+      hllPerturbed.getLong(0) should not be hllPerturbed.getLong(1)
+    }
+    // (2) GK quantiles: n >> accuracy forces compression, so the summary
+    //     can no longer honor the uncompressed rank rule ⌈q·n⌉ for every
+    //     q — the x22 premise check (`p shouldBe v(ceil(q*n)-1)`) would go
+    //     red if the bucket count outgrew the accuracy parameter.
+    val vals = spark.range(1, 30001).select(col("id").cast("double").as("v"))
+    val ps = vals
+      .agg(percentile_approx(col("v"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(1000)).as("p"))
+      .head().getSeq[Double](0)
+    val exactRank = Seq(0.5, 0.95, 0.99).map(q => math.ceil(q * 30000))
+    withClue(s"GK at n=30000 > accuracy=1000 must miss the exact rank rule somewhere (got $ps): ") {
+      ps should not be exactRank
+    }
+    // and the divergence is bounded: still within the n/accuracy=30-rank
+    // guarantee, which is exactly why the APPROXIMATE regime needs the
+    // bracket gate above, not a hash match
+    ps.zip(exactRank).foreach { case (got, want) =>
+      math.abs(got - want) should be <= 30.0 * 2 // 2x slack on the bound
+    }
+  }
 }

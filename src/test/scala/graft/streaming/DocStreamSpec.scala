@@ -136,4 +136,79 @@ class DocStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
         ("de", "x", 2L, 1), ("de", "y", 1L, 2))
     } finally q.stop()
   }
+
+  test("streaming BPE encode vs trained vocab artifact ≡ batch x103 transform (stateless twin)") {
+    import spark.implicits._
+    // the trained-offline artifact posture: merges learned from the batch
+    // corpus, applied online to arriving docs (incl. docs the trainer
+    // never saw)
+    val merges = TextQueries.bpeMergeTable(spark, sf).cache()
+    merges.count()
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy("doc_id").select("doc_id", "text").limit(3).collect()
+    val incoming: Seq[(Long, String)] =
+      corpus.map(r => (r.getLong(0) + 300000L, r.getString(1))).toSeq ++ Seq(
+        (300101L, "novel words the trainer never saw"),
+        (300102L, "   "), // whitespace-only: zero tokens, filtered out
+        (300103L, "erer aaaa abab"))
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF.toDF("doc_id", "text")
+    val q = DocStream.encodeTokens(docs, merges)
+      .writeStream.format("memory").queryName("bpestream").outputMode("append").start()
+    val streamed = try {
+      input.addData(incoming.take(4))
+      q.processAllAvailable()
+      input.addData(incoming.drop(4)) // second micro-batch, same artifact
+      q.processAllAvailable()
+      spark.table("bpestream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    } finally q.stop()
+
+    val batch = TextQueries.bpeEncodeDocs(incoming.toDF("doc_id", "text"), merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    streamed shouldBe batch
+    // corpus copies tokenize exactly like their originals did in batch x103
+    streamed.length shouldBe incoming.length - 1 // whitespace-only doc dropped
+    streamed.map(_._1) should not contain 300102L
+  }
+
+  test("streaming PII scan+redact ≡ batch x106 transform on the same rows (stateless twin)") {
+    import spark.implicits._
+    val incoming: Seq[(Long, String)] = Seq(
+      (1L, "contact alice@example.com or call 415-555-0199 now"),
+      (2L, "server at 10.0.42.1 responded"),
+      (3L, "no pii here at all"),
+      (4L, "two mails a@b.io c@d.org and ip 192.168.0.1 and 650-555-1234"),
+      (5L, "")) // empty text: zero counts, md5 of empty string
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF.toDF("doc_id", "text")
+    val q = DocStream.piiRedact(docs)
+      .writeStream.format("memory").queryName("piistream").outputMode("append").start()
+    val streamed = try {
+      input.addData(incoming.take(3))
+      q.processAllAvailable()
+      input.addData(incoming.drop(3))
+      q.processAllAvailable()
+      spark.table("piistream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getLong(5))).sorted
+    } finally q.stop()
+
+    val batch = TextQueries.piiScanRedact(
+      incoming.toDF("doc_id", "planted")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).sorted
+    streamed shouldBe batch
+    // spot-check the redaction semantics, not just parity
+    streamed.find(_._1 == 1L).get match { case (_, e, p, ip, _, _) =>
+      (e, p, ip) shouldBe ((1L, 1L, 0L))
+    }
+    streamed.find(_._1 == 4L).get match { case (_, e, p, ip, _, _) =>
+      (e, p, ip) shouldBe ((2L, 1L, 1L))
+    }
+    streamed.find(_._1 == 3L).get._5 shouldBe
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("no pii here at all")
+  }
 }
