@@ -105,6 +105,9 @@ object ScaleLadder {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale_ladder"
+    // optional comma-list of query names (default: the whole hot tier) —
+    // big rungs (100×) measure a subset without paying the full sweep
+    val wanted = if (args.length > 2) args(2).split(",").toSeq else hotQueries
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -127,7 +130,7 @@ object ScaleLadder {
     println(s"""{"ladder":"synth","factor":$factor,"base":"$base","sec":${d3(synthSec)},""" +
       s""""calibration_sec":${d3(Bench.calibrate(spark))}}""")
 
-    val defs = SparkEntry.defs.filter(q => hotQueries.contains(q.name))
+    val defs = SparkEntry.defs.filter(q => wanted.contains(q.name))
     defs.foreach { q =>
       val (t1, r1) = time2(q, spark, base)
       val (tN, rN) = time2(q, spark, out)
