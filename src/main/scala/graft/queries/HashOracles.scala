@@ -509,6 +509,37 @@ SELECT keep_id, n_docs,
 FROM sp ORDER BY shard, pos"""
   }
 
+  /** x108: keep-best release manifest — x59's pipeline with x107's
+    * survivor policy (longest doc per cluster, doc_id tiebreak);
+    * split/shard stay keyed on the STABLE cluster label, so the policy
+    * switch changes which member ships, never where a cluster lands. */
+  val releaseManifestKeepBest: String = {
+    val qualSql =
+      """SELECT doc_id, text FROM documents
+        | WHERE len(string_split_regex(trim(text), '\s+')) >= 40""".stripMargin
+    s"""${minhashCtesOver(qualSql)},
+$ccCtes,
+qual AS ($qualSql),
+erep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS e_rep FROM qual),
+chain AS (SELECT e.doc_id, l.rep FROM erep e JOIN labels l ON l.doc_id = e.e_rep),
+cd AS (SELECT c.rep, c.doc_id, d.n_chars,
+    ROW_NUMBER() OVER (PARTITION BY c.rep ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+    COUNT(*) OVER (PARTITION BY c.rep) AS n_docs
+  FROM chain c JOIN documents d ON d.doc_id = c.doc_id),
+man AS (SELECT rep AS cluster_rep, doc_id AS keep_id,
+    CAST(n_chars AS BIGINT) AS keep_chars, CAST(n_docs AS BIGINT) AS n_docs
+  FROM cd WHERE rk = 1),
+sp AS (SELECT cluster_rep, keep_id, keep_chars, n_docs,
+    md5(CAST(cluster_rep AS VARCHAR)) AS k FROM man)
+SELECT cluster_rep, keep_id, keep_chars, n_docs,
+  CASE WHEN substring(k, 1, 1) <= 'b' THEN 'train'
+       WHEN substring(k, 1, 1) <= 'd' THEN 'val'
+       ELSE 'test' END AS split,
+  CAST(strpos('0123456789abcdef', substring(k, 2, 1)) - 1 AS INTEGER) AS shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY substring(k, 2, 1) ORDER BY k, cluster_rep) AS BIGINT) AS pos
+FROM sp ORDER BY shard, pos"""
+  }
+
   /** x58: cross-source duplication matrix — for every near-dup cluster
     * (the x51/x55 doc→exact-rep→CC-label chain), the set of sources it
     * touches; emit one row per source PAIR with the count of clusters

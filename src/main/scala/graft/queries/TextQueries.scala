@@ -1553,12 +1553,48 @@ object TextQueries {
         min("doc_id").over(org.apache.spark.sql.expressions.Window
           .partitionBy("__h", "__len", "text")).as("e_rep"))
 
+  /** Survivor-selection policy for the dedup chain — the one decision the
+    * x51/x107/x59/x108 family varies. A policy maps the (doc_id, rep)
+    * chain to ONE row per cluster: (cluster_rep, keep_id, n_docs[,
+    * n_chars]). Parameterizing it here means a release pipeline switches
+    * policy as a one-argument change, with every other stage (quality
+    * gate, exact collapse, CC labels, split/shard keying) untouched. */
+  sealed trait SurvivorPolicy
+  /** Keep the cluster label itself (min doc_id) — the bookkeeping
+    * convention: cheapest (a pure groupBy, no doc attributes needed). */
+  case object KeepMinId extends SurvivorPolicy
+  /** Keep the LONGEST document (n_chars DESC, doc_id tiebreak) — the
+    * FineWeb/Dolma policy production releases run. */
+  case object KeepBest extends SurvivorPolicy
+
+  /** One survivor per cluster under `policy`. KeepMinId is a groupBy on
+    * the chain alone; KeepBest joins doc attributes and picks via one
+    * row_number window over the chain's existing cluster partitioning. */
+  private def surviveBy(chain: DataFrame, attrs: => DataFrame,
+      policy: SurvivorPolicy): DataFrame = policy match {
+    case KeepMinId =>
+      chain.groupBy(col("rep").as("cluster_rep"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("keep_id", col("cluster_rep"))
+        .withColumn("n_chars", lit(null).cast("int"))
+    case KeepBest =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("rep").orderBy(col("n_chars").desc, col("doc_id"))
+      chain.join(attrs.select("doc_id", "n_chars"), Seq("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_docs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("rep")))
+        .filter(col("rk") === 1)
+        .select(col("rep").as("cluster_rep"), col("n_docs"),
+          col("doc_id").as("keep_id"), col("n_chars"))
+  }
+
   val dedupApply = sql("x51_dedup_apply", HashOracles.dedupApply) { (s, d) =>
     val (_, labels) = sigsAndLabels(s, d)
-    docExactRep(docs(s, d))
+    val chain = docExactRep(docs(s, d))
       .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
-      .groupBy(col("rep").as("keep_id"))
-      .agg(count(lit(1)).as("n_docs"))
+    surviveBy(chain, docs(s, d), KeepMinId)
+      .select(col("keep_id"), col("n_docs"))
       .orderBy("keep_id")
   }
 
@@ -1578,17 +1614,12 @@ object TextQueries {
     val chain = docExactRep(docs(s, d))
       .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
       .select("doc_id", "rep")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("rep").orderBy(col("n_chars").desc, col("doc_id"))
-    chain.join(docs(s, d).select("doc_id", "n_chars"), Seq("doc_id"))
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n_docs", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("rep")))
-      .filter(col("rk") === 1)
-      .select(col("rep").as("cluster_rep"), col("doc_id").as("keep_id"),
+    surviveBy(chain, docs(s, d), KeepBest)
+      .select(col("cluster_rep"), col("keep_id"),
         col("n_chars").cast("bigint").as("keep_chars"),
         col("n_docs").cast("bigint").as("n_docs"),
-        when(col("doc_id") =!= col("rep"), 1).otherwise(0).as("kept_differs_from_min_id"))
+        when(col("keep_id") =!= col("cluster_rep"), 1).otherwise(0)
+          .as("kept_differs_from_min_id"))
       .orderBy("cluster_rep")
   }
 
@@ -1764,25 +1795,55 @@ object TextQueries {
     * stages (sketch + band join) only ever run on the surviving subset,
     * which is the reason to compose declaratively instead of chaining
     * materialized steps. */
-  val releaseManifest = sql("x59_release_manifest", HashOracles.releaseManifest) { (s, d) =>
+  /** The manifest pipeline body, survivor policy as THE parameter (the
+    * point of [[SurvivorPolicy]]): quality gate → exact collapse → CC
+    * labels → policy-chosen survivor → split/shard/pos. Split and shard
+    * key on md5 of the stable CLUSTER label regardless of policy — the
+    * assignment must not churn when a newly arrived longer variant changes
+    * which doc a keep-best release ships. */
+  private def manifestPlan(s: SparkSession, d: String,
+      policy: SurvivorPolicy): DataFrame = {
     val qual = docs(s, d)
       .filter(size(split(trim(col("text")), "\\s+")) >= 40)
       .select("doc_id", "text")
     val (_, labels) = sigsAndLabelsOf(qual)
-    val man = docExactRep(qual)
+    val chain = docExactRep(qual)
       .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
-      .groupBy(col("rep").as("keep_id"))
-      .agg(count(lit(1)).as("n_docs"))
+      .select("doc_id", "rep")
+    val man = surviveBy(chain, docs(s, d), policy)
     val h1 = substring(col("k"), 1, 1)
-    man.withColumn("k", md5(col("keep_id").cast("string")))
+    man.withColumn("k", md5(col("cluster_rep").cast("string")))
       .withColumn("split",
         when(h1 <= "b", "train").when(h1 <= "d", "val").otherwise("test"))
       .withColumn("shard",
         (instr(lit("0123456789abcdef"), substring(col("k"), 2, 1)) - 1).cast("int"))
       .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shard").orderBy("k", "keep_id"))
+        org.apache.spark.sql.expressions.Window.partitionBy("shard")
+          .orderBy("k", "cluster_rep"))
         .cast("long"))
+  }
+
+  val releaseManifest = sql("x59_release_manifest", HashOracles.releaseManifest) { (s, d) =>
+    manifestPlan(s, d, KeepMinId)
       .select("keep_id", "n_docs", "split", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  /** x108: keep-best release manifest — x59's pipeline shipping the x107
+    * survivor policy (longest doc per cluster, doc_id tiebreak: what
+    * FineWeb/Dolma-style releases actually publish), demonstrated as the
+    * one-argument policy change [[manifestPlan]] exists for. keep_chars
+    * rides along so the manifest doubles as the release's size audit;
+    * split/shard stay keyed on the stable cluster label, so switching
+    * policy reshuffles NO cluster across splits or shards — only which
+    * member each cluster ships. */
+  val releaseManifestKeepBest = sql(
+    "x108_release_manifest_keep_best", HashOracles.releaseManifestKeepBest) { (s, d) =>
+    manifestPlan(s, d, KeepBest)
+      .select(col("cluster_rep"), col("keep_id"),
+        col("n_chars").cast("bigint").as("keep_chars"),
+        col("n_docs").cast("bigint").as("n_docs"),
+        col("split"), col("shard"), col("pos"))
       .orderBy("shard", "pos")
   }
 
@@ -2569,5 +2630,5 @@ object TextQueries {
     ingestTriage, lshBandStats, hubRemoval, snapshotMerge, sparseCosine,
     releaseDiff, dedupRecallAudit, weightedSample, dupTriangles, bpeMerges,
     massMedian, bpeEncode, shardDupRate, bpeCompression, piiRedact,
-    dedupKeepBest)
+    dedupKeepBest, releaseManifestKeepBest)
 }

@@ -58,6 +58,34 @@ class CorpusReleaseSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("x108 keep-best manifest: same clusters/splits/shards as x59, only the shipped member moves") {
+    // the SurvivorPolicy contract: switching policy is a one-argument
+    // change that re-selects WITHIN clusters and never re-routes them
+    val minId = TextQueries.releaseManifest.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3), r.getLong(4)))
+    val best = TextQueries.releaseManifestKeepBest.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getInt(5), r.getLong(6)))
+    // identical cluster set with identical (n_docs, split, shard, pos) —
+    // the keep-min-id keep_id IS the cluster label, so the join key aligns
+    minId.map(r => (r._1, r._2, r._3, r._4, r._5)).sorted shouldBe
+      best.map(r => (r._1, r._4, r._5, r._6, r._7)).sorted
+    // the kept member is in the cluster's id range and at least as long as
+    // the min-id member would have been
+    val chars = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "CAST(n_chars AS BIGINT)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    best.foreach { case (rep, keepId, keepChars, _, _, _, _) =>
+      keepId should be >= rep // rep is the cluster MIN id
+      keepChars shouldBe chars(keepId)
+      keepChars should be >= chars(rep)
+    }
+    // and the policy is non-vacuous on the shipped corpus: some cluster
+    // ships a different (longer) member than min-id would
+    val moved = best.count(r => r._2 != r._1)
+    moved should be > 0
+  }
+
   test("x57 datasheet: TOTAL row is the exact sum/rollup of the source rows") {
     val rows = TextQueries.datasheetRollup.run(spark, sf).collect()
     val (total, per) = rows.partition(_.getString(0) == "TOTAL")
