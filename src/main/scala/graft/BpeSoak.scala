@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions.broadcast
 
 /** Scale soak for the x99 BPE merge kernel, separating its two cost axes:
   *
@@ -135,7 +136,9 @@ object BpeSoak {
       docs.toIndexedSeq.zipWithIndex.map { case (t, i) => Doc(i.toLong, t) }
     )(Encoders.product[Doc]).toDF().repartition(cpus.toInt).cache()
     docsDf.count()
-    Seq(3, 300, 3000).foreach { k =>
+    // k = 30000 is a real production vocab size: heap + dispatch only (the
+    // scan form would be ~60 ms/doc there — the point of the dispatch)
+    Seq(3, 300, 3000, 30000).foreach { k =>
       val fl = syntheticMerges(k, seed = 99L)
         .flatMap(p => Seq(p._1, p._2)).mkString(" ")
       def kernelSec(heap: Boolean): Double = {
@@ -145,14 +148,19 @@ object BpeSoak {
         (System.nanoTime() - t0) / 1e9
       }
       val heapSec = kernelSec(heap = true)
-      val scanSec = kernelSec(heap = false)
+      val scanUs =
+        if (k > 3000) "null" else d3(kernelSec(heap = false) / nDocs * 1e6)
       val calib0 = Bench.calibrate(spark)
+      // merges ride a broadcast 1-row frame, the x103 artifact posture
+      val mergesDf = broadcast(spark.createDataset(Seq(fl))(Encoders.STRING)
+        .toDF("merges"))
       val sparkSec = time {
-        docsDf.selectExpr(s"graft_bpe_tokens(text, '$fl') AS toks")
+        docsDf.crossJoin(mergesDf)
+          .selectExpr("graft_bpe_tokens(text, merges) AS toks")
           .write.format("noop").mode("overwrite").save()
       }
       println(s"""{"soak":"bpe","ladder":"encode","k":$k,"n_docs":$nDocs,""" +
-        s""""per_doc_us_scan":${d3(scanSec / nDocs * 1e6)},""" +
+        s""""per_doc_us_scan":$scanUs,""" +
         s""""per_doc_us_heap":${d3(heapSec / nDocs * 1e6)},""" +
         s""""spark_dispatch_sec":${d3(sparkSec)},""" +
         s""""calibration_sec":[${d3(calib0)}]}""")
