@@ -165,6 +165,29 @@ object BpeSoak {
         s""""spark_dispatch_sec":${d3(sparkSec)},""" +
         s""""calibration_sec":[${d3(calib0)}]}""")
     }
+
+    // ---- TRAIN-K ladder: production-k training over a production-shaped
+    // vocabulary (the shipped test corpora have ~31 distinct words — too
+    // small to sustain deep vocabularies). 20k distinct words, 4-16 chars
+    // over a 7-letter alphabet (deep merge chains fire), Zipf-ish weights.
+    // graft.operators.BpeTrainer = one Spark word-count job + driver-local
+    // incremental merge loop; the x99 formulation is one Spark ROUND per
+    // merge, so this must stay seconds at k = 3000, not 3000 jobs.
+    {
+      val wrnd = new scala.util.Random(7L)
+      val walpha = "aabbccd"
+      val wc = (0 until 20000).map { id =>
+        (Seq.fill(wrnd.nextInt(13) + 4)(walpha(wrnd.nextInt(walpha.length))).mkString,
+          1L + 20000L / (id + 1))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      Seq(3, 300, 3000, 30000).foreach { k =>
+        val t0 = System.nanoTime()
+        val ms = graft.operators.BpeTrainer.train(wc, k)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(s"""{"soak":"bpe","ladder":"train","k":$k,"vocab":${wc.size},""" +
+          s""""merges_learned":${ms.length},"train_sec":${d3(sec)}}""")
+      }
+    }
     spark.stop()
   }
 }
