@@ -33,12 +33,14 @@ import org.apache.spark.sql.functions._
 object ScaleLadder {
 
   /** The most expensive registry rows per BENCH_r10 (verdict item 4), plus
-    * the round-11 additions that joined that tier (x104's dup-chain rollup). */
+    * the later additions that joined that tier (x104's dup-chain rollup,
+    * x108's keep-best manifest). */
   val hotQueries: Seq[String] = Seq(
     "x50_deciles", "x34_profile_orders", "x03_dedup_minhash",
     "x48_ev_resample_ffill", "q10_median", "x61_substring_cut",
     "x68_pq_topk", "x26_dedup_clusters", "x58_dup_source_matrix",
-    "x59_release_manifest", "x104_shard_dup_rate")
+    "x59_release_manifest", "x104_shard_dup_rate",
+    "x108_release_manifest_keep_best")
 
   private val Shift = 10000000L // id stride between copies (disjoint ranges)
 
