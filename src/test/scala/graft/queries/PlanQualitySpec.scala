@@ -535,6 +535,18 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("Window")
   }
 
+  test("x108: the policy switch costs one window + one attribute join over x59's plan, nothing else") {
+    val p59 = planOf(TextQueries.releaseManifest)
+    val p108 = planOf(TextQueries.releaseManifestKeepBest)
+    p108 should not include "CartesianProduct"
+    p108 should not include "BroadcastNestedLoopJoin"
+    p108 should include("Window") // the keep-best row_number
+    // the extra cost over keep-min-id is bounded: the n_chars attribute
+    // join's exchanges, nothing structural
+    def nEx(p: String) = "Exchange".r.findAllIn(p).size
+    nEx(p108) should be <= (nEx(p59) + 3)
+  }
+
   test("x100: the projection is row-local — one scan, no exchange but the output sort") {
     val plan = planOf(SimilarityQueries.embRandomProjection)
     "FileScan parquet".r.findAllIn(plan).size shouldBe 1
