@@ -22,6 +22,17 @@ import graft.queries.TextQueries
   * codegen'd kernels: `graft_bpe_tokens`, the fused regex chain). The
   * merge table joins stream-static as a broadcast 1-row frame, exactly the
   * artifact posture of batch x103 (vocab trained offline, applied online).
+  *
+  * Deliberately NOT twinned: the dedup/manifest family (x26/x51/x55/x58/
+  * x59/x104/x107/x108). Its core is a transitive closure over the whole
+  * candidate-pair graph — a late arrival can merge two existing clusters
+  * and retroactively change every member's label, survivor, and split, so
+  * no append-mode emission is ever final (the same argument as
+  * EventStream's x53/x54 note: a global fixpoint, like a global sort, has
+  * no streaming form). The streaming-shaped slice of that family that IS
+  * sound — probe NEW docs against the DURABLE corpus signature artifact
+  * without relabeling the corpus — exists as `TextQueries.nearDupProbe`
+  * over a stream (DocStreamSpec's first test).
   */
 object DocStream {
 
