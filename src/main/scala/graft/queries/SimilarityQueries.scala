@@ -1013,7 +1013,96 @@ FROM embeddings ORDER BY vec_id""") { (s, d) =>
     }
   }
 
+  /** x109: embedding COHORT DRIFT — per-label centroid vs the global
+    * centroid (cosine alignment + L2 shift), the embedding-space analogue
+    * of x88's value-distribution drift monitor: a training-data curator
+    * reads it to see which cohort's representation has wandered from the
+    * corpus mean (collection skew, encoder drift, poisoned slice).
+    *
+    * Cross-engine float determinism is the whole design: per-group FLOAT
+    * sums are order-dependent (partial aggregation), so every cross-row
+    * aggregate here is an EXACT INTEGER — components quantize to
+    * floor(x·10⁶) micro-units (floor, not round: no tie semantics to
+    * gamble on), per-(label, dim) sums are BIGINT, and the quadratic
+    * forms (dot, norms, shift numerator) accumulate DECIMAL(38,0) /
+    * HUGEINT products of those sums — order-free in both engines, the
+    * x69/x98 integer-exactness move. Doubles appear only in per-label
+    * SINGLE-value math (one cosine, one sqrt per label), which is
+    * deterministic, then ROUND(…, 6).
+    *
+    * Cosine of centroid SUMS equals cosine of centroid MEANS (scale
+    * invariance), so no division precedes the quadratic forms; the L2
+    * shift clears denominators the same way: d_i = sl_i·ng − sg_i·nl is
+    * exact, and ‖shift‖ = √(Σd_i²)/(10⁶·nl·ng).
+    *
+    * Scale stance: ONE corpus scan → posexplode → (label, dim) partial
+    * aggregation (64·n rows collapse map-side to labels×64); the global
+    * sums DERIVE from the label sums (no second scan), and everything
+    * after the first aggregate is labels×64 ≈ 640 rows of broadcast-sized
+    * arithmetic. At 100 TB this is scan-bound, exactly like x10. */
+  val embLabelDrift = sql(
+    "x109_emb_label_drift",
+    """WITH q AS (
+      |  SELECT label, u.i AS i,
+      |    CAST(floor(CAST(embedding[CAST(u.i AS INTEGER) + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+      |  FROM embeddings, range(64) u(i)),
+      |ls AS (SELECT label, i, SUM(xq)::BIGINT AS sl FROM q GROUP BY label, i),
+      |nl AS (SELECT label, COUNT(*)::BIGINT AS nl FROM embeddings GROUP BY label),
+      |gs AS (SELECT i, SUM(sl)::BIGINT AS sg FROM ls GROUP BY i),
+      |ng AS (SELECT SUM(nl)::BIGINT AS ng FROM nl),
+      |terms AS (
+      |  SELECT l.label,
+      |    SUM(l.sl::HUGEINT * g.sg::HUGEINT) AS dot,
+      |    SUM(l.sl::HUGEINT * l.sl::HUGEINT) AS ll,
+      |    SUM(g.sg::HUGEINT * g.sg::HUGEINT) AS gg,
+      |    SUM((l.sl::HUGEINT * n2.ng::HUGEINT - g.sg::HUGEINT * n1.nl::HUGEINT)
+      |      * (l.sl::HUGEINT * n2.ng::HUGEINT - g.sg::HUGEINT * n1.nl::HUGEINT)) AS dd
+      |  FROM ls l JOIN gs g USING (i) JOIN nl n1 USING (label) CROSS JOIN ng n2
+      |  GROUP BY l.label)
+      |SELECT t.label, n1.nl AS n_vecs,
+      |  ROUND(CAST(t.dot AS DOUBLE) / (sqrt(CAST(t.ll AS DOUBLE)) * sqrt(CAST(t.gg AS DOUBLE))), 6) AS cos_to_global,
+      |  ROUND(sqrt(CAST(t.dd AS DOUBLE)) / (1000000.0 * CAST(n1.nl AS DOUBLE) * CAST(n2.ng AS DOUBLE)), 6) AS l2_shift
+      |FROM terms t JOIN nl n1 USING (label) CROSS JOIN ng n2
+      |ORDER BY label""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val q = emb.select(col("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("label"), col("i"),
+        floor(col("x").cast("double") * 1000000).cast("long").as("xq"))
+    // labels×64 / labels-sized: checkpoint so the gs/ng derivations reuse
+    // these rows instead of re-scanning + re-exploding the corpus (the
+    // bpeBests move — without it the plan reads the embedding column twice)
+    val ls = q.groupBy("label", "i").agg(sum("xq").as("sl"))
+      .localCheckpoint(eager = false)
+    val nl = emb.groupBy("label").agg(count(lit(1)).as("nl"))
+      .localCheckpoint(eager = false)
+    val gs = ls.groupBy("i").agg(sum("sl").as("sg"))
+    val ng = nl.agg(sum("nl").as("ng"))
+    val dec = "decimal(38,0)"
+    val dT = col("sl").cast(dec) * col("ng").cast(dec) -
+      col("sg").cast(dec) * col("nl").cast(dec)
+    val terms = ls.join(broadcast(gs), Seq("i"))
+      .join(broadcast(nl), Seq("label"))
+      .crossJoin(broadcast(ng))
+      .select(col("label"), col("nl"), col("ng"),
+        (col("sl").cast(dec) * col("sg").cast(dec)).as("dot_t"),
+        (col("sl").cast(dec) * col("sl").cast(dec)).as("ll_t"),
+        (col("sg").cast(dec) * col("sg").cast(dec)).as("gg_t"),
+        (dT * dT).as("dd_t"))
+      .groupBy("label", "nl", "ng")
+      .agg(sum("dot_t").as("dot"), sum("ll_t").as("ll"),
+        sum("gg_t").as("gg"), sum("dd_t").as("dd"))
+    terms.select(col("label"), col("nl").as("n_vecs"),
+        round(col("dot").cast("double")
+          / (sqrt(col("ll").cast("double")) * sqrt(col("gg").cast("double"))), 6)
+          .as("cos_to_global"),
+        round(sqrt(col("dd").cast("double"))
+          / (lit(1000000.0) * col("nl").cast("double") * col("ng").cast("double")), 6)
+          .as("l2_shift"))
+      .orderBy("label")
+  }
+
   val all: Seq[QueryDef] = Seq(embNorm, embPairCosine, simBruteTopk, simLshTopk, simIvfTopk,
     simIvfCells, simPqTopk, dedupEmbedding, dedupEmbLsh, embQuantize, simContamination,
-    semanticDedup, embRandomProjection)
+    semanticDedup, embRandomProjection, embLabelDrift)
 }

@@ -547,6 +547,17 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     nEx(p108) should be <= (nEx(p59) + 3)
   }
 
+  test("x109: drift math consumes the checkpointed label-sized aggregates — no corpus rescan") {
+    val plan = planOf(SimilarityQueries.embLabelDrift)
+    plan should not include "CartesianProduct"
+    // the corpus scan + explode lives inside the two checkpointed
+    // aggregates (surfacing as ExistingRDD); the visible plan must be
+    // labels×64-sized arithmetic, never a second parquet read of the
+    // wide embedding column
+    plan should not include "Scan parquet"
+    plan should include("ExistingRDD")
+  }
+
   test("x100: the projection is row-local — one scan, no exchange but the output sort") {
     val plan = planOf(SimilarityQueries.embRandomProjection)
     "FileScan parquet".r.findAllIn(plan).size shouldBe 1
