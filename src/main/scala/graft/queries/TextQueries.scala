@@ -2618,6 +2618,178 @@ object TextQueries {
       .orderBy("shard", "status")
   }
 
+  /** x110: tokenizer-vocabulary coverage datasheet — for a vocabulary
+    * defined as the global top-16 tokens by occurrence count (ties in
+    * token order), the per-source covered/OOV token-occurrence mass and
+    * coverage rate. This is the go/no-go table a tokenizer release reads
+    * before training: a source whose coverage craters under the candidate
+    * vocab is about to be shredded into bytes/UNKs (pairs with x103/x105,
+    * which measure the BPE side of the same decision).
+    *
+    * Plan: ONE corpus scan + explode into a (source, token) partial-final
+    * count — the only corpus-sized shuffle — then everything downstream is
+    * token-table-sized: the global counts re-aggregate the (source, token)
+    * table (checkpointed so the corpus is never re-scanned), the top-16
+    * vocab is a TakeOrdered (per-partition top-k, no full sort), and the
+    * vocab joins back BROADCAST. Cross-engine exactness: every aggregate
+    * is an integer count; the only double is the per-source coverage
+    * division of two exact BIGINTs before ROUND(…,6) (the x47 stance). */
+  private val vocabTopK = 16
+  val vocabCoverage = sql(
+    "x110_vocab_coverage",
+    s"""WITH st AS (
+      |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |  GROUP BY source, tok),
+      |v AS (SELECT tok FROM (
+      |  SELECT tok, SUM(c) AS g FROM st GROUP BY tok
+      |  ORDER BY g DESC, tok LIMIT $vocabTopK))
+      |SELECT source,
+      |  CAST(SUM(c) AS BIGINT) AS total_tok,
+      |  CAST(SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN c ELSE 0 END) AS BIGINT) AS in_vocab_tok,
+      |  CAST(SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE c END) AS BIGINT) AS oov_tok,
+      |  ROUND(CAST(SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN c ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(c) AS DOUBLE), 6) AS coverage
+      |FROM st GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    vocabCoverageOf(docs(s, d)).orderBy("source")
+  }
+
+  /** x110's engine over an arbitrary (source, text) frame (factored so
+    * edge specs drive synthetic corpora through the identical plan). */
+  def vocabCoverageOf(dd: DataFrame): DataFrame = {
+    val st = dd
+      .select(col("source"), explode(tokens).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // two consumers: vocab + rollup — one corpus scan
+    val vocab = st.groupBy("tok").agg(sum("c").as("g"))
+      .orderBy(col("g").desc, col("tok")).limit(vocabTopK)
+      .select(col("tok"), lit(true).as("in_v"))
+    st.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source").agg(
+        sum("c").as("total_tok"),
+        sum(when(col("in_v"), col("c")).otherwise(0L)).as("in_vocab_tok"),
+        sum(when(col("in_v"), 0L).otherwise(col("c"))).as("oov_tok"))
+      .select(col("source"), col("total_tok"), col("in_vocab_tok"), col("oov_tok"),
+        round(col("in_vocab_tok").cast("double") / col("total_tok").cast("double"), 6)
+          .as("coverage"))
+  }
+
+  /** x111: per-source boilerplate strip — the CCNet/RefinedWeb
+    * paragraph-dedup pass adapted to this corpus's newline-free text: the
+    * removal UNIT is the non-overlapping 8-token chunk, and a chunk is
+    * boilerplate when it appears in ≥ 2 DISTINCT documents of the SAME
+    * source (document frequency within source — the header/footer/nav
+    * signature). Output per doc: chunk counts and the RECONSTRUCTED text
+    * with boilerplate chunks removed, chunks rejoined in document order —
+    * the pass that runs BEFORE whole-doc dedup (x01/x03) because shared
+    * boilerplate otherwise glues unrelated docs into near-dup range.
+    *
+    * Plan: one scan + explode into chunks; document frequency is a
+    * distinct + partial-final count keyed (source, chunk) — the chunk
+    * payload in the shuffle is BOUNDED (8 tokens), unlike the whole-doc
+    * key [[exactCollapseBy]] exists to avoid; the df table joins back on
+    * the same (source, chunk) key (exchange reuse, no broadcast — the
+    * chunk-df table is corpus-scale at 100 TB); reassembly is one per-doc
+    * aggregate whose sort/transform/join HOFs run over the doc's OWN
+    * chunk list (vocab-sized per row, the cheap HOF regime). All outputs
+    * are integers and strings — no floats anywhere. */
+  private val boilerChunkTokens = 8
+  val boilerStrip = sql(
+    "x111_boiler_strip",
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, source, CAST(ci AS INTEGER) AS ci,
+      |    array_to_string(toks[CAST(ci*$boilerChunkTokens+1 AS INTEGER):CAST(ci*$boilerChunkTokens+$boilerChunkTokens AS INTEGER)], ' ') AS chunk
+      |  FROM (SELECT doc_id, source, toks,
+      |          unnest(range(0, ((len(toks)-1) // $boilerChunkTokens) + 1)) AS ci FROM t)),
+      |df AS (SELECT source, chunk, COUNT(DISTINCT doc_id) AS df
+      |  FROM c GROUP BY source, chunk),
+      |k AS (SELECT c.doc_id, c.ci, c.chunk, df.df
+      |  FROM c JOIN df ON c.source = df.source AND c.chunk = df.chunk)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS INTEGER) AS n_chunks,
+      |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS INTEGER) AS n_boiler,
+      |  COALESCE(string_agg(CASE WHEN df < 2 THEN chunk END, ' ' ORDER BY ci), '') AS clean_text
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    boilerStripOf(docs(s, d)).orderBy("doc_id")
+  }
+
+  /** x111's engine over an arbitrary (doc_id, source, text) frame (factored
+    * so edge specs force chunk sharing through the identical plan). */
+  def boilerStripOf(dd: DataFrame): DataFrame = {
+    val w = boilerChunkTokens
+    val c = dd
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .withColumn("ci", explode(sequence(lit(0), ((size(col("toks")) - 1) / w).cast("int"))))
+      .select(col("doc_id"), col("source"), col("ci").cast("int").as("ci"),
+        array_join(slice(col("toks"), col("ci") * w + 1, lit(w)), " ").as("chunk"))
+      .localCheckpoint(eager = false) // two consumers: df + reassembly join —
+      // the corpus-wide scan+explode runs once (the x03 sigs boundary)
+    val df = c.select("source", "chunk", "doc_id").distinct()
+      .groupBy("source", "chunk").agg(count(lit(1)).as("df"))
+    c.join(df, Seq("source", "chunk"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("int").as("n_boiler"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN df < 2 THEN struct(ci, chunk) END)), s -> s.chunk), ' ')")
+          .as("clean_text"))
+  }
+
+  /** x112: pack-span manifest — the per-sequence LOSS-MASK table that
+    * completes x54's packing: where x54 places each doc's START
+    * (`pack_id`, `pack_offset`), x112 explodes each doc into one row per
+    * training sequence it occupies, with the in-sequence `[span_start,
+    * span_start+span_len)` token interval. This is the table a trainer
+    * reads to reset attention/loss at document boundaries inside packed
+    * sequences; spans TILE each pack exactly (every non-final pack's
+    * spans sum to 512 with no gaps — pinned in TextPackSpec).
+    *
+    * Plan: x54's two-level distributed prefix sum verbatim (no per-source
+    * serialization at 100 TB), then the explode and span arithmetic are
+    * row-local pure-integer expressions: a doc touches
+    * `1 + (cum_before+n_tok-1) div 512 - cum_before div 512` packs, so
+    * output size is input size + corpus_tokens/512 — linear. */
+  val packSpans = sql(
+    "x112_pack_spans",
+    s"""WITH d AS (SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+      |    md5(CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM documents),
+      |c AS (SELECT source, doc_id, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM d),
+      |e AS (SELECT source, doc_id, n_tok, cum_before,
+      |    unnest(range(cum_before // $packSeqLen, (cum_before + n_tok - 1) // $packSeqLen + 1)) AS pack_id
+      |  FROM c)
+      |SELECT source, CAST(pack_id AS BIGINT) AS pack_id, doc_id,
+      |  CAST(GREATEST(cum_before, pack_id*$packSeqLen) - pack_id*$packSeqLen AS BIGINT) AS span_start,
+      |  CAST(LEAST(cum_before + n_tok, (pack_id+1)*$packSeqLen)
+      |    - GREATEST(cum_before, pack_id*$packSeqLen) AS BIGINT) AS span_len
+      |FROM e ORDER BY source, pack_id, span_start, doc_id""".stripMargin) { (s, d) =>
+    packSpansOf(docs(s, d)).orderBy("source", "pack_id", "span_start", "doc_id")
+  }
+
+  /** x112's engine over an arbitrary (source, doc_id, text) frame (factored
+    * so TextPackSpec pins the pack-tiling invariant on the live plan). */
+  def packSpansOf(documents: DataFrame): DataFrame = {
+    val L = packSeqLen
+    val dd = documents.select(col("source"), col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    graft.operators.PrefixQuota.runningBefore(
+      dd, "source",
+      orderKey = md5(col("doc_id").cast("string")), tie = col("doc_id"),
+      value = col("n_tok"))
+      .withColumn("pack_id",
+        explode(sequence(expr(s"cum_before div $L"),
+          expr(s"(cum_before + n_tok - 1) div $L"))))
+      .select(col("source"), col("pack_id"), col("doc_id"),
+        (greatest(col("cum_before"), col("pack_id") * L) - col("pack_id") * L)
+          .as("span_start"),
+        (least(col("cum_before") + col("n_tok"), (col("pack_id") + 1) * L)
+          - greatest(col("cum_before"), col("pack_id") * L)).as("span_len"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -2630,5 +2802,6 @@ object TextQueries {
     ingestTriage, lshBandStats, hubRemoval, snapshotMerge, sparseCosine,
     releaseDiff, dedupRecallAudit, weightedSample, dupTriangles, bpeMerges,
     massMedian, bpeEncode, shardDupRate, bpeCompression, piiRedact,
-    dedupKeepBest, releaseManifestKeepBest)
+    dedupKeepBest, releaseManifestKeepBest, vocabCoverage, boilerStrip,
+    packSpans)
 }

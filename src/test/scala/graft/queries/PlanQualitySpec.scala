@@ -547,6 +547,42 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     nEx(p108) should be <= (nEx(p59) + 3)
   }
 
+  test("x110: one corpus scan behind the checkpoint; vocab is TakeOrdered + broadcast") {
+    val plan = planOf(TextQueries.vocabCoverage)
+    // the corpus scan + explode lives inside the checkpointed (source, tok)
+    // count (ExistingRDD); vocab selection must be a per-partition top-k
+    // (TakeOrderedAndProject, never a global sort) and must join back
+    // broadcast — the 16-row vocab never drives a shuffle
+    plan should not include "Scan parquet"
+    plan should include("ExistingRDD")
+    plan should include("TakeOrderedAndProject")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("x111: one corpus scan behind the checkpoint; chunk-df join is an equi-join") {
+    val plan = planOf(TextQueries.boilerStrip)
+    // the scan + chunk explode is checkpointed once (two consumers: the
+    // document-frequency count and the reassembly join); candidate pairing
+    // is always keyed (source, chunk) — never all-pairs
+    plan should not include "Scan parquet"
+    plan should include("ExistingRDD")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("x112: the span explode rides x54's bucket-split offset plan") {
+    val plan = planOf(TextQueries.packSpans)
+    // same contract as x54: the running-offset exchange carries the bucket
+    // prefix with the group key, so no source serializes through one task;
+    // the per-pack explode itself is row-local (Generate, no new exchange)
+    val parts = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    parts.filter(p => p.contains("__bkt") && p.contains("source")) should not be empty
+    plan should include("BroadcastHashJoin") // bucket offsets join back broadcast
+    plan should include("Generate")
+    plan should not include "SortMergeJoin"
+  }
+
   test("x109: drift math consumes the checkpointed label-sized aggregates — no corpus rescan") {
     val plan = planOf(SimilarityQueries.embLabelDrift)
     plan should not include "CartesianProduct"

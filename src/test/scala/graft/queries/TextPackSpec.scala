@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** x54/x112 packing invariants on the shipped corpus: the span manifest
+  * must TILE each training sequence (contiguous from offset 0, full packs
+  * sum to exactly packSeqLen) and must agree with x54's per-doc placement —
+  * the properties a trainer's loss-mask builder silently assumes. */
+class TextPackSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("x112 spans tile every pack: contiguous from 0; full packs sum to 512") {
+    val rows = TextQueries.packSpans.run(spark, dir).collect()
+    rows should not be empty
+    val bySrcPack = rows.groupBy(r => (r.getString(0), r.getLong(1)))
+    val lastPack = rows.groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(1)).max }
+    // at least one pack must contain a doc-boundary (multiple spans), or
+    // the tiling assertion is vacuous
+    bySrcPack.values.count(_.length > 1) should be > 0
+    bySrcPack.foreach { case ((src, pid), rs) =>
+      val spans = rs.map(r => (r.getLong(3), r.getLong(4))).sortBy(_._1)
+      all(spans.map(_._2)) should be >= 1L
+      spans.head._1 shouldBe 0L
+      spans.sliding(2).foreach {
+        case Array((s1, l1), (s2, _)) => s2 shouldBe (s1 + l1)
+        case _                        => ()
+      }
+      val tot = spans.map(_._2).sum
+      if (pid < lastPack(src)) tot shouldBe 512L
+      else tot should be <= 512L
+    }
+  }
+
+  test("x112 ≡ x54: first span sits at x54's (pack_id, pack_offset); span mass = n_tok") {
+    val spans = TextQueries.packSpans.run(spark, dir).collect()
+    val placed = TextQueries.textPack.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val byDoc = spans.groupBy(r => (r.getString(0), r.getLong(2)))
+    byDoc.keySet shouldBe placed.keySet // every placed doc has spans, no extras
+    byDoc.foreach { case (key, rs) =>
+      val (nTok, firstPack, off) = placed(key)
+      rs.map(_.getLong(4)).sum shouldBe nTok // every token lands in exactly one span
+      val first = rs.minBy(_.getLong(1))
+      first.getLong(1) shouldBe firstPack
+      first.getLong(3) shouldBe off
+      // a doc occupies CONSECUTIVE packs (concat-then-chunk has no holes)
+      val pids = rs.map(_.getLong(1)).sorted
+      pids shouldBe (pids.head until pids.head + pids.length).toArray
+    }
+  }
+}

@@ -48,6 +48,60 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out shouldBe Set(("payload aa", 1L, 2L), ("payload bb", 2L, 1L))
   }
 
+  test("x110 vocab: the 16th slot breaks a count tie in token order; OOV mass exact") {
+    import spark.implicits._
+    // t01..t15 appear twice globally, t16/t17/t18 once each: the last vocab
+    // slot is a three-way count tie that must resolve in token order → t16
+    // in, t17/t18 out. srcA holds only vocab tokens; srcB carries the OOV.
+    val t15 = (1 to 15).map(i => f"t$i%02d").mkString(" ")
+    val dd = Seq(
+      ("srcA", s"$t15 t16"),
+      ("srcB", s"$t15 t17 t18")).toDF("source", "text")
+    val out = TextQueries.vocabCoverageOf(dd).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    out("srcA") shouldBe ((16L, 16L, 0L, 1.0))
+    out("srcB") shouldBe ((17L, 15L, 2L, 0.882353)) // ROUND(15/17, 6)
+  }
+
+  test("x111 boilerplate: df counts DISTINCT docs per source; reconstruction in order") {
+    import spark.implicits._
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val c8 = (1 to 8).map(i => s"c$i").mkString(" ")
+    val dd = Seq(
+      (1L, "A", s"$b u1 u2"), // shares its first chunk with docs 2 and 4
+      (2L, "A", s"$b v1"),
+      (3L, "B", b),           // same chunk but sole doc in B → df=1 → kept
+      (4L, "A", b),           // nothing but boilerplate → stripped to ""
+      (5L, "C", s"$c8 $c8")   // repeated within ONE doc → df=1 → both kept
+    ).toDF("doc_id", "source", "text")
+    val out = TextQueries.boilerStripOf(dd).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((2, 1, "u1 u2"))
+    out(2L) shouldBe ((2, 1, "v1"))
+    out(3L) shouldBe ((1, 0, b))
+    out(4L) shouldBe ((1, 1, ""))
+    out(5L) shouldBe ((2, 0, s"$c8 $c8"))
+  }
+
+  test("x111 on the shipped corpus: boiler-free docs reconstruct verbatim; strips exist") {
+    val d = "/root/testdata/sf0.001"
+    val original = graft.Tables.documents(spark, d).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextQueries.boilerStrip.run(spark, d).collect()
+    rows.map(_.getLong(0)).toSet shouldBe original.keySet // every doc, exactly once
+    rows.count(_.getInt(2) > 0) should be > 0 // the dup family forces real strips
+    rows.foreach { r =>
+      val (docId, nChunks, nBoiler, clean) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))
+      nBoiler should be <= nChunks
+      if (nBoiler == 0) clean shouldBe original(docId)
+      // kept text is always a chunk-subsequence: token mass never grows
+      clean.split(" ").count(_.nonEmpty) should
+        be <= original(docId).split(" ").count(_.nonEmpty)
+    }
+  }
+
   test("exact collapse matches the naive GROUP BY text on the shipped corpus") {
     val d = "/root/testdata/sf0.001"
     val naive = graft.Tables.documents(spark, d)
