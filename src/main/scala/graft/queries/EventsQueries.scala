@@ -1248,10 +1248,58 @@ object EventsQueries {
       .orderBy("event_type", "rk", "event_id")
   }
 
+  /** x115: recency-decayed engagement score — the time-decayed per-user
+    * feature a feature store serves (recent activity counts more; a
+    * 30-day-old event counts ~2⁻³⁰ of a fresh one). The textbook form
+    * Σ value·e^(−λ·age) is a cross-row FLOAT sum — partial-aggregation
+    * order changes the low bits, so it can never hash-match across
+    * engines (or even across two Spark runs with different partitioning).
+    * This is the order-free exact form (the x109 move): value quantizes to
+    * floor(value·10⁶) BIGINT, age buckets to whole days capped at the
+    * 30-day horizon, the weight is the EXACT power of two 2^(30−days)
+    * (halving per day = half-life one day), and the per-user sum
+    * accumulates DECIMAL(38,0)/HUGEINT products of exact integers —
+    * associative and commutative, so ANY aggregation order gives the same
+    * bits. Doubles appear only in the final per-user normalization
+    * (exact-decimal → double is round-to-nearest in both engines) before
+    * ROUND(…,6). Magnitude bound: |v6| ≤ 5·10⁸, weight ≤ 2³⁰ ≈ 10⁹ ⇒
+    * ≤ 5·10¹⁷ per row, ≪ 10³⁸ for any real per-user event count.
+    *
+    * Plan/scale: the reference instant is ONE broadcast scalar (max ts —
+    * BroadcastNestedLoop by construction, never a shuffle); the score is
+    * ONE partial-final groupBy on user_id over row-local integer
+    * arithmetic. Two fact scans total (scalar + score), zero joins on the
+    * fact. */
+  val decayScore = sql(
+    "x115_ev_decay",
+    """WITH mx AS (SELECT MAX(epoch_us(ts)) AS t_max FROM events),
+      |e AS (SELECT user_id,
+      |    CAST(FLOOR(value * 1000000) AS BIGINT) AS v6,
+      |    LEAST((mx.t_max - epoch_us(ts)) // 86400000000, 30) AS days
+      |  FROM events CROSS JOIN mx)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  ROUND(CAST(SUM(v6::HUGEINT * CAST(POWER(2, 30 - days) AS HUGEINT)) AS DOUBLE)
+      |    / 1073741824000000.0, 6) AS decay_score
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+    val tMax = ev.agg(max("us").as("t_max"))
+    ev.crossJoin(broadcast(tMax))
+      .select(col("user_id"),
+        floor(col("value") * 1000000d).cast("long").as("v6"),
+        least(expr("(t_max - us) div 86400000000"), lit(30L)).as("days"))
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        round(
+          sum(expr("CAST(v6 AS DECIMAL(38,0)) * CAST(shiftleft(1L, CAST(30 - days AS INT)) AS DECIMAL(38,0))"))
+            .cast("double") / lit(1073741824000000.0), 6).as("decay_score"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,
     asofClickView, valueBands, funnel, rollingActivity, skewJoinDemo, zorderKey,
     winsorize, zscore, sessionStats, resampleFfill, intervalOverlap,
     keySkewReport, temporalSplit, attribution, retentionCohorts, madOutliers,
     sessionTransitions, featureBins, driftReport, abTest, featureHashing,
-    percentileRank, lagFeatures, cubeDatasheet, corrReport, cooccurrence, topkTies)
+    percentileRank, lagFeatures, cubeDatasheet, corrReport, cooccurrence, topkTies,
+    decayScore)
 }

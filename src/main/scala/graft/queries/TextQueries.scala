@@ -2790,6 +2790,166 @@ object TextQueries {
           - greatest(col("cum_before"), col("pack_id") * L)).as("span_len"))
   }
 
+  /** Mergeable per-source datasheet statistics — the commutative-monoid
+    * form of x57's release datasheet: counts/sums add, the language set
+    * unions, min/max combine, and the mean is DERIVED from merged sums
+    * (never averaged across partials — the classic mergeability bug).
+    * Output: (source, n_docs, n_tokens, n_chars, langs ARRAY, min_chars,
+    * max_chars) — everything a later [[mergeDatasheets]] needs, nothing
+    * that can't merge. */
+  def datasheetStatsOf(dd: DataFrame): DataFrame =
+    dd.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"),
+      sum(length(col("text")).cast("long")).as("n_chars"),
+      collect_set(col("lang")).as("langs"),
+      min(length(col("text")).cast("long")).as("min_chars"),
+      max(length(col("text")).cast("long")).as("max_chars"))
+
+  /** Merge two [[datasheetStatsOf]] frames: per-source monoid combine.
+    * Associative and commutative by construction, so a 100 TB corpus can
+    * fold in daily batches forever in any order — DatasheetStatsSpec pins
+    * merge(stats(A), stats(B)) ≡ stats(A ∪ B) including sources present on
+    * only one side. */
+  def mergeDatasheets(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("source").agg(
+      sum("n_docs").as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      sum("n_chars").as("n_chars"),
+      array_sort(array_distinct(flatten(collect_list(col("langs"))))).as("langs"),
+      min("min_chars").as("min_chars"),
+      max("max_chars").as("max_chars"))
+
+  /** Persist a [[datasheetStatsOf]] frame as the corpus's durable datasheet
+    * artifact (sources-sized — trivially one file). */
+  def saveDatasheet(stats: DataFrame, path: String): Unit =
+    stats.orderBy("source").coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Read a [[saveDatasheet]] artifact back. */
+  def loadDatasheet(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** Render merged [[datasheetStatsOf]] stats as the release datasheet
+    * (x57's columns plus the batch provenance count). */
+  private def datasheetRender(merged: DataFrame, added: DataFrame): DataFrame =
+    merged
+      .join(broadcast(added), Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_docs_added"), lit(0L)).as("n_docs_added"),
+        col("n_tokens"), col("n_chars"),
+        size(col("langs")).cast("long").as("n_langs"),
+        col("min_chars"), col("max_chars"),
+        (col("n_chars").cast("double") / col("n_docs")).as("mean_chars"))
+
+  /** x113: INCREMENTAL datasheet maintenance — x57's release datasheet
+    * kept current without ever rescanning the corpus. The stored artifact
+    * is the mergeable per-source statistic set ([[datasheetStatsOf]]:
+    * counts/sums/lang-set/min/max — each a commutative monoid); an
+    * incoming batch (here the x37 convention: `doc_id % 10 = 0` is the new
+    * crawl, the rest the stored release) is aggregated batch-sized and
+    * MERGED, and the datasheet (including the derived mean) is recomputed
+    * from the merged sums. The DuckDB oracle recomputes everything from
+    * the FULL corpus in one pass — hash equality is the cross-engine proof
+    * that the merge is lossless, i.e. that stats(corpus) ⊕ stats(batch) ≡
+    * stats(corpus ∪ batch) column by column (the mean is the classic
+    * casualty when a pipeline stores averages instead of sums; n_langs the
+    * casualty when it stores counts instead of sets).
+    *
+    * Plan/scale: at steady state the corpus contributes a SOURCES-sized
+    * artifact read (the localCheckpoint below is the read-back boundary,
+    * x37's posture; the durable form is [[saveDatasheet]]/
+    * [[loadDatasheet]], parquet-round-trip-pinned in DatasheetStatsSpec) —
+    * only the batch is scanned, once, partial-aggregated. The merge and
+    * render run on ≤ 2·|sources| rows. A 100 TB corpus updates its
+    * datasheet in batch-sized work forever. */
+  val datasheetMerge = sql(
+    "x113_datasheet_merge",
+    """SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_added,
+      |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(MIN(length(text)) AS BIGINT) AS min_chars,
+      |  CAST(MAX(length(text)) AS BIGINT) AS max_chars,
+      |  CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS mean_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val all = docs(s, d)
+    val stored = datasheetStatsOf(all.filter(col("doc_id") % 10 =!= 0))
+      .localCheckpoint(eager = false) // the read-back artifact boundary
+    val batch = datasheetStatsOf(all.filter(col("doc_id") % 10 === 0))
+    datasheetRender(
+      mergeDatasheets(stored, batch),
+      batch.select(col("source"), col("n_docs").as("n_docs_added")))
+      .orderBy("source")
+  }
+
+  /** x114: pack-efficiency datasheet — the per-source padding/fragmentation
+    * accounting for x54/x112's fixed-length sequence packing, the table a
+    * training run reads to know what fraction of its compute feeds pad
+    * tokens and how often attention must be reset mid-sequence. Per
+    * source: docs, tokens, packs (= ⌈tokens/512⌉ — x112's spans tile every
+    * pack, so ALL padding sits in the final pack), pad tokens + exact ppm,
+    * total spans (Σ per-doc packs touched: x112's output size WITHOUT
+    * materializing it), and how many docs straddle a pack boundary.
+    * TextPackSpec pins the identities against the live x112 explode:
+    * n_spans = |x112 rows|, Σ span_len = n_tokens, n_spans − n_docs =
+    * boundary crossings.
+    *
+    * Plan/scale: x54's two-level distributed prefix sum verbatim (no
+    * per-source serialization), then ONE partial-final aggregate — the
+    * span count per doc is closed-form integer arithmetic on (cum_before,
+    * n_tok), so the pack explosion never materializes. All columns are
+    * exact integers (pad_ppm by floor-div); no floats anywhere. */
+  val packEfficiency = sql(
+    "x114_pack_efficiency",
+    s"""WITH d AS (SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+      |    md5(CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM documents),
+      |c AS (SELECT source, doc_id, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM d)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST((SUM(n_tok) + ${packSeqLen - 1}) // $packSeqLen AS BIGINT) AS n_packs,
+      |  CAST(((SUM(n_tok) + ${packSeqLen - 1}) // $packSeqLen) * $packSeqLen - SUM(n_tok) AS BIGINT) AS pad_tokens,
+      |  CAST(((((SUM(n_tok) + ${packSeqLen - 1}) // $packSeqLen) * $packSeqLen - SUM(n_tok)) * 1000000)
+      |    // (((SUM(n_tok) + ${packSeqLen - 1}) // $packSeqLen) * $packSeqLen) AS BIGINT) AS pad_ppm,
+      |  CAST(SUM((cum_before + n_tok - 1) // $packSeqLen - cum_before // $packSeqLen + 1) AS BIGINT) AS n_spans,
+      |  CAST(SUM(CASE WHEN (cum_before + n_tok - 1) // $packSeqLen > cum_before // $packSeqLen
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+      |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    packEfficiencyOf(docs(s, d)).orderBy("source")
+  }
+
+  /** x114's engine over an arbitrary (source, doc_id, text) frame (factored
+    * so TextPackSpec pins the x112 identities on the live plan). */
+  def packEfficiencyOf(documents: DataFrame): DataFrame = {
+    val L = packSeqLen
+    val dd = documents.select(col("source"), col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    graft.operators.PrefixQuota.runningBefore(
+      dd, "source",
+      orderKey = md5(col("doc_id").cast("string")), tie = col("doc_id"),
+      value = col("n_tok"))
+      .withColumn("doc_spans",
+        expr(s"(cum_before + n_tok - 1) div $L - cum_before div $L + 1"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("doc_spans").as("n_spans"),
+        sum(when(col("doc_spans") > 1, 1L).otherwise(0L)).as("n_split_docs"))
+      .withColumn("n_packs", expr(s"(n_tokens + ${L - 1}) div $L"))
+      .withColumn("pad_tokens", col("n_packs") * L - col("n_tokens"))
+      .withColumn("pad_ppm",
+        expr(s"(pad_tokens * 1000000) div (n_packs * $L)"))
+      .select("source", "n_docs", "n_tokens", "n_packs", "pad_tokens",
+        "pad_ppm", "n_spans", "n_split_docs")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -2803,5 +2963,5 @@ object TextQueries {
     releaseDiff, dedupRecallAudit, weightedSample, dupTriangles, bpeMerges,
     massMedian, bpeEncode, shardDupRate, bpeCompression, piiRedact,
     dedupKeepBest, releaseManifestKeepBest, vocabCoverage, boilerStrip,
-    packSpans)
+    packSpans, datasheetMerge, packEfficiency)
 }

@@ -211,4 +211,39 @@ class EventsEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
       r.getDouble(7) should (be >= -1.0 and be <= 1.0)
     }
   }
+
+  test("x115 decay score ≡ an order-shuffled BigInt recompute (the order-free-exactness claim)") {
+    val raw = Tables.events(spark, dir)
+      .select(col("user_id"), col("value"), unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val tMax = raw.map(_._3).max
+    // the engine's exact integer form, re-derived imperatively — and summed
+    // in three different orders to make the order-free claim non-vacuous
+    def scoreOf(rows: Seq[(Long, Double, Long)]): BigInt =
+      rows.map { case (_, v, us) =>
+        val v6 = BigInt(math.floor(v * 1000000d).toLong)
+        val days = math.min((tMax - us) / 86400000000L, 30L)
+        v6 * (BigInt(1) << (30 - days).toInt)
+      }.sum
+    val byUser = raw.groupBy(_._1)
+    val expected = byUser.map { case (u, rows) =>
+      val s = scoreOf(rows.toSeq)
+      s shouldBe scoreOf(rows.reverse.toSeq)
+      s shouldBe scoreOf(scala.util.Random.shuffle(rows.toSeq))
+      // the engine's render chain: exact decimal → double → /2^30·10⁶ → round 6
+      val score = BigDecimal(s.toDouble / 1073741824000000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      u -> ((rows.length.toLong, score))
+    }
+    val got = EventsQueries.decayScore.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    got shouldBe expected
+    // non-vacuity: decay must actually discriminate — at least one user's
+    // score differs from what a no-decay (all-weight-2^30) sum would give
+    val flat = byUser.map { case (u, rows) =>
+      u -> rows.map(r => BigInt(math.floor(r._2 * 1000000d).toLong)).sum * (BigInt(1) << 30)
+    }
+    byUser.keys.count(u => flat(u) != scoreOf(byUser(u).toSeq)) should be > 0
+  }
 }

@@ -615,6 +615,27 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "Join"
   }
 
+  test("x113: stats are partial-final; the batch provenance attaches BROADCAST") {
+    val plan = planOf(TextQueries.datasheetMerge)
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin" // merge + render are sources-sized
+    "HashAggregate".r.findAllIn(plan).size should be >= 2 // map-side combine
+  }
+
+  test("x114: closed-form span math — NO explode (Generate) where x112 needs one") {
+    val plan = planOf(TextQueries.packEfficiency)
+    plan should not include "Generate" // the datasheet never materializes spans
+    plan should include("Window") // x54's bucket-split prefix sum, unchanged
+    "HashAggregate".r.findAllIn(plan).size should be >= 2
+  }
+
+  test("x115: the reference instant attaches by broadcast; ONE partial-final agg on user_id") {
+    val plan = planOf(EventsQueries.decayScore)
+    plan should include("BroadcastNestedLoopJoin") // 1-row scalar, never a shuffle
+    plan should not include "SortMergeJoin"
+    "HashAggregate".r.findAllIn(plan).size should be >= 2
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:

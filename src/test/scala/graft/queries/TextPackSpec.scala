@@ -54,4 +54,32 @@ class TextPackSpec extends AnyFunSuite with Matchers with SparkTestBase {
       pids shouldBe (pids.head until pids.head + pids.length).toArray
     }
   }
+
+  test("x114 ≡ x112: the efficiency datasheet's closed-form span arithmetic matches the explode") {
+    val eff = TextQueries.packEfficiency.run(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val spans = TextQueries.packSpans.run(spark, dir).collect()
+    val bySrc = spans.groupBy(_.getString(0))
+    eff.keySet shouldBe bySrc.keySet
+    eff.foreach { case (src, r) =>
+      val rs = bySrc(src)
+      // columns: source, n_docs, n_tokens, n_packs, pad_tokens, pad_ppm,
+      //          n_spans, n_split_docs
+      val (nDocs, nTokens, nPacks) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (pad, padPpm, nSpans, nSplit) =
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      nSpans shouldBe rs.length.toLong // x112's output size, never materialized
+      nTokens shouldBe rs.map(_.getLong(4)).sum // Σ span_len — every token counted once
+      nDocs shouldBe rs.map(_.getLong(2)).distinct.length.toLong
+      nSplit shouldBe rs.groupBy(_.getLong(2)).count(_._2.length > 1).toLong
+      nSpans - nDocs shouldBe rs.groupBy(_.getLong(2)).values
+        .map(_.length - 1).sum.toLong // spans − docs = boundary crossings
+      nPacks shouldBe rs.map(_.getLong(1)).max + 1 // spans tile: packs are 0..max
+      pad shouldBe nPacks * 512 - nTokens
+      padPpm shouldBe pad * 1000000 / (nPacks * 512)
+    }
+    // non-vacuity: the shipped corpus has split docs AND a padded tail
+    eff.values.map(_.getLong(7)).sum should be > 0L
+    eff.values.map(_.getLong(4)).sum should be > 0L
+  }
 }
