@@ -64,4 +64,21 @@ object DocStream {
   def piiRedact(docs: DataFrame): DataFrame =
     TextQueries.piiScanRedact(
       docs.select(docs.col("doc_id"), docs.col("text").as("planted")))
+
+  /** Continuously-maintained corpus datasheet (the STATEFUL twin of x113's
+    * incremental merge): the arriving document stream folds into the same
+    * mergeable per-source statistic set the batch artifact stores
+    * (`TextQueries.datasheetStatsOf` — counts/sums/lang-set/min/max).
+    * Streaming aggregation IS the merge here: the state store holds
+    * exactly one mergeable-stats row per source, and every micro-batch
+    * map-side combines then monoid-merges into it — x113's
+    * merge(stored, batch) run live, with the state store playing the
+    * durable artifact. Update mode emits each refreshed source row;
+    * n_docs is monotone, so the latest emission per source IS the current
+    * datasheet (DocStreamSpec pins multiset parity with the batch stats
+    * over the union of all micro-batches, langs as a set). No watermark:
+    * the datasheet is corpus-lifetime state, |sources|-bounded by design —
+    * the same reason the batch artifact is sources-sized. */
+  def datasheetUpdates(docs: DataFrame): DataFrame =
+    TextQueries.datasheetStatsOf(docs)
 }

@@ -211,4 +211,50 @@ class DocStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     streamed.find(_._1 == 3L).get._5 shouldBe
       org.apache.commons.codec.digest.DigestUtils.md5Hex("no pii here at all")
   }
+
+  test("streaming datasheet state-fold ≡ batch mergeable stats on the union (x113 twin)") {
+    import spark.implicits._
+    // two micro-batches that exercise the merge arms: an existing source
+    // growing, a source appearing only in batch 2, a NEW lang for an old
+    // source, and min/max updates in both directions
+    val b1 = Seq(
+      (1L, "web", "en", "alpha beta gamma"),
+      (2L, "web", "de", "delta"),
+      (3L, "wiki", "en", "epsilon zeta eta theta iota"))
+    val b2 = Seq(
+      (4L, "web", "fr", "kappa lambda mu nu xi omicron pi rho sigma tau"),
+      (5L, "books", "en", "mu"),
+      (6L, "wiki", "en", "nu"))
+
+    val input = MemoryStream[(Long, String, String, String)]
+    val docs = input.toDF.toDF("doc_id", "source", "lang", "text")
+    val q = DocStream.datasheetUpdates(docs)
+      .writeStream.format("memory").queryName("dsstream").outputMode("update").start()
+    val updates = try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      spark.table("dsstream").collect()
+    } finally q.stop()
+
+    // n_docs is monotone per source, so the max-n_docs row per source is
+    // the state store's final fold
+    val latest = updates.groupBy(_.getString(0)).map { case (src, rs) =>
+      val r = rs.maxBy(_.getLong(1))
+      src -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[String](4).toSet, r.getLong(5), r.getLong(6)))
+    }
+    val batch = TextQueries.datasheetStatsOf((b1 ++ b2).toDF("doc_id", "source", "lang", "text"))
+      .collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[String](4).toSet, r.getLong(5), r.getLong(6)))
+    }.toMap
+    latest shouldBe batch
+    // non-vacuity: 'web' and 'wiki' must have been UPDATED (two emissions),
+    // i.e. the second batch really merged into first-batch state
+    updates.count(_.getString(0) == "web") shouldBe 2
+    updates.count(_.getString(0) == "wiki") shouldBe 2
+    latest("web")._4 should contain("fr") // the lang-set grew across batches
+  }
 }
