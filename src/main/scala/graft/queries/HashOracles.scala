@@ -540,6 +540,50 @@ SELECT cluster_rep, keep_id, keep_chars, n_docs,
 FROM sp ORDER BY shard, pos"""
   }
 
+  /** x116: per-source curation yield funnel — stage-by-stage retention
+    * through x59's release pipeline (raw → quality gate → exact collapse →
+    * near-dup CC survivor), the "where did my data go" table a release
+    * publishes next to its datasheet. Survivors attribute to the KEPT
+    * doc's source (a cluster spanning sources credits whichever source
+    * ships the surviving member — the real contribution accounting).
+    * Shares x59's WITH-chain prefix verbatim, so the diffcheck prefix
+    * cache evaluates the expensive minhash+closure chain once for the
+    * whole family. */
+  val curationFunnel: String = {
+    val qualSql =
+      """SELECT doc_id, text FROM documents
+        | WHERE len(string_split_regex(trim(text), '\s+')) >= 40""".stripMargin
+    s"""${minhashCtesOver(qualSql)},
+$ccCtes,
+qual AS ($qualSql),
+erep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS e_rep FROM qual),
+chain AS (SELECT e.doc_id, l.rep FROM erep e JOIN labels l ON l.doc_id = e.e_rep),
+surv AS (SELECT MIN(doc_id) AS keep_id FROM chain GROUP BY rep),
+raw AS (SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_raw,
+    CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS tok_raw
+  FROM documents GROUP BY source),
+q2 AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_qual
+  FROM qual q JOIN documents d ON d.doc_id = q.doc_id GROUP BY d.source),
+e2 AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM (SELECT DISTINCT e_rep FROM erep) e JOIN documents d ON d.doc_id = e.e_rep
+  GROUP BY d.source),
+f2 AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_final,
+    CAST(SUM(len(string_split_regex(trim(d.text), '\\s+'))) AS BIGINT) AS tok_final
+  FROM surv s JOIN documents d ON d.doc_id = s.keep_id GROUP BY d.source)
+SELECT raw.source, n_raw, tok_raw,
+  COALESCE(n_qual, 0) AS n_qual,
+  COALESCE(n_exact, 0) AS n_exact,
+  COALESCE(n_final, 0) AS n_final,
+  COALESCE(tok_final, 0) AS tok_final,
+  (COALESCE(n_final, 0) * 1000000) // n_raw AS kept_ppm,
+  (COALESCE(tok_final, 0) * 1000000) // tok_raw AS tok_kept_ppm
+FROM raw LEFT JOIN q2 ON raw.source = q2.source
+  LEFT JOIN e2 ON raw.source = e2.source
+  LEFT JOIN f2 ON raw.source = f2.source
+ORDER BY raw.source"""
+  }
+
   /** x58: cross-source duplication matrix — for every near-dup cluster
     * (the x51/x55 doc→exact-rep→CC-label chain), the set of sources it
     * touches; emit one row per source PAIR with the count of clusters

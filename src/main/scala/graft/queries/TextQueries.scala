@@ -2950,6 +2950,61 @@ object TextQueries {
         "pad_ppm", "n_spans", "n_split_docs")
   }
 
+  /** x116: per-source curation YIELD FUNNEL — stage-by-stage retention
+    * through x59's release pipeline (raw → quality gate → exact collapse →
+    * near-dup CC survivor), with doc and token counts at the rails and
+    * exact integer kept-ppm: the "where did my data go" table a corpus
+    * release publishes next to its datasheet (Dolma/RefinedWeb report
+    * exactly this per-stage yield). Survivors attribute to the KEPT doc's
+    * source — a cluster spanning sources credits whichever source ships
+    * the surviving member, which is the real contribution accounting
+    * (x58 measures the cross-source overlap this attribution hides).
+    *
+    * Plan/scale: the chain is x59's verbatim (quality gate prunes BEFORE
+    * any shingling; band join + hash-min CC on the pruned subset; the
+    * measured 10×/30×/100× ladder covers it); the gated frame is
+    * localCheckpointed once for its three consumers (stage count, exact
+    * collapse, sketch chain). Stage attribution joins are survivor-keyed
+    * equi-joins back to the corpus (the x104 stance: survivor sets are
+    * corpus-scale ÷ dup factor — NOT broadcastable, so they shuffle on
+    * doc_id); the funnel itself is a sources-sized left-join chain. All
+    * outputs exact integers (ppm by floor-div). */
+  val curationFunnel = sql(
+    "x116_curation_funnel", HashOracles.curationFunnel) { (s, d) =>
+    val dd = docs(s, d)
+    val nTok = size(split(trim(col("text")), "\\s+")).cast("long")
+    val raw = dd.groupBy("source").agg(
+      count(lit(1)).as("n_raw"), sum(nTok).as("tok_raw"))
+    val qual = dd.filter(nTok >= 40).select("doc_id", "source", "text")
+      .localCheckpoint(eager = false) // three consumers: stage count, exact, chain
+    val nQual = qual.groupBy("source").agg(count(lit(1)).as("n_qual"))
+    val erep = docExactRep(qual.select("doc_id", "text"))
+    val (_, labels) = sigsAndLabelsOf(qual.select("doc_id", "text"))
+    val chain = erep.join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
+      .select("doc_id", "rep")
+    val surv = chain.groupBy("rep").agg(min("doc_id").as("keep_id"))
+    val nExact = erep.select("e_rep").distinct()
+      .join(dd.select(col("doc_id").as("e_rep"), col("source")), Seq("e_rep"))
+      .groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val nFinal = surv
+      .join(dd.select(col("doc_id").as("keep_id"), col("source"), nTok.as("n_tok")),
+        Seq("keep_id"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_final"), sum("n_tok").as("tok_final"))
+    raw
+      .join(nQual, Seq("source"), "left")
+      .join(nExact, Seq("source"), "left")
+      .join(nFinal, Seq("source"), "left")
+      .select(col("source"), col("n_raw"), col("tok_raw"),
+        coalesce(col("n_qual"), lit(0L)).as("n_qual"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        coalesce(col("tok_final"), lit(0L)).as("tok_final"))
+      .withColumn("kept_ppm", expr("(n_final * 1000000) div n_raw"))
+      .withColumn("tok_kept_ppm", expr("(tok_final * 1000000) div tok_raw"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -2963,5 +3018,5 @@ object TextQueries {
     releaseDiff, dedupRecallAudit, weightedSample, dupTriangles, bpeMerges,
     massMedian, bpeEncode, shardDupRate, bpeCompression, piiRedact,
     dedupKeepBest, releaseManifestKeepBest, vocabCoverage, boilerStrip,
-    packSpans, datasheetMerge, packEfficiency)
+    packSpans, datasheetMerge, packEfficiency, curationFunnel)
 }

@@ -77,4 +77,30 @@ class OracleAssumptionsSpec extends AnyFunSuite with Matchers with SparkTestBase
       }
     }
   }
+
+  test("x115 decay magnitudes stay inside DECIMAL(38,0) and the exact-floor regime") {
+    // x115's order-free exactness rests on two magnitude premises:
+    // (1) value·10⁶ < 2⁵³, so the double multiply + FLOOR is the same
+    //     integer in both engines for every shipped row;
+    // (2) Σ |v6|·2³⁰ per user < 10³⁸, so the DECIMAL(38,0)/HUGEINT sum
+    //     can never overflow (Spark would NULL, DuckDB would error —
+    //     either way an opaque mismatch; this canary names the cause).
+    val dirsE = dirs.filter(d => new java.io.File(s"$d/events.parquet").isFile)
+    dirsE should not be empty
+    dirsE.foreach { d =>
+      val r = graft.Tables.events(spark, d)
+        .select(col("user_id"), abs(col("value")).as("av"))
+        .agg(max("av").as("mx"),
+          sum(expr("CAST(floor(av * 1000000) AS DECIMAL(38,0))")).as("tot"))
+        .head()
+      withClue(s"$d/events: max |value| breaks the exact-floor premise: ") {
+        r.getDouble(0) * 1000000d should be < math.pow(2, 53)
+      }
+      // sum over ALL users bounds any single user's sum from above
+      val headroom = BigDecimal(10).pow(38) / BigDecimal(2).pow(30)
+      withClue(s"$d/events: total decayed mass too close to DECIMAL(38,0): ") {
+        BigDecimal(r.getDecimal(1)) should be < headroom / 100 // 100× margin
+      }
+    }
+  }
 }
