@@ -70,6 +70,28 @@ class DatasheetStatsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     shape(merged) shouldBe shape(TextQueries.datasheetStatsOf(mkDocs(da ++ db)))
   }
 
+  test("the contract is load-bearing: the two classic WRONG merges fail it") {
+    // an artifact that stores derived values instead of monoid components
+    // cannot merge — prove the reconciliation these specs (and the x113
+    // oracle hash) run would actually CATCH both textbook mistakes,
+    // rather than passing any plausible-looking merge
+    val sa = TextQueries.datasheetStatsOf(mkDocs(da)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sb = TextQueries.datasheetStatsOf(mkDocs(db)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val truth = shape(TextQueries.datasheetStatsOf(mkDocs(da ++ db)))
+    // WRONG 1: store n_langs and ADD counts instead of unioning sets —
+    // 'wiki' is en on both sides, so count-adding doubles it
+    val wrongLangs = sa("wiki").getSeq[String](4).size + sb("wiki").getSeq[String](4).size
+    wrongLangs should not be truth("wiki")._4.size
+    // WRONG 2: store the mean and AVERAGE the partials instead of deriving
+    // from merged sums — 'web' has unequal side weights, so it diverges
+    def mean(r: org.apache.spark.sql.Row) = r.getLong(3).toDouble / r.getLong(1)
+    val wrongMean = (mean(sa("web")) + mean(sb("web"))) / 2
+    val trueMean = truth("web")._3.toDouble / truth("web")._1
+    math.abs(wrongMean - trueMean) should be > 1e-9
+  }
+
   test("x113 on the shipped corpus: merged steady state ≡ one-pass recompute") {
     val dir = "/root/testdata/sf0.001"
     val all = Tables.documents(spark, dir)
