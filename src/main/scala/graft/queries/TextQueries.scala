@@ -3005,6 +3005,64 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** x117: language-ID confusion matrix — x08's stopword-heuristic
+    * predictions evaluated against the corpus's labeled `lang` column:
+    * one row per (true lang, predicted lang) with the count, the true
+    * lang's total, and the exact row-share ppm (diagonal share = per-lang
+    * recall). This is the eval table a curation pipeline publishes before
+    * trusting a lang-ID stage to gate a mixture (CCNet reports exactly
+    * this; on the shipped synthetic corpus the heuristic honestly craters
+    * on everything but en — the vocabulary is English-ish for all labels
+    * — which is precisely what the table exists to expose).
+    *
+    * Plan: x08's row-local scoring chain (stopword lists as literals,
+    * argmax by struct ordering) + ONE partial-final groupBy on the ≤
+    * |langs|² key; the per-lang total is a window over the aggregated
+    * cells, not a second corpus scan. All integers. */
+  val langidConfusion = sql(
+    "x117_langid_confusion",
+    """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      |b AS (SELECT doc_id, lang, list_sort([
+      |    {'score': CAST(len(list_intersect(toks, ['the','and','of','to','a','in','is','that','for','it'])) AS INTEGER), 'lang': 'en'},
+      |    {'score': CAST(len(list_intersect(toks, ['der','die','und','das','ist','nicht','mit','ein','zu','den'])) AS INTEGER), 'lang': 'de'},
+      |    {'score': CAST(len(list_intersect(toks, ['le','la','et','les','des','une','est','pour','que','dans'])) AS INTEGER), 'lang': 'fr'},
+      |    {'score': CAST(len(list_intersect(toks, ['el','los','de','que','y','en','un','es','por','con'])) AS INTEGER), 'lang': 'es'}])[-1] AS best
+      |  FROM t),
+      |c AS (SELECT lang, CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS pred_lang,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM b GROUP BY 1, 2)
+      |SELECT lang, pred_lang, n,
+      |  CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+      |  (n * 1000000) // SUM(n) OVER (PARTITION BY lang) AS share_ppm
+      |FROM c ORDER BY lang, pred_lang""".stripMargin) { (s, d) =>
+    val stop: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"),
+      "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "pour", "que", "dans"),
+      "es" -> Seq("el", "los", "de", "que", "y", "en", "un", "es", "por", "con"))
+    val toks = array_distinct(tokens)
+    val scored = array_max(array(stop.map { case (lang, words) =>
+      struct(size(array_intersect(toks, typedLit(words))).as("score"), lit(lang).as("lang"))
+    }: _*))
+    // the same CJK override as x08's engine (never fires on the ascii
+    // testdata, so the oracle omits it — x08's documented stance)
+    val cjkRatio = (length(col("text")) -
+      length(regexp_replace(col("text"), "[\\x{4e00}-\\x{9fff}]", ""))).cast("double") /
+      greatest(length(col("text")), lit(1))
+    val cells = docs(s, d)
+      .withColumn("best", scored)
+      .withColumn("pred_lang",
+        when(cjkRatio > 0.3, "zh")
+          .when(col("best.score") > 0, col("best.lang"))
+          .otherwise("und"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    cells
+      .withColumn("lang_total", sum("n").over(tot))
+      .withColumn("share_ppm", expr("(n * 1000000) div lang_total"))
+      .orderBy("lang", "pred_lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -3018,5 +3076,5 @@ object TextQueries {
     releaseDiff, dedupRecallAudit, weightedSample, dupTriangles, bpeMerges,
     massMedian, bpeEncode, shardDupRate, bpeCompression, piiRedact,
     dedupKeepBest, releaseManifestKeepBest, vocabCoverage, boilerStrip,
-    packSpans, datasheetMerge, packEfficiency, curationFunnel)
+    packSpans, datasheetMerge, packEfficiency, curationFunnel, langidConfusion)
 }

@@ -437,4 +437,34 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
     out shouldBe expected
   }
+
+  test("x117 confusion matrix ≡ x08's per-doc predictions aggregated; rows conserve") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.01"
+    // the two queries must run ONE scoring chain: aggregate x08's
+    // oracle-checked per-doc output against the labels and compare cells
+    val labels = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = TextQueries.textLangid.run(spark, sf).collect()
+      .map(r => (labels(r.getLong(0)), r.getString(1)))
+      .groupBy(identity).map { case ((l, p), g) => (l, p) -> g.length.toLong }
+    val rows = TextQueries.langidConfusion.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.map(r => (r._1, r._2) -> r._3).toMap shouldBe expected
+    // conservation + exact ppm arithmetic per row
+    rows.map(_._3).sum shouldBe labels.size.toLong
+    rows.groupBy(_._1).foreach { case (_, cells) =>
+      val tot = cells.head._4
+      cells.map(_._3).sum shouldBe tot
+      cells.foreach { c => c._5 shouldBe c._3 * 1000000L / tot }
+      // floor-div shares under-count by at most (cells-1) ppm units
+      val s = cells.map(_._5).sum
+      s should be <= 1000000L
+      s should be > 1000000L - cells.length.toLong
+    }
+    // non-vacuity: the table must expose BOTH a diagonal hit and a miss
+    rows.exists(r => r._1 == r._2) shouldBe true
+    rows.exists(r => r._1 != r._2) shouldBe true
+  }
 }
