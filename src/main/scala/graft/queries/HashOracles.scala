@@ -584,6 +584,65 @@ FROM raw LEFT JOIN q2 ON raw.source = q2.source
 ORDER BY raw.source"""
   }
 
+  /** x118: release shard-balance audit — per shard of x59's manifest:
+    * clusters, represented docs, SHIPPED tokens, exact token-share ppm and
+    * the signed deviation from the uniform 1/16 share. The straggler
+    * predictor a training-data loader reads: a shard 20% over the mean is
+    * a rank that finishes 20% late every epoch. Shares x59's WITH prefix
+    * verbatim through `sp` (diffcheck prefix-cache family). */
+  val shardBalance: String = {
+    val qualSql =
+      """SELECT doc_id, text FROM documents
+        | WHERE len(string_split_regex(trim(text), '\s+')) >= 40""".stripMargin
+    s"""${minhashCtesOver(qualSql)},
+$ccCtes,
+qual AS ($qualSql),
+erep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS e_rep FROM qual),
+chain AS (SELECT e.doc_id, l.rep FROM erep e JOIN labels l ON l.doc_id = e.e_rep),
+man AS (SELECT rep AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs FROM chain GROUP BY rep),
+sp AS (SELECT keep_id, n_docs, md5(CAST(keep_id AS VARCHAR)) AS k FROM man),
+sh AS (SELECT s.keep_id, s.n_docs,
+    CAST(strpos('0123456789abcdef', substring(s.k, 2, 1)) - 1 AS INTEGER) AS shard,
+    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_tok
+  FROM sp s JOIN documents d ON d.doc_id = s.keep_id),
+g AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+    CAST(SUM(n_docs) AS BIGINT) AS n_docs_rep,
+    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM sh GROUP BY shard),
+gt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM g)
+SELECT shard, n_clusters, n_docs_rep, n_tokens,
+  (n_tokens * 1000000) // gt.tot AS tok_share_ppm,
+  (n_tokens * 16000000) // gt.tot - 1000000 AS dev_ppm
+FROM g CROSS JOIN gt ORDER BY shard"""
+  }
+
+  /** x119: near-dup cluster-size histogram — log2-bucketed distribution of
+    * cluster sizes over the FULL corpus chain (x51's doc→exact-rep→CC
+    * labels): how much doc mass sits in singletons vs giant clusters, the
+    * dedup-observability table FineWeb/Dolma publish. Bucketing is an
+    * integer CASE ladder (floor-log2 WITHOUT log2(): a libm floor at a
+    * power-of-two boundary is exactly the cross-engine gamble the integer
+    * ladder avoids). */
+  val clusterSizeHist: String = {
+    val bucketCase = (0 until 20)
+      .map(b => s"WHEN sz < ${2L << b} THEN $b")
+      .mkString("CASE ", " ", " ELSE 20 END")
+    s"""$minhashCtes,
+$ccCtes,
+erep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS e_rep FROM documents),
+chain AS (SELECT e.doc_id, l.rep FROM erep e JOIN labels l ON l.doc_id = e.e_rep),
+cs AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS sz FROM chain GROUP BY rep),
+b AS (SELECT sz, CAST($bucketCase AS INTEGER) AS bucket FROM cs),
+g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+    CAST(SUM(sz) AS BIGINT) AS n_docs, CAST(MAX(sz) AS BIGINT) AS max_size
+  FROM b GROUP BY bucket),
+gt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot FROM g)
+SELECT bucket, CAST(POWER(2, bucket) AS BIGINT) AS floor_size,
+  n_clusters, n_docs, max_size,
+  (n_docs * 1000000) // gt.tot AS doc_share_ppm
+FROM g CROSS JOIN gt ORDER BY bucket"""
+  }
+
   /** x58: cross-source duplication matrix — for every near-dup cluster
     * (the x51/x55 doc→exact-rep→CC-label chain), the set of sources it
     * touches; emit one row per source PAIR with the count of clusters

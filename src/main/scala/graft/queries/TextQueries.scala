@@ -3063,6 +3063,70 @@ object TextQueries {
       .orderBy("lang", "pred_lang")
   }
 
+  /** x118: release shard-balance audit — per shard of x59's manifest:
+    * clusters, represented docs, SHIPPED tokens, exact token-share ppm,
+    * and the signed deviation from the uniform 1/16 share. This is the
+    * straggler predictor a training-data loader reads before an epoch: a
+    * shard 20% over the mean token mass is a rank that finishes 20% late
+    * every epoch (x56 proved the shard RULE is a permutation of docs; this
+    * audits what the rule does to TOKEN mass once the manifest picks
+    * survivors). Deviations are exact integers: dev_ppm =
+    * (n_tokens·16·10⁶) div total − 10⁶.
+    *
+    * Plan/scale: x59's chain verbatim; the shipped-token attach is a
+    * survivor-keyed equi-join back to the corpus (x104 stance), the rollup
+    * is a 16-row aggregate, and the total attaches as a broadcast 1-row
+    * frame (x98's nb move — never an unpartitioned window). */
+  val shardBalance = sql(
+    "x118_shard_balance", HashOracles.shardBalance) { (s, d) =>
+    val nTok = size(split(trim(col("text")), "\\s+")).cast("long")
+    val sh = manifestPlan(s, d, KeepMinId)
+      .select("keep_id", "n_docs", "shard")
+      .join(docs(s, d).select(col("doc_id").as("keep_id"), nTok.as("n_tok")),
+        Seq("keep_id"))
+    val g = sh.groupBy("shard").agg(
+      count(lit(1)).as("n_clusters"),
+      sum("n_docs").as("n_docs_rep"),
+      sum("n_tok").as("n_tokens"))
+    g.crossJoin(broadcast(g.agg(sum("n_tokens").as("tot"))))
+      .select(col("shard"), col("n_clusters"), col("n_docs_rep"), col("n_tokens"),
+        expr("(n_tokens * 1000000) div tot").as("tok_share_ppm"),
+        expr("(n_tokens * 16000000) div tot - 1000000").as("dev_ppm"))
+      .orderBy("shard")
+  }
+
+  /** x119: near-dup cluster-size HISTOGRAM — log2-bucketed distribution of
+    * cluster sizes over the full-corpus x51 chain: how much document mass
+    * sits in singletons vs giant clusters, the dedup-observability
+    * distribution FineWeb/Dolma publish (it decides whether hub-removal
+    * (x73) or plain survivor-selection is the right treatment). Bucketing
+    * is an integer CASE ladder — floor-log2 WITHOUT calling log2(), whose
+    * power-of-two boundary values are the classic last-ulp cross-engine
+    * gamble. Plan: the proven chain, a clusters-sized groupBy(rep), a ≤
+    * 21-row bucket rollup, totals as a broadcast 1-row frame. */
+  val clusterSizeHist = sql(
+    "x119_cluster_size_hist", HashOracles.clusterSizeHist) { (s, d) =>
+    val bucketCase = (0 until 20)
+      .map(b => s"WHEN sz < ${2L << b} THEN $b")
+      .mkString("CASE ", " ", " ELSE 20 END")
+    val (_, labels) = sigsAndLabels(s, d)
+    val chain = docExactRep(docs(s, d))
+      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
+    val cs = chain.groupBy("rep").agg(count(lit(1)).as("sz"))
+    val g = cs
+      .withColumn("bucket", expr(bucketCase).cast("int"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs"),
+        max("sz").as("max_size"))
+    g.crossJoin(broadcast(g.agg(sum("n_docs").as("tot"))))
+      .select(col("bucket"),
+        expr("CAST(POWER(2, bucket) AS BIGINT)").as("floor_size"),
+        col("n_clusters"), col("n_docs"), col("max_size"),
+        expr("(n_docs * 1000000) div tot").as("doc_share_ppm"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -3076,5 +3140,6 @@ object TextQueries {
     releaseDiff, dedupRecallAudit, weightedSample, dupTriangles, bpeMerges,
     massMedian, bpeEncode, shardDupRate, bpeCompression, piiRedact,
     dedupKeepBest, releaseManifestKeepBest, vocabCoverage, boilerStrip,
-    packSpans, datasheetMerge, packEfficiency, curationFunnel, langidConfusion)
+    packSpans, datasheetMerge, packEfficiency, curationFunnel, langidConfusion,
+    shardBalance, clusterSizeHist)
 }

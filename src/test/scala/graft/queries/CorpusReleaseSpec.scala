@@ -140,4 +140,49 @@ class CorpusReleaseSpec extends AnyFunSuite with Matchers with SparkTestBase {
     rows.map(r => r.getLong(1) - r.getLong(3)).sum should be > 0L // gate bites
     rows.map(r => r.getLong(4) - r.getLong(5)).sum should be > 0L // near-dup bites
   }
+
+  test("x118 shard balance: reconciles with x59, exact share arithmetic, deviations sum to ~0") {
+    // columns: shard, n_clusters, n_docs_rep, n_tokens, tok_share_ppm, dev_ppm
+    val rows = TextQueries.shardBalance.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val man = TextQueries.releaseManifest.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    rows.map(_._1).sorted shouldBe man.map(_._3).distinct.sorted // same shard set
+    rows.map(_._2).sum shouldBe man.length.toLong // every cluster in one shard
+    rows.map(_._3).sum shouldBe man.map(_._2).sum // represented docs conserve
+    val tot = rows.map(_._4).sum
+    rows.foreach { r =>
+      r._5 shouldBe r._4 * 1000000L / tot
+      r._6 shouldBe r._4 * 16000000L / tot - 1000000L
+    }
+    // floor-div makes each dev under-read by < 1 ppm-unit: the sum of true
+    // deviations is exactly 0, so the floored sum sits in (-16, 0]
+    val devSum = rows.map(_._6).sum
+    devSum should be <= 0L
+    devSum should be > -16L
+    rows.map(_._6).exists(_ != 0L) shouldBe true // imbalance actually measured
+  }
+
+  test("x119 cluster-size histogram: conserves docs/clusters, buckets are true floor-log2") {
+    // columns: bucket, floor_size, n_clusters, n_docs, max_size, doc_share_ppm
+    val rows = TextQueries.clusterSizeHist.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val clusters = TextQueries.dedupApply.run(spark, sf).collect()
+      .map(r => r.getLong(1)) // x51's per-cluster doc counts, same chain
+    rows.map(_._3).sum shouldBe clusters.length.toLong
+    rows.map(_._4).sum shouldBe clusters.sum
+    rows.foreach { r =>
+      r._2 shouldBe (1L << r._1) // floor_size = 2^bucket
+      r._5 should be >= r._2 // max size inside [2^b, 2^(b+1))
+      r._5 should be < r._2 * 2
+      r._6 shouldBe r._4 * 1000000L / clusters.sum
+    }
+    // recompute the bucketing driver-side from x51's sizes
+    val expected = clusters.groupBy(n => 63 - java.lang.Long.numberOfLeadingZeros(n))
+      .map { case (b, g) => b.toInt -> ((g.length.toLong, g.sum, g.max)) }
+    rows.map(r => r._1 -> ((r._3, r._4, r._5))).toMap shouldBe expected
+    rows.length should be > 1 // singletons AND real clusters both present
+  }
 }

@@ -636,6 +636,14 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     "HashAggregate".r.findAllIn(plan).size should be >= 2
   }
 
+  test("x117: one corpus scan; totals are a window over the aggregated cells") {
+    val plan = planOf(TextQueries.langidConfusion)
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 1 // no second scan for totals
+    plan should include("Window")
+    "HashAggregate".r.findAllIn(plan).size should be >= 2 // partial-final cells
+    plan should not include "Join"
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:
