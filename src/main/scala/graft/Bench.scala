@@ -156,7 +156,22 @@ object Bench {
     val mins = samples.map { case (_, ts) => ts.min }
     val failed = mins.count(_ < 0)
     val total = mins.filter(_ >= 0).sum
-    val calib = calibration.map(d3).mkString("[", ",", "]")
+    // a %.2f value's trailing zero is a free byte: "0.30" IS 0.3, so trim
+    // it (numeric value unchanged, 10 ms resolution kept where it exists).
+    // At 144 registry rows this claws back ~80 bytes — the difference
+    // between keeping 10 ms precision and degrading the whole map to %.1f
+    def d2t(x: Double): String = {
+      val s = d2(x)
+      if (s.endsWith("0") && s.contains('.')) s.dropRight(1) + (if (s.dropRight(1).endsWith(".")) "0" else "")
+      else s
+    }
+    // scalar-tail diet (the 144-row squeeze): 6 calibration samples at
+    // trimmed %.2f read exactly like 10 at %.3f (calm ≈ 0.15-0.4, hot ≥ 1 —
+    // millisecond digits carry no signal), and the constant testdata prefix
+    // on sf is recoverable from the driver's own invocation. Every byte
+    // saved here is a per-query row that keeps its 10 ms digit.
+    val calib = calibration.take(6).map(d2t).mkString("[", ",", "]")
+    val sfShort = sfDir.stripPrefix("/root/testdata/")
     def render(hotCap: Int, dq: Double => String): String = {
       val qs = samples.map { case (k, ts) =>
         "\"" + shortKey(k) + "\":" + dq(ts.min)
@@ -166,12 +181,17 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","unit":"sec","runs":3,""" +
         s""""queries":$qs,"hot_max":$hot,""" +
-        s""""ivf_train_sec":${d3(ivfTrain)},"x03_probe_only_sec":${d3(probeOnly)},""" +
+        s""""ivf_train_sec":${d2t(ivfTrain)},"x03_probe_only_sec":${d2t(probeOnly)},""" +
         s""""failed":$failed,""" +
-        s""""calibration_sec":$calib,"value":${d3(total)},"sf":"$sfDir"}"""
+        s""""calibration_sec":$calib,"value":${d3(total)},"sf":"$sfShort"}"""
     }
-    val ladder = Seq((6, d2 _), (4, d2 _), (0, d2 _), (0, d1 _))
-    ladder.map { case (h, p) => render(h, p) }.find(_.length <= 1900)
+    // threshold matches BenchSanitySpec's < 1800 budget (2000-char tail
+    // capture − sbt's ~80-char "[success]" trailer − headroom): at 144
+    // registry rows the 6-hot %.2f render measured 1810 and slipped the
+    // old 1900 gate while failing the spec — the two budgets must agree,
+    // and 1800 is the one sized from the observed truncation failures
+    val ladder = Seq((6, d2t _), (4, d2t _), (2, d2t _), (0, d2t _), (0, d1 _))
+    ladder.map { case (h, p) => render(h, p) }.find(_.length < 1800)
       .getOrElse(render(0, d1))
   }
 }
