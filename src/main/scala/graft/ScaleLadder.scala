@@ -40,7 +40,8 @@ object ScaleLadder {
     "x48_ev_resample_ffill", "q10_median", "x61_substring_cut",
     "x68_pq_topk", "x26_dedup_clusters", "x58_dup_source_matrix",
     "x59_release_manifest", "x104_shard_dup_rate",
-    "x108_release_manifest_keep_best", "x116_curation_funnel")
+    "x108_release_manifest_keep_best", "x116_curation_funnel",
+    "x118_shard_balance", "x119_cluster_size_hist")
 
   private val Shift = 10000000L // id stride between copies (disjoint ranges)
 
