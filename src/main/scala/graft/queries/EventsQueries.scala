@@ -1281,7 +1281,15 @@ object EventsQueries {
       |  ROUND(CAST(SUM(v6::HUGEINT * CAST(POWER(2, 30 - days) AS HUGEINT)) AS DOUBLE)
       |    / 1073741824000000.0, 6) AS decay_score
       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
-    val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+    decayScoreOf(Tables.events(s, d)).orderBy("user_id")
+  }
+
+  /** x115's engine over an arbitrary (user_id, ts, value) frame — factored
+    * so EventsEdgeSpec can drive a >30-day span through the identical plan
+    * (the shipped corpus spans 29.99 days, so the horizon floor never
+    * fires there; the cap branch is pinned on a synthetic frame). */
+  def decayScoreOf(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ev = events.withColumn("us", unix_micros(col("ts")))
     val tMax = ev.agg(max("us").as("t_max"))
     ev.crossJoin(broadcast(tMax))
       .select(col("user_id"),
@@ -1292,7 +1300,6 @@ object EventsQueries {
         round(
           sum(expr("CAST(v6 AS DECIMAL(38,0)) * CAST(shiftleft(1L, CAST(30 - days AS INT)) AS DECIMAL(38,0))"))
             .cast("double") / lit(1073741824000000.0), 6).as("decay_score"))
-      .orderBy("user_id")
   }
 
   val all: Seq[QueryDef] = Seq(jsonExtract, timeBucket, sessionize, approxStats,

@@ -246,4 +246,29 @@ class EventsEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
     byUser.keys.count(u => flat(u) != scoreOf(byUser(u).toSeq)) should be > 0
   }
+
+  test("x115 horizon floor: a >30-day-old event weighs exactly 2^0 (cap branch pinned)") {
+    import spark.implicits._
+    // the shipped corpus spans 29.99 days — the LEAST(days, 30) cap never
+    // fires there, so pin it on a synthetic 100-day frame: value 1.0 at
+    // ages {0d, 30d, 31d, 100d}; the last three all weigh 2^0... no —
+    // exactly 30d weighs 2^0 too (30-30), 31d and 100d CAP to 30 → 2^0.
+    val day = 86400000000L
+    def ts(ageDays: Long) = new java.sql.Timestamp((200L * day - ageDays * day) / 1000)
+    val f = Seq(
+      (1L, ts(0), 1.0), // weight 2^30
+      (2L, ts(30), 1.0), // weight 2^0 (at the horizon)
+      (3L, ts(31), 1.0), // capped → 2^0
+      (4L, ts(100), 1.0)) // capped → 2^0
+      .toDF("user_id", "ts", "value")
+    val got = EventsQueries.decayScoreOf(f).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    got(1L) shouldBe 1.0 // 10^6·2^30 / (2^30·10^6)
+    val floorScore = BigDecimal(
+      (BigInt(1000000) * 1).toDouble / 1073741824000000.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got(2L) shouldBe floorScore
+    got(3L) shouldBe floorScore // the cap: 31d ≡ 30d exactly
+    got(4L) shouldBe floorScore // ...and 100d too — never negative shifts
+  }
 }
