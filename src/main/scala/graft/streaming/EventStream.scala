@@ -20,7 +20,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * keys) state at any scale.
   *
   * Deliberately NOT twinned: x53's mixture sampling to a token budget and
-  * x54's sequence packing
+  * x54's sequence packing — along with x54's span/efficiency derivatives
+  * x112/x114, which inherit the same prefix-sum totality
   * (`TextQueries.mixtureSample`/`textPack` / `operators.PrefixQuota`).
   * Both are running-prefix-sum statements over a TOTAL order of the corpus —
   * "keep documents in priority order until source s reaches B_s tokens" —
