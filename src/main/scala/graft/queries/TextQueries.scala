@@ -3127,6 +3127,93 @@ object TextQueries {
       .orderBy("bucket")
   }
 
+  /** x120: pack ASSEMBLY — the materialized training sequence itself. x54
+    * places docs, x112 derives the loss-mask spans, x114 prices the
+    * padding; this query BUILDS each fixed-length sequence (per-span token
+    * slices concatenated in span order, final pack right-padded with
+    * `<pad>`) and pins its EXACT content cross-engine via md5 — so the
+    * bytes a trainer would memory-map, not just their bookkeeping, are
+    * hash-checked end to end. Output per (source, pack_id): span count,
+    * real tokens, pad count, and the content digest (the digest keeps
+    * output rows bounded while still failing on any single-token
+    * misplacement anywhere in the corpus).
+    *
+    * Plan/scale: the x54 prefix-sum chain; the explode is the SAME
+    * linear-output span explode x112 plans; per-pack assembly is one
+    * partial-final aggregate whose per-group state is ≤ 512 tokens by
+    * construction (the pack length bounds it — no unbounded collect_list
+    * risk); the slice/flatten/join are row-local HOFs over ≤ L tokens.
+    * Writing the real artifact is `Sinks.partitionedParquet(..., source)`
+    * over this frame minus the digest. */
+  val packAssemble = sql(
+    "x120_pack_assemble",
+    s"""WITH d AS (SELECT source, doc_id,
+      |    string_split_regex(trim(text), '\\s+') AS toks,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+      |    md5(CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM documents),
+      |c AS (SELECT source, doc_id, toks, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM d),
+      |e AS (SELECT source, doc_id, toks, n_tok, cum_before,
+      |    unnest(range(cum_before // $packSeqLen, (cum_before + n_tok - 1) // $packSeqLen + 1)) AS pack_id
+      |  FROM c),
+      |sp AS (SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+      |    GREATEST(cum_before, pack_id*$packSeqLen) - pack_id*$packSeqLen AS span_start,
+      |    GREATEST(cum_before, pack_id*$packSeqLen) - cum_before AS doc_off,
+      |    LEAST(cum_before + n_tok, (pack_id+1)*$packSeqLen)
+      |      - GREATEST(cum_before, pack_id*$packSeqLen) AS span_len,
+      |    toks
+      |  FROM e),
+      |g AS (SELECT source, pack_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |    CAST(SUM(span_len) AS BIGINT) AS n_tokens,
+      |    string_agg(array_to_string(toks[CAST(doc_off+1 AS INTEGER):CAST(doc_off+span_len AS INTEGER)], ' '),
+      |               ' ' ORDER BY span_start) AS body
+      |  FROM sp GROUP BY source, pack_id)
+      |SELECT source, pack_id, n_spans, n_tokens,
+      |  CAST($packSeqLen - n_tokens AS BIGINT) AS n_pad,
+      |  md5(body || repeat(' <pad>', CAST($packSeqLen - n_tokens AS INTEGER))) AS pack_md5
+      |FROM g ORDER BY source, pack_id""".stripMargin) { (s, d) =>
+    packAssembleOf(docs(s, d)).orderBy("source", "pack_id")
+  }
+
+  /** x120's engine over an arbitrary (source, doc_id, text) frame (factored
+    * so TextPackSpec can rebuild every pack driver-side and compare). */
+  def packAssembleOf(documents: DataFrame): DataFrame = {
+    val L = packSeqLen
+    val dd = documents
+      .select(col("source"), col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+    graft.operators.PrefixQuota.runningBefore(
+      dd, "source",
+      orderKey = md5(col("doc_id").cast("string")), tie = col("doc_id"),
+      value = col("n_tok"))
+      .withColumn("pack_id",
+        explode(sequence(expr(s"cum_before div $L"),
+          expr(s"(cum_before + n_tok - 1) div $L"))))
+      .withColumn("span_start",
+        greatest(col("cum_before"), col("pack_id") * L) - col("pack_id") * L)
+      .withColumn("doc_off",
+        greatest(col("cum_before"), col("pack_id") * L) - col("cum_before"))
+      .withColumn("span_len",
+        least(col("cum_before") + col("n_tok"), (col("pack_id") + 1) * L)
+          - greatest(col("cum_before"), col("pack_id") * L))
+      .select(col("source"), col("pack_id"), col("span_start"), col("span_len"),
+        expr("slice(toks, CAST(doc_off + 1 AS INT), CAST(span_len AS INT))")
+          .as("span_toks"))
+      .groupBy("source", "pack_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum("span_len").as("n_tokens"),
+        expr("array_join(flatten(transform(array_sort(collect_list(" +
+          "struct(span_start, span_toks))), x -> x.span_toks)), ' ')").as("body"))
+      .withColumn("n_pad", lit(L) - col("n_tokens"))
+      .withColumn("pack_md5",
+        md5(concat(col("body"), expr("repeat(' <pad>', CAST(n_pad AS INT))"))))
+      .select("source", "pack_id", "n_spans", "n_tokens", "n_pad", "pack_md5")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -3141,5 +3228,5 @@ object TextQueries {
     massMedian, bpeEncode, shardDupRate, bpeCompression, piiRedact,
     dedupKeepBest, releaseManifestKeepBest, vocabCoverage, boilerStrip,
     packSpans, datasheetMerge, packEfficiency, curationFunnel, langidConfusion,
-    shardBalance, clusterSizeHist)
+    shardBalance, clusterSizeHist, packAssemble)
 }

@@ -82,4 +82,39 @@ class TextPackSpec extends AnyFunSuite with Matchers with SparkTestBase {
     eff.values.map(_.getLong(7)).sum should be > 0L
     eff.values.map(_.getLong(4)).sum should be > 0L
   }
+
+  test("x120 pack content ≡ a from-scratch driver-side pack rebuild (md5 for md5)") {
+    import org.apache.spark.sql.functions.col
+    // rebuild every pack imperatively from raw text + the x54 order rule
+    // (md5(doc_id) asc, doc_id tiebreak), then compare digests — the
+    // engine's slice/flatten/pad chain must reproduce them ALL
+    def hex(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def md5Of(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val expected = docs.groupBy(_._1).flatMap { case (src, ds) =>
+      val stream = ds.sortBy(d => (hex(d._2), d._2))
+        .flatMap(d => d._3.trim.split("\\s+"))
+      stream.grouped(512).zipWithIndex.map { case (toks, pid) =>
+        val padded = toks ++ Seq.fill(512 - toks.length)("<pad>")
+        (src, pid.toLong) -> md5Of(padded.mkString(" "))
+      }
+    }
+    val got = TextQueries.packAssemble.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(5)).toMap
+    got shouldBe expected.toMap
+    // bookkeeping parity with the rest of the family
+    val rows = TextQueries.packAssemble.run(spark, dir).collect()
+    val spans = TextQueries.packSpans.run(spark, dir).collect()
+    rows.map(_.getLong(2)).sum shouldBe spans.length.toLong // n_spans ≡ x112
+    val eff = TextQueries.packEfficiency.run(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      rs.length.toLong shouldBe eff(src)._1 // n_packs ≡ x114
+      rs.map(_.getLong(4)).sum shouldBe eff(src)._2 // Σ n_pad ≡ x114 pad_tokens
+    }
+  }
 }
