@@ -49,7 +49,7 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
     val root = mapper.readTree(line)
     root.get("metric").asText() shouldBe "total"
     root.get("unit").asText() shouldBe "sec"
-    root.get("runs").asInt() shouldBe 3
+    root.get("runs") shouldBe null // constant, documented in the verify skill
     val qKeys = root.get("queries").fieldNames().asScala.toSeq
     qKeys shouldBe shorts
     names.zipWithIndex.foreach { case (n, i) =>
@@ -59,8 +59,9 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
       // the tail budget
       root.get("queries").get(Bench.shortKey(n)).asDouble() shouldBe expMin +- 5.1e-3
     }
-    // all synthetic rows are calm (max/min < 2) → hot_max is empty
-    root.get("hot_max").size shouldBe 0
+    // all synthetic rows are calm (max/min < 2) → the EMPTY hot_max field
+    // is omitted entirely (13 bytes per calm run)
+    root.get("hot_max") shouldBe null
     root.get("value").asDouble() shouldBe samples.map(_._2.min).sum +- 5e-3
     root.get("failed").asInt() shouldBe 0
     val calib = root.get("calibration_sec")
@@ -116,7 +117,7 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
     val line = render(samples)
     line.getBytes("UTF-8").length should be <= 1900
     val root = mapper.readTree(line)
-    root.get("hot_max").size should be < 6
+    Option(root.get("hot_max")).map(_.size).getOrElse(0) should be < 6
     root.get("queries").size shouldBe 140 // every min survives
     root.get("value").isNumber shouldBe true
     root.get("calibration_sec").size shouldBe 3 // scalar tail intact
@@ -127,7 +128,7 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
     val root = mapper.readTree(render(samples))
     root.get("queries").get("x02").asDouble() shouldBe -1.0 +- 1e-3
     root.get("failed").asInt() shouldBe 1
-    root.get("hot_max").size shouldBe 0
+    root.get("hot_max") shouldBe null // -1 rows never mark hot; empty field omitted
     root.get("value").asDouble() shouldBe 0.4 +- 1e-6
   }
 }
