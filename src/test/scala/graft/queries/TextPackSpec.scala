@@ -117,4 +117,47 @@ class TextPackSpec extends AnyFunSuite with Matchers with SparkTestBase {
       rs.map(_.getLong(4)).sum shouldBe eff(src)._2 // Σ n_pad ≡ x114 pad_tokens
     }
   }
+
+  test("multi-pack documents: a 1200-token doc spans 3+ packs with full-pack interior spans") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the shipped corpus's docs are all ≪ 512 tokens, so a doc LONGER than
+    // one pack — the common case for real long documents — never exercises
+    // x112/x120's full-pack interior spans there; pin it synthetically
+    val long1 = (0 until 1200).map(i => s"L$i").mkString(" ")
+    val tiny = (0 until 7).map(i => s"t$i").mkString(" ")
+    val docsDf = Seq((1L, "s1", long1), (2L, "s1", tiny), (3L, "s1", tiny))
+      .toDF("doc_id", "source", "text")
+
+    val spans = TextQueries.packSpansOf(docsDf.select("source", "doc_id", "text"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the 1200-token doc must appear in ≥ 3 packs, with ≥ 2 FULL 512-token spans
+    val longSpans = spans.filter(_._2 == 1L)
+    longSpans.length should be >= 3
+    longSpans.count(_._4 == 512L) should be >= 2
+    longSpans.map(_._4).sum shouldBe 1200L // every token in exactly one span
+    spans.map(_._4).sum shouldBe 1214L
+
+    // x120 assembly reproduces a from-scratch rebuild (same rule as the
+    // shipped-corpus test: md5 order, contiguous 512-token grouping)
+    def hex(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val stream = Seq((1L, long1), (2L, tiny), (3L, tiny))
+      .sortBy { case (id, _) => (hex(id), id) }
+      .flatMap(_._2.split(" "))
+    val expected = stream.grouped(512).zipWithIndex.map { case (toks, pid) =>
+      pid.toLong -> md5Of((toks ++ Seq.fill(512 - toks.length)("<pad>")).mkString(" "))
+    }.toMap
+    val got = TextQueries.packAssembleOf(docsDf.select("source", "doc_id", "text"))
+      .collect().map(r => r.getLong(1) -> r.getString(5)).toMap
+    got shouldBe expected
+    // the efficiency datasheet agrees on the same synthetic frame
+    val eff2 = TextQueries.packEfficiencyOf(docsDf.select("source", "doc_id", "text"))
+      .collect().map(r => (r.getLong(3), r.getLong(6), r.getLong(7))).head
+    eff2._1 shouldBe 3L // ceil(1214/512)
+    eff2._2 shouldBe spans.length.toLong // n_spans
+    eff2._3 should be >= 1L // the long doc straddles → counted split
+  }
 }
