@@ -3033,7 +3033,7 @@ object TextQueries {
       |  FROM b GROUP BY 1, 2)
       |SELECT lang, pred_lang, n,
       |  CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
-      |  (n * 1000000) // SUM(n) OVER (PARTITION BY lang) AS share_ppm
+      |  (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
       |FROM c ORDER BY lang, pred_lang""".stripMargin) { (s, d) =>
     val stop: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
@@ -3214,6 +3214,81 @@ object TextQueries {
       .select("source", "pack_id", "n_spans", "n_tokens", "n_pad", "pack_md5")
   }
 
+  /** x121: seeded per-epoch pack consumption order — the LOADER step that
+    * completes the x54→x112→x114→x120 pack lifecycle: x120 emits packs in
+    * prefix-sum order, but a trainer must consume them in a fresh
+    * deterministic permutation every epoch (x56 proved the shard RULE is a
+    * permutation of docs; this is the same rule lifted to packs × epochs).
+    * Each (epoch, pack) is keyed by a seeded content-independent hash,
+    * bucketed to a consumer shard (= data-parallel rank) by the key's
+    * first hex digit, and positioned within its shard by the same key —
+    * so every epoch's order is reproducible across runs, engines, and
+    * cluster sizes, decorrelated from pack_id order, and different between
+    * epochs (no epoch ever replays another's order).
+    *
+    * Plan/scale: the pack universe comes from x112's span explode (per-doc
+    * bounded ranges, linear output) + ONE distinct on (source, pack_id) —
+    * never a per-source `sequence(0, n_packs)` giant array; the 3-epoch
+    * fan-out is a broadcast cross join against a 3-row literal frame; the
+    * order itself is ONE exchange on (epoch, shard) + an in-partition sort
+    * — exactly the x56 writer plan, and what a loader's
+    * `repartition(shard).sortWithinPartitions(k)` feeds 16 rank streams.
+    * A real run raises the hex prefix to 3 digits (4096 ranks), identical
+    * plan. */
+  val epochOrder = sql(
+    "x121_epoch_order",
+    s"""WITH d AS (SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+      |    md5(CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM documents),
+      |c AS (SELECT source, doc_id, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM d),
+      |e AS (SELECT source, unnest(range(cum_before // $packSeqLen, (cum_before + n_tok - 1) // $packSeqLen + 1)) AS pack_id
+      |  FROM c),
+      |p AS (SELECT DISTINCT source, CAST(pack_id AS BIGINT) AS pack_id FROM e),
+      |x AS (SELECT epoch, source, pack_id,
+      |    md5('graft-epoch-v1:' || CAST(epoch AS VARCHAR) || ':' || source || ':' || CAST(pack_id AS VARCHAR)) AS k
+      |  FROM p CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) ep)
+      |SELECT epoch, source, pack_id,
+      |  CAST(strpos('0123456789abcdef', substring(k, 1, 1)) - 1 AS INTEGER) AS shard,
+      |  CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY epoch, strpos('0123456789abcdef', substring(k, 1, 1))
+      |    ORDER BY k, source, pack_id) AS BIGINT) AS pos
+      |FROM x ORDER BY epoch, shard, pos""".stripMargin) { (s, d) =>
+    epochOrderOf(docs(s, d)).orderBy("epoch", "shard", "pos")
+  }
+
+  /** x121's engine over an arbitrary (source, doc_id, text) frame (factored
+    * so TextPackSpec can assert the permutation properties directly). */
+  def epochOrderOf(documents: DataFrame): DataFrame = {
+    val L = packSeqLen
+    val dd = documents.select(col("source"), col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val packs = graft.operators.PrefixQuota.runningBefore(
+      dd, "source",
+      orderKey = md5(col("doc_id").cast("string")), tie = col("doc_id"),
+      value = col("n_tok"))
+      .withColumn("pack_id",
+        explode(sequence(expr(s"cum_before div $L"),
+          expr(s"(cum_before + n_tok - 1) div $L"))))
+      .select("source", "pack_id").distinct()
+    val epochs = broadcast(
+      documents.sparkSession.range(0, 3).select(col("id").cast("int").as("epoch")))
+    val k = md5(concat_ws(":", lit("graft-epoch-v1"),
+      col("epoch").cast("string"), col("source"), col("pack_id").cast("string")))
+    packs.crossJoin(epochs)
+      .withColumn("k", k)
+      .withColumn("shard",
+        (instr(lit("0123456789abcdef"), substring(col("k"), 1, 1)) - 1).cast("int"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("epoch", "shard").orderBy("k", "source", "pack_id"))
+        .cast("long"))
+      .select("epoch", "source", "pack_id", "shard", "pos")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -3228,5 +3303,5 @@ object TextQueries {
     massMedian, bpeEncode, shardDupRate, bpeCompression, piiRedact,
     dedupKeepBest, releaseManifestKeepBest, vocabCoverage, boilerStrip,
     packSpans, datasheetMerge, packEfficiency, curationFunnel, langidConfusion,
-    shardBalance, clusterSizeHist, packAssemble)
+    shardBalance, clusterSizeHist, packAssemble, epochOrder)
 }

@@ -160,4 +160,55 @@ class TextPackSpec extends AnyFunSuite with Matchers with SparkTestBase {
     eff2._2 shouldBe spans.length.toLong // n_spans
     eff2._3 should be >= 1L // the long doc straddles → counted split
   }
+
+  test("x121 is a per-epoch PERMUTATION of the pack universe: seeded, shard-contiguous, epoch-distinct, deterministic") {
+    val rows = TextQueries.epochOrder.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    rows should not be empty
+
+    // the pack universe: exactly x114's 0..n_packs-1 per source, every epoch
+    val eff = TextQueries.packEfficiency.run(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val universe = eff.toSeq.flatMap { case (src, n) =>
+      (0L until n).map(src -> _)
+    }.toSet
+    (0 to 2).foreach { ep =>
+      val packs = rows.filter(_._1 == ep).map(r => (r._2, r._3))
+      packs.length shouldBe packs.distinct.length // no pack consumed twice
+      packs.toSet shouldBe universe // every pack consumed exactly once
+    }
+
+    // within each (epoch, shard) the positions are contiguous 1..count —
+    // a rank can stream its slice with no gaps or overlaps
+    rows.groupBy(r => (r._1, r._4)).foreach { case (_, rs) =>
+      rs.map(_._5).sorted shouldBe (1L to rs.length.toLong).toArray
+    }
+
+    // shard ≡ first hex digit of the seeded key (the x56 rule on packs)
+    def md5Of(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { case (ep, src, pid, shard, _) =>
+      val k = md5Of(s"graft-epoch-v1:$ep:$src:$pid")
+      shard shouldBe "0123456789abcdef".indexOf(k.head)
+    }
+    // ...and pos is rank-by-key within the shard (driver-side replay)
+    rows.groupBy(r => (r._1, r._4)).foreach { case ((ep, _), rs) =>
+      val expected = rs.sortBy { case (_, src, pid, _, _) =>
+        (md5Of(s"graft-epoch-v1:$ep:$src:$pid"), src, pid)
+      }.map(r => (r._2, r._3))
+      rs.sortBy(_._5).map(r => (r._2, r._3)).toSeq shouldBe expected.toSeq
+    }
+
+    // epochs must not replay each other's order: compare the global
+    // (shard, pos) sequence of pack keys across epochs
+    def order(ep: Int) = rows.filter(_._1 == ep)
+      .sortBy(r => (r._4, r._5)).map(r => (r._2, r._3)).toSeq
+    order(0) should not be order(1)
+    order(1) should not be order(2)
+
+    // determinism: a second run reproduces the rows exactly
+    val again = TextQueries.epochOrder.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    again.sorted shouldBe rows.sorted
+  }
 }
