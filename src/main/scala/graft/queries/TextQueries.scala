@@ -3289,6 +3289,80 @@ object TextQueries {
       .select("epoch", "source", "pack_id", "shard", "pos")
   }
 
+  /** x122: epoch shuffle-QUALITY audit — per (epoch, consumer shard) of
+    * x121's order: pack count, distinct sources, number of same-source
+    * RUNS, and the longest same-source run. This is the interleaving check
+    * a loader publishes before trusting a shuffle: long same-source runs
+    * mean consecutive training batches are source-correlated (the gradient-
+    * noise pathology epoch shuffles exist to prevent), and a max run near
+    * n_packs/n_sources says the hash order is mixing as designed. All
+    * integers; `n_packs − n_runs` is the adjacent-same-source pair count.
+    *
+    * Plan/scale: x121's chain, then two windows over the SAME
+    * (epoch, shard) partitioning x121's pos already established (lag →
+    * run-break flag, running sum → run id: gaps-and-islands with zero new
+    * exchanges), one groupBy on (epoch, shard, run) whose output is
+    * runs-sized, and a ≤ 3×16-row rollup. Nothing in the plan holds more
+    * than a shard's packs, exactly like x121 itself. */
+  val epochMixAudit = sql(
+    "x122_epoch_mix_audit",
+    s"""WITH d AS (SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+      |    md5(CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM documents),
+      |c AS (SELECT source, doc_id, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM d),
+      |e AS (SELECT source, unnest(range(cum_before // $packSeqLen, (cum_before + n_tok - 1) // $packSeqLen + 1)) AS pack_id
+      |  FROM c),
+      |p AS (SELECT DISTINCT source, CAST(pack_id AS BIGINT) AS pack_id FROM e),
+      |x AS (SELECT epoch, source, pack_id,
+      |    md5('graft-epoch-v1:' || CAST(epoch AS VARCHAR) || ':' || source || ':' || CAST(pack_id AS VARCHAR)) AS k
+      |  FROM p CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) ep),
+      |o AS (SELECT epoch, source, pack_id,
+      |    CAST(strpos('0123456789abcdef', substring(k, 1, 1)) - 1 AS INTEGER) AS shard,
+      |    CAST(ROW_NUMBER() OVER (
+      |      PARTITION BY epoch, strpos('0123456789abcdef', substring(k, 1, 1))
+      |      ORDER BY k, source, pack_id) AS BIGINT) AS pos
+      |  FROM x),
+      |r AS (SELECT epoch, shard, source, pos,
+      |    CASE WHEN LAG(source) OVER (PARTITION BY epoch, shard ORDER BY pos) IS NOT DISTINCT FROM source
+      |      THEN 0 ELSE 1 END AS brk
+      |  FROM o),
+      |g AS (SELECT epoch, shard, source, pos,
+      |    SUM(brk) OVER (PARTITION BY epoch, shard ORDER BY pos) AS run_id
+      |  FROM r),
+      |runs AS (SELECT epoch, shard, run_id, CAST(COUNT(*) AS BIGINT) AS run_len,
+      |    MIN(source) AS source
+      |  FROM g GROUP BY epoch, shard, run_id)
+      |SELECT epoch, shard,
+      |  CAST(SUM(run_len) AS BIGINT) AS n_packs,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(COUNT(*) AS BIGINT) AS n_runs,
+      |  CAST(MAX(run_len) AS BIGINT) AS max_run
+      |FROM runs GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin) { (s, d) =>
+    epochMixAuditOf(docs(s, d)).orderBy("epoch", "shard")
+  }
+
+  /** x122's engine over an arbitrary (source, doc_id, text) frame. */
+  def epochMixAuditOf(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy("epoch", "shard").orderBy("pos")
+    epochOrderOf(documents)
+      .withColumn("brk",
+        when(lag("source", 1).over(byPos) <=> col("source"), 0L).otherwise(1L))
+      .withColumn("run_id", sum("brk").over(byPos))
+      .groupBy("epoch", "shard", "run_id")
+      .agg(count(lit(1)).as("run_len"), min("source").as("source"))
+      .groupBy("epoch", "shard")
+      .agg(sum("run_len").as("n_packs"),
+        countDistinct("source").as("n_sources"),
+        count(lit(1)).as("n_runs"),
+        max("run_len").as("max_run"))
+      .select("epoch", "shard", "n_packs", "n_sources", "n_runs", "max_run")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -3303,5 +3377,5 @@ object TextQueries {
     massMedian, bpeEncode, shardDupRate, bpeCompression, piiRedact,
     dedupKeepBest, releaseManifestKeepBest, vocabCoverage, boilerStrip,
     packSpans, datasheetMerge, packEfficiency, curationFunnel, langidConfusion,
-    shardBalance, clusterSizeHist, packAssemble, epochOrder)
+    shardBalance, clusterSizeHist, packAssemble, epochOrder, epochMixAudit)
 }

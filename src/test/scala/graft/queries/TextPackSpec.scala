@@ -211,4 +211,43 @@ class TextPackSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3), r.getLong(4)))
     again.sorted shouldBe rows.sorted
   }
+
+  test("x122 ≡ a driver-side run-length replay of x121's order; single-source frame collapses to one run per shard") {
+    // replay: collect x121's order, compute same-source runs imperatively
+    val order = TextQueries.epochOrder.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    val expected = order.groupBy(r => (r._1, r._4)).map { case ((ep, sh), rs) =>
+      val srcs = rs.sortBy(_._5).map(_._2).toSeq
+      val runs = srcs.foldLeft(List.empty[(String, Long)]) {
+        case ((s, n) :: tail, cur) if s == cur => (s, n + 1) :: tail
+        case (acc, cur)                        => (cur, 1L) :: acc
+      }
+      (ep, sh) -> ((srcs.length.toLong, srcs.distinct.length.toLong,
+        runs.length.toLong, runs.map(_._2).max))
+    }
+    val got = TextQueries.epochMixAudit.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    got shouldBe expected
+    // the audit's core identity: adjacent same-source pairs = n_packs − n_runs
+    got.values.foreach { case (nPacks, nSources, nRuns, maxRun) =>
+      nRuns should be >= nSources
+      maxRun should be >= 1L
+      maxRun should be <= nPacks - nRuns + 1
+    }
+
+    // a single-source corpus is the degenerate shuffle: every shard is ONE
+    // run of its full length — pins the run arithmetic end to end
+    import spark.implicits._
+    val docsDf = (1L to 40L).map(i => (i, "only", s"tok$i " * 600))
+      .toDF("doc_id", "source", "text")
+    val solo = TextQueries.epochMixAuditOf(docsDf.select("source", "doc_id", "text"))
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    solo should not be empty
+    solo.foreach { case (nPacks, nSources, nRuns, maxRun) =>
+      nSources shouldBe 1L
+      nRuns shouldBe 1L
+      maxRun shouldBe nPacks
+    }
+  }
 }
