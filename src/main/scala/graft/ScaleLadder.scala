@@ -41,7 +41,8 @@ object ScaleLadder {
     "x68_pq_topk", "x26_dedup_clusters", "x58_dup_source_matrix",
     "x59_release_manifest", "x104_shard_dup_rate",
     "x108_release_manifest_keep_best", "x116_curation_funnel",
-    "x118_shard_balance", "x119_cluster_size_hist")
+    "x118_shard_balance", "x119_cluster_size_hist",
+    "x121_epoch_order", "x122_epoch_mix_audit")
 
   private val Shift = 10000000L // id stride between copies (disjoint ranges)
 
