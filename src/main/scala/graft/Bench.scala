@@ -32,7 +32,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // OFF, not WARN: the driver's 2000-char tail capture opened
+    // mid-stack-trace in r12 AND r13 — benign in-run spam (DAGScheduler
+    // "non-existent accumulator" ERRORs from cancelled noop jobs,
+    // BlockManager re-add WARNs) landed immediately before the artifact
+    // line and the driver's `parsed` field stayed null. Nothing in the
+    // bench needs Spark's logs: a failing query is caught, recorded as -1,
+    // and reported on OUR stderr via the `[bench] <name>: <err>` lines.
+    spark.sparkContext.setLogLevel("OFF")
     // Untimed warm-up: pay one-time session costs (codegen compiler, parquet
     // footer cache, JIT) outside the per-query timings.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -88,17 +95,14 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable => System.err.println(s"[bench] mh probe: $e"); -1.0 }
     calibration += calibrate(spark)
-    // Tail hygiene (r12/r13 lesson): the driver's 2000-char tail capture
-    // opened mid-stack-trace both rounds — benign DAGScheduler shutdown/
-    // cancellation spam landed just before the artifact line and the
-    // driver's `parsed` field stayed null. Two defenses: silence Spark's
-    // loggers entirely for the print+shutdown stretch (the queries are
-    // done; nothing left to diagnose), and lead the artifact with a
-    // newline guard wider than the window slack (2000 − line − trailer),
-    // so wherever the capture opens, everything before the line is
-    // whitespace and the JSON is the first content a parser sees.
-    spark.sparkContext.setLogLevel("OFF")
-    print("\n" * 512)
+    // Tail guard: lead the artifact with dash padding wider than the
+    // window slack (2000 − line − "[success]" trailer ≈ 250 bytes), so
+    // wherever the driver's tail capture opens, everything before the
+    // line is inert padding with no '{' and the artifact is the first
+    // JSON a parser finds. NOT blank lines: sbt's fork logger drops
+    // empty stdout lines entirely (measured r14 — a "\n"*512 guard never
+    // reached the log), so the padding must be non-empty content.
+    (1 to 3).foreach(_ => println("-" * 200))
     println(renderJson(samples, calibration.toSeq, ivfTrain, probeOnly, sfDir))
     spark.stop()
     // A run with failed queries must not look like a clean run to the round
