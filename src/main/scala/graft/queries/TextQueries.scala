@@ -1207,6 +1207,50 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** x123: tokenizer FERTILITY by language — tokens per 1000 whitespace
+    * words under the x99-learned shared vocab, per `lang`: the
+    * tokenizer-fairness figure every multilingual release publishes
+    * (NLLB/XLM-R-style fertility tables). A language whose fertility runs
+    * high pays proportionally more sequence budget per word of signal —
+    * the lang-axis complement of x105's per-source compression (and the
+    * economic consequence of the per-lang vocab gaps x110 exposes).
+    * Exact integers end to end: Σ tokens ×1000 floor-div Σ words.
+    *
+    * Scale: x103's posture verbatim — merge table broadcast (1 row), ONE
+    * corpus scan through the native `graft_bpe_tokens` kernel, zero
+    * corpus-side shuffle before a |langs|-group partial-final aggregate. */
+  val bpeFertility = sql(
+    "x123_bpe_fertility",
+    s"""WITH RECURSIVE ${bpeOracleLearnSql(carryW = true)},
+       |${bpeOracleMergeCte(3, "w2", "b3", carryW = true)},
+       |venc AS (SELECT w, trim(s) AS ts FROM w3),
+       |dw AS (SELECT doc_id, lang, ws, unnest(range(1, len(ws)+1)) AS pos
+       |  FROM (SELECT doc_id, lang, list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0) AS ws
+       |        FROM documents) q
+       |  WHERE len(ws) > 0),
+       |wt AS (SELECT d.doc_id, d.lang,
+       |    CAST(len(string_split(v.ts, ' ')) AS BIGINT) AS n_toks
+       |  FROM dw d JOIN venc v ON v.w = d.ws[d.pos])
+       |SELECT lang,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  (CAST(SUM(n_toks) AS BIGINT) * 1000) // CAST(COUNT(*) AS BIGINT) AS toks_per_1000_words
+       |FROM wt GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .crossJoin(bpeMergeTable(s, d))
+      .select(col("lang"), expr("graft_bpe_tokens(text, merges)").as("toks"),
+        size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_words"))
+      .filter(size(col("toks")) > 0)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum(size(col("toks")).cast("bigint")).as("n_tokens"))
+      .withColumn("toks_per_1000_words", expr("(n_tokens * 1000L) div n_words"))
+      .orderBy("lang")
+  }
+
   // PII patterns shared by the x106 engine plan and its DuckDB oracle —
   // written once in the RE2 ∩ java.util.regex common subset (no lookaround,
   // no backrefs; \b, \d, bounded repetition behave identically), single-
@@ -3377,5 +3421,6 @@ object TextQueries {
     massMedian, bpeEncode, shardDupRate, bpeCompression, piiRedact,
     dedupKeepBest, releaseManifestKeepBest, vocabCoverage, boilerStrip,
     packSpans, datasheetMerge, packEfficiency, curationFunnel, langidConfusion,
-    shardBalance, clusterSizeHist, packAssemble, epochOrder, epochMixAudit)
+    shardBalance, clusterSizeHist, packAssemble, epochOrder, epochMixAudit,
+    bpeFertility)
 }

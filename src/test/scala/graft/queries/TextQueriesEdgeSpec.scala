@@ -467,4 +467,32 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     rows.exists(r => r._1 == r._2) shouldBe true
     rows.exists(r => r._1 != r._2) shouldBe true
   }
+
+  test("x123 fertility ≡ x103's tokens and x06's words aggregated by lang; fertility ≥ 1000") {
+    val sf = "/root/testdata/sf0.01"
+    val langs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // token conservation: x123's per-lang token mass is exactly x103's
+    // oracle-checked per-doc encode aggregated by label — one encode chain
+    val tokByLang = TextQueries.bpeEncode.run(spark, sf).collect()
+      .map(r => langs(r.getLong(0)) -> r.getLong(1))
+      .groupBy(_._1).map { case (l, g) => l -> g.map(_._2).sum }
+    // word conservation: x06's oracle-checked whitespace token counts
+    val wordsByLang = TextQueries.textTokens.run(spark, sf).collect()
+      .map(r => langs(r.getLong(0)) -> r.getInt(2).toLong)
+      .groupBy(_._1).map { case (l, g) => l -> g.map(_._2).sum }
+    val rows = TextQueries.bpeFertility.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.map(r => r._1 -> r._4).toMap shouldBe tokByLang
+    rows.map(r => r._1 -> r._3).toMap shouldBe wordsByLang
+    rows.map(r => r._1 -> r._2).toMap shouldBe
+      langs.groupBy(_._2).map { case (l, g) => l -> g.size.toLong }
+    rows.foreach { case (_, _, nWords, nToks, fert) =>
+      fert shouldBe nToks * 1000L / nWords // exact floor-div arithmetic
+      // BPE never merges across word boundaries: a word is >= 1 token
+      nToks should be >= nWords
+      fert should be >= 1000L
+    }
+  }
 }
