@@ -3225,14 +3225,19 @@ object TextQueries {
 
   /** x120's engine over an arbitrary (source, doc_id, text) frame (factored
     * so TextPackSpec can rebuild every pack driver-side and compare). */
-  def packAssembleOf(documents: DataFrame): DataFrame = {
+  def packAssembleOf(documents: DataFrame): DataFrame =
+    packAssembleOrdered(documents, md5(col("doc_id").cast("string")))
+
+  /** [[packAssembleOf]] with an injectable placement-order key (x124 packs
+    * by (generation, hash) so appends land at the tail of the stream). */
+  private def packAssembleOrdered(documents: DataFrame, orderKey: Column): DataFrame = {
     val L = packSeqLen
     val dd = documents
       .select(col("source"), col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .withColumn("n_tok", size(col("toks")).cast("long"))
     graft.operators.PrefixQuota.runningBefore(
       dd, "source",
-      orderKey = md5(col("doc_id").cast("string")), tie = col("doc_id"),
+      orderKey = orderKey, tie = col("doc_id"),
       value = col("n_tok"))
       .withColumn("pack_id",
         explode(sequence(expr(s"cum_before div $L"),
@@ -3256,6 +3261,114 @@ object TextQueries {
       .withColumn("pack_md5",
         md5(concat(col("body"), expr("repeat(' <pad>', CAST(n_pad AS INT))"))))
       .select("source", "pack_id", "n_spans", "n_tokens", "n_pad", "pack_md5")
+  }
+
+  /** x124: APPEND-ONLY pack release invariance — the incremental-shipping
+    * property x120's layout deliberately lacks: x120 orders by md5 alone,
+    * so a new crawl's docs interleave everywhere and every pack's bytes
+    * change. A release that wants immutable shipped packs orders by
+    * (GENERATION, hash) instead — new docs sort after every old doc, the
+    * token stream only grows at the tail, and every FULL old pack survives
+    * the append byte-identical; at most the old trailing PARTIAL pack per
+    * source is rewritten. This query builds both layouts over x81's
+    * simulated crawls (old = doc_id % 17 ≠ 0, arrivals = % 17 = 0), joins
+    * them pack-for-pack by md5 digest, and emits per source: old/new pack
+    * counts, byte-identical survivors, rewritten packs (≤ 1 BY
+    * CONSTRUCTION), and the first changed pack id — the manifest row an
+    * incremental release publishes so consumers know exactly which pack
+    * files to re-fetch (the x37/x81/x113 incremental-maintenance axis
+    * applied to the pack artifact).
+    *
+    * Plan/scale: two x120 assembly chains (each: one exchange per prefix
+    * sum, linear span explode, ≤512-token bounded per-pack state), a
+    * packs-sized equi-join on (source, pack_id) — corpus_tokens/512 rows,
+    * never the corpus itself — and a sources-sized rollup. */
+  val packAppend = sql(
+    "x124_pack_append",
+    s"""WITH da AS (SELECT source, doc_id,
+      |    string_split_regex(trim(text), '\\s+') AS toks,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+      |    '0:' || md5(CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM documents WHERE doc_id % 17 <> 0),
+      |ca AS (SELECT source, doc_id, toks, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM da),
+      |ea AS (SELECT source, doc_id, toks, n_tok, cum_before,
+      |    unnest(range(cum_before // $packSeqLen, (cum_before + n_tok - 1) // $packSeqLen + 1)) AS pack_id
+      |  FROM ca),
+      |spa AS (SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+      |    GREATEST(cum_before, pack_id*$packSeqLen) - pack_id*$packSeqLen AS span_start,
+      |    GREATEST(cum_before, pack_id*$packSeqLen) - cum_before AS doc_off,
+      |    LEAST(cum_before + n_tok, (pack_id+1)*$packSeqLen)
+      |      - GREATEST(cum_before, pack_id*$packSeqLen) AS span_len,
+      |    toks
+      |  FROM ea),
+      |ga AS (SELECT source, pack_id, CAST(SUM(span_len) AS BIGINT) AS n_tokens,
+      |    string_agg(array_to_string(toks[CAST(doc_off+1 AS INTEGER):CAST(doc_off+span_len AS INTEGER)], ' '),
+      |               ' ' ORDER BY span_start) AS body
+      |  FROM spa GROUP BY source, pack_id),
+      |pa AS (SELECT source, pack_id,
+      |    md5(body || repeat(' <pad>', CAST($packSeqLen - n_tokens AS INTEGER))) AS old_md5
+      |  FROM ga),
+      |db AS (SELECT source, doc_id,
+      |    string_split_regex(trim(text), '\\s+') AS toks,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+      |    (CASE WHEN doc_id % 17 = 0 THEN '1:' ELSE '0:' END) || md5(CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM documents),
+      |cb AS (SELECT source, doc_id, toks, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM db),
+      |eb AS (SELECT source, doc_id, toks, n_tok, cum_before,
+      |    unnest(range(cum_before // $packSeqLen, (cum_before + n_tok - 1) // $packSeqLen + 1)) AS pack_id
+      |  FROM cb),
+      |spb AS (SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+      |    GREATEST(cum_before, pack_id*$packSeqLen) - pack_id*$packSeqLen AS span_start,
+      |    GREATEST(cum_before, pack_id*$packSeqLen) - cum_before AS doc_off,
+      |    LEAST(cum_before + n_tok, (pack_id+1)*$packSeqLen)
+      |      - GREATEST(cum_before, pack_id*$packSeqLen) AS span_len,
+      |    toks
+      |  FROM eb),
+      |gb AS (SELECT source, pack_id, CAST(SUM(span_len) AS BIGINT) AS n_tokens,
+      |    string_agg(array_to_string(toks[CAST(doc_off+1 AS INTEGER):CAST(doc_off+span_len AS INTEGER)], ' '),
+      |               ' ' ORDER BY span_start) AS body
+      |  FROM spb GROUP BY source, pack_id),
+      |pb AS (SELECT source, pack_id,
+      |    md5(body || repeat(' <pad>', CAST($packSeqLen - n_tokens AS INTEGER))) AS new_md5
+      |  FROM gb)
+      |SELECT pb.source,
+      |  CAST(COUNT(pa.old_md5) AS BIGINT) AS n_packs_old,
+      |  CAST(COUNT(*) AS BIGINT) AS n_packs_new,
+      |  CAST(SUM(CASE WHEN pa.old_md5 = pb.new_md5 THEN 1 ELSE 0 END) AS BIGINT) AS n_identical,
+      |  CAST(SUM(CASE WHEN pa.old_md5 IS NOT NULL AND pa.old_md5 <> pb.new_md5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rewritten,
+      |  CAST(COALESCE(MIN(CASE WHEN pa.old_md5 IS NULL OR pa.old_md5 <> pb.new_md5 THEN pb.pack_id END), -1) AS BIGINT) AS first_changed_pack
+      |FROM pb LEFT JOIN pa ON pa.source = pb.source AND pa.pack_id = pb.pack_id
+      |GROUP BY pb.source ORDER BY pb.source""".stripMargin) { (s, d) =>
+    packAppendOf(docs(s, d)).orderBy("source")
+  }
+
+  /** x124's engine over an arbitrary (source, doc_id, text) frame. */
+  def packAppendOf(documents: DataFrame): DataFrame = {
+    val genKey = concat(
+      when(col("doc_id") % 17 === 0, lit("1:")).otherwise(lit("0:")),
+      md5(col("doc_id").cast("string")))
+    val oldPacks =
+      packAssembleOrdered(documents.filter(col("doc_id") % 17 =!= 0), genKey)
+        .select(col("source"), col("pack_id"), col("pack_md5").as("old_md5"))
+    val newPacks = packAssembleOrdered(documents, genKey)
+      .select(col("source"), col("pack_id"), col("pack_md5").as("new_md5"))
+    newPacks.join(oldPacks, Seq("source", "pack_id"), "left")
+      .groupBy("source").agg(
+        count(col("old_md5")).as("n_packs_old"),
+        count(lit(1)).as("n_packs_new"),
+        sum(when(col("old_md5") === col("new_md5"), 1L).otherwise(0L)).as("n_identical"),
+        sum(when(col("old_md5").isNotNull && col("old_md5") =!= col("new_md5"), 1L)
+          .otherwise(0L)).as("n_rewritten"),
+        coalesce(min(when(col("old_md5").isNull || col("old_md5") =!= col("new_md5"),
+          col("pack_id"))), lit(-1L)).as("first_changed_pack"))
+      .select("source", "n_packs_old", "n_packs_new", "n_identical",
+        "n_rewritten", "first_changed_pack")
   }
 
   /** x121: seeded per-epoch pack consumption order — the LOADER step that
@@ -3422,5 +3535,5 @@ object TextQueries {
     dedupKeepBest, releaseManifestKeepBest, vocabCoverage, boilerStrip,
     packSpans, datasheetMerge, packEfficiency, curationFunnel, langidConfusion,
     shardBalance, clusterSizeHist, packAssemble, epochOrder, epochMixAudit,
-    bpeFertility)
+    bpeFertility, packAppend)
 }

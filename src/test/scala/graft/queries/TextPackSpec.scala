@@ -250,4 +250,69 @@ class TextPackSpec extends AnyFunSuite with Matchers with SparkTestBase {
       maxRun shouldBe nPacks
     }
   }
+
+  test("x124 append invariance: every full old pack survives byte-identical; ≤1 rewritten; exactly-full tail edge") {
+    import org.apache.spark.sql.functions.col
+    // driver-side replay on the shipped corpus: rebuild both generation-
+    // ordered layouts imperatively (old = doc_id % 17 != 0; appends sort
+    // after every old doc) and reconcile the rollup
+    def hex(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def md5Of(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def packs(ds: Seq[(Long, String)]): Vector[String] = {
+      val stream = ds.sortBy { case (id, _) =>
+        ((if (id % 17 == 0) "1:" else "0:") + hex(id), id)
+      }.flatMap(_._2.trim.split("\\s+")).toVector
+      stream.grouped(512).map { toks =>
+        md5Of((toks ++ Seq.fill(512 - toks.length)("<pad>")).mkString(" "))
+      }.toVector
+    }
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val all = ds.map(d => (d._2, d._3)).toSeq
+      val old = packs(all.filter(_._1 % 17 != 0))
+      val neu = packs(all)
+      val ident = old.zip(neu).count { case (a, b) => a == b }
+      val rewritten = old.zip(neu).count { case (a, b) => a != b }
+      val firstChanged =
+        if (rewritten > 0) old.zip(neu).indexWhere { case (a, b) => a != b }.toLong
+        else if (neu.length > old.length) old.length.toLong
+        else -1L
+      src -> ((old.length.toLong, neu.length.toLong, ident.toLong,
+        rewritten.toLong, firstChanged))
+    }
+    val got = TextQueries.packAppend.run(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    got shouldBe expected
+    // the invariance itself: at most ONE rewritten pack per source (the
+    // old trailing partial), and every other old pack byte-identical
+    got.values.foreach { case (nOld, nNew, nIdent, nRewr, first) =>
+      nNew should be >= nOld
+      nRewr should be <= 1L
+      nIdent shouldBe nOld - nRewr
+      if (nRewr == 1L) first shouldBe nOld - 1 // the trailing partial pack
+    }
+    // non-vacuity on the shipped corpus: appends actually arrive and
+    // full packs actually survive
+    got.values.map(_._4).sum should be > 0L
+    got.values.map(_._3).sum should be > 0L
+
+    // exactly-full tail edge: gen-0 tokens ≡ 0 (mod 512) → ZERO rewrites,
+    // the first change is the first brand-new pack
+    import spark.implicits._
+    val oldDocs = (1L to 4L).map(i => (i, "s", ("w" + i + " ") * 256)) // 1024 = 2 full packs
+    val newDoc = Seq((17L, "s", "fresh " * 10))
+    val edge = TextQueries.packAppendOf(
+      (oldDocs ++ newDoc).toDF("doc_id", "source", "text")
+        .select("source", "doc_id", "text")).collect().head
+    edge.getLong(1) shouldBe 2L // n_packs_old
+    edge.getLong(2) shouldBe 3L // n_packs_new
+    edge.getLong(3) shouldBe 2L // both full packs survive
+    edge.getLong(4) shouldBe 0L // nothing rewritten
+    edge.getLong(5) shouldBe 2L // first change = the new pack
+  }
 }
