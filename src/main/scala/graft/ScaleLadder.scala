@@ -119,6 +119,16 @@ object ScaleLadder {
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // The ladder's whole point is N× data on a FIXED harness, and a real
+      // cluster never runs an N×-sized shuffle into a 1×-sized partition
+      // count: let AQE size reduce stages by bytes instead of pinning them
+      // to `cpus`. With initialPartitionNum raised, small rungs coalesce
+      // back to ~cpus (measured plans unchanged) while heavy-state stages
+      // at 100×/1000× keep enough partitions that per-task aggregate state
+      // stays bounded (round-14: x124's pack-body aggregate at 1000× needed
+      // ~450 MB/task at 16 partitions and OOM'd; at AQE-chosen counts it
+      // fits the same 8g heap).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 16 * cpus.toInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
