@@ -146,6 +146,14 @@ object ScaleLadder {
 
     val defs = SparkEntry.defs.filter(q => wanted.contains(q.name))
     defs.foreach { q =>
+      // Each rung measures ONE query on a quiet session: drop every cached
+      // plan and persisted RDD the previous query left behind
+      // (localCheckpoint blocks, notably). At 1× the leftovers are noise;
+      // at 1000× they are gigabytes, and a multi-query ladder run was
+      // measured dying of execution-memory starvation on queries that run
+      // clean solo (round-14: x03 after x34/x50/q10).
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val (t1, r1) = time2(q, spark, base)
       val (tN, rN) = time2(q, spark, out)
       // linearity: time ratio over the input ratio; ≤ ~1 means the query
