@@ -208,13 +208,17 @@ object Bench {
         s""""failed":$failed,""" +
         s""""calibration_sec":$calib,"value":${d3(total)},"sf":"$sfShort"}"""
     }
-    // threshold matches BenchSanitySpec's < 1800 budget (2000-char tail
-    // capture − sbt's ~80-char "[success]" trailer − headroom): at 144
-    // registry rows the 6-hot %.2f render measured 1810 and slipped the
-    // old 1900 gate while failing the spec — the two budgets must agree,
-    // and 1800 is the one sized from the observed truncation failures
+    // threshold matches BenchSanitySpec's < 1880 budget. Budget math since
+    // the round-14 tail hygiene: the dash guard + log-OFF run make the
+    // post-line content DETERMINISTIC — exactly sbt's "[info] " prefix
+    // (7 B) and the "[success] Total time…" trailer (~80 B) share the
+    // 2000-char capture with the line, so 1880 keeps ~30 B of headroom.
+    // (The old 1800 budgeted for nondeterministic mid-stack-trace garbage
+    // around the line; r14 measured the 149-row %.2f render at 1828 B —
+    // the extra 80 B of budget is exactly the 10 ms digit at this
+    // registry size.)
     val ladder = Seq((6, d2t _), (4, d2t _), (2, d2t _), (0, d2t _), (0, d1 _))
-    ladder.map { case (h, p) => render(h, p) }.find(_.length < 1800)
+    ladder.map { case (h, p) => render(h, p) }.find(_.length < 1880)
       .getOrElse(render(0, d1))
   }
 }
