@@ -1237,8 +1237,20 @@ object TextQueries {
        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
        |  (CAST(SUM(n_toks) AS BIGINT) * 1000) // CAST(COUNT(*) AS BIGINT) AS toks_per_1000_words
        |FROM wt GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
-    docs(s, d)
-      .crossJoin(bpeMergeTable(s, d))
+    fertilityStatsOf(docs(s, d), bpeMergeTable(s, d)).orderBy("lang")
+  }
+
+  /** x123's per-lang fertility fold over an arbitrary (lang, text) frame ×
+    * broadcast merge table. Row-local encode + a mergeable all-sums
+    * aggregate, so it runs unchanged over a STREAMING frame in update mode
+    * (the x113 datasheet move: the state store holds one sums row per
+    * lang, the floor-div fertility is derived per emission) — shared
+    * verbatim by batch x123 and
+    * [[graft.streaming.DocStream.fertilityUpdates]] so the two can never
+    * drift. */
+  private[graft] def fertilityStatsOf(docsDf: DataFrame, mergesDf: DataFrame): DataFrame =
+    docsDf
+      .crossJoin(mergesDf)
       .select(col("lang"), expr("graft_bpe_tokens(text, merges)").as("toks"),
         size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_words"))
       .filter(size(col("toks")) > 0)
@@ -1248,8 +1260,6 @@ object TextQueries {
         sum("n_words").as("n_words"),
         sum(size(col("toks")).cast("bigint")).as("n_tokens"))
       .withColumn("toks_per_1000_words", expr("(n_tokens * 1000L) div n_words"))
-      .orderBy("lang")
-  }
 
   // PII patterns shared by the x106 engine plan and its DuckDB oracle —
   // written once in the RE2 ∩ java.util.regex common subset (no lookaround,

@@ -81,4 +81,16 @@ object DocStream {
     * the same reason the batch artifact is sources-sized. */
   def datasheetUpdates(docs: DataFrame): DataFrame =
     TextQueries.datasheetStatsOf(docs)
+
+  /** Continuously-maintained tokenizer-fertility table (the STATEFUL twin
+    * of x123): each arriving document is encoded against the trained merge
+    * table (static broadcast, the x103 artifact posture) and folded into
+    * per-language (n_docs, n_words, n_tokens) sums — a pure monoid, so the
+    * state store holds exactly one sums row per lang and the exact
+    * floor-div fertility is re-derived on every emission. Update mode;
+    * n_docs is monotone per lang, so the latest emission per lang IS the
+    * current fairness table. |langs|-bounded state by design, no
+    * watermark — same lifetime argument as the datasheet twin. */
+  def fertilityUpdates(docs: DataFrame, merges: DataFrame): DataFrame =
+    TextQueries.fertilityStatsOf(docs, merges)
 }

@@ -257,4 +257,47 @@ class DocStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     updates.count(_.getString(0) == "wiki") shouldBe 2
     latest("web")._4 should contain("fr") // the lang-set grew across batches
   }
+
+  test("streaming fertility fold ≡ batch per-lang stats on the union (x123 twin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    // a fixed trained-vocab artifact (the x103 posture: vocab learned
+    // offline, applied online): merge1 (a,l)→al, merge2 (al,p)→alp
+    val merges = broadcast(Seq(Tuple1("a l al p")).toDF("merges"))
+    val b1 = Seq(
+      (1L, "web", "en", "alpha beta"),
+      (2L, "web", "de", "lampe"),
+      (3L, "wiki", "en", "pal pal alp"))
+    val b2 = Seq(
+      (4L, "web", "fr", "la la la palabra"), // lang appearing only in batch 2
+      (5L, "books", "en", "alp"))            // existing lang growing
+
+    val input = MemoryStream[(Long, String, String, String)]
+    val docs = input.toDF.toDF("doc_id", "source", "lang", "text")
+    val q = DocStream.fertilityUpdates(docs, merges)
+      .writeStream.format("memory").queryName("fertstream").outputMode("update").start()
+    val updates = try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      spark.table("fertstream").collect()
+    } finally q.stop()
+
+    // n_docs is monotone per lang → the max-n_docs emission is the final fold
+    val latest = updates.groupBy(_.getString(0)).map { case (lang, rs) =>
+      val r = rs.maxBy(_.getLong(1))
+      lang -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }
+    val batch = TextQueries.fertilityStatsOf(
+      (b1 ++ b2).toDF("doc_id", "source", "lang", "text"), merges)
+      .collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }.toMap
+    latest shouldBe batch
+    // the second batch really merged into first-batch state, and the
+    // derived floor-div fertility was re-derived on the refreshed sums
+    updates.count(_.getString(0) == "en") shouldBe 2
+    latest("en")._4 shouldBe latest("en")._3 * 1000L / latest("en")._2
+  }
 }
