@@ -3381,6 +3381,119 @@ object TextQueries {
         "n_rewritten", "first_changed_pack")
   }
 
+  /** x125: PACK-level decontamination — the overlap check x35 cannot see:
+    * the model trains on the PACKED sequence, and packing juxtaposes
+    * unrelated documents, so an eval 5-gram can materialize ACROSS a doc
+    * boundary inside a pack even when no single training document
+    * contains it (the cross-document leakage a packer without cross-doc
+    * attention masking actually exposes). This query enumerates every
+    * 5-gram of every assembled train-split pack (x31's md5 split rule,
+    * x120's layout), joins against the test split's distinct 5-grams, and
+    * reports per contaminated pack: total hits, BOUNDARY-CROSSING hits
+    * (the gram straddles a span boundary — invisible to any per-doc
+    * scan), and a sample gram.
+    *
+    * Plan/scale: the x120 assembly chain on the train split (bounded
+    * per-pack state), a per-pack gram explode bounded by 512 − 4
+    * positions (linear in corpus tokens — the same budget as reading the
+    * packs), the eval-gram side DISTINCT and BROADCAST (a benchmark suite
+    * is tiny next to a corpus), and one equi-join on the gram — work
+    * proportional to true contamination, never corpus². The crossing
+    * flag is a row-local array `exists` over the pack's interior span
+    * starts (≤ spans-per-pack elements). */
+  val packDecontaminate = sql(
+    "x125_pack_decontaminate",
+    s"""WITH d AS (SELECT source, doc_id,
+      |    string_split_regex(trim(text), '\\s+') AS toks,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+      |    md5(CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'),
+      |c AS (SELECT source, doc_id, toks, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM d),
+      |e AS (SELECT source, doc_id, toks, n_tok, cum_before,
+      |    unnest(range(cum_before // $packSeqLen, (cum_before + n_tok - 1) // $packSeqLen + 1)) AS pack_id
+      |  FROM c),
+      |sp AS (SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+      |    GREATEST(cum_before, pack_id*$packSeqLen) - pack_id*$packSeqLen AS span_start,
+      |    GREATEST(cum_before, pack_id*$packSeqLen) - cum_before AS doc_off,
+      |    LEAST(cum_before + n_tok, (pack_id+1)*$packSeqLen)
+      |      - GREATEST(cum_before, pack_id*$packSeqLen) AS span_len,
+      |    toks
+      |  FROM e),
+      |g AS (SELECT source, pack_id,
+      |    flatten(list(toks[CAST(doc_off+1 AS INTEGER):CAST(doc_off+span_len AS INTEGER)] ORDER BY span_start)) AS body,
+      |    list_filter(list(span_start ORDER BY span_start), b -> b > 0) AS bnds
+      |  FROM sp GROUP BY source, pack_id),
+      |pg AS (SELECT source, pack_id,
+      |    array_to_string(body[CAST(i+1 AS INTEGER):CAST(i+5 AS INTEGER)], ' ') AS gr,
+      |    len(list_filter(bnds, b -> b > i AND b <= i + 4)) > 0 AS crossing
+      |  FROM (SELECT source, pack_id, body, bnds, unnest(range(len(body)-4)) AS i
+      |        FROM g WHERE len(body) >= 5) q),
+      |ev AS (SELECT DISTINCT array_to_string(t[CAST(i+1 AS INTEGER):CAST(i+5 AS INTEGER)], ' ') AS gr
+      |  FROM (SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+      |        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) > 'd') q,
+      |       UNNEST(range(greatest(len(t) - 4, 0))) AS u(i))
+      |SELECT pg.source, pg.pack_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_hits,
+      |  CAST(SUM(CASE WHEN crossing THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_hits,
+      |  MIN(pg.gr) AS sample_gram
+      |FROM pg JOIN ev ON ev.gr = pg.gr
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    packDecontaminateOf(docs(s, d)).orderBy("source", "pack_id")
+  }
+
+  /** x125's engine over an arbitrary (source, doc_id, text) frame (factored
+    * so TextPackSpec can engineer a boundary-crossing contamination). */
+  def packDecontaminateOf(documents: DataFrame): DataFrame = {
+    val L = packSeqLen
+    val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val evalGrams = documents.filter(h1 > "d")
+      .withColumn("t", split(trim(col("text")), "\\s+"))
+      .filter(size(col("t")) >= 5)
+      .withColumn("i", explode(sequence(lit(0), size(col("t")) - 5)))
+      .select(array_join(expr("slice(t, i + 1, 5)"), " ").as("g"))
+      .distinct()
+    val dd = documents.filter(h1 <= "d")
+      .select(col("source"), col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+    val packs = graft.operators.PrefixQuota.runningBefore(
+      dd, "source",
+      orderKey = md5(col("doc_id").cast("string")), tie = col("doc_id"),
+      value = col("n_tok"))
+      .withColumn("pack_id",
+        explode(sequence(expr(s"cum_before div $L"),
+          expr(s"(cum_before + n_tok - 1) div $L"))))
+      .withColumn("span_start",
+        greatest(col("cum_before"), col("pack_id") * L) - col("pack_id") * L)
+      .withColumn("doc_off",
+        greatest(col("cum_before"), col("pack_id") * L) - col("cum_before"))
+      .withColumn("span_len",
+        least(col("cum_before") + col("n_tok"), (col("pack_id") + 1) * L)
+          - greatest(col("cum_before"), col("pack_id") * L))
+      .select(col("source"), col("pack_id"), col("span_start"),
+        expr("slice(toks, CAST(doc_off + 1 AS INT), CAST(span_len AS INT))")
+          .as("span_toks"))
+      .groupBy("source", "pack_id")
+      .agg(expr("array_sort(collect_list(struct(span_start, span_toks)))").as("sp"))
+      .select(col("source"), col("pack_id"),
+        expr("flatten(transform(sp, x -> x.span_toks))").as("body"),
+        expr("filter(transform(sp, x -> x.span_start), b -> b > 0)").as("bnds"))
+    val grams = packs
+      .filter(size(col("body")) >= 5)
+      .withColumn("i", explode(sequence(lit(0), size(col("body")) - 5)))
+      .select(col("source"), col("pack_id"),
+        array_join(expr("slice(body, i + 1, 5)"), " ").as("g"),
+        expr("exists(bnds, b -> b > i AND b <= i + 4)").as("crossing"))
+    grams.join(broadcast(evalGrams), "g")
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_hits"),
+        sum(when(col("crossing"), 1L).otherwise(0L)).as("n_boundary_hits"),
+        min("g").as("sample_gram"))
+      .select("source", "pack_id", "n_hits", "n_boundary_hits", "sample_gram")
+  }
+
   /** x121: seeded per-epoch pack consumption order — the LOADER step that
     * completes the x54→x112→x114→x120 pack lifecycle: x120 emits packs in
     * prefix-sum order, but a trainer must consume them in a fresh
@@ -3545,5 +3658,5 @@ object TextQueries {
     dedupKeepBest, releaseManifestKeepBest, vocabCoverage, boilerStrip,
     packSpans, datasheetMerge, packEfficiency, curationFunnel, langidConfusion,
     shardBalance, clusterSizeHist, packAssemble, epochOrder, epochMixAudit,
-    bpeFertility, packAppend)
+    bpeFertility, packAppend, packDecontaminate)
 }

@@ -315,4 +315,42 @@ class TextPackSpec extends AnyFunSuite with Matchers with SparkTestBase {
     edge.getLong(4) shouldBe 0L // nothing rewritten
     edge.getLong(5) shouldBe 2L // first change = the new pack
   }
+
+  test("x125 detects an eval gram that exists ONLY across a doc boundary inside a pack") {
+    import spark.implicits._
+    def hex(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // pick two train-split ids and one test-split id by x31's md5 rule,
+    // then assign texts by PLACEMENT order (md5 asc) so doc A ends "u v"
+    // and its pack neighbor B starts "w x y" — the eval gram "u v w x y"
+    // exists in NO single training document, only in the packed stream
+    val trainIds = (1L to 200L).filter(id => hex(id).head <= 'd')
+    val testId = (1L to 200L).find(id => hex(id).head > 'd').get
+    val Seq(a, b) = trainIds.take(2).sortBy(id => (hex(id), id))
+    val docsDf = Seq(
+      (a, "s", "fa fb u v"),
+      (b, "s", "w x y fc fd"),
+      (testId, "s", "zz u v w x y qq")).toDF("doc_id", "source", "text")
+    val rows = TextQueries.packDecontaminateOf(
+      docsDf.select("source", "doc_id", "text")).collect()
+    rows.length shouldBe 1
+    val r = rows.head
+    (r.getString(0), r.getLong(1)) shouldBe ("s", 0L)
+    r.getLong(2) shouldBe 1L // exactly the engineered hit
+    r.getLong(3) shouldBe 1L // ...and it IS boundary-crossing
+    r.getString(4) shouldBe "u v w x y"
+    // doc-level decontamination provably cannot see it
+    Seq("fa fb u v", "w x y fc fd").foreach(_ should not include "u v w x y")
+
+    // control: the same gram INSIDE one doc reports a hit with NO boundary
+    // flag (single-doc pack → no interior span starts at all)
+    val solo = Seq(
+      (a, "s", "fa u v w x y fb"),
+      (testId, "s", "zz u v w x y qq")).toDF("doc_id", "source", "text")
+    val sr = TextQueries.packDecontaminateOf(
+      solo.select("source", "doc_id", "text")).collect()
+    sr.length shouldBe 1
+    sr.head.getLong(2) shouldBe 1L
+    sr.head.getLong(3) shouldBe 0L
+  }
 }
