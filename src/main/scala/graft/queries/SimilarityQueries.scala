@@ -1102,7 +1102,124 @@ FROM embeddings ORDER BY vec_id""") { (s, d) =>
       .orderBy("label")
   }
 
+  /** DuckDB replication of the x126 sweep: the SAME ct/scores/assign chain
+    * as x17/x65 (prefix-cache-groupable), probes kept WITH their rank so
+    * each nprobe's candidate set is `rn <= nprobe`, exact top-5 by x12's
+    * brute recipe, LEFT join so a zero-recall rung still emits its row. */
+  private val x126Oracle: String = {
+    val rows = ivfCtRows
+    s"""WITH ct(cell, cn2, centroid) AS (VALUES
+      |$rows),
+      |scores AS (
+      |  SELECT e.vec_id, ct.cell,
+      |    ct.cn2 - 2.0 * list_sum(list_transform(range(1, 65),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * ct.centroid[i])) AS d
+      |  FROM embeddings e CROSS JOIN ct),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM scores) s WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, cell, CAST(rn AS INTEGER) AS pos FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM scores WHERE vec_id < 10) s WHERE rn <= 8),
+      |np(nprobe) AS (VALUES (1), (2), (4), (8)),
+      |cand AS (
+      |  SELECT p.q_id, a.vec_id, p.pos,
+      |    ROUND(
+      |      list_sum(list_transform(range(1, 65),
+      |        i -> CAST(ec.embedding[i] AS DOUBLE) * CAST(eq.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(ec.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |    6) AS cos
+      |  FROM assign a JOIN probes p USING (cell)
+      |  JOIN embeddings ec ON ec.vec_id = a.vec_id
+      |  JOIN embeddings eq ON eq.vec_id = p.q_id
+      |  WHERE a.vec_id <> p.q_id),
+      |ivf5 AS (SELECT nprobe, q_id, vec_id FROM (
+      |    SELECT np.nprobe, c.q_id, c.vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY np.nprobe, c.q_id ORDER BY c.cos DESC, c.vec_id) AS rank
+      |    FROM cand c JOIN np ON c.pos <= np.nprobe) r WHERE rank <= 5),
+      |ex5 AS (SELECT q_id, vec_id FROM (
+      |    SELECT eq.vec_id AS q_id, ec.vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY eq.vec_id ORDER BY ROUND(
+      |        list_sum(list_transform(range(1, 65),
+      |          i -> CAST(ec.embedding[i] AS DOUBLE) * CAST(eq.embedding[i] AS DOUBLE)))
+      |        / (sqrt(list_sum(list_transform(ec.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |           * sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      |      6) DESC, ec.vec_id) AS rank
+      |    FROM embeddings eq JOIN embeddings ec ON ec.vec_id <> eq.vec_id
+      |    WHERE eq.vec_id < 10) r WHERE rank <= 5),
+      |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM embeddings WHERE vec_id < 10)
+      |SELECT np.nprobe, nq.n_queries,
+      |  CAST(COUNT(h.q_id) AS BIGINT) AS n_hits,
+      |  CAST((COUNT(h.q_id) * 1000000) // CAST(nq.n_queries * 5 AS BIGINT) AS BIGINT) AS recall_ppm
+      |FROM np CROSS JOIN nq
+      |LEFT JOIN (SELECT i.nprobe, i.q_id FROM ivf5 i
+      |           JOIN ex5 e ON e.q_id = i.q_id AND e.vec_id = i.vec_id) h
+      |  ON h.nprobe = np.nprobe
+      |GROUP BY np.nprobe, nq.n_queries ORDER BY np.nprobe""".stripMargin
+  }
+
+  /** x126: the ANN OPERATING CURVE — recall@5 vs exact brute force at
+    * nprobe ∈ {1,2,4,8} over the pinned IVF index, in one pass: the
+    * sweep table every ANN deployment publishes to pick its
+    * latency/recall trade-off (x17 runs the chosen point; this is how the
+    * point gets chosen, and the regression canary that catches an index
+    * gone stale — recall at the deployed nprobe dropping across releases).
+    * Exact integers: hits and floor-div ppm; a zero-recall rung still
+    * emits its row (LEFT join).
+    *
+    * Plan/scale: ONE corpus assignment map (row-local codegen vs literal
+    * centroids), candidate generation ONCE at max nprobe (the superset) —
+    * each corpus vector lives in exactly one cell, so a candidate appears
+    * once with the probe rank `pos` of its cell, and every smaller
+    * nprobe's set is the row-local filter `pos < nprobe`, not a rescan;
+    * the 4-way nprobe fan-out explodes only the candidate rows
+    * (nprobe/nCells of the corpus × |queries|); exact side is x12's
+    * broadcast-queries pass. Nothing rescans the corpus per rung. */
+  val annRecallSweep = sql("x126_ann_recall_sweep", x126Oracle) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val nearestCells = nearestCellsBy(IvfPinned.centroids) _
+    val corpus = emb.withColumn("cell", element_at(nearestCells(col("embedding"), 1), 1))
+    val queriesBase = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = queriesBase
+      .select(col("q_id"), col("q_emb"),
+        posexplode(nearestCells(col("q_emb"), 8)))
+      .withColumnRenamed("col", "cell")
+    val cand = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("q_emb")), 6))
+      .select("q_id", "vec_id", "cos", "pos")
+    val ivf5 = cand
+      .withColumn("nprobe", explode(typedLit(Seq(1, 2, 4, 8))))
+      .filter(col("pos") < col("nprobe")) // pos is 0-based probe rank
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("nprobe", "q_id").orderBy(desc("cos"), col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select("nprobe", "q_id", "vec_id")
+    val ex5 = emb.crossJoin(broadcast(queriesBase))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine(col("embedding"), col("q_emb")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select("q_id", "vec_id")
+    val hits = ivf5.join(ex5, Seq("q_id", "vec_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+    val nq = broadcast(queriesBase.agg(count(lit(1)).as("n_queries")))
+    emb.sparkSession.range(1)
+      .select(explode(typedLit(Seq(1, 2, 4, 8))).as("nprobe"))
+      .crossJoin(nq)
+      .join(hits, Seq("nprobe"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("recall_ppm", expr("(n_hits * 1000000) div (n_queries * 5)"))
+      .select("nprobe", "n_queries", "n_hits", "recall_ppm")
+      .orderBy("nprobe")
+  }
+
   val all: Seq[QueryDef] = Seq(embNorm, embPairCosine, simBruteTopk, simLshTopk, simIvfTopk,
     simIvfCells, simPqTopk, dedupEmbedding, dedupEmbLsh, embQuantize, simContamination,
-    semanticDedup, embRandomProjection, embLabelDrift)
+    semanticDedup, embRandomProjection, embLabelDrift, annRecallSweep)
 }
