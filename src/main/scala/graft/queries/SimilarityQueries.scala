@@ -1105,8 +1105,10 @@ FROM embeddings ORDER BY vec_id""") { (s, d) =>
   /** DuckDB replication of the x126 sweep: the SAME ct/scores/assign chain
     * as x17/x65 (prefix-cache-groupable), probes kept WITH their rank so
     * each nprobe's candidate set is `rn <= nprobe`, exact top-5 by x12's
-    * brute recipe, LEFT join so a zero-recall rung still emits its row. */
-  private val x126Oracle: String = {
+    * brute recipe, LEFT join so a zero-recall rung still emits its row.
+    * Ends in a `sweep` CTE so x127's operating-point oracle extends the
+    * SAME chain instead of duplicating it. */
+  private val x126SweepChain: String = {
     val rows = ivfCtRows
     s"""WITH ct(cell, cn2, centroid) AS (VALUES
       |$rows),
@@ -1150,16 +1152,30 @@ FROM embeddings ORDER BY vec_id""") { (s, d) =>
       |      6) DESC, ec.vec_id) AS rank
       |    FROM embeddings eq JOIN embeddings ec ON ec.vec_id <> eq.vec_id
       |    WHERE eq.vec_id < 10) r WHERE rank <= 5),
-      |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM embeddings WHERE vec_id < 10)
-      |SELECT np.nprobe, nq.n_queries,
-      |  CAST(COUNT(h.q_id) AS BIGINT) AS n_hits,
-      |  CAST((COUNT(h.q_id) * 1000000) // CAST(nq.n_queries * 5 AS BIGINT) AS BIGINT) AS recall_ppm
-      |FROM np CROSS JOIN nq
-      |LEFT JOIN (SELECT i.nprobe, i.q_id FROM ivf5 i
-      |           JOIN ex5 e ON e.q_id = i.q_id AND e.vec_id = i.vec_id) h
-      |  ON h.nprobe = np.nprobe
-      |GROUP BY np.nprobe, nq.n_queries ORDER BY np.nprobe""".stripMargin
+      |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM embeddings WHERE vec_id < 10),
+      |sweep AS (
+      |  SELECT np.nprobe, nq.n_queries,
+      |    CAST(COUNT(h.q_id) AS BIGINT) AS n_hits,
+      |    CAST((COUNT(h.q_id) * 1000000) // CAST(nq.n_queries * 5 AS BIGINT) AS BIGINT) AS recall_ppm
+      |  FROM np CROSS JOIN nq
+      |  LEFT JOIN (SELECT i.nprobe, i.q_id FROM ivf5 i
+      |             JOIN ex5 e ON e.q_id = i.q_id AND e.vec_id = i.vec_id) h
+      |    ON h.nprobe = np.nprobe
+      |  GROUP BY np.nprobe, nq.n_queries)""".stripMargin
   }
+
+  private val x126Oracle: String = x126SweepChain +
+    "\nSELECT nprobe, n_queries, n_hits, recall_ppm FROM sweep ORDER BY nprobe"
+
+  /** x127's oracle: the x126 chain + the 90%-of-best selection rule, all
+    * in exact BIGINT arithmetic (MAX never widens to HUGEINT; `* 10` and
+    * `* 9` stay BIGINT). */
+  private val x127Oracle: String = x126SweepChain + """,
+    |m AS (SELECT MAX(recall_ppm) AS max_recall_ppm FROM sweep)
+    |SELECT s.nprobe, s.n_queries, s.n_hits, s.recall_ppm, m.max_recall_ppm
+    |FROM sweep s CROSS JOIN m
+    |WHERE s.recall_ppm * 10 >= m.max_recall_ppm * 9
+    |ORDER BY s.nprobe LIMIT 1""".stripMargin
 
   /** x126: the ANN OPERATING CURVE — recall@5 vs exact brute force at
     * nprobe ∈ {1,2,4,8} over the pinned IVF index, in one pass: the
@@ -1219,7 +1235,37 @@ FROM embeddings ORDER BY vec_id""") { (s, d) =>
       .orderBy("nprobe")
   }
 
+  /** x127: the ANN OPERATING POINT — the single row a deployment PINS from
+    * x126's curve: the smallest nprobe whose recall clears 90% of the best
+    * measured rung (exact integer rule: recall_ppm·10 ≥ max_recall_ppm·9;
+    * deterministic — nprobe is unique and the sweep is exact). This closes
+    * the ANN lifecycle the way x121-x124 closed the pack lifecycle: x126
+    * publishes the curve, x127 chooses the point, [[saveAnnOperatingPoint]]
+    * makes it the durable artifact the serving config reads, and
+    * SimilaritySpec's stale-index canary fails when a refreshed index's
+    * recall at the pinned nprobe drops below the pinned floor.
+    *
+    * Plan/scale: the sweep chain runs ONCE (the max rides a single-partition
+    * window over the POST-AGGREGATE |rungs|-row frame — 4 rows by
+    * construction, never corpus-scale), then a row-local filter + top-1. */
+  val annOperatingPoint = sql("x127_ann_operating_point", x127Oracle) { (s, d) =>
+    val sweep = annRecallSweep.run(s, d)
+    sweep
+      .withColumn("max_recall_ppm",
+        max(col("recall_ppm")).over(Window.partitionBy(lit(1))))
+      .filter(col("recall_ppm") * 10 >= col("max_recall_ppm") * 9)
+      .orderBy("nprobe").limit(1)
+      .select("nprobe", "n_queries", "n_hits", "recall_ppm", "max_recall_ppm")
+  }
+
+  /** Persist x127's chosen operating point as a durable 1-row artifact
+    * (the saveIvfIndex stance: the serving layer reads the PIN, not the
+    * sweep). SimilaritySpec round-trips it and runs the staleness canary
+    * against it. */
+  def saveAnnOperatingPoint(s: SparkSession, d: String, path: String): Unit =
+    graft.sources.Sinks.parquet(annOperatingPoint.run(s, d), path)
+
   val all: Seq[QueryDef] = Seq(embNorm, embPairCosine, simBruteTopk, simLshTopk, simIvfTopk,
     simIvfCells, simPqTopk, dedupEmbedding, dedupEmbLsh, embQuantize, simContamination,
-    semanticDedup, embRandomProjection, embLabelDrift, annRecallSweep)
+    semanticDedup, embRandomProjection, embLabelDrift, annRecallSweep, annOperatingPoint)
 }

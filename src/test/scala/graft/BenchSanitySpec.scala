@@ -55,12 +55,16 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
     qKeys shouldBe shorts
     // per-query precision is BEST-EFFORT by the self-sizing ladder: %.2f
     // (10 ms) while the line fits the budget, degrading to %.1f only when
-    // the registry outgrows it. Detect which rung rendered this line and
-    // hold it to that rung's tolerance — a registry size where the %.2f
-    // render fits must NOT ship %.1f rows.
-    val qStart = line.indexOf("\"queries\":{")
-    val qMap = line.substring(qStart, line.indexOf("}", qStart) + 1)
-    val fine = """:\d+\.\d\d[,}]""".r.findFirstIn(qMap).isDefined
+    // the registry outgrows it. Decide the rung from the LADDER itself
+    // (renderRungs — the last rung is the only %.1f one), not from value
+    // digits: the old digit sniff silently weakened to coarse tolerance
+    // whenever every hundredths digit happened to be 0 (r14 advice).
+    val rungs = Bench.renderRungs(samples, calibration = Seq(0.21, 0.32, 0.19),
+      ivfTrain = 1.5, probeOnly = 0.8, sfDir = "/root/testdata/sf0.1")
+    line shouldBe rungs.find(_.length < 1880).getOrElse(rungs.last)
+    val fine = rungs.init.exists(_.length < 1880) // some %.2f rung fits
+    // a fitting %.2f render must never ship %.1f rows: if fine, the shipped
+    // line IS a %.2f rung and every value must sit on the 10 ms grid
     val tol = if (fine) 5.1e-3 else 5.1e-2
     names.zipWithIndex.foreach { case (n, i) =>
       val expMin = 0.1 + i * 0.001
@@ -80,6 +84,9 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
     root.get("calibration_job") shouldBe null
     root.get("ivf_train_sec").asDouble() shouldBe 1.5 +- 1e-9
     root.get("x03_probe_only_sec").asDouble() shouldBe 0.8 +- 1e-9
+    // host noise band: max/min of the run's calibration samples — the
+    // regression-gate discount factor (r14 verdict item 5). 0.32/0.19 ≈ 1.68
+    root.get("noise").asDouble() shouldBe 0.32 / 0.19 +- 5.1e-3
     // summary fields ride at the END of the line (truncation-from-the-
     // front must cost the least-diagnostic bytes first)
     val idxQueries = line.indexOf("\"queries\"")

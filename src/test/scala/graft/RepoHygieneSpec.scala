@@ -70,6 +70,37 @@ class RepoHygieneSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("every registered query name is pinned in a covering spec file") {
+    // The r14 incident (x126 shipped in the final snapshot commit with no
+    // spec, no plan guard, no doc rows) was the SECOND consecutive round in
+    // which a last action invalidated the recorded gates. Kill the class:
+    // a query cannot register without its full name appearing in at least
+    // one test source OTHER than this gate — either in the spec that
+    // semantically covers it (replay/golden/plan-guard) or in a documented
+    // coverage pin next to the operator suite that gates its engine. That
+    // makes a test-less query a local `sbt test` failure in the same commit
+    // that adds it.
+    val testRoot = java.nio.file.Paths.get("src/test/scala")
+    assert(java.nio.file.Files.isDirectory(testRoot),
+      s"spec must run from the repo root (no $testRoot)")
+    val walk = java.nio.file.Files.walk(testRoot)
+    val corpus = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala")
+          && p.getFileName.toString != "RepoHygieneSpec.scala")
+        .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        .mkString("\n")
+    } finally walk.close()
+    def missing(names: Seq[String]): Seq[String] = names.filterNot(corpus.contains)
+    // the detector detects: a name that exists nowhere must be reported
+    missing(Seq("x999_nonexistent_probe_query")) should have size 1
+    withClue("registered queries with no covering-spec pin (add the spec, " +
+      "then write the full query name in it): ") {
+      missing(SparkEntry.defs.map(_.name)) shouldBe empty
+    }
+  }
+
   test("repo root has no unexpected files") {
     // tests run from the repo root — don't hardcode a checkout path, and
     // treat an unreadable root as a FAILURE, not a vacuous pass

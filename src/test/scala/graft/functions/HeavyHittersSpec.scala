@@ -6,6 +6,8 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.SparkTestBase
 
+// registry: x42_text_topk_tokens (the top-k token sketch query rides this
+// aggregator; value gate = exact-regime DuckDB oracle + the bounds below)
 class HeavyHittersSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   private def topk(df: org.apache.spark.sql.DataFrame, m: Int, k: Int) = {

@@ -8,6 +8,8 @@ import graft.SparkTestBase
 
 /** Unit tests for the native sketch expressions registered by
   * GraftExtensions. */
+// registry: x25_text_repetition (the repetition profile query rides
+// graft_token_stats; value gate = DuckDB oracle + the hand-computed facts below)
 class TextHashesSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   private def one(sqlExpr: String, text: String) = {

@@ -6,6 +6,8 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.SparkTestBase
 
+// registry: x43_ev_zorder (the z-order layout key query rides this kernel;
+// value gate = DuckDB oracle + the interleaving bit-walk replay below)
 class ZOrderSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   /** Naive bit-loop reference: interleave bit-by-bit. */

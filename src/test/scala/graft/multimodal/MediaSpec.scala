@@ -7,7 +7,10 @@ import graft.SparkTestBase
 
 /** The Spark-side multimodal plumbing is real even though the codec is a
   * stub: schema, batch shape, determinism, and column pruning are all
-  * asserted here. */
+  * asserted here.
+  *
+  * registry: x18_media_features, x23_media_resize (both ride the extractors
+  * gated here; value gate = the FNV-in-SQL / integer DuckDB oracles). */
 class MediaSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   private lazy val media = Media.syntheticMedia(spark, 30).cache()

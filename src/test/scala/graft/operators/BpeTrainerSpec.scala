@@ -92,6 +92,7 @@ class BpeTrainerSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   test("trainer(k=3) ≡ the oracle-checked x99 Spark trainer on the shipped corpus") {
     val sf = "/root/testdata/sf0.001"
+    // registry: x99_bpe_merges
     val x99 = graft.queries.TextQueries.bpeMerges.run(spark, sf).collect()
       .map(r => Merge(r.getString(1), r.getString(2), r.getLong(3))).toSeq
     BpeTrainer.trainOn(spark, sf, 3) shouldBe x99

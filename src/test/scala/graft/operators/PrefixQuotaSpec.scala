@@ -8,6 +8,8 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.SparkTestBase
 
+// registry: x36_text_quota_sample (the quota sampler rides this operator;
+// its value gate is the DuckDB oracle + the exactness properties below)
 /** PrefixQuota (take-until-quota via two-level distributed prefix sum):
   * exactness against the naive per-group running-sum window it replaces,
   * boundary semantics, and the plan shape that makes it scale. */

@@ -6,6 +6,8 @@ import org.scalatest.matchers.should.Matchers
 
 import graft.SparkTestBase
 
+// registry: x41_ev_skew_join (the salted hot-key join demo rides this
+// operator; value gate = DuckDB oracle + the equivalence properties below)
 class SkewJoinSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   private def pairs(df: org.apache.spark.sql.DataFrame) =

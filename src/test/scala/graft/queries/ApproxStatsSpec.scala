@@ -55,6 +55,7 @@ class ApproxStatsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // 16-value modded domain returns the exact distinct count, and the
     // uncompressed GK summary returns the element at 1-based rank ceil(q*n)
     // of the <=256 bucket maxima
+    // registry: x22_ev_approx_stats
     val got = EventsQueries.approxStats.run(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
     val bm = Tables.events(spark, dir)

@@ -40,6 +40,7 @@ class ClusterDedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
   test("x26 accounts for every representative exactly once") {
     val sigs = TextQueries.minhashSignatures(spark, sf)
     val nReps = sigs.count()
+    // registry: x26_dedup_clusters
     val out = TextQueries.dedupClusters.run(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     out.map(_._2).sum shouldBe nReps // every rep in exactly one cluster
@@ -51,6 +52,7 @@ class ClusterDedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x55 leakage-safe split: no duplicate cluster straddles splits; x31 would leak") {
+    // registry: x55_split_leakage_safe
     val out = TextQueries.splitLeakageSafe.run(spark, sf)
       .select("doc_id", "rep", "split").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
@@ -83,6 +85,7 @@ class ClusterDedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val expected = bySrcs.values.toSeq
       .flatMap(ss => ss.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // registry: x58_dup_source_matrix
     val got = TextQueries.dupSourceMatrix.run(spark, sf).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     got shouldBe expected
@@ -90,6 +93,7 @@ class ClusterDedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x60 substring dup stats ≡ driver-side STRING-window recomputation (all docs)") {
+    // registry: x60_substring_dup
     val out = TextQueries.substringDup.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     out.length shouldBe 500 // one row per doc, nothing dropped by the joins
@@ -120,6 +124,7 @@ class ClusterDedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x61 substring cut ≡ driver-side STRING-window recomputation (all docs)") {
+    // registry: x61_substring_cut
     val out = TextQueries.substringCut.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     out.length shouldBe 500

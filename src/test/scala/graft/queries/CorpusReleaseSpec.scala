@@ -13,6 +13,7 @@ class CorpusReleaseSpec extends AnyFunSuite with Matchers with SparkTestBase {
   private val sf = "/root/testdata/sf0.01"
 
   test("x56 shards: exact permutation, contiguous positions, reproducible") {
+    // registry: x56_corpus_shards
     val out = TextQueries.corpusShards.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     val nDocs = graft.Tables.documents(spark, sf).count()
@@ -35,6 +36,7 @@ class CorpusReleaseSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   test("x59 release manifest: accounts for every gate-passing doc, dedups, splits, shards") {
     import org.apache.spark.sql.functions.{col, split, trim, size => asize}
+    // registry: x59_release_manifest
     val out = TextQueries.releaseManifest.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3), r.getLong(4)))
     val nQual = graft.Tables.documents(spark, sf)
@@ -63,6 +65,7 @@ class CorpusReleaseSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // change that re-selects WITHIN clusters and never re-routes them
     val minId = TextQueries.releaseManifest.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3), r.getLong(4)))
+    // registry: x108_release_manifest_keep_best
     val best = TextQueries.releaseManifestKeepBest.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getString(4), r.getInt(5), r.getLong(6)))
@@ -87,6 +90,7 @@ class CorpusReleaseSpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x57 datasheet: TOTAL row is the exact sum/rollup of the source rows") {
+    // registry: x57_datasheet_rollup
     val rows = TextQueries.datasheetRollup.run(spark, sf).collect()
     val (total, per) = rows.partition(_.getString(0) == "TOTAL")
     total.length shouldBe 1
@@ -106,6 +110,7 @@ class CorpusReleaseSpec extends AnyFunSuite with Matchers with SparkTestBase {
     import org.apache.spark.sql.functions.{col, split, trim, size => asize}
     // columns: source, n_raw, tok_raw, n_qual, n_exact, n_final,
     //          tok_final, kept_ppm, tok_kept_ppm
+    // registry: x116_curation_funnel
     val rows = TextQueries.curationFunnel.run(spark, sf).collect()
     rows should not be empty
     rows.foreach { r =>
@@ -143,6 +148,7 @@ class CorpusReleaseSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   test("x118 shard balance: reconciles with x59, exact share arithmetic, deviations sum to ~0") {
     // columns: shard, n_clusters, n_docs_rep, n_tokens, tok_share_ppm, dev_ppm
+    // registry: x118_shard_balance
     val rows = TextQueries.shardBalance.run(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))
@@ -166,9 +172,11 @@ class CorpusReleaseSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   test("x119 cluster-size histogram: conserves docs/clusters, buckets are true floor-log2") {
     // columns: bucket, floor_size, n_clusters, n_docs, max_size, doc_share_ppm
+    // registry: x119_cluster_size_hist
     val rows = TextQueries.clusterSizeHist.run(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))
+    // registry: x51_dedup_apply
     val clusters = TextQueries.dedupApply.run(spark, sf).collect()
       .map(r => r.getLong(1)) // x51's per-cluster doc counts, same chain
     rows.map(_._3).sum shouldBe clusters.length.toLong

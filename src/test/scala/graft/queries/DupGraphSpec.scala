@@ -15,6 +15,7 @@ class DupGraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
 
   test("x69: engine ranks equal a driver-side replay of the integer iteration") {
+    // registry: x69_dup_pagerank
     val out = TextQueries.dupPagerank.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
 
@@ -52,6 +53,7 @@ class DupGraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x70: engine flags equal a driver-side exact-membership replay") {
+    // registry: x70_bloom_dedup
     val out = TextQueries.bloomDedup.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
 
@@ -70,6 +72,7 @@ class DupGraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   test("x71: tiers are exclusive, account for every incoming doc, and agree with x70/x37") {
     val sf01 = "/root/testdata/sf0.01"
+    // registry: x71_ingest_triage
     val t = TextQueries.ingestTriage.run(spark, sf01).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     // exclusive tiers: per-source counts must sum exactly
@@ -86,6 +89,7 @@ class DupGraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
     t.map(_._3).sum shouldBe x70Dups
     // tier 2 is bounded by x37's distinct probe hits (exact-BoW docs that
     // also band-hit count in tier 1, never tier 2)
+    // registry: x37_dedup_incremental
     val x37Hits = TextQueries.dedupIncremental.run(spark, sf01)
       .select("doc_id").distinct().count()
     t.map(_._4).sum should be <= x37Hits
@@ -96,6 +100,7 @@ class DupGraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x96: engine triangle tallies equal a brute-force replay") {
+    // registry: x96_dup_triangles
     val out = TextQueries.dupTriangles.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
 
@@ -118,6 +123,76 @@ class DupGraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.map(_._3).sum should be > 0L
   }
 
+  test("x72: band-collision histogram + verified mass equal a from-scratch sweep") {
+    // registry: x72_lsh_band_stats
+    val out = TextQueries.lshBandStats.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val sigs = replaySigs(dir)
+    val stats = (for {
+      (a, sa, ga) <- sigs
+      (b, sb, gb) <- sigs
+      if a < b
+      nBands = (0 until 8).count(bd => ga.slice(bd * 4, bd * 4 + 4) == gb.slice(bd * 4, bd * 4 + 4))
+      if nBands > 0
+    } yield {
+      val inter = (sa intersect sb).size.toLong
+      val uni = sa.size.toLong + sb.size.toLong - inter
+      (nBands.toLong, if (inter * 2 >= uni) 1L else 0L)
+    }).groupBy(_._1).map { case (nb, rows) =>
+      nb -> ((rows.size.toLong, rows.map(_._2).sum))
+    }
+    out shouldBe stats
+    out should not be empty
+    // verified mass never exceeds pair mass, and the curve is non-vacuous
+    out.foreach { case (_, (pairs, ok)) => ok should be <= pairs }
+    out.values.map(_._2).sum should be > 0L
+  }
+
+  test("x73: hub-removal attribution equals a sequential replay over the verified pairs") {
+    // registry: x73_hub_removal
+    val out = TextQueries.hubRemoval.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+
+    // hubs: top-10 of the (already replay-verified) x69 ranking by
+    // (pr desc, doc_id asc); attribution: every verified pair counts once,
+    // for its better-ranked hub endpoint
+    val ranks = TextQueries.dupPagerank.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val hubs = ranks.sortBy { case (id, _, pr) => (-pr, id) }.take(10).zipWithIndex
+      .map { case ((id, deg, pr), i) => (i + 1, id, deg, pr) }
+    val hubRank = hubs.map { case (rk, id, _, _) => id -> rk }.toMap
+    val removed = replayPairs(dir)
+      .map { case (a, b, _) => math.min(hubRank.getOrElse(a, 999), hubRank.getOrElse(b, 999)) }
+      .filter(_ < 999)
+      .groupBy(identity).map { case (rk, g) => rk -> g.size.toLong }
+    val expected = hubs.map { case (rk, id, deg, pr) =>
+      (rk, id, deg, pr, removed.getOrElse(rk, 0L))
+    }
+    out.toSeq shouldBe expected.toSeq
+    // the simulation is sequential-exclusive: Σ pairs_removed = pairs
+    // touching ANY hub (each counted once)
+    out.map(_._5).sum shouldBe removed.values.sum
+    out.map(_._5).sum should be > 0L
+  }
+
+  /** Exact-collapsed reps with their shingle sets and 32-hash MinHash
+    * signatures, replayed in plain Scala — the shared front of the x03
+    * chain (minhashSignaturesOf). */
+  private def replaySigs(dir: String): Seq[(Long, Set[Long], IndexedSeq[Long])] = {
+    val reps = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).map { case (_, g) => g.minBy(_._1) }.toSeq
+      .map { case (id, text) => (id, shingles(text)) }
+    def sig(sh: Set[Long]): IndexedSeq[Long] =
+      (0 until 32).map { j =>
+        val seed = DupGraphSpec.mix64(j + 0x5851f42d4c957f2dL)
+        sh.map(h => DupGraphSpec.mix64(h ^ seed)).min
+      }
+    reps.map { case (id, sh) => (id, sh, sig(sh)) }
+  }
+
   /** The x03 chain replayed in plain Scala over the exact-collapsed reps —
     * 32-hash MinHash, 8 bands of 4, candidates = pairs sharing a band SLICE
     * (the engine band-joins on xxhash64 of the slice; slices collide iff
@@ -125,18 +200,7 @@ class DupGraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
     * admission and ppm weight on the candidate set. Output (a, b, w_ppm)
     * with a < b. */
   private def replayPairs(dir: String): Seq[(Long, Long, Long)] = {
-    val reps = graft.Tables.documents(spark, dir)
-      .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
-      .groupBy(_._2).map { case (_, g) => g.minBy(_._1) }.toSeq
-      .map { case (id, text) => (id, shingles(text)) }
-    def mix64(z0: Long): Long = DupGraphSpec.mix64(z0)
-    def sig(sh: Set[Long]): IndexedSeq[Long] =
-      (0 until 32).map { j =>
-        val seed = mix64(j + 0x5851f42d4c957f2dL)
-        sh.map(h => mix64(h ^ seed)).min
-      }
-    val sigs = reps.map { case (id, sh) => (id, sh, sig(sh)) }
+    val sigs = replaySigs(dir)
     for {
       (a, sa, ga) <- sigs
       (b, sb, gb) <- sigs

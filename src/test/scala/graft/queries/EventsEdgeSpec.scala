@@ -53,6 +53,7 @@ class EventsEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
         else None
       }
     }.toMap
+    // registry: x78_ev_attribution
     val got = EventsQueries.attribution.run(spark, dir).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
     got shouldBe expected
@@ -70,6 +71,7 @@ class EventsEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val expected = userWeeks.toSeq
       .flatMap { case (_, wks) => wks.map(w => (wks.head, w - wks.head)) }
       .groupBy(identity).map { case ((c, o), xs) => (c, o) -> xs.size.toLong }
+    // registry: x79_ev_retention
     val got = EventsQueries.retentionCohorts.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     got shouldBe expected
@@ -84,6 +86,7 @@ class EventsEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .select(col("event_type"), col("value")).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toSeq
     val byType = vals.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // registry: x82_ev_mad_outliers
     val rows = EventsQueries.madOutliers.run(spark, dir).collect()
     rows.map(_.getString(0)).sorted shouldBe byType.keys.toSeq.sorted
     rows.foreach { r =>
@@ -114,6 +117,7 @@ class EventsEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
       (hexv.indexOf(hx(0)) * 4096 + hexv.indexOf(hx(1)) * 256 +
         hexv.indexOf(hx(2)) * 16 + hexv.indexOf(hx(3))) % 512
     }
+    // registry: x91_ev_feature_hash
     val rows = EventsQueries.featureHashing.run(spark, dir).collect()
     rows should not be empty
     rows.foreach { r =>
@@ -126,6 +130,7 @@ class EventsEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x95 cube: marginals and grand total recompose from the base cells") {
+    // registry: x95_ev_cube
     val rows = EventsQueries.cubeDatasheet.run(spark, dir).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
     val base = rows.filter(_._3 == 0)
@@ -164,6 +169,7 @@ class EventsEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
       (7L, ts0, 1L, "click", 1.00, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$tmp/events.parquet")
+    // registry: x102_ev_topk_ties
     val out = EventsQueries.topkTies.run(spark, tmp).collect()
       .map(r => (r.getLong(0), r.getInt(3)))
     out.map(_._1).sorted.toSeq shouldBe Seq(1L, 2L, 3L, 4L, 5L, 6L)
@@ -174,6 +180,7 @@ class EventsEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     import org.apache.spark.sql.functions._
     // shard the events by epoch-style halves, run x97 per shard, ADD the
     // component columns, and require bit-equality with the whole-table run
+    // registry: x97_ev_corr_report
     val whole = EventsQueries.corrReport.run(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6))).toMap
@@ -236,6 +243,7 @@ class EventsEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       u -> ((rows.length.toLong, score))
     }
+    // registry: x115_ev_decay
     val got = EventsQueries.decayScore.run(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     got shouldBe expected
@@ -271,4 +279,57 @@ class EventsEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     got(3L) shouldBe floorScore // the cap: 31d ≡ 30d exactly
     got(4L) shouldBe floorScore // ...and 100d too — never negative shifts
   }
+
+  test("x14_ev_json_extract ≡ a driver-side parse of every props payload") {
+    // registry: x14_ev_json_extract
+    val props = Tables.events(spark, dir).select("event_id", "props").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val out = EventsQueries.jsonExtract.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    out.size shouldBe props.length
+    val kRe = """"k"\s*:\s*(-?\d+)""".r
+    props.foreach { case (id, p) =>
+      withClue(s"event $id props=$p: ") {
+        out(id) shouldBe kRe.findFirstMatchIn(p).map(_.group(1).toInt)
+      }
+    }
+    // non-vacuous: the extraction actually finds varied integers
+    out.values.flatten.toSet.size should be > 1
+  }
+
+  test("x15_ev_time_bucket ≡ a driver-side hour-truncated rollup") {
+    // registry: x15_ev_time_bucket
+    val rows = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val out = EventsQueries.timeBucket.run(spark, dir).collect()
+      .map(r => (unixMicrosOf(r.getTimestamp(0)), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val hourUs = 3600L * 1000000L
+    val expected = rows.groupBy { case (tpe, us, _) => (Math.floorDiv(us, hourUs) * hourUs, tpe) }
+    out.keySet shouldBe expected.keySet
+    expected.foreach { case (k, grp) =>
+      val (n, sum) = out(k)
+      withClue(s"bucket $k: ") {
+        n shouldBe grp.length.toLong
+        // double sum is order-sensitive in the last ulp; the query rounds to
+        // 6 dp, so compare within one ulp of that grid
+        sum shouldBe (grp.map(_._3).sum +- 1e-6)
+      }
+    }
+  }
+
+  test("x16_ev_sessionize ≡ the imperative per-user gap walk (30 min boundary exclusive)") {
+    // registry: x16_ev_sessionize — sessionsOf is the same rule the x78
+    // attribution replay above builds on
+    val out = EventsQueries.sessionize.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expected = sessionsOf(rawEvents())
+    out shouldBe expected
+    // non-vacuous: at least one user has a real >30 min gap (multi-session)
+    expected.values.max should be > 1L
+  }
+
+  private def unixMicrosOf(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 }

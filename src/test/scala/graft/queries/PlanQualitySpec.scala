@@ -52,6 +52,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x27: per-doc top-k terms prune early (WindowGroupLimit, partial-final aggs)") {
+    // registry: x27_text_tfidf
     val plan = planOf(TextQueries.textTfidf)
     plan should include("WindowGroupLimit") // rk<=3 pushed into the window sort
     "HashAggregate".r.findAllIn(plan).size should be >= 2 // map-side combine
@@ -79,6 +80,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x29: the range join is a bucket EQUI-join — no nested-loop scan") {
+    // registry: x29_ev_value_bands
     val plan = planOf(EventsQueries.valueBands)
     plan should not include "BroadcastNestedLoopJoin" // what naive BETWEEN would plan
     plan should not include "CartesianProduct"
@@ -104,6 +106,8 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x01/x02: the exact-dedup exchange partitions on the 16-byte derived key, not the payload") {
+    // registry: x02_dedup_bow
+    // registry: x01_dedup_exact
     Seq(TextQueries.dedupExact -> "text", TextQueries.dedupBow -> "bow_key").foreach {
       case (q, payload) =>
         val plan = planOf(q)
@@ -156,12 +160,14 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x52: record linkage verifies over band-join candidates, never all-pairs") {
+    // registry: x52_record_linkage
     val plan = planOf(TextQueries.recordLinkage)
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
 
   test("x53: the row-level quota window is bucket-split, not per-source serial") {
+    // registry: x53_text_mixture
     val plan = planOf(TextQueries.textMixture)
     // the full-width exchange must carry the bucket prefix alongside the
     // group key — hashpartitioning(source) alone would serialize a 100 TB
@@ -183,6 +189,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x20: batch side broadcasts; corpus side never shuffles for the pair join") {
+    // registry: x20_dedup_embedding
     val plan = planOf(SimilarityQueries.dedupEmbedding)
     plan should include("BroadcastNestedLoopJoin")
     plan should not include "CartesianProduct"
@@ -220,18 +227,22 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x39: benchmark side broadcasts; corpus never shuffles for contamination scan") {
+    // registry: x39_sim_contamination
     val plan = planOf(SimilarityQueries.simContamination)
     plan should include("BroadcastNestedLoopJoin")
     plan should not include "CartesianProduct"
   }
 
   test("x40: vocabulary joins back by broadcast (token fact side never shuffles for it)") {
+    // registry: x40_text_freq_score
     val plan = planOf(TextQueries.textFreqScore)
     plan should include("BroadcastHashJoin")
   }
 
   test("x44/x45: per-group stats broadcast back — the fact side never shuffles for the transform") {
+    // registry: x44_ev_winsorize
     planOf(EventsQueries.winsorize) should include("BroadcastHashJoin")
+    // registry: x45_ev_zscore
     planOf(EventsQueries.zscore) should include("BroadcastHashJoin")
   }
 
@@ -243,6 +254,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x19: frame sampling is pure Catalyst — no UDF / serialization boundary") {
+    // registry: x19_media_frames
     val plan = planOf(MediaQueries.mediaFrames)
     plan should not include "BatchEvalPython"
     plan should not include "UDF"
@@ -290,6 +302,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x75: interval overlap is a bucketed equi-join — no nested-loop, no distinct") {
+    // registry: x75_ev_interval_overlap
     val plan = planOf(EventsQueries.intervalOverlap)
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
@@ -300,6 +313,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x76: the fact table is scanned once and never sorted for the skew report") {
+    // registry: x76_ev_key_skew
     val plan = planOf(EventsQueries.keySkewReport)
     // one partial-final count over the fact; every later stage runs on the
     // keys-sized counts table
@@ -308,6 +322,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x77: both split windows share one exchange on user_id") {
+    // registry: x77_ev_temporal_split
     val plan = planOf(EventsQueries.temporalSplit)
     // window partition exchange + output range sort, nothing else
     "Exchange".r.findAllIn(plan).size should be <= 2
@@ -348,6 +363,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x81: release diff is one full-outer merge join — neither manifest broadcasts") {
+    // registry: x81_release_diff
     val plan = planOf(TextQueries.releaseDiff)
     plan should include("FullOuter")
     plan should not include "CartesianProduct"
@@ -361,6 +377,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x83: transition windows share x16's exchange; normalization is post-agg") {
+    // registry: x83_ev_transitions
     val plan = planOf(EventsQueries.sessionTransitions)
     // fact window exchange + partial-final groupBy + tiny prev_type window
     // + output sort — and the lead/lag windows never add a second fact
@@ -371,12 +388,14 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x84: phash candidates via (band, value) equi-join, never all-pairs") {
+    // registry: x84_media_phash_dedup
     val plan = planOf(graft.queries.MediaQueries.mediaPhashDedup)
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
 
   test("x85: MIH probe keys equi-join the exact band table — no all-pairs") {
+    // registry: x85_media_phash_mih
     val plan = planOf(graft.queries.MediaQueries.mediaPhashMih)
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
@@ -385,12 +404,14 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x86: serve-time binning broadcasts the edges — the fact never shuffles") {
+    // registry: x86_ev_feature_bins
     val plan = planOf(EventsQueries.featureBins)
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
   }
 
   test("x94: priority sample prunes inside the window sort (WindowGroupLimit)") {
+    // registry: x94_text_weighted_sample
     val plan = planOf(TextQueries.weightedSample)
     plan should include("WindowGroupLimit") // rk<=8 pushed into the sort
     plan should not include "Join"
@@ -398,6 +419,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x90: recall audit — truth via K-row broadcast, caught via equi semi-join") {
+    // registry: x90_dedup_recall_audit
     val plan = planOf(TextQueries.dedupRecallAudit)
     plan should not include "CartesianProduct"
     // the caught check is a canonical-orientation (lo, hi) EQUI semi-join,
@@ -414,6 +436,8 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x92/x93: rank and lag features ride one window exchange each") {
+    // registry: x93_ev_lag_features
+    // registry: x92_ev_percentile_rank
     for (q <- Seq(EventsQueries.percentileRank, EventsQueries.lagFeatures)) {
       val plan = planOf(q)
       withClue(q.name + ": ") {
@@ -425,6 +449,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x89: A/B test is one partial-final pass; z math runs on one row") {
+    // registry: x89_ev_ab_test
     val plan = planOf(EventsQueries.abTest)
     plan should include("partial_")
     plan should not include "SortMergeJoin"
@@ -432,6 +457,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x88: drift binning broadcasts edges; the fact never sort-merge-joins") {
+    // registry: x88_ev_drift
     val plan = planOf(EventsQueries.driftReport)
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
@@ -474,6 +500,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x98: basket pairing is an equi-join on the basket key; totals attach by broadcast") {
+    // registry: x98_ev_cooccurrence
     val plan = planOf(EventsQueries.cooccurrence)
     plan should not include "CartesianProduct"
     // the 1-row n_baskets attach is the only nested-loop — broadcast by
@@ -506,6 +533,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x104: the shard rollup rides the proven dup chain — equi-joins only, partial-final aggs") {
+    // registry: x104_shard_dup_rate
     val plan = planOf(TextQueries.shardDupRate)
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
@@ -513,6 +541,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x105: compression datasheet is one corpus scan + one partial-final agg; merges broadcast") {
+    // registry: x105_bpe_compression
     val plan = planOf(TextQueries.bpeCompression)
     "FileScan parquet".r.findAllIn(plan).size shouldBe 1 // learning behind checkpoints
     plan should include("BroadcastNestedLoopJoin") // the 1-row merge table
@@ -529,6 +558,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x107: keep-best selection rides the chain's cluster key — windows, equi-joins, no cartesian") {
+    // registry: x107_dedup_keep_best
     val plan = planOf(TextQueries.dedupKeepBest)
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
@@ -548,6 +578,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x110: one corpus scan behind the checkpoint; vocab is TakeOrdered + broadcast") {
+    // registry: x110_vocab_coverage
     val plan = planOf(TextQueries.vocabCoverage)
     // the corpus scan + explode lives inside the checkpointed (source, tok)
     // count (ExistingRDD); vocab selection must be a per-partition top-k
@@ -584,6 +615,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x109: drift math consumes the checkpointed label-sized aggregates — no corpus rescan") {
+    // registry: x109_emb_label_drift
     val plan = planOf(SimilarityQueries.embLabelDrift)
     plan should not include "CartesianProduct"
     // the corpus scan + explode lives inside the two checkpointed
@@ -602,6 +634,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x101: the mass-median crossover rides one window exchange") {
+    // registry: x101_mass_median
     val plan = planOf(TextQueries.massMedian)
     "Exchange".r.findAllIn(plan).size should be <= 2 // source window + output sort
     plan should include("Window")
@@ -616,6 +649,7 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x113: stats are partial-final; the batch provenance attaches BROADCAST") {
+    // registry: x113_datasheet_merge
     val plan = planOf(TextQueries.datasheetMerge)
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin" // merge + render are sources-sized
@@ -642,6 +676,36 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("Window")
     "HashAggregate".r.findAllIn(plan).size should be >= 2 // partial-final cells
     plan should not include "Join"
+  }
+
+  test("x126: candidates generated ONCE at max nprobe — no per-rung rescan, no wild cartesian") {
+    val plan = planOf(SimilarityQueries.annRecallSweep)
+    // exactly five 500-row embedding scans: corpus assignment, query probes,
+    // the 1-row n_queries aggregate, and the exact side's corpus + queries —
+    // a per-nprobe rescan architecture would add a scan (or a join) per rung
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 5
+    // ONE cell equi-join builds the candidate set (probes broadcast);
+    // the 4-way rung fan-out is a row-local Generate over those candidates
+    "BroadcastHashJoin".r.findAllIn(plan).size shouldBe 1
+    // exactly three Generates: the probe posexplode, the candidate rung
+    // fan-out, and the output spine's rung literal — a rescan would repeat
+    "Generate".r.findAllIn(plan).size shouldBe 3
+    // the only nested-loop joins are the two BOUNDED broadcasts: the 10-row
+    // query set against the corpus (exact side) and the 1-row n_queries
+    // scalar against the 4-row spine
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).size shouldBe 2
+    plan should not include "CartesianProduct"
+  }
+
+  test("x127: the sweep chain runs ONCE — the max rides a post-aggregate window, no duplicate subtree") {
+    // registry: x127_ann_operating_point
+    val plan = planOf(SimilarityQueries.annOperatingPoint)
+    // exactly x126's five embedding scans: computing the max via a second
+    // aggregation over the sweep LINEAGE would double them to 10
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 5
+    "BroadcastHashJoin".r.findAllIn(plan).size shouldBe 1 // candidates built once
+    "Generate".r.findAllIn(plan).size shouldBe 3          // no per-rung rescan
+    plan should not include "CartesianProduct"
   }
 
   test("x87: the fact is scanned once; encoding math runs on the cells table") {

@@ -18,6 +18,7 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos"))
       .toMap
 
+  // registry: x12_sim_brute_topk
   private lazy val brute = SimilarityQueries.simBruteTopk.run(spark, dir)
     .collect()
     .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos"))
@@ -47,12 +48,14 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("LSH candidates score identically to exact cosine") {
+    // registry: x13_sim_lsh_topk
     val lsh = pairs(SimilarityQueries.simLshTopk)
     lsh should not be empty
     lsh.foreach { case (k, cos) => fullExact(k) shouldBe cos +- 1e-9 }
   }
 
   test("IVF candidates score identically to exact cosine; finds neighbors") {
+    // registry: x17_sim_ivf_topk
     val ivf = pairs(SimilarityQueries.simIvfTopk)
     ivf should not be empty
     ivf.foreach { case (k, cos) => fullExact(k) shouldBe cos +- 1e-9 }
@@ -105,6 +108,7 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
       df.collect().map(r => (r.getLong(r.fieldIndex("q_id")),
         r.getLong(r.fieldIndex("vec_id")))).toSet
     val brute = pairs(SimilarityQueries.simBruteTopk.run(spark, sf))
+    // registry: x68_pq_topk
     val out = SimilarityQueries.simPqTopk.run(spark, sf).collect()
     out.length shouldBe 50 // 10 queries × top-5
     // per-query contract: ranks 1..5, exact-cosine scores non-increasing
@@ -207,6 +211,7 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   test("x65 cell census ≡ driver-side recomputation from the pinned centroids") {
     val sf = "/root/testdata/sf0.01" // the corpus the pinned index is synced to
+    // registry: x65_ivf_cells
     val out = SimilarityQueries.simIvfCells.run(spark, sf).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3),
         r.getLong(4), r.getDouble(5))))
@@ -243,6 +248,7 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   test("x67 SemDeDup ≡ driver-side recomputation (cells, max-prior cosine, flags)") {
     val sf = "/root/testdata/sf0.01" // the corpus the pinned index is synced to
+    // registry: x67_semantic_dedup
     val out = SimilarityQueries.semanticDedup.run(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getInt(3))))
       .toMap
@@ -282,6 +288,180 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.values.count(_._3 == 0) should be > 0
   }
 
+  // ---- shared driver-side replay kit for the remaining embedding rows ----
+
+  private def embRows: Array[(Long, Array[Float])] =
+    graft.Tables.embeddings(spark, dir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+
+  private def dotF(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Spark's round(col, 6) on DoubleType: BigDecimal.valueOf + HALF_UP. */
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def cosF(a: Array[Float], b: Array[Float]): Double =
+    r6(dotF(a, b) / (math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b))))
+
+  /** Cell ranking exactly as nearestCellsBy plans it: ascending
+    * (|c|² − 2·x·c, cell) — the struct sort_array comparison order.
+    * Centroid-parameterized so the x127 staleness canary can rank through
+    * a desynced index. */
+  private def probeCellsBy(cents: Seq[Seq[Double]])(e: Array[Float], n: Int): Seq[Int] =
+    cents.zipWithIndex.map { case (c, i) =>
+      val cn = c.map(x => x * x).sum
+      val d = cn - 2.0 * e.zip(c).map { case (x, y) => x.toDouble * y }.sum
+      (d, i)
+    }.sorted.take(n).map(_._2)
+
+  private def probeCells(e: Array[Float], n: Int): Seq[Int] =
+    probeCellsBy(IvfPinned.centroids)(e, n)
+
+  test("x10_emb_norm / x11_emb_pair_cosine: norms and pair cosines replay exactly") {
+    val rows = embRows
+    val norms = SimilarityQueries.embNorm.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    norms.size shouldBe rows.length
+    rows.foreach { case (id, v) =>
+      norms(id) shouldBe r6(math.sqrt(dotF(v, v)))
+    }
+    val byId = rows.toMap
+    val pairs = SimilarityQueries.embPairCosine.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs should not be empty
+    pairs.foreach { case ((a, b), cos) =>
+      b shouldBe a + 1
+      cos shouldBe cosF(byId(a), byId(b))
+    }
+  }
+
+  test("x33_emb_quantize: int8 symmetric quantization replays exactly") {
+    val rows = embRows
+    val out = SimilarityQueries.embQuantize.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    out.size shouldBe rows.length
+    rows.foreach { case (id, v) =>
+      val m = v.map(x => math.abs(x.toDouble)).max
+      val codes = v.map(x => if (m == 0) 0L else (x.toDouble * 127 / m).toLong)
+      val (nDims, scaleMax, sum, mn, mx) = out(id)
+      nDims shouldBe v.length
+      scaleMax shouldBe r6(m)
+      sum shouldBe codes.sum
+      mn shouldBe codes.min
+      mx shouldBe codes.max
+      // int8 range: truncation toward zero keeps every code in [-127, 127]
+      mn should be >= -127L
+      mx should be <= 127L
+    }
+  }
+
+  test("x126 ANN recall sweep: per-rung hits replay from scratch; recall monotone; all-cells ≡ brute") {
+    val rows = embRows
+    val queries = rows.filter(_._1 < 10)
+    queries.length shouldBe 10
+    val corpusCell: Map[Long, Int] = rows.map { case (id, v) => id -> probeCells(v, 1).head }.toMap
+
+    // exact top-5 per query: ranked by (rounded cos desc, vec_id asc) — the
+    // query's own window order
+    def top5(cands: Seq[(Long, Double)]): Seq[Long] =
+      cands.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    val brute5: Map[Long, Set[Long]] = queries.map { case (qid, qv) =>
+      qid -> top5(rows.collect { case (id, v) if id != qid => id -> cosF(v, qv) }.toSeq).toSet
+    }.toMap
+
+    // IVF top-5 at nprobe np: candidates are vectors whose assigned cell sits
+    // within the first np probe cells of the query (pos < np, 0-based)
+    def ivf5(qid: Long, qv: Array[Float], np: Int): Set[Long] = {
+      val probed = probeCells(qv, np).toSet
+      top5(rows.collect {
+        case (id, v) if id != qid && probed(corpusCell(id)) => id -> cosF(v, qv)
+      }.toSeq).toSet
+    }
+    def replayHits(np: Int): Long =
+      queries.map { case (qid, qv) => (ivf5(qid, qv, np) & brute5(qid)).size.toLong }.sum
+
+    // registry: x126_ann_recall_sweep
+    val out = SimilarityQueries.annRecallSweep.run(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out.keySet shouldBe Set(1, 2, 4, 8)
+    Seq(1, 2, 4, 8).foreach { np =>
+      val (nq, hits, ppm) = out(np)
+      nq shouldBe 10L
+      withClue(s"nprobe=$np hit count vs from-scratch replay: ") {
+        hits shouldBe replayHits(np)
+      }
+      hits should be <= 5L * nq
+      ppm shouldBe hits * 1000000L / (nq * 5L)
+    }
+    // the operating curve is monotone non-decreasing in nprobe (a probe
+    // superset can only add candidates)
+    val recalls = Seq(1, 2, 4, 8).map(np => out(np)._3)
+    recalls shouldBe recalls.sorted
+    // and probing every cell IS brute force: replay at nprobe = nCells must
+    // reproduce the exact top-5 per query (recall 10⁶ by construction)
+    queries.foreach { case (qid, qv) =>
+      ivf5(qid, qv, IvfPinned.nCells) shouldBe brute5(qid)
+    }
+  }
+
+  // registry: x127_ann_operating_point
+  test("x127 operating point: smallest rung within 90% of best; pin round-trips; a stale index trips the canary") {
+    val sweep = SimilarityQueries.annRecallSweep.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val maxR = sweep.map(_._4).max
+    val exp = sweep.filter(t => t._4 * 10 >= maxR * 9).minBy(_._1)
+    val out = SimilarityQueries.annOperatingPoint.run(spark, dir).collect()
+    out.length shouldBe 1
+    val r = out.head
+    (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) shouldBe
+      ((exp._1, exp._2, exp._3, exp._4, maxR))
+
+    // the durable pin round-trips: what the serving config reads IS the row
+    val path = java.nio.file.Files.createTempDirectory("ann-op").toString + "/pin"
+    SimilarityQueries.saveAnnOperatingPoint(spark, dir, path)
+    val back = spark.read.parquet(path).collect()
+    back.length shouldBe 1
+    back.head.getAs[Int]("nprobe") shouldBe exp._1
+    back.head.getAs[Long]("recall_ppm") shouldBe exp._4
+    back.head.getAs[Long]("max_recall_ppm") shouldBe maxR
+
+    // THE STALENESS CANARY: the number a refresh job watches is recall at
+    // the PINNED nprobe. Recompute it from scratch twice — once against the
+    // live index (must reproduce the pinned hits exactly) and once against
+    // a DESYNCED index (probe ranking through a reversed centroid table —
+    // the shape of centroids trained on some other corpus while the cell
+    // assignment artifact still reflects this one). The desynced recall
+    // must fall below the pin's own 90%-of-best floor: the canary fires.
+    val rows = embRows
+    val queries = rows.filter(_._1 < 10)
+    val corpusCell = rows.map { case (id, v) => id -> probeCells(v, 1).head }.toMap
+    def top5(cands: Seq[(Long, Double)]): Set[Long] =
+      cands.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    val brute5 = queries.map { case (qid, qv) =>
+      qid -> top5(rows.collect { case (id, v) if id != qid => id -> cosF(v, qv) }.toSeq)
+    }.toMap
+    def hitsThrough(cents: Seq[Seq[Double]]): Long =
+      queries.map { case (qid, qv) =>
+        val probed = probeCellsBy(cents)(qv, exp._1).toSet
+        (top5(rows.collect {
+          case (id, v) if id != qid && probed(corpusCell(id)) => id -> cosF(v, qv)
+        }.toSeq) & brute5(qid)).size.toLong
+      }.sum
+    hitsThrough(IvfPinned.centroids) shouldBe exp._3 // live index ≡ the pin
+    val staleHits = hitsThrough(IvfPinned.centroids.reverse)
+    val stalePpm = staleHits * 1000000L / (exp._2 * 5L)
+    withClue(s"stale recall $stalePpm ppm vs pinned ${exp._4} (floor 0.9×$maxR): ") {
+      staleHits should be < exp._3
+      stalePpm * 10 should be < maxR * 9 // below the pinned floor → canary fires
+    }
+  }
+
+  // registry: x100_emb_rproj
   test("x100 JL projection: pairwise distances survive within JL distortion bounds") {
     val emb = graft.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding").collect()

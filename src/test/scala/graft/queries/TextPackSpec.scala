@@ -14,6 +14,7 @@ class TextPackSpec extends AnyFunSuite with Matchers with SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
 
   test("x112 spans tile every pack: contiguous from 0; full packs sum to 512") {
+    // registry: x112_pack_spans
     val rows = TextQueries.packSpans.run(spark, dir).collect()
     rows should not be empty
     val bySrcPack = rows.groupBy(r => (r.getString(0), r.getLong(1)))
@@ -38,6 +39,7 @@ class TextPackSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   test("x112 ≡ x54: first span sits at x54's (pack_id, pack_offset); span mass = n_tok") {
     val spans = TextQueries.packSpans.run(spark, dir).collect()
+    // registry: x54_text_pack
     val placed = TextQueries.textPack.run(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
@@ -56,6 +58,7 @@ class TextPackSpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x114 ≡ x112: the efficiency datasheet's closed-form span arithmetic matches the explode") {
+    // registry: x114_pack_efficiency
     val eff = TextQueries.packEfficiency.run(spark, dir).collect()
       .map(r => r.getString(0) -> r).toMap
     val spans = TextQueries.packSpans.run(spark, dir).collect()
@@ -103,6 +106,7 @@ class TextPackSpec extends AnyFunSuite with Matchers with SparkTestBase {
         (src, pid.toLong) -> md5Of(padded.mkString(" "))
       }
     }
+    // registry: x120_pack_assemble
     val got = TextQueries.packAssemble.run(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getString(5)).toMap
     got shouldBe expected.toMap
@@ -162,6 +166,7 @@ class TextPackSpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("x121 is a per-epoch PERMUTATION of the pack universe: seeded, shard-contiguous, epoch-distinct, deterministic") {
+    // registry: x121_epoch_order
     val rows = TextQueries.epochOrder.run(spark, dir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3), r.getLong(4)))
     rows should not be empty
@@ -225,6 +230,7 @@ class TextPackSpec extends AnyFunSuite with Matchers with SparkTestBase {
       (ep, sh) -> ((srcs.length.toLong, srcs.distinct.length.toLong,
         runs.length.toLong, runs.map(_._2).max))
     }
+    // registry: x122_epoch_mix_audit
     val got = TextQueries.epochMixAudit.run(spark, dir).collect()
       .map(r => (r.getInt(0), r.getInt(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
@@ -284,6 +290,7 @@ class TextPackSpec extends AnyFunSuite with Matchers with SparkTestBase {
       src -> ((old.length.toLong, neu.length.toLong, ident.toLong,
         rewritten.toLong, firstChanged))
     }
+    // registry: x124_pack_append
     val got = TextQueries.packAppend.run(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))).toMap
@@ -316,6 +323,8 @@ class TextPackSpec extends AnyFunSuite with Matchers with SparkTestBase {
     edge.getLong(5) shouldBe 2L // first change = the new pack
   }
 
+  // registry: x125_pack_decontaminate (packDecontaminateOf is the query's
+  // engine with an injectable frame; value gate = DuckDB oracle at both SFs)
   test("x125 detects an eval gram that exists ONLY across a doc boundary inside a pack") {
     import spark.implicits._
     def hex(id: Long): String = java.security.MessageDigest.getInstance("MD5")

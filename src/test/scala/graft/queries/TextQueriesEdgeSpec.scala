@@ -17,6 +17,7 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     Seq((1L, "solo"), (2L, "two tokens"), (3L, "now three tokens"), (4L, "a b c d"))
       .toDF("doc_id", "text")
       .write.parquet(s"$dir/documents.parquet")
+    // registry: x09_text_fingerprint
     val rows = TextQueries.textFingerprint.run(spark, dir).collect()
     rows.length shouldBe 4
     val byId = rows.map(r => r.getLong(0) -> r).toMap
@@ -88,6 +89,7 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val d = "/root/testdata/sf0.001"
     val original = graft.Tables.documents(spark, d).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // registry: x111_boiler_strip
     val rows = TextQueries.boilerStrip.run(spark, d).collect()
     rows.map(_.getLong(0)).toSet shouldBe original.keySet // every doc, exactly once
     rows.count(_.getInt(2) > 0) should be > 0 // the dup family forces real strips
@@ -118,6 +120,7 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   test("x62 lm score ≡ driver-side bigram-model recomputation; discriminates") {
     val sf = "/root/testdata/sf0.01"
+    // registry: x62_text_lm_score
     val out = TextQueries.textLmScore.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val texts = graft.Tables.documents(spark, sf)
@@ -144,6 +147,7 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   test("x63 bpe pairs ≡ driver-side recomputation over the word-frequency table") {
     val sf = "/root/testdata/sf0.01"
+    // registry: x63_bpe_pairs
     val out = TextQueries.bpePairs.run(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
     val words = graft.Tables.documents(spark, sf)
@@ -161,6 +165,7 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   test("x64 quality gate ≡ driver-side recomputation; every rule non-vacuous") {
     val sf = "/root/testdata/sf0.01"
+    // registry: x64_quality_gate
     val out = TextQueries.textQualityGate.run(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3),
         r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7), r.getInt(8), r.getInt(9))))
@@ -195,6 +200,7 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   test("x66 calibration ≡ driver-side recomposition of the x62 score and x64 gate") {
     val sf = "/root/testdata/sf0.01"
+    // registry: x66_score_calibration
     val out = TextQueries.scoreGateCalibration.run(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
         r.getDouble(4), r.getDouble(5)))
@@ -258,6 +264,7 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
       (a, b) -> (shared.size.toLong, r6(dot.toDouble / (nrm(a) * nrm(b))))
     }).toMap
 
+    // registry: x80_sparse_cosine
     val gotByName = TextQueries.sparseCosine.run(spark, dir)
       .select("doc_a", "doc_b", "n_shared", "cos_sim").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
@@ -346,6 +353,7 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     Seq((1L, "aaaa abab"), (2L, "aaaa aaaa"), (3L, "abab hello"))
       .toDF("doc_id", "text")
       .write.parquet(s"$dir/documents.parquet")
+    // registry: x103_bpe_encode
     val out = TextQueries.bpeEncode.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     out.toSeq shouldBe Seq(
@@ -371,6 +379,7 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
+    // registry: x106_pii_redact
     val out = TextQueries.piiRedact.run(spark, dir).collect()
       .map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5))).toMap
@@ -446,9 +455,11 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val labels = graft.Tables.documents(spark, sf)
       .select("doc_id", "lang").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // registry: x08_text_langid
     val expected = TextQueries.textLangid.run(spark, sf).collect()
       .map(r => (labels(r.getLong(0)), r.getString(1)))
       .groupBy(identity).map { case ((l, p), g) => (l, p) -> g.length.toLong }
+    // registry: x117_langid_confusion
     val rows = TextQueries.langidConfusion.run(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     rows.map(r => (r._1, r._2) -> r._3).toMap shouldBe expected
@@ -479,9 +490,11 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .map(r => langs(r.getLong(0)) -> r.getLong(1))
       .groupBy(_._1).map { case (l, g) => l -> g.map(_._2).sum }
     // word conservation: x06's oracle-checked whitespace token counts
+    // registry: x06_text_tokens
     val wordsByLang = TextQueries.textTokens.run(spark, sf).collect()
       .map(r => langs(r.getLong(0)) -> r.getInt(2).toLong)
       .groupBy(_._1).map { case (l, g) => l -> g.map(_._2).sum }
+    // registry: x123_bpe_fertility
     val rows = TextQueries.bpeFertility.run(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     rows.map(r => r._1 -> r._4).toMap shouldBe tokByLang
@@ -494,5 +507,122 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
       nToks should be >= nWords
       fert should be >= 1000L
     }
+  }
+
+  // ---- from-scratch replays for the curation scalar queries (sf0.001) ----
+
+  private lazy val corpus: Array[(Long, String)] =
+    graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Spark's round(col, 6) on DoubleType. */
+  private def r6d(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  test("x07_text_quality ≡ driver-side character accounting on every doc") {
+    val sf = "/root/testdata/sf0.001"
+    val out = TextQueries.textQuality.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    out.size shouldBe corpus.length
+    corpus.foreach { case (id, text) =>
+      val len = text.length.toDouble
+      val alpha = text.count(c => c >= 'a' && c <= 'z') / len
+      val spaces = text.count(_ == ' ')
+      val nTokens = text.trim.split("\\s+").length // "" splits to [""], size 1 — Spark agrees
+      val (a, s, m) = out(id)
+      withClue(s"doc $id: ") {
+        a shouldBe alpha
+        s shouldBe spaces / len
+        m shouldBe (len - spaces) / nTokens
+      }
+    }
+  }
+
+  test("x30_text_rag_chunks ≡ driver-side stride-16/width-32 windowing (trailing partials kept)") {
+    val sf = "/root/testdata/sf0.001"
+    val out = TextQueries.textRagChunks.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3)))).toMap
+    val expected = corpus.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      (0 to (toks.length - 1) / 16).map { ci =>
+        (id, ci) -> ((math.min(32, toks.length - ci * 16),
+          toks.slice(ci * 16, ci * 16 + 32).mkString(" ")))
+      }
+    }.toMap
+    out shouldBe expected
+    // non-vacuous both ways: multi-chunk docs exist and partials exist
+    out.keys.count(_._2 > 0) should be > 0
+    out.values.count(_._1 < 32) should be > 0
+  }
+
+  test("x31_text_split_assign ≡ the md5 first-hex-digit rule, and the shares are sane") {
+    // registry: x31_text_split_assign
+    val sf = "/root/testdata/sf0.001"
+    val out = TextQueries.textSplitAssign.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.size shouldBe corpus.length
+    corpus.foreach { case (id, _) =>
+      val h1 = md5hex(id.toString).head
+      val want = if (h1 <= 'b') "train" else if (h1 <= 'd') "val" else "test"
+      withClue(s"doc $id (md5 head '$h1'): ") { out(id) shouldBe want }
+    }
+    // all three splits materialize even at 500 docs (3/4 - 1/8 - 1/8)
+    out.values.toSet shouldBe Set("train", "val", "test")
+  }
+
+  test("x35_text_decontaminate ≡ a driver-side 5-gram set intersection over the md5 splits") {
+    // registry: x35_text_decontaminate
+    val sf = "/root/testdata/sf0.001"
+    val out = TextQueries.textDecontaminate.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    val grams = corpus.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val g = if (toks.length >= 5)
+        (0 to toks.length - 5).map(i => toks.slice(i, i + 5).mkString(" ")).toSet
+      else Set.empty[String]
+      (id, if (md5hex(id.toString).head <= 'd') "train" else "test", g)
+    }
+    val expected = (for {
+      (a, sa, ga) <- grams if sa == "train"
+      (b, sb, gb) <- grams if sb == "test"
+      shared = ga & gb if shared.nonEmpty
+    } yield (a, b) -> ((shared.size.toLong, shared.min))).toMap
+    out shouldBe expected
+    out should not be empty // the shipped corpus carries real overlap
+  }
+
+  test("x47_text_edit_distance ≡ a driver-side Levenshtein DP on the 80-char prefixes") {
+    // registry: x47_text_edit_distance
+    val sf = "/root/testdata/sf0.001"
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val t = prev(j)
+          prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = t
+        }
+      }
+      prev(b.length)
+    }
+    val byId = corpus.toMap
+    val out = TextQueries.textEditDistance.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getDouble(3)))).toMap
+    val expected = corpus.collect { case (id, ta) if byId.contains(id + 1) =>
+      val a = ta.take(80); val b = byId(id + 1).take(80)
+      val d = lev(a, b)
+      (id, id + 1) -> ((d, r6d(1.0 - d.toDouble / math.max(a.length, b.length))))
+    }.toMap
+    out shouldBe expected
+    out should not be empty
+    // non-degenerate: real distances, not all-zero or all-max
+    out.values.map(_._1).toSet.size should be > 1
   }
 }

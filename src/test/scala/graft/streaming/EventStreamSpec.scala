@@ -198,6 +198,7 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
       q.processAllAvailable()
       val got = spark.table("asofx28").collect().map(key).toSet
       // parity against the ORACLE-CHECKED batch query itself, not a re-derivation
+      // registry: x28_ev_asof
       val want = graft.queries.EventsQueries.asofClickView.run(spark, dir)
         .collect().map(key).toSet
       got shouldBe want
@@ -330,6 +331,7 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
       val got = spark.table("roll38").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       // parity against the ORACLE-CHECKED batch query itself
+      // registry: x38_ev_rolling
       val want = graft.queries.EventsQueries.rollingActivity.run(spark, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       got shouldBe want
@@ -384,6 +386,7 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
         .map(key).filter(_._1 >= 0).groupBy(identity).view.mapValues(_.length).toMap
       // batch x46 emits (user, session_id, n, duration); compare the
       // (user, n, duration) multiset — streaming windows carry no ordinal
+      // registry: x46_ev_session_stats
       val want = graft.queries.EventsQueries.sessionStats.run(spark, dir)
         .select("user_id", "n_events", "duration_us").collect()
         .map(key).groupBy(identity).view.mapValues(_.length).toMap
@@ -421,6 +424,7 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
       val got = spark.table("fun32").collect().map(key)
         .groupBy(_._1).view.mapValues(_.maxBy(t => (t._2, t._3, t._4, t._5))).values.toSet
       // parity against the ORACLE-CHECKED batch query itself
+      // registry: x32_ev_funnel
       val want = graft.queries.EventsQueries.funnel.run(spark, dir)
         .select(col("user_id"), col("funnel_stage"), col("t_view"), col("t_click"), col("t_purchase"))
         .collect().map(key).toSet
@@ -557,6 +561,7 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .filter(_._1 >= 0).toSet
       // parity against the ORACLE-CHECKED batch query itself
+      // registry: x48_ev_resample_ffill
       val want = graft.queries.EventsQueries.resampleFfill.run(spark, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       got shouldBe want
@@ -689,6 +694,7 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
         .groupBy(_._1).view.mapValues(_.maxBy(v => (v._7, if (v._6) "D" else "U")))
         .values.filterNot(_._6)
         .map(v => (v._1, v._2, v._3, v._4, v._5)).toSet
+      // registry: x74_snapshot_merge
       val want = graft.queries.TextQueries.snapshotMerge.run(spark, dir).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
           r.getLong(4))).toSet
