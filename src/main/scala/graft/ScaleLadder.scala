@@ -42,7 +42,8 @@ object ScaleLadder {
     "x59_release_manifest", "x104_shard_dup_rate",
     "x108_release_manifest_keep_best", "x116_curation_funnel",
     "x118_shard_balance", "x119_cluster_size_hist",
-    "x121_epoch_order", "x122_epoch_mix_audit")
+    "x121_epoch_order", "x122_epoch_mix_audit",
+    "x126_ann_recall_sweep", "x127_ann_operating_point")
 
   private val Shift = 10000000L // id stride between copies (disjoint ranges)
 
