@@ -3643,6 +3643,67 @@ object TextQueries {
       .select("epoch", "shard", "n_packs", "n_sources", "n_runs", "max_run")
   }
 
+
+  /** x128: mixture TEMPERATURE — the step UPSTREAM of x53: where x53
+    * applies given per-source weights to a token budget, x128 is how the
+    * weights get chosen. Temperature-flattened sampling (the GPT-3 §2.2 /
+    * multilingual-C4 recipe, w_i ∝ n_i^(1/T) with T = 2, i.e. √n): per
+    * source, the natural token share, the flattened weight, the token
+    * quota from a 10⁹ budget, and the upsampling ratio (weight over
+    * natural share — >1 means the source is repeated relative to natural
+    * sampling, <1 downsampled; the number a data recipe publishes per
+    * source so epoch-repetition risk is explicit before training).
+    *
+    * Cross-engine arithmetic: sqrt/·//ROUND are IEEE correctly-rounded so
+    * identical doubles both sides; the one order-sensitive step — the
+    * Σ√n_j reduction — sums an ARRAY-SORTED 20-element list on both
+    * engines (the x115 order-free-exactness move); natural_ppm is exact
+    * integer floor-div; quota floors EXPLICITLY (DuckDB CAST(double AS
+    * BIGINT) rounds where Spark truncates — FLOOR pins both).
+    *
+    * Plan/scale: ONE corpus scan into a partial-final |sources|-group
+    * aggregate; the totals (Σn, sorted-Σ√n) attach as a broadcast 1-row
+    * frame (never an unpartitioned window); everything after is row-local
+    * on a 20-row frame. */
+  val mixtureTemperature = sql(
+    "x128_mixture_temperature",
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |    list_sum(list_sort(list(sqrt(CAST(n_tokens AS DOUBLE))))) AS sum_sqrt
+      |  FROM per)
+      |SELECT p.source, p.n_tokens,
+      |  CAST(p.n_tokens * 1000000 // t.total_tokens AS BIGINT) AS natural_ppm,
+      |  ROUND(sqrt(CAST(p.n_tokens AS DOUBLE)) / t.sum_sqrt, 6) AS weight,
+      |  CAST(FLOOR(1000000000 * sqrt(CAST(p.n_tokens AS DOUBLE)) / t.sum_sqrt) AS BIGINT) AS quota_tokens,
+      |  ROUND(sqrt(CAST(p.n_tokens AS DOUBLE)) / t.sum_sqrt
+      |        * t.total_tokens / p.n_tokens, 6) AS upsample_ratio
+      |FROM per p CROSS JOIN tot t ORDER BY p.source""".stripMargin) { (s, d) =>
+    // the |sources|-row aggregate feeds BOTH the output rows and the totals
+    // frame — checkpoint it (x87's stance) so the corpus is scanned ONCE,
+    // not once per consumer
+    val per = docs(s, d)
+      .groupBy("source")
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+      .localCheckpoint(eager = false)
+    val tot = per.agg(
+      sum("n_tokens").as("total_tokens"),
+      aggregate(array_sort(collect_list(sqrt(col("n_tokens").cast("double")))),
+        lit(0.0), (a, x) => a + x).as("sum_sqrt"))
+    val sq = sqrt(col("n_tokens").cast("double"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        expr("n_tokens * 1000000 div total_tokens").as("natural_ppm"),
+        round(sq / col("sum_sqrt"), 6).as("weight"),
+        floor(lit(1000000000L) * sq / col("sum_sqrt")).cast("long").as("quota_tokens"),
+        round(sq / col("sum_sqrt") * col("total_tokens") / col("n_tokens"), 6)
+          .as("upsample_ratio"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -3658,5 +3719,5 @@ object TextQueries {
     dedupKeepBest, releaseManifestKeepBest, vocabCoverage, boilerStrip,
     packSpans, datasheetMerge, packEfficiency, curationFunnel, langidConfusion,
     shardBalance, clusterSizeHist, packAssemble, epochOrder, epochMixAudit,
-    bpeFertility, packAppend, packDecontaminate)
+    bpeFertility, packAppend, packDecontaminate, mixtureTemperature)
 }

@@ -708,6 +708,18 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "CartesianProduct"
   }
 
+  test("x128: the corpus aggregate is computed once; totals attach broadcast") {
+    // registry: x128_mixture_temperature
+    val plan = planOf(TextQueries.mixtureTemperature)
+    // the checkpointed |sources|-row aggregate feeds both consumers — the
+    // final plan reads ONLY the checkpoint (x87's stance): zero re-scans
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 0
+    plan should include("ExistingRDD")
+    plan should include("BroadcastNestedLoopJoin") // the 1-row totals frame
+    plan should not include "SortMergeJoin"
+    plan should not include "Window" // totals are NOT an unpartitioned window
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:

@@ -596,6 +596,41 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out should not be empty // the shipped corpus carries real overlap
   }
 
+  test("x128_mixture_temperature ≡ a driver-side √n flattening; the recipe invariants hold") {
+    val sf = "/root/testdata/sf0.001"
+    val out = TextQueries.mixtureTemperature.run(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    val perSource = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).trim.split("\\s+").length.toLong)
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+    out.keySet shouldBe perSource.keySet
+    val total = perSource.values.sum
+    // the one order-sensitive reduction is pinned by sorting first — replay it
+    val sumSqrt = perSource.values.map(n => math.sqrt(n.toDouble)).toSeq.sorted.sum
+    perSource.foreach { case (src, n) =>
+      val (nt, natPpm, w, quota, up) = out(src)
+      val sq = math.sqrt(n.toDouble)
+      withClue(s"$src: ") {
+        nt shouldBe n
+        natPpm shouldBe n * 1000000L / total
+        w shouldBe r6d(sq / sumSqrt)
+        quota shouldBe math.floor(1000000000L * sq / sumSqrt).toLong
+        up shouldBe r6d(sq / sumSqrt * total / n)
+      }
+    }
+    // recipe invariants: weights form a distribution; flattening REALLY
+    // flattens (the token-poorest source is upsampled, the richest
+    // downsampled); quotas never oversubscribe the budget
+    out.values.map(_._3).sum shouldBe 1.0 +- 1e-5
+    val poorest = perSource.minBy(_._2)._1
+    val richest = perSource.maxBy(_._2)._1
+    out(poorest)._5 should be > 1.0
+    out(richest)._5 should be < 1.0
+    out.values.map(_._4).sum should be <= 1000000000L
+  }
+
   test("x47_text_edit_distance ≡ a driver-side Levenshtein DP on the 80-char prefixes") {
     // registry: x47_text_edit_distance
     val sf = "/root/testdata/sf0.001"
