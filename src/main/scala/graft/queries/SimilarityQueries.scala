@@ -453,12 +453,23 @@ object SimilarityQueries {
     * ≤ nCells×|labels| table with map-side combine, and every later stage
     * (majority window, totals join) runs on that bounded table — at 100 TB
     * the only corpus-sized work is the one map pass. */
-  val simIvfCells = sql("x65_ivf_cells", x65Oracle) { (s, d) =>
-    val assign = Tables.embeddings(s, d)
-      .withColumn("cell",
-        element_at(nearestCellsBy(IvfPinned.centroids)(col("embedding"), 1), 1))
+  /** Row-local pinned-index cell assignment — shared VERBATIM by the x65
+    * batch census and its streaming twin (EmbStream.cellCensusUpdates), so
+    * the live dashboard cannot drift from the audited batch semantics. */
+  def assignPinnedCell(emb: DataFrame): DataFrame =
+    emb.withColumn("cell",
+      element_at(nearestCellsBy(IvfPinned.centroids)(col("embedding"), 1), 1))
+
+  /** The (cell, label) count fold over pinned-cell assignments — a pure
+    * mergeable monoid (≤ nCells×|labels| groups), usable identically as a
+    * batch aggregate and as streaming update-mode state. */
+  def cellCensusStatsOf(emb: DataFrame): DataFrame =
+    assignPinnedCell(emb)
       .select("cell", "label")
-    val lc = assign.groupBy("cell", "label").agg(count(lit(1)).as("n"))
+      .groupBy("cell", "label").agg(count(lit(1)).as("n"))
+
+  val simIvfCells = sql("x65_ivf_cells", x65Oracle) { (s, d) =>
+    val lc = cellCensusStatsOf(Tables.embeddings(s, d))
     val maj = lc
       .withColumn("rn", row_number().over(
         Window.partitionBy("cell").orderBy(col("n").desc, col("label"))))

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+import graft.queries.SimilarityQueries
+
+/** The streaming IVF cell census must BE the batch census — the two share
+  * the fold (`cellCensusStatsOf`) verbatim, and this spec pins that the
+  * streamed state over two arrival batches equals the batch aggregate on
+  * the union, on the REAL shipped embeddings. */
+class EmbStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  // registry: x65_ivf_cells (cellCensusStatsOf is x65's fold, shared with
+  // the streaming twin tested here)
+  test("streamed cell census over two batches ≡ batch census on the union (real vectors)") {
+    import spark.implicits._
+
+    val rows = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val (b1, b2) = rows.splitAt(300) // second arrival really merges into state
+
+    val input = MemoryStream[(Long, Seq[Float], Int)]
+    val emb = input.toDF.toDF("vec_id", "embedding", "label")
+    val q = EmbStream.cellCensusUpdates(emb)
+      .writeStream.format("memory").queryName("cellcensus").outputMode("update").start()
+    val updates = try {
+      input.addData(b1.toSeq)
+      q.processAllAvailable()
+      input.addData(b2.toSeq)
+      q.processAllAvailable()
+      spark.table("cellcensus").collect()
+    } finally q.stop()
+
+    // n is monotone per (cell, label) → the max emission is the final state
+    val latest = updates.groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case (k, rs) => k -> rs.map(_.getLong(2)).max }
+    val batch = SimilarityQueries.cellCensusStatsOf(
+      rows.toSeq.toDF("vec_id", "embedding", "label")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    latest shouldBe batch
+
+    // conservation against the registry's x65 rollup on the same corpus:
+    // per-cell vector mass from the streamed state equals x65's n_vecs
+    val x65 = SimilarityQueries.simIvfCells.run(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val perCell = latest.groupBy(_._1._1).map { case (c, g) => c -> g.values.sum }
+    perCell shouldBe x65
+    // and the stream really merged: at least one (cell, label) key grew
+    // across the two batches (two update emissions for the same key)
+    updates.groupBy(r => (r.getInt(0), r.getInt(1))).values
+      .count(_.size >= 2) should be > 0
+  }
+}
