@@ -1389,8 +1389,10 @@ object TextQueries {
     qualityGateOf(docs(s, d)).orderBy("doc_id")
   }
 
-  /** x64's body over any (doc_id, text) frame — x66 composes it. */
-  def qualityGateOf(dd: DataFrame): DataFrame = {
+  /** x64's body over any (doc_id, text) frame — x66 composes it; `keep`
+    * carries extra input columns through (x129 keeps `source`) without
+    * touching x64's pinned output contract. */
+  def qualityGateOf(dd: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val base = dd
       .withColumn("w", tokens)
       .withColumn("n_words", size(col("w")))
@@ -1408,11 +1410,12 @@ object TextQueries {
     val rWlen = col("mean_wlen").between(4.0, 5.0)
     val rRep = col("dup_bigram_frac") <= 0.08
     val rStop = col("stop_hits") >= 2
-    base.select(col("doc_id"), col("n_words"), col("mean_wlen"),
+    base.select(Seq(col("doc_id"), col("n_words"), col("mean_wlen"),
       col("dup_bigram_frac"), col("stop_hits"),
       rLen.cast("int").as("r_len"), rWlen.cast("int").as("r_wlen"),
       rRep.cast("int").as("r_rep"), rStop.cast("int").as("r_stop"),
       (rLen && rWlen && rRep && rStop).cast("int").as("pass"))
+      ++ keep.map(col): _*)
   }
 
   /** x66: score-vs-gate CALIBRATION — the curation diagnostic that tells
@@ -3704,6 +3707,89 @@ object TextQueries {
       .orderBy("source")
   }
 
+
+  /** x129: quality-GATED mixture temperature — the production recipe
+    * order: FILTER then FLATTEN. x128 flattens the raw token distribution;
+    * real recipes first drop gate-failing documents (x64's Gopher-style
+    * composite gate) and flatten what survives, because a source whose
+    * mass is mostly boilerplate would otherwise buy quota with tokens the
+    * gate then deletes. Per source: raw and gated token mass, the exact
+    * gate keep-rate (ppm floor-div), and x128's √-flattened weight /
+    * 10⁹-budget quota / upsample ratio computed over the GATED mass — with
+    * the zero-gated-source branch pinned identically on both engines (all
+    * three derived columns 0, never NaN).
+    *
+    * Plan/scale: the gate is x64's row-local codegen fused into the ONE
+    * corpus scan (shared `qualityGateOf`, `keep = source` — no join to
+    * re-attach the source); the |sources|-row aggregate checkpoints once
+    * for its two consumers; totals (Σgated + the array-sorted Σ√gated, the
+    * x115/x128 order-free-exactness move) attach broadcast. */
+  val mixtureGated = sql(
+    "x129_gated_mixture",
+    """WITH w AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(toks) AS INTEGER) AS n_words,
+      |    CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+      |          / len(toks) AS mean_wlen,
+      |    CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS INTEGER) AS stop_hits,
+      |    CASE WHEN len(toks) < 2 THEN CAST(0.0 AS DOUBLE) ELSE
+      |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+      |        i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)))) AS DOUBLE)
+      |        / (len(toks) - 1)
+      |    END AS dup_bigram_frac
+      |  FROM w
+      |), g AS (
+      |  SELECT source, CAST(n_words AS BIGINT) AS n_tok,
+      |    CAST(n_words BETWEEN 25 AND 5000 AND mean_wlen BETWEEN 4.0 AND 5.0
+      |         AND dup_bigram_frac <= CAST(0.08 AS DOUBLE) AND stop_hits >= 2
+      |         AS INTEGER) AS pass
+      |  FROM s
+      |), per AS (
+      |  SELECT source,
+      |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CASE WHEN pass = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS n_gated
+      |  FROM g GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(SUM(n_gated) AS BIGINT) AS total_gated,
+      |    list_sum(list_sort(list(sqrt(CAST(n_gated AS DOUBLE))))) AS sum_sqrt
+      |  FROM per)
+      |SELECT p.source, p.n_tokens, p.n_gated,
+      |  CAST(p.n_gated * 1000000 // p.n_tokens AS BIGINT) AS gate_keep_ppm,
+      |  CASE WHEN p.n_gated = 0 THEN CAST(0.0 AS DOUBLE)
+      |       ELSE ROUND(sqrt(CAST(p.n_gated AS DOUBLE)) / t.sum_sqrt, 6) END AS weight,
+      |  CASE WHEN p.n_gated = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE CAST(FLOOR(1000000000 * sqrt(CAST(p.n_gated AS DOUBLE)) / t.sum_sqrt) AS BIGINT) END AS quota_tokens,
+      |  CASE WHEN p.n_gated = 0 THEN CAST(0.0 AS DOUBLE)
+      |       ELSE ROUND(sqrt(CAST(p.n_gated AS DOUBLE)) / t.sum_sqrt
+      |                  * t.total_gated / p.n_gated, 6) END AS upsample_ratio
+      |FROM per p CROSS JOIN tot t ORDER BY p.source""".stripMargin) { (s, d) =>
+    val flags = qualityGateOf(docs(s, d), keep = Seq("source"))
+      .select(col("source"), col("n_words").cast("long").as("n_tok"), col("pass"))
+    val per = flags.groupBy("source").agg(
+      sum("n_tok").as("n_tokens"),
+      sum(when(col("pass") === 1, col("n_tok")).otherwise(0L)).as("n_gated"))
+      .localCheckpoint(eager = false) // two consumers: output rows + totals
+    val tot = per.agg(
+      sum("n_gated").as("total_gated"),
+      aggregate(array_sort(collect_list(sqrt(col("n_gated").cast("double")))),
+        lit(0.0), (a, x) => a + x).as("sum_sqrt"))
+    val sq = sqrt(col("n_gated").cast("double"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("n_gated"),
+        expr("n_gated * 1000000 div n_tokens").as("gate_keep_ppm"),
+        when(col("n_gated") === 0, 0.0)
+          .otherwise(round(sq / col("sum_sqrt"), 6)).as("weight"),
+        when(col("n_gated") === 0, 0L)
+          .otherwise(floor(lit(1000000000L) * sq / col("sum_sqrt")).cast("long"))
+          .as("quota_tokens"),
+        when(col("n_gated") === 0, 0.0)
+          .otherwise(round(sq / col("sum_sqrt") * col("total_gated") / col("n_gated"), 6))
+          .as("upsample_ratio"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -3719,5 +3805,6 @@ object TextQueries {
     dedupKeepBest, releaseManifestKeepBest, vocabCoverage, boilerStrip,
     packSpans, datasheetMerge, packEfficiency, curationFunnel, langidConfusion,
     shardBalance, clusterSizeHist, packAssemble, epochOrder, epochMixAudit,
-    bpeFertility, packAppend, packDecontaminate, mixtureTemperature)
+    bpeFertility, packAppend, packDecontaminate, mixtureTemperature,
+    mixtureGated)
 }

@@ -720,6 +720,19 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "Window" // totals are NOT an unpartitioned window
   }
 
+  test("x129: the gate is fused into the one scan; the aggregate computes once; totals broadcast") {
+    // registry: x129_gated_mixture
+    val plan = planOf(TextQueries.mixtureGated)
+    // x128's shape with x64's row-local gate fused in: zero re-scans after
+    // the checkpoint, broadcast totals, no join to re-attach the source
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 0
+    plan should include("ExistingRDD")
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "BroadcastHashJoin" // no doc_id re-attach join
+    plan should not include "Window"
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:

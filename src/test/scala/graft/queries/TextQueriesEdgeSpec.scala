@@ -631,6 +631,46 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.values.map(_._4).sum should be <= 1000000000L
   }
 
+  test("x129_gated_mixture ≡ x64's flags aggregated + the √-flattening; filter-then-flatten ≠ flatten") {
+    val sf = "/root/testdata/sf0.001"
+    val out = TextQueries.mixtureGated.run(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6)))).toMap
+    // ground truth from the ALREADY replay-verified x64 output + the corpus
+    val flags = TextQueries.textQualityGate.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1).toLong, r.getInt(9)))).toMap
+    val srcOf = graft.Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val per = srcOf.groupBy(_._2).map { case (src, docs) =>
+      // keys is a SET — materialize to Seq BEFORE mapping, or docs with
+      // identical (n_words, pass) silently collapse
+      val fs = docs.keys.toSeq.map(flags)
+      src -> ((fs.map(_._1).sum, fs.collect { case (n, p) if p == 1 => n }.sum))
+    }
+    out.keySet shouldBe per.keySet
+    val totalGated = per.values.map(_._2).sum
+    val sumSqrt = per.values.map(v => math.sqrt(v._2.toDouble)).toSeq.sorted.sum
+    per.foreach { case (src, (n, g)) =>
+      val (nt, ng, keepPpm, w, quota, up) = out(src)
+      val sq = math.sqrt(g.toDouble)
+      withClue(s"$src: ") {
+        (nt, ng) shouldBe ((n, g))
+        keepPpm shouldBe g * 1000000L / n
+        w shouldBe (if (g == 0) 0.0 else r6d(sq / sumSqrt))
+        quota shouldBe (if (g == 0) 0L else math.floor(1000000000L * sq / sumSqrt).toLong)
+        up shouldBe (if (g == 0) 0.0 else r6d(sq / sumSqrt * totalGated / g))
+      }
+    }
+    // the gate really cuts (some source keeps < 100% of its tokens), and
+    // filter-then-flatten is NOT flatten: at least one source's weight
+    // differs from its x128 (ungated) weight
+    out.values.map(_._3).min should be < 1000000L
+    // registry: x128_mixture_temperature — the ungated baseline compared here
+    val ungated = TextQueries.mixtureTemperature.run(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    out.count { case (src, v) => math.abs(v._4 - ungated(src)) > 1e-6 } should be > 0
+  }
+
   test("x47_text_edit_distance ≡ a driver-side Levenshtein DP on the 80-char prefixes") {
     // registry: x47_text_edit_distance
     val sf = "/root/testdata/sf0.001"
