@@ -93,4 +93,40 @@ object DocStream {
     * watermark — same lifetime argument as the datasheet twin. */
   def fertilityUpdates(docs: DataFrame, merges: DataFrame): DataFrame =
     TextQueries.fertilityStatsOf(docs, merges)
+
+  /** Streaming near-dup ADMISSION CONTROL — the ingest-time form of x37's
+    * incremental probe, closing the durable-index lifecycle LIVE: each
+    * arriving micro-batch probes the [[graft.queries.TextQueries.saveMinhashIndex]]
+    * artifact with the EXACT batch transform (`nearDupProbe`, shared
+    * verbatim — sketch row-local, band equi-join, exact-Jaccard verify),
+    * writes the flagged (doc_id, corpus_doc_id, jaccard) pairs through the
+    * idempotent epoch sink (exactly-once under replay), and appends the
+    * ACCEPTED novel docs to the index so the NEXT batch probes the grown
+    * corpus — including near-dups of docs admitted one batch earlier.
+    *
+    * No state store at all: the "state" IS the durable index artifact,
+    * exactly as in batch — which is why this family CAN stream while the
+    * full-corpus dedup (global transitive closure) cannot. The probe
+    * result is eagerly checkpointed before the append so the epoch write
+    * and the admission decision both read the PRE-append index — the
+    * self-referential read-append hazard on one path is structurally
+    * impossible. */
+  def nearDupAdmission(docs: DataFrame, indexPath: String, hitsPath: String,
+                       checkpoint: String,
+                       appendAccepted: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        val b = batch.toDF().select("doc_id", "text")
+        val sigs = b.sparkSession.read.parquet(indexPath)
+        // eager: cut the index read out of every later lineage BEFORE the
+        // append below adds files to the same path
+        val hits = TextQueries.nearDupProbe(b, sigs).localCheckpoint(eager = true)
+        EventStream.writeEpoch(hits, epoch, hitsPath)
+        if (appendAccepted) {
+          val accepted = b.join(hits.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+          TextQueries.appendToMinhashIndex(accepted, indexPath)
+        }
+      }
+      .start()
 }

