@@ -3790,6 +3790,83 @@ object TextQueries {
       .orderBy("source")
   }
 
+
+  /** x130: pack QUALITY manifest — the quality axis over the pack
+    * lifecycle: per assembled training sequence (x112's span tiling), how
+    * many of its real tokens come from x64-gate-FAILING documents. Packing
+    * juxtaposes unrelated docs, so one boilerplate doc poisons every
+    * sequence its spans touch — this is the table a loss-spike
+    * investigation joins against (step → pack → bad_ppm) and the ranking a
+    * curriculum or re-packing pass consumes (train clean packs first /
+    * quarantine packs past a bad-token budget).
+    *
+    * Plan/scale: ONE corpus scan — the x64 gate rides the scan via
+    * `qualityGateOf(keep = source, n_tok)` with the x112 trim/\s+ token
+    * count PRE-computed on the input frame, so both token conventions come
+    * from the same pass (no re-scan, no doc_id re-attach join); then x54's
+    * two-level prefix sum verbatim, the bounded span explode (output =
+    * spans, linear), and a packs-sized partial-final rollup. Exact
+    * integers end-to-end; ppm is floor-div. */
+  val packQuality = sql(
+    "x130_pack_quality",
+    s"""WITH d AS (SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+      |    md5(CAST(doc_id AS VARCHAR)) AS ord,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents),
+      |g AS (SELECT source, doc_id, n_tok, ord,
+      |    CAST(len(toks) BETWEEN 25 AND 5000
+      |      AND CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+      |            / len(toks) BETWEEN 4.0 AND 5.0
+      |      AND (CASE WHEN len(toks) < 2 THEN CAST(0.0 AS DOUBLE) ELSE
+      |        1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+      |          i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)))) AS DOUBLE)
+      |          / (len(toks) - 1) END) <= CAST(0.08 AS DOUBLE)
+      |      AND len(list_filter(toks, t -> t = 'the' OR t = 'a')) >= 2
+      |      AS INTEGER) AS pass
+      |  FROM d),
+      |c AS (SELECT source, doc_id, n_tok, pass,
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM g),
+      |e AS (SELECT source, pass, cum_before, n_tok,
+      |    unnest(range(cum_before // $packSeqLen, (cum_before + n_tok - 1) // $packSeqLen + 1)) AS pack_id
+      |  FROM c),
+      |sp AS (SELECT source, CAST(pack_id AS BIGINT) AS pack_id, pass,
+      |    CAST(LEAST(cum_before + n_tok, (pack_id + 1) * $packSeqLen)
+      |      - GREATEST(cum_before, pack_id * $packSeqLen) AS BIGINT) AS span_len
+      |  FROM e)
+      |SELECT source, pack_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(span_len) AS BIGINT) AS n_real_tokens,
+      |  CAST(SUM(CASE WHEN pass = 0 THEN span_len ELSE 0 END) AS BIGINT) AS n_bad_tokens,
+      |  CAST(SUM(CASE WHEN pass = 0 THEN span_len ELSE 0 END) * 1000000
+      |       // CAST(SUM(span_len) AS BIGINT) AS BIGINT) AS bad_ppm
+      |FROM sp GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin) { (s, d) =>
+    val L = packSeqLen
+    val flagged = qualityGateOf(
+      docs(s, d).withColumn("n_tok",
+        size(split(trim(col("text")), "\\s+")).cast("long")),
+      keep = Seq("source", "n_tok"))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("pass"))
+    val spans = graft.operators.PrefixQuota.runningBefore(
+      flagged, "source",
+      orderKey = md5(col("doc_id").cast("string")), tie = col("doc_id"),
+      value = col("n_tok"))
+      .withColumn("pack_id",
+        explode(sequence(expr(s"cum_before div $L"),
+          expr(s"(cum_before + n_tok - 1) div $L"))))
+      .withColumn("span_len",
+        least(col("cum_before") + col("n_tok"), (col("pack_id") + 1) * L)
+          - greatest(col("cum_before"), col("pack_id") * L))
+    spans.groupBy("source", "pack_id").agg(
+      count(lit(1)).as("n_spans"),
+      sum("span_len").as("n_real_tokens"),
+      sum(when(col("pass") === 0, col("span_len")).otherwise(0L)).as("n_bad_tokens"))
+      .withColumn("bad_ppm", expr("n_bad_tokens * 1000000 div n_real_tokens"))
+      .orderBy("source", "pack_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -3806,5 +3883,5 @@ object TextQueries {
     packSpans, datasheetMerge, packEfficiency, curationFunnel, langidConfusion,
     shardBalance, clusterSizeHist, packAssemble, epochOrder, epochMixAudit,
     bpeFertility, packAppend, packDecontaminate, mixtureTemperature,
-    mixtureGated)
+    mixtureGated, packQuality)
 }

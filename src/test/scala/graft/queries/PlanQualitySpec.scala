@@ -733,6 +733,24 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "Window"
   }
 
+  test("x130: the gate rides the prefix-sum passes — no doc-keyed re-attach join") {
+    // registry: x130_pack_quality
+    val plan = planOf(TextQueries.packQuality)
+    // exactly PrefixQuota's two passes over the corpus (bucket totals +
+    // local windows) and nothing more — a separate gate pass re-attached
+    // by doc_id would make it three scans plus a corpus-keyed join
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 2
+    plan should include("Generate") // the bounded span explode
+    plan should include("Window")   // x54's bucket-split prefix sum
+    "HashAggregate".r.findAllIn(plan).size should be >= 2 // packs rollup partial-final
+    plan should not include "SortMergeJoin"
+    // the ONLY join is PrefixQuota's broadcast bucket-base attach on
+    // (source, __bkt) — never a doc_id-keyed flags join
+    "BroadcastHashJoin".r.findAllIn(plan).size shouldBe 1
+    "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan)
+      .map(_.group(1)).filter(_.contains("doc_id")).toSeq shouldBe empty
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:

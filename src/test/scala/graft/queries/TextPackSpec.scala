@@ -362,4 +362,34 @@ class TextPackSpec extends AnyFunSuite with Matchers with SparkTestBase {
     sr.head.getLong(2) shouldBe 1L
     sr.head.getLong(3) shouldBe 0L
   }
+
+  test("x130 pack quality ≡ x112's spans rolled up under x64's flags; conservation both ways") {
+    // registry: x130_pack_quality
+    val out = TextQueries.packQuality.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // ground truth from two ALREADY replay-verified queries: x112's span
+    // manifest and x64's per-doc gate flags
+    val spans = TextQueries.packSpans.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4))) // source, pack, doc, span_len
+    val pass = TextQueries.textQualityGate.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(9)).toMap
+    val expected = spans.groupBy(s => (s._1, s._2)).map { case (k, ss) =>
+      val real = ss.map(_._4).sum
+      val bad = ss.collect { case (_, _, doc, len) if pass(doc) == 0 => len }.sum
+      k -> ((ss.length.toLong, real, bad, bad * 1000000L / real))
+    }
+    out shouldBe expected
+    // quality mass is conserved: Σ bad over packs = Σ span_len of failing
+    // docs; and the table is non-vacuous in BOTH directions on the shipped
+    // corpus (poisoned packs exist; so do clean ones)
+    out.values.map(_._3).sum shouldBe
+      spans.collect { case (_, _, doc, len) if pass(doc) == 0 => len }.sum
+    out.values.count(_._3 > 0) should be > 0
+    out.values.count(_._3 == 0) should be > 0
+    out.values.foreach { case (_, real, bad, ppm) =>
+      bad should be <= real
+      ppm should be <= 1000000L
+    }
+  }
 }
