@@ -1389,6 +1389,22 @@ object TextQueries {
     qualityGateOf(docs(s, d)).orderBy("doc_id")
   }
 
+  /** x64's composite gate as ONE oracle-SQL boolean (0/1 INTEGER) over a
+    * `toks` list column — interpolated into every DuckDB oracle that
+    * reuses the gate (x129, x130) so the thresholds can never drift from
+    * each other (r15 review: two hand-inlined copies had appeared).
+    * qualityGateOf is the Spark source of truth; x64's own oracle also
+    * emits the per-rule columns and stays the cross-engine reference. */
+  private def gatePassSql(toks: String): String =
+    s"CAST(len($toks) BETWEEN 25 AND 5000" +
+      s" AND CAST(list_aggregate(list_transform($toks, t -> length(t)), 'sum') AS DOUBLE)" +
+      s" / len($toks) BETWEEN 4.0 AND 5.0" +
+      s" AND (CASE WHEN len($toks) < 2 THEN CAST(0.0 AS DOUBLE) ELSE" +
+      s" 1.0 - CAST(len(list_distinct(list_transform(range(1, len($toks))," +
+      s" i -> list_extract($toks, i) || ' ' || list_extract($toks, i + 1)))) AS DOUBLE)" +
+      s" / (len($toks) - 1) END) <= CAST(0.08 AS DOUBLE)" +
+      s" AND len(list_filter($toks, t -> t = 'the' OR t = 'a')) >= 2 AS INTEGER)"
+
   /** x64's body over any (doc_id, text) frame — x66 composes it; `keep`
     * carries extra input columns through (x129 keeps `source`) without
     * touching x64's pinned output contract. */
@@ -3726,26 +3742,12 @@ object TextQueries {
     * x115/x128 order-free-exactness move) attach broadcast. */
   val mixtureGated = sql(
     "x129_gated_mixture",
-    """WITH w AS (
+    s"""WITH w AS (
       |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
-      |), s AS (
-      |  SELECT doc_id, source,
-      |    CAST(len(toks) AS INTEGER) AS n_words,
-      |    CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
-      |          / len(toks) AS mean_wlen,
-      |    CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS INTEGER) AS stop_hits,
-      |    CASE WHEN len(toks) < 2 THEN CAST(0.0 AS DOUBLE) ELSE
-      |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
-      |        i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)))) AS DOUBLE)
-      |        / (len(toks) - 1)
-      |    END AS dup_bigram_frac
-      |  FROM w
       |), g AS (
-      |  SELECT source, CAST(n_words AS BIGINT) AS n_tok,
-      |    CAST(n_words BETWEEN 25 AND 5000 AND mean_wlen BETWEEN 4.0 AND 5.0
-      |         AND dup_bigram_frac <= CAST(0.08 AS DOUBLE) AND stop_hits >= 2
-      |         AS INTEGER) AS pass
-      |  FROM s
+      |  SELECT source, CAST(len(toks) AS BIGINT) AS n_tok,
+      |    ${gatePassSql("toks")} AS pass
+      |  FROM w
       |), per AS (
       |  SELECT source,
       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
@@ -3815,15 +3817,7 @@ object TextQueries {
       |    string_split(text, ' ') AS toks
       |  FROM documents),
       |g AS (SELECT source, doc_id, n_tok, ord,
-      |    CAST(len(toks) BETWEEN 25 AND 5000
-      |      AND CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
-      |            / len(toks) BETWEEN 4.0 AND 5.0
-      |      AND (CASE WHEN len(toks) < 2 THEN CAST(0.0 AS DOUBLE) ELSE
-      |        1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
-      |          i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)))) AS DOUBLE)
-      |          / (len(toks) - 1) END) <= CAST(0.08 AS DOUBLE)
-      |      AND len(list_filter(toks, t -> t = 'the' OR t = 'a')) >= 2
-      |      AS INTEGER) AS pass
+      |    ${gatePassSql("toks")} AS pass
       |  FROM d),
       |c AS (SELECT source, doc_id, n_tok, pass,
       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.queries.TextQueries
@@ -97,20 +98,36 @@ object DocStream {
   /** Streaming near-dup ADMISSION CONTROL — the ingest-time form of x37's
     * incremental probe, closing the durable-index lifecycle LIVE: each
     * arriving micro-batch probes the [[graft.queries.TextQueries.saveMinhashIndex]]
-    * artifact with the EXACT batch transform (`nearDupProbe`, shared
-    * verbatim — sketch row-local, band equi-join, exact-Jaccard verify),
-    * writes the flagged (doc_id, corpus_doc_id, jaccard) pairs through the
-    * idempotent epoch sink (exactly-once under replay), and appends the
-    * ACCEPTED novel docs to the index so the NEXT batch probes the grown
-    * corpus — including near-dups of docs admitted one batch earlier.
+    * artifact with the EXACT batch transforms (`nearDupProbe` /
+    * `minhashPairs` / `exactCollapse`, shared verbatim), writes the flagged
+    * (doc_id, corpus_doc_id, jaccard) pairs through the idempotent epoch
+    * sink, and appends the ACCEPTED novel docs to the index so the NEXT
+    * batch probes the grown corpus — including near-dups of docs admitted
+    * one batch earlier.
+    *
+    * Admission means the index must stay dup-free, so the flag set covers
+    * all three collision surfaces: (1) vs the INDEX (nearDupProbe);
+    * (2) exact dups WITHIN the batch (exactCollapse non-reps, attributed
+    * to their representative at jaccard 1.0 — the text-keyed join is
+    * batch-sized, never corpus-sized); (3) near dups WITHIN the batch
+    * (minhashPairs over the batch's own collapsed signatures — the later
+    * id flags against the earlier, so exactly the earliest of an
+    * intra-batch clique is admitted).
+    *
+    * Replay discipline (foreachBatch is at-least-once; the index append is
+    * NOT transactional with the checkpoint): (a) index hits EXCLUDE corpus
+    * rows carrying this batch's own ids, so an epoch replayed after a
+    * crash-between-append-and-commit never flags docs against their own
+    * half-committed signatures — the replay recomputes the SAME hits as
+    * the first attempt and the epoch sink overwrites its own partition
+    * idempotently; (b) the append drops docs already present in the index
+    * (the batch-sized `alreadyIndexed` set, materialized BEFORE the write
+    * so nothing reads the index path while appending to it), so a replay
+    * appends nothing — the index converges instead of duplicating.
     *
     * No state store at all: the "state" IS the durable index artifact,
     * exactly as in batch — which is why this family CAN stream while the
-    * full-corpus dedup (global transitive closure) cannot. The probe
-    * result is eagerly checkpointed before the append so the epoch write
-    * and the admission decision both read the PRE-append index — the
-    * self-referential read-append hazard on one path is structurally
-    * impossible. */
+    * full-corpus dedup (global transitive closure) cannot. */
   def nearDupAdmission(docs: DataFrame, indexPath: String, hitsPath: String,
                        checkpoint: String,
                        appendAccepted: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery =
@@ -119,12 +136,33 @@ object DocStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
         val b = batch.toDF().select("doc_id", "text")
         val sigs = b.sparkSession.read.parquet(indexPath)
+        val bIds = b.select("doc_id")
+        // (1) vs the index — minus this batch's own ids (replay hygiene)
+        val indexHits = TextQueries.nearDupProbe(b, sigs)
+          .join(bIds.withColumnRenamed("doc_id", "corpus_doc_id"),
+            Seq("corpus_doc_id"), "left_anti")
+        // (2) exact dups within the batch → their representative
+        val intraExact = b
+          .join(TextQueries.exactCollapse(b).select("text", "keep_id"), Seq("text"))
+          .filter(col("doc_id") =!= col("keep_id"))
+          .select(col("doc_id"), col("keep_id").as("corpus_doc_id"),
+            lit(1.0).as("jaccard"))
+        // (3) near dups within the batch → the earlier id wins
+        val intraNear = TextQueries.minhashPairs(TextQueries.minhashSignaturesOf(b))
+          .select(col("doc_b").as("doc_id"), col("doc_a").as("corpus_doc_id"),
+            col("jaccard"))
         // eager: cut the index read out of every later lineage BEFORE the
         // append below adds files to the same path
-        val hits = TextQueries.nearDupProbe(b, sigs).localCheckpoint(eager = true)
+        val hits = indexHits.unionByName(intraExact).unionByName(intraNear)
+          .localCheckpoint(eager = true)
         EventStream.writeEpoch(hits, epoch, hitsPath)
         if (appendAccepted) {
-          val accepted = b.join(hits.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+          val alreadyIndexed = bIds
+            .join(sigs.select("doc_id"), Seq("doc_id"), "left_semi")
+            .localCheckpoint(eager = true) // pre-append, same hazard rule
+          val accepted = b
+            .join(hits.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+            .join(alreadyIndexed, Seq("doc_id"), "left_anti")
           TextQueries.appendToMinhashIndex(accepted, indexPath)
         }
       }

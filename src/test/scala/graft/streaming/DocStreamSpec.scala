@@ -301,7 +301,7 @@ class DocStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     latest("en")._4 shouldBe latest("en")._3 * 1000L / latest("en")._2
   }
 
-  test("nearDupAdmission: probe → exactly-once epoch hits → index APPEND; a batch-2 dup of a batch-1 admit is caught") {
+  test("nearDupAdmission: index + intra-batch flags, exactly-once hits, idempotent append under replay") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
 
@@ -319,11 +319,13 @@ class DocStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
       TextQueries.minhashSignaturesOf(seed.toDF("doc_id", "text")), indexPath, Seq("doc_id"))
 
     val b1 = Seq(
-      (10L, text("w", "beta")),                          // near-dup of seeded doc 1
-      (11L, (1 to 30).map(i => s"n$i").mkString(" ")))   // novel → admitted
+      (10L, text("w", "beta")),       // near-dup of seeded doc 1
+      (11L, text("n", "novel")),      // novel → admitted
+      (12L, text("n", "zz")),         // INTRA-batch near-dup of 11
+      (13L, text("n", "novel")))      // INTRA-batch EXACT dup of 11
     val b2 = Seq(
-      (20L, (1 to 29).map(i => s"n$i").mkString(" ") + " zz"), // near-dup of the JUST-admitted 11
-      (21L, (1 to 30).map(i => s"m$i").mkString(" ")))   // novel
+      (20L, text("n", "yy")),         // near-dup of the JUST-admitted 11
+      (21L, (1 to 30).map(i => s"m$i").mkString(" "))) // novel
 
     val input = MemoryStream[(Long, String)]
     val q = DocStream.nearDupAdmission(
@@ -336,23 +338,37 @@ class DocStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val hits = spark.read.parquet(hitsPath).collect()
       .map(r => (r.getAs[Long]("__epoch"), r.getAs[Long]("doc_id"),
         r.getAs[Long]("corpus_doc_id"), r.getAs[Double]("jaccard")))
-    // epoch 0: exactly the seeded near-dup; epoch 1: exactly the CROSS-BATCH
-    // near-dup — provable only because batch 1's admit really grew the index
-    hits.map(h => (h._1, h._2, h._3)).toSet shouldBe Set((0L, 10L, 1L), (1L, 20L, 11L))
+    // epoch 0: the seeded near-dup + BOTH intra-batch collision surfaces
+    // (12 near-dups the earlier 11; exact dup 13 attributes to its rep 11
+    // at jaccard exactly 1.0); epoch 1: the cross-batch near-dup — provable
+    // only because batch 1's admit really grew the index
+    hits.map(h => (h._1, h._2, h._3)).toSet shouldBe
+      Set((0L, 10L, 1L), (0L, 12L, 11L), (0L, 13L, 11L), (1L, 20L, 11L))
     hits.foreach(_._4 should be >= 0.5)
+    hits.find(h => h._2 == 13L).get._4 shouldBe 1.0
 
-    // sequential-batch equivalence: each epoch ≡ the batch probe against
-    // the index AS IT WAS at that step (shared transform, same rows)
-    val epoch1Batch = TextQueries.nearDupProbe(
-      b2.toDF("doc_id", "text"), spark.read.parquet(indexPath)).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // post-run index = seed + both admitted batches; 20's only match is 11
-    epoch1Batch shouldBe Set((20L, 11L))
-
-    // the grown index holds exactly seed + the admitted (non-flagged) docs,
-    // and admitted signatures are bit-identical to a fresh sketch
+    // the grown index holds exactly seed + the earliest of each clique —
+    // admission NEVER seeds the index with a dup pair
     val grown = spark.read.parquet(indexPath).collect()
       .map(r => r.getAs[Long]("doc_id")).sorted
     grown shouldBe Array(1L, 2L, 11L, 21L)
+
+    // REPLAY idempotence (foreachBatch is at-least-once and the append is
+    // not transactional with the checkpoint): re-deliver batch 2 through a
+    // fresh stream against the already-grown index — the shape of an epoch
+    // replayed after its append committed but before its checkpoint did.
+    // The index must converge (no duplicate signature rows), and the
+    // replayed epoch must not flag docs against their own half-committed
+    // signatures (21 is in the index; it must not self-flag).
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = DocStream.nearDupAdmission(
+      input2.toDF.toDF("doc_id", "text"), indexPath, s"$base/hits2", s"$base/ckpt2")
+    try { input2.addData(b2); q2.processAllAvailable() } finally q2.stop()
+    val replayed = spark.read.parquet(indexPath).collect()
+      .map(r => r.getAs[Long]("doc_id")).sorted
+    replayed shouldBe Array(1L, 2L, 11L, 21L) // byte-identical id set, no dup rows
+    val replayHits = spark.read.parquet(s"$base/hits2").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("corpus_doc_id"))).toSet
+    replayHits shouldBe Set((20L, 11L)) // same hits as the first attempt; no self-flag
   }
 }
