@@ -52,33 +52,41 @@ object StatTests {
     *
     * `f` receives a (valueCol, countCol, rk) DataFrame where `rk` is the
     * mid-rank (average of the tie block's ranks) of each distinct value; the
-    * range-partitioned input is cached for the duration of `f` and released
-    * afterwards (the loan pattern keeps the cache from outliving the call). */
+    * range-partitioned input is pinned by an eager localCheckpoint, so `f`
+    * may return a LAZY frame consumed after this call returns (cleanup is
+    * GC-scoped with the RDD). */
   def withValueRanks[T](valueCounts: DataFrame, valueCol: String, countCol: String)
       (f: DataFrame => T): T = {
     val spark = valueCounts.sparkSession
     import spark.implicits._
     val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    // EAGER localCheckpoint, not persist+unpersist: the per-pid offsets
+    // below are FROZEN on the driver from one materialization, so the
+    // (pid, row) assignment must never be recomputed — repartitionByRange
+    // SAMPLES to pick boundaries, and a recomputation (cache eviction, or a
+    // caller returning a LAZY frame consumed after the old finally-unpersist
+    // ran — the round-15 x131 bug: rank sums silently corrupted at sf0.1)
+    // can land rows in different pids than the offsets were built from. The
+    // checkpoint pins the computed partitions for the RDD's lifetime;
+    // cleanup is GC-scoped, so a lazily-returned frame stays consistent.
     val ranged = valueCounts.repartitionByRange(parts, col(valueCol))
       .withColumn("pid", spark_partition_id())
-      .persist()
-    try {
-      val partTotals = ranged.groupBy("pid").agg(sum(countCol).cast("long").as("cnt"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      var acc = 0L
-      val offsets = partTotals.toSeq.map { case (pid, c) =>
-        val row = (pid, acc); acc += c; row
-      }
-      val offsetDf = offsets.toDF("pid", "rank_offset")
-      val w = Window.partitionBy("pid").orderBy(col(valueCol))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ranks = ranged.join(broadcast(offsetDf), Seq("pid"))
-        .withColumn("cum_before", coalesce(sum(countCol).over(w), lit(0L)))
-        .withColumn("rk",
-          col("rank_offset") + col("cum_before") + 1.0 + (col(countCol) - 1) / 2.0)
-        .select(col(valueCol), col(countCol), col("rk"))
-      f(ranks)
-    } finally { ranged.unpersist(); () }
+      .localCheckpoint(eager = true)
+    val partTotals = ranged.groupBy("pid").agg(sum(countCol).cast("long").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = partTotals.toSeq.map { case (pid, c) =>
+      val row = (pid, acc); acc += c; row
+    }
+    val offsetDf = offsets.toDF("pid", "rank_offset")
+    val w = Window.partitionBy("pid").orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = ranged.join(broadcast(offsetDf), Seq("pid"))
+      .withColumn("cum_before", coalesce(sum(countCol).over(w), lit(0L)))
+      .withColumn("rk",
+        col("rank_offset") + col("cum_before") + 1.0 + (col(countCol) - 1) / 2.0)
+      .select(col(valueCol), col(countCol), col("rk"))
+    f(ranks)
   }
 
   /** Kruskal-Wallis H (kruskalmc's omnibus stat, WIP:296). The only

@@ -1447,6 +1447,25 @@ object TextQueries {
     * 9-element array, rows bucketed with a row-local filter HOF. No global
     * NTILE (one task sorting the corpus), no extra scan: the gate is
     * row-local and rides the score join. */
+  /** Shared oracle chain ending in `j` = (doc_id, lm_score, pass) — the
+    * x62-score ⊗ x64-gate join both x66 (calibration) and x131 (AUC)
+    * consume; the gate interpolates [[gatePassSql]] so the thresholds live
+    * in exactly one place. */
+  private val scoreGateJChain: String =
+    s"""WITH lt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |lbgk AS (SELECT doc_id, unnest(range(2, len(toks)+1)) AS i, toks FROM lt),
+      |lbg AS (SELECT doc_id, toks[i-1] AS w1, toks[i] AS w2 FROM lbgk),
+      |lcp AS (SELECT w1, w2, COUNT(*) AS c2 FROM lbg GROUP BY w1, w2),
+      |lcc AS (SELECT w1, COUNT(*) AS c1 FROM lbg GROUP BY w1),
+      |lpx AS (SELECT lbg.doc_id,
+      |    CAST(FLOOR(CAST(c2 AS DOUBLE) / c1 * 1000000) AS BIGINT) AS f
+      |  FROM lbg JOIN lcp USING (w1, w2) JOIN lcc USING (w1)),
+      |score AS (SELECT doc_id,
+      |    CAST(SUM(f) AS DOUBLE) / COUNT(*) / 1000000 AS lm_score
+      |  FROM lpx GROUP BY doc_id),
+      |gate AS (SELECT doc_id, ${gatePassSql("toks")} AS pass FROM lt),
+      |j AS (SELECT s.doc_id, s.lm_score, g.pass FROM score s JOIN gate g USING (doc_id))""".stripMargin
+
   val scoreGateCalibration = sql(
     "x66_score_calibration",
     {
@@ -1454,34 +1473,7 @@ object TextQueries {
         s"    PERCENTILE_CONT(0.$i) WITHIN GROUP (ORDER BY lm_score) AS b$i").mkString(",\n")
       val caseSum = (1 to 9).map(i =>
         s"(CASE WHEN j.lm_score > b.b$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH lt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |lbgk AS (SELECT doc_id, unnest(range(2, len(toks)+1)) AS i, toks FROM lt),
-        |lbg AS (SELECT doc_id, toks[i-1] AS w1, toks[i] AS w2 FROM lbgk),
-        |lcp AS (SELECT w1, w2, COUNT(*) AS c2 FROM lbg GROUP BY w1, w2),
-        |lcc AS (SELECT w1, COUNT(*) AS c1 FROM lbg GROUP BY w1),
-        |lpx AS (SELECT lbg.doc_id,
-        |    CAST(FLOOR(CAST(c2 AS DOUBLE) / c1 * 1000000) AS BIGINT) AS f
-        |  FROM lbg JOIN lcp USING (w1, w2) JOIN lcc USING (w1)),
-        |score AS (SELECT doc_id,
-        |    CAST(SUM(f) AS DOUBLE) / COUNT(*) / 1000000 AS lm_score
-        |  FROM lpx GROUP BY doc_id),
-        |gs AS (SELECT doc_id,
-        |    CAST(len(toks) AS INTEGER) AS n_words,
-        |    CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
-        |          / len(toks) AS mean_wlen,
-        |    CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS INTEGER) AS stop_hits,
-        |    CASE WHEN len(toks) < 2 THEN CAST(0.0 AS DOUBLE) ELSE
-        |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
-        |        i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)))) AS DOUBLE)
-        |        / (len(toks) - 1)
-        |    END AS dup_bigram_frac
-        |  FROM lt),
-        |gate AS (SELECT doc_id,
-        |    CAST(n_words BETWEEN 25 AND 5000 AND mean_wlen BETWEEN 4.0 AND 5.0
-        |         AND dup_bigram_frac <= CAST(0.08 AS DOUBLE) AND stop_hits >= 2
-        |         AS INTEGER) AS pass
-        |  FROM gs),
-        |j AS (SELECT s.doc_id, s.lm_score, g.pass FROM score s JOIN gate g USING (doc_id)),
+      s"""$scoreGateJChain,
         |b AS (SELECT
         |$bCols
         |  FROM j),
@@ -3861,6 +3853,64 @@ object TextQueries {
       .orderBy("source", "pack_id")
   }
 
+
+  /** x131: exact AUC of the learned quality signal — does x62's bigram-LM
+    * score actually RANK x64's gate labels? x66 answers it coarsely
+    * (pass-rate by decile); x131 is the number an eval report publishes:
+    * the exact Mann-Whitney AUC (P(score_pass > score_fail) with ½ credit
+    * for ties), plus its integer numerator `u2 = 2·U` so the statistic is
+    * hash-checked in exact arithmetic end to end and the one division
+    * ships as the RAW IEEE quotient.
+    *
+    * Plan/scale: AUC needs rank SUMS, not per-row ranks — group scores to
+    * the distinct-value table (one shuffle), then
+    * [[graft.ml.StatTests.withValueRanks]]'s distributed mid-ranks (range
+    * partition + per-partition offsets + a PARTITIONED prefix-sum window —
+    * the K12 machinery, no unpartitioned window, no global sort of raw
+    * rows), a values-sized join to the per-value positive counts, and a
+    * 1-row reduce. rank2 = 2·midrank = 2·cum_before + cnt + 1 stays in
+    * BIGINT; the oracle computes the identical integers with a plain
+    * ordered window over the values table. */
+  val scoreAuc = sql(
+    "x131_score_auc",
+    scoreGateJChain + """,
+      |v AS (SELECT lm_score, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    CAST(SUM(pass) AS BIGINT) AS pos
+      |  FROM j GROUP BY lm_score),
+      |r AS (SELECT lm_score, cnt, pos,
+      |    CAST(COALESCE(SUM(cnt) OVER (ORDER BY lm_score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM v),
+      |a AS (SELECT
+      |    CAST(SUM(pos * (2 * cum_before + cnt + 1)) AS BIGINT) AS rank2,
+      |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |    CAST(SUM(cnt) AS BIGINT) - CAST(SUM(pos) AS BIGINT) AS n_neg
+      |  FROM r)
+      |SELECT n_pos, n_neg,
+      |  CAST(rank2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+      |  CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg) AS auc
+      |FROM a""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val j = lmScoreOf(dd).select("doc_id", "lm_score")
+      .join(qualityGateOf(dd).select("doc_id", "pass"), Seq("doc_id"))
+    // two consumers (the rank table and the positives join) — one compute
+    val v = j.groupBy("lm_score").agg(
+      count(lit(1)).as("cnt"), sum("pass").cast("long").as("pos"))
+      .localCheckpoint(eager = false)
+    graft.ml.StatTests.withValueRanks(
+      v.select("lm_score", "cnt"), "lm_score", "cnt") { ranks =>
+      ranks.join(v.select("lm_score", "pos"), Seq("lm_score"))
+        .agg(
+          sum(col("pos") * (col("rk") * 2).cast("long")).as("rank2"),
+          sum("pos").as("n_pos"),
+          (sum("cnt") - sum("pos")).as("n_neg"))
+        .select(col("n_pos"), col("n_neg"),
+          (col("rank2") - col("n_pos") * (col("n_pos") + 1)).as("u2"),
+          ((col("rank2") - col("n_pos") * (col("n_pos") + 1)).cast("double")
+            / (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -3877,5 +3927,5 @@ object TextQueries {
     packSpans, datasheetMerge, packEfficiency, curationFunnel, langidConfusion,
     shardBalance, clusterSizeHist, packAssemble, epochOrder, epochMixAudit,
     bpeFertility, packAppend, packDecontaminate, mixtureTemperature,
-    mixtureGated, packQuality)
+    mixtureGated, packQuality, scoreAuc)
 }

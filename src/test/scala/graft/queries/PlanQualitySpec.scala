@@ -751,6 +751,20 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
       .map(_.group(1)).filter(_.contains("doc_id")).toSeq shouldBe empty
   }
 
+  test("x131: rank sums ride the PINNED range-partitioned values table — partitioned window only") {
+    // registry: x131_score_auc
+    val plan = planOf(TextQueries.scoreAuc)
+    // the distinct-value table is materialized by withValueRanks' eager
+    // checkpoint (pinning the (pid,row) assignment the driver-frozen
+    // offsets were built from): the final plan reads ONLY that RDD
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 0
+    plan should include("ExistingRDD")
+    // the prefix-sum window partitions on pid — NEVER an unpartitioned
+    // window over the (≈corpus-sized) distinct-score table
+    plan should include("windowspecdefinition(pid")
+    plan should not include "CartesianProduct"
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:

@@ -671,6 +671,40 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.count { case (src, v) => math.abs(v._4 - ungated(src)) > 1e-6 } should be > 0
   }
 
+  test("x131_score_auc ≡ an exact driver-side Mann-Whitney fold over the verified score and gate") {
+    val sf = "/root/testdata/sf0.001"
+    // ground truth from two ALREADY replay-verified outputs
+    val scores = TextQueries.textLmScore.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("lm_score"))).toMap
+    val pass = TextQueries.textQualityGate.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(9)).toMap
+    val joined = scores.keys.toSeq.filter(pass.contains)
+      .map(id => (scores(id), pass(id)))
+    // exact midrank fold in 2× units: rank2(v) = 2·cum_before + cnt + 1
+    val byScore = joined.groupBy(_._1).toSeq.sortBy(_._1)
+    var cum = 0L; var rank2 = 0L; var nPos = 0L; var nNeg = 0L
+    byScore.foreach { case (_, g) =>
+      val cnt = g.size.toLong
+      val pos = g.count(_._2 == 1).toLong
+      rank2 += pos * (2 * cum + cnt + 1)
+      cum += cnt; nPos += pos; nNeg += cnt - pos
+    }
+    val u2 = rank2 - nPos * (nPos + 1)
+
+    val out = TextQueries.scoreAuc.run(spark, sf).collect()
+    out.length shouldBe 1
+    val r = out.head
+    r.getLong(0) shouldBe nPos
+    r.getLong(1) shouldBe nNeg
+    r.getLong(2) shouldBe u2
+    r.getDouble(3) shouldBe u2.toDouble / (2.0 * nPos * nNeg)
+    // a meaningful statistic, not a degenerate one: both classes present,
+    // strictly inside (0, 1)
+    nPos should be > 0L
+    nNeg should be > 0L
+    r.getDouble(3) should (be > 0.0 and be < 1.0)
+  }
+
   test("x47_text_edit_distance ≡ a driver-side Levenshtein DP on the 80-char prefixes") {
     // registry: x47_text_edit_distance
     val sf = "/root/testdata/sf0.001"
