@@ -3888,7 +3888,9 @@ object TextQueries {
       |  FROM r)
       |SELECT n_pos, n_neg,
       |  CAST(rank2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
-      |  CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg) AS auc
+      |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+      |       ELSE CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg)
+      |  END AS auc
       |FROM a""".stripMargin) { (s, d) =>
     val dd = docs(s, d)
     val j = lmScoreOf(dd).select("doc_id", "lm_score")
@@ -3906,8 +3908,11 @@ object TextQueries {
           (sum("cnt") - sum("pos")).as("n_neg"))
         .select(col("n_pos"), col("n_neg"),
           (col("rank2") - col("n_pos") * (col("n_pos") + 1)).as("u2"),
-          ((col("rank2") - col("n_pos") * (col("n_pos") + 1)).cast("double")
-            / (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+          // AUC is undefined on a single-class corpus — NULL, never a
+          // divide-by-zero (ANSI) or a fabricated 0.5
+          when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
+            .otherwise((col("rank2") - col("n_pos") * (col("n_pos") + 1)).cast("double")
+              / (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
     }
   }
 
