@@ -3916,6 +3916,62 @@ object TextQueries {
     }
   }
 
+
+  /** x132: corpus token-frequency SPECTRUM — the Zipf datasheet a
+    * tokenizer/vocab decision reads: per log2 frequency bucket, distinct
+    * token TYPES, total occurrences, the bucket's max frequency, and exact
+    * occurrence-mass ppm. The head buckets say how much of the corpus a
+    * tiny vocab already covers (x110's question, corpus-wide); the tail
+    * says how much mass BPE must compose from pieces (x99/x103's
+    * workload). Bucketing is x119's integer CASE ladder — floor-log2
+    * WITHOUT log2(), whose power-of-two boundaries are the classic
+    * last-ulp cross-engine gamble — and the SAME generated CASE text is
+    * interpolated into BOTH the engine expression and the DuckDB oracle,
+    * so the boundary arithmetic cannot drift between them.
+    *
+    * Plan/scale: one corpus scan + ONE (token) shuffle with map-side
+    * combine (the unavoidable exact type-count exchange — the x42 sketch
+    * is the bounded-state alternative when exactness is negotiable); the
+    * 21-row bucket rollup is checkpointed once for its two consumers and
+    * the grand total attaches broadcast (never recomputing the token
+    * shuffle for a 1-row aggregate). */
+  val tokenSpectrum = {
+    val bucketCase = (0 until 20)
+      .map(b => s"WHEN freq < ${2L << b} THEN $b")
+      .mkString("CASE ", " ", " ELSE 20 END")
+    sql(
+      "x132_token_spectrum",
+      s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tk GROUP BY tok),
+        |g AS (SELECT CAST($bucketCase AS INTEGER) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(freq) AS BIGINT) AS n_occ,
+        |    CAST(MAX(freq) AS BIGINT) AS max_freq
+        |  FROM tf GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS tot FROM g)
+        |SELECT g.bucket, CAST(POWER(2, g.bucket) AS BIGINT) AS floor_freq,
+        |  g.n_types, g.n_occ, g.max_freq,
+        |  CAST(g.n_occ * 1000000 // t.tot AS BIGINT) AS occ_share_ppm
+        |FROM g CROSS JOIN t ORDER BY g.bucket""".stripMargin) { (s, d) =>
+      val tf = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val g = tf
+        .withColumn("bucket", expr(bucketCase).cast("int"))
+        .groupBy("bucket").agg(
+          count(lit(1)).as("n_types"),
+          sum("freq").as("n_occ"),
+          max("freq").as("max_freq"))
+        .localCheckpoint(eager = false) // 21 rows, two consumers below
+      g.crossJoin(broadcast(g.agg(sum("n_occ").as("tot"))))
+        .select(col("bucket"),
+          expr("CAST(POWER(2, bucket) AS BIGINT)").as("floor_freq"),
+          col("n_types"), col("n_occ"), col("max_freq"),
+          expr("(n_occ * 1000000) div tot").as("occ_share_ppm"))
+        .orderBy("bucket")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -3932,5 +3988,5 @@ object TextQueries {
     packSpans, datasheetMerge, packEfficiency, curationFunnel, langidConfusion,
     shardBalance, clusterSizeHist, packAssemble, epochOrder, epochMixAudit,
     bpeFertility, packAppend, packDecontaminate, mixtureTemperature,
-    mixtureGated, packQuality, scoreAuc)
+    mixtureGated, packQuality, scoreAuc, tokenSpectrum)
 }

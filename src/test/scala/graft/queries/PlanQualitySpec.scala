@@ -765,6 +765,18 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "CartesianProduct"
   }
 
+  test("x132: the token shuffle is computed once; the total attaches broadcast") {
+    // registry: x132_token_spectrum
+    val plan = planOf(TextQueries.tokenSpectrum)
+    // the 21-row bucket rollup is checkpointed for its two consumers — the
+    // final plan reads ONLY the checkpoint (x87's stance): the expensive
+    // token exchange can never run twice for the 1-row grand total
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 0
+    plan should include("ExistingRDD")
+    plan should include("BroadcastNestedLoopJoin") // the 1-row total
+    plan should not include "SortMergeJoin"
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:

@@ -705,6 +705,32 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     r.getDouble(3) should (be > 0.0 and be < 1.0)
   }
 
+  test("x132_token_spectrum ≡ a numberOfLeadingZeros bucket replay (independent floor-log2)") {
+    val sf = "/root/testdata/sf0.001"
+    val out = TextQueries.tokenSpectrum.run(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // independent ground truth: plain Scala frequency map; bucketing via
+    // numberOfLeadingZeros, NOT the query's CASE ladder — two different
+    // floor-log2 implementations must agree on every boundary
+    val freq = corpus.toSeq.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).map { case (_, g) => g.size.toLong }
+    def bucket(n: Long): Int = math.min(20, 63 - java.lang.Long.numberOfLeadingZeros(n))
+    val total = freq.sum
+    val expected = freq.groupBy(bucket).map { case (b, fs) =>
+      b -> ((1L << b, fs.size.toLong, fs.sum, fs.max, fs.sum * 1000000L / total))
+    }
+    out shouldBe expected
+    // spectrum invariants: mass conserves, the head bucket holds the
+    // corpus's most frequent type, and a real corpus spans several octaves
+    out.values.map(_._3).sum shouldBe total
+    out.values.map(_._5).sum should be <= 1000000L
+    out(out.keys.max)._4 shouldBe freq.max
+    // the tiny sf0.001 corpus spans 2 octaves (sf0.01 spans more); the
+    // replay above is exact either way
+    out.size should be >= 2
+  }
+
   test("x47_text_edit_distance ≡ a driver-side Levenshtein DP on the 80-char prefixes") {
     // registry: x47_text_edit_distance
     val sf = "/root/testdata/sf0.001"
