@@ -856,4 +856,33 @@ ws AS (SELECT doc_a, doc_b, p.ch AS ch_a, q.ch AS ch_b
 jj AS (SELECT doc_a, doc_b, ${jaccard("ch_a", "ch_b", "overlap")} FROM ws)
 SELECT doc_a, doc_b, overlap FROM jj WHERE overlap >= 0.5 ORDER BY doc_a, doc_b"""
   }
+
+  /** x133: dedup threshold OPERATING CURVE — the x126 pattern applied to
+    * near-dup admission: pairs and their exact integer Jaccard computed
+    * ONCE (the audited x03 chain), every tau rung a row-local filter;
+    * LEFT joins from the rung spine so a zero-dup rung still emits. */
+  val dedupThresholdCurve: String =
+    s"""$minhashCtes,
+tw AS (SELECT doc_a, doc_b,
+    CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS inter,
+    CAST(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)) AS BIGINT) AS uni
+  FROM ws),
+tf AS (SELECT doc_a, doc_b, (inter * 1000000::BIGINT) // uni AS w
+  FROM tw WHERE inter * 2 >= uni),
+th(tau) AS (VALUES (500000::BIGINT), (600000::BIGINT), (700000::BIGINT), (800000::BIGINT)),
+tp AS (SELECT th.tau, tf.doc_a, tf.doc_b FROM tf JOIN th ON tf.w >= th.tau),
+pc AS (SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM tp GROUP BY tau),
+dc AS (SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_reps_dup FROM (
+    SELECT DISTINCT tau, doc FROM (
+      SELECT tau, doc_a AS doc FROM tp
+      UNION ALL SELECT tau, doc_b AS doc FROM tp) x) y GROUP BY tau),
+nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reps_corpus FROM reps)
+SELECT th.tau, COALESCE(pc.n_pairs, 0::BIGINT) AS n_pairs,
+  COALESCE(dc.n_reps_dup, 0::BIGINT) AS n_reps_dup,
+  nr.n_reps_corpus,
+  CAST(COALESCE(dc.n_reps_dup, 0::BIGINT) * 1000000 // nr.n_reps_corpus AS BIGINT) AS dup_share_ppm
+FROM th CROSS JOIN nr
+LEFT JOIN pc ON pc.tau = th.tau
+LEFT JOIN dc ON dc.tau = th.tau
+ORDER BY th.tau"""
 }

@@ -3972,6 +3972,46 @@ object TextQueries {
     }
   }
 
+
+  /** x133: near-dup threshold OPERATING CURVE — the x126/x127 pattern
+    * applied to the dedup family's own knob: how many verified pairs and
+    * how much of the (exact-collapsed) corpus becomes dup mass at
+    * tau ∈ {0.5, 0.6, 0.7, 0.8}, from ONE pair computation. This is how a
+    * deployment picks the x03/x26 admission threshold: too low deletes
+    * real variety, too high ships boilerplate twice — the curve makes the
+    * trade measurable before committing a release.
+    *
+    * Plan/scale: the audited x03 chain runs ONCE (signatures + band
+    * candidates + exact integer Jaccard, checkpointed); every tau rung is
+    * a row-local filter over the pair rows (never a re-verify); the
+    * touched-rep count is a pairs-sized explode + distinct; the 4-row
+    * spine LEFT-joins so a zero-dup rung still emits; the corpus rep
+    * count attaches broadcast. Exact integers end to end. */
+  val dedupThresholdCurve = sql(
+    "x133_dedup_threshold_curve", HashOracles.dedupThresholdCurve) { (s, d) =>
+    val sigs = minhashSignaturesOf(docs(s, d)).localCheckpoint(eager = false)
+    val pairs = weightedPairs(sigs).localCheckpoint(eager = false) // computed ONCE
+    val taus = Seq(500000L, 600000L, 700000L, 800000L)
+    val tp = pairs
+      .withColumn("tau", explode(typedLit(taus)))
+      .filter(col("w") >= col("tau"))
+      .localCheckpoint(eager = false) // two consumers: pair and rep counts
+    val pc = tp.groupBy("tau").agg(count(lit(1)).as("n_pairs"))
+    val dc = tp.select(col("tau"), col("doc_a").as("doc"))
+      .unionAll(tp.select(col("tau"), col("doc_b").as("doc")))
+      .distinct()
+      .groupBy("tau").agg(count(lit(1)).as("n_reps_dup"))
+    val nr = broadcast(sigs.agg(count(lit(1)).as("n_reps_corpus")))
+    docs(s, d).sparkSession.range(1)
+      .select(explode(typedLit(taus)).as("tau"))
+      .crossJoin(nr)
+      .join(pc, Seq("tau"), "left").na.fill(0L, Seq("n_pairs"))
+      .join(dc, Seq("tau"), "left").na.fill(0L, Seq("n_reps_dup"))
+      .withColumn("dup_share_ppm", expr("(n_reps_dup * 1000000) div n_reps_corpus"))
+      .select("tau", "n_pairs", "n_reps_dup", "n_reps_corpus", "dup_share_ppm")
+      .orderBy("tau")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -3988,5 +4028,5 @@ object TextQueries {
     packSpans, datasheetMerge, packEfficiency, curationFunnel, langidConfusion,
     shardBalance, clusterSizeHist, packAssemble, epochOrder, epochMixAudit,
     bpeFertility, packAppend, packDecontaminate, mixtureTemperature,
-    mixtureGated, packQuality, scoreAuc, tokenSpectrum)
+    mixtureGated, packQuality, scoreAuc, tokenSpectrum, dedupThresholdCurve)
 }

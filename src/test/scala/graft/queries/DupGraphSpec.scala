@@ -176,6 +176,30 @@ class DupGraphSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.map(_._5).sum should be > 0L
   }
 
+  test("x133: the threshold curve equals a from-scratch sweep over the replayed pairs") {
+    // registry: x133_dedup_threshold_curve
+    val out = TextQueries.dedupThresholdCurve.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val pairs = replayPairs(dir) // (a, b, w_ppm) — the verified J≥0.5 set
+    val nReps = replaySigs(dir).size.toLong
+    val taus = Seq(500000L, 600000L, 700000L, 800000L)
+    out.keySet shouldBe taus.toSet
+    taus.foreach { tau =>
+      val keep = pairs.filter(_._3 >= tau)
+      val docs = keep.flatMap(p => Seq(p._1, p._2)).toSet
+      withClue(s"tau=$tau: ") {
+        out(tau) shouldBe ((keep.size.toLong, docs.size.toLong, nReps,
+          docs.size.toLong * 1000000L / nReps))
+      }
+    }
+    // the curve is monotone non-increasing in tau, and non-vacuous at the
+    // admission point (the shipped corpus carries real near-dups at 0.5)
+    val byTau = taus.map(out(_)._1)
+    byTau.zip(byTau.tail).foreach { case (a, b) => a should be >= b }
+    out(500000L)._1 should be > 0L
+  }
+
   /** Exact-collapsed reps with their shingle sets and 32-hash MinHash
     * signatures, replayed in plain Scala — the shared front of the x03
     * chain (minhashSignaturesOf). */

@@ -777,6 +777,19 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "SortMergeJoin"
   }
 
+  test("x133: pairs are verified once — every tau rung reads the checkpointed pair set") {
+    // registry: x133_dedup_threshold_curve
+    val plan = planOf(TextQueries.dedupThresholdCurve)
+    // the x03 chain + the tau fan-out live behind checkpoints: the final
+    // plan re-verifies nothing and re-scans nothing per rung
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 0
+    plan should include("ExistingRDD")
+    plan should include("BroadcastNestedLoopJoin") // 1-row rep count on the 4-row spine
+    plan should not include "CartesianProduct"
+    // (the rung-spine LEFT joins are 4-row frames either side — AQE turns
+    // their static SMJs into broadcasts at runtime, same as x126's spine)
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:
