@@ -137,6 +137,70 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
     root.get("calibration_sec").size shouldBe 3 // scalar tail intact
   }
 
+  test("a synthetically slow query lands in regressed; calm rows do not (r15 verdict item 1)") {
+    // prev round priced both rows ~0.4 s with a 1.2 noise band; this run's
+    // calibration spread is 0.32/0.19 ≈ 1.68, so the discount is 1.68.
+    // x44 at 6.0 s → ratio 15 → discounted ≈ 8.9 → REGRESSED.
+    // q01 at 0.5 s → ratio 1.25 → discounted < 1 → calm.
+    val prev = Bench.PrevBench(15, Map("q01" -> 0.4, "x44" -> 0.4), noise = 1.2)
+    val samples = Seq(
+      "q01_calm" -> Seq(0.5, 0.5, 0.5),
+      "x44_slow" -> Seq(6.0, 6.0, 6.0)) // ALL THREE samples slow — the
+    // exact shape min-of-3 + hot_max cannot adjudicate (the r15 x12/x13 gap)
+    val line = Bench.renderJson(samples, calibration = Seq(0.21, 0.32, 0.19),
+      ivfTrain = 1.5, probeOnly = 0.8, sfDir = "/root/testdata/sf0.1", Some(prev))
+    val root = mapper.readTree(line)
+    root.get("prev").asInt() shouldBe 15
+    val regr = root.get("regressed")
+    regr.size shouldBe 1
+    val discount = math.max(1.2, 0.32 / 0.19)
+    regr.get("x44").asDouble() shouldBe (6.0 / 0.4 / discount) +- 0.051
+    // hot_max stays silent — all three samples are equal, which is exactly
+    // why the regressed field has to exist
+    root.get("hot_max") shouldBe null
+  }
+
+  test("regressed floors: sub-0.5s rows and %.1f-quantized tiny prevs never flag") {
+    val prev = Bench.PrevBench(15, Map("x01" -> 0.1, "x02" -> 0.1), noise = 1.0)
+    val rows = Seq(
+      "x01" -> 0.45, // 4.5× a 0.1s prev but under the 0.5s absolute floor
+      "x02" -> 0.7)  // 7× raw, but 0.7/max(0.1,0.2)=3.5 → flags (real jump)
+    val out = Bench.regressedRows(rows, prev, noiseNow = 1.0)
+    out.map(_._1) shouldBe Seq("x02")
+    out.head._2 shouldBe 3.5 +- 1e-9
+    // a badly contended host flags many rows — the cap keeps the line alive
+    val many = (1 to 20).map(i => f"x$i%02d" -> 5.0)
+    val capped = Bench.regressedRows(many,
+      Bench.PrevBench(15, many.map(t => t._1 -> 0.5).toMap, 1.0), 1.0)
+    capped.size shouldBe 8
+  }
+
+  test("loadPrevBench reads the committed driver wrapper (tail-embedded artifact)") {
+    // the REAL committed artifact from the repo root: format drift here is
+    // exactly what would silently disable self-adjudication next round
+    val prev = Bench.loadPrevBench(".")
+    prev.isDefined shouldBe true
+    val p = prev.get
+    p.round should be >= 15
+    p.queries.size should be >= 150
+    p.queries.keySet should contain("q10")
+    p.noise should be >= 1.0
+    // and the whole pipeline composes: rendering against the real history
+    // with one synthetic spike flags that row and nothing else
+    val names = SparkEntry.defs.map(_.name)
+    val samples = names.map { n =>
+      val k = Bench.shortKey(n)
+      val base = p.queries.getOrElse(k, 0.3)
+      n -> (if (k == "q10") Seq(base * 12, base * 12, base * 12)
+            else Seq(base, base, base))
+    }
+    val root = mapper.readTree(Bench.renderJson(samples,
+      calibration = Seq(0.2, 0.2, 0.2), ivfTrain = 1.5, probeOnly = 0.8,
+      sfDir = "/root/testdata/sf0.1", Some(p)))
+    root.get("prev").asInt() shouldBe p.round
+    root.get("regressed").fieldNames().asScala.toSeq shouldBe Seq("q10")
+  }
+
   test("a failed query reports -1, is excluded from the total, and never marks hot") {
     val samples = Seq("q01_ok" -> Seq(0.5, 0.4, 0.6), "x02_bad" -> Seq(-1.0))
     val root = mapper.readTree(render(samples))
