@@ -50,11 +50,17 @@ object StatTests {
     * the wide work is over |distinct values| spread across all executors,
     * never a single-task global sort (the classic distributed ranking plan).
     *
-    * `f` receives a (valueCol, countCol, rk) DataFrame where `rk` is the
-    * mid-rank (average of the tie block's ranks) of each distinct value; the
-    * range-partitioned input is pinned by an eager localCheckpoint, so `f`
-    * may return a LAZY frame consumed after this call returns (cleanup is
-    * GC-scoped with the RDD). */
+    * `f` receives a (valueCol, countCol, rank_offset, cum_before, rk)
+    * DataFrame where `rk` is the mid-rank (average of the tie block's
+    * ranks) of each distinct value, and `rank_offset`/`cum_before` are its
+    * exact LongType components — rk = rank_offset + cum_before + 1 +
+    * (count−1)/2 — so a consumer needing integer rank arithmetic (x131's
+    * rank2 = 2·midrank = 2·(rank_offset+cum_before) + count + 1) can stay
+    * in BIGINT end to end instead of rebuilding the integer through the
+    * DOUBLE mid-rank, whose exactness silently degrades past ~2^52 total
+    * count (r15 advice). The range-partitioned input is pinned by an eager
+    * localCheckpoint, so `f` may return a LAZY frame consumed after this
+    * call returns (cleanup is GC-scoped with the RDD). */
   def withValueRanks[T](valueCounts: DataFrame, valueCol: String, countCol: String)
       (f: DataFrame => T): T = {
     val spark = valueCounts.sparkSession
@@ -85,7 +91,8 @@ object StatTests {
       .withColumn("cum_before", coalesce(sum(countCol).over(w), lit(0L)))
       .withColumn("rk",
         col("rank_offset") + col("cum_before") + 1.0 + (col(countCol) - 1) / 2.0)
-      .select(col(valueCol), col(countCol), col("rk"))
+      .select(col(valueCol), col(countCol),
+        col("rank_offset"), col("cum_before"), col("rk"))
     f(ranks)
   }
 

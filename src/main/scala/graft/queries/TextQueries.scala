@@ -3728,16 +3728,25 @@ object TextQueries {
     * three derived columns 0, never NaN).
     *
     * Plan/scale: the gate is x64's row-local codegen fused into the ONE
-    * corpus scan (shared `qualityGateOf`, `keep = source` — no join to
-    * re-attach the source); the |sources|-row aggregate checkpoints once
+    * corpus scan (shared `qualityGateOf`, `keep = source, n_tok` — no join
+    * to re-attach the source); the |sources|-row aggregate checkpoints once
     * for its two consumers; totals (Σgated + the array-sorted Σ√gated, the
-    * x115/x128 order-free-exactness move) attach broadcast. */
+    * x115/x128 order-free-exactness move) attach broadcast.
+    *
+    * Token convention (r15 advice): token MASS is counted with the x112
+    * trim/\s+ convention — the same raw count x128 and x130 publish, so
+    * the three datasheets' shares and keep-rates are directly comparable —
+    * while the GATE's rules stay on x64's space-split convention (the
+    * gate's pinned contract). Both ride the same single scan, exactly as
+    * x130 already does. */
   val mixtureGated = sql(
     "x129_gated_mixture",
     s"""WITH w AS (
-      |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      |  FROM documents
       |), g AS (
-      |  SELECT source, CAST(len(toks) AS BIGINT) AS n_tok,
+      |  SELECT source, n_tok,
       |    ${gatePassSql("toks")} AS pass
       |  FROM w
       |), per AS (
@@ -3759,8 +3768,11 @@ object TextQueries {
       |       ELSE ROUND(sqrt(CAST(p.n_gated AS DOUBLE)) / t.sum_sqrt
       |                  * t.total_gated / p.n_gated, 6) END AS upsample_ratio
       |FROM per p CROSS JOIN tot t ORDER BY p.source""".stripMargin) { (s, d) =>
-    val flags = qualityGateOf(docs(s, d), keep = Seq("source"))
-      .select(col("source"), col("n_words").cast("long").as("n_tok"), col("pass"))
+    val flags = qualityGateOf(
+      docs(s, d).withColumn("n_tok",
+        size(split(trim(col("text")), "\\s+")).cast("long")),
+      keep = Seq("source", "n_tok"))
+      .select(col("source"), col("n_tok"), col("pass"))
     val per = flags.groupBy("source").agg(
       sum("n_tok").as("n_tokens"),
       sum(when(col("pass") === 1, col("n_tok")).otherwise(0L)).as("n_gated"))
@@ -3901,9 +3913,15 @@ object TextQueries {
       .localCheckpoint(eager = false)
     graft.ml.StatTests.withValueRanks(
       v.select("lm_score", "cnt"), "lm_score", "cnt") { ranks =>
+      // rank2 per value = 2·midrank = 2·(rank_offset + cum_before) + cnt + 1,
+      // assembled from withValueRanks' exact integer components so the
+      // stated exact-BIGINT-end-to-end contract holds at ANY corpus size —
+      // the old (rk * 2).cast("long") route rebuilt the integer through the
+      // DOUBLE mid-rank, exact only below ~2^52 total count (r15 advice)
       ranks.join(v.select("lm_score", "pos"), Seq("lm_score"))
         .agg(
-          sum(col("pos") * (col("rk") * 2).cast("long")).as("rank2"),
+          sum(col("pos") * (lit(2L) * (col("rank_offset") + col("cum_before"))
+            + col("cnt") + lit(1L))).as("rank2"),
           sum("pos").as("n_pos"),
           (sum("cnt") - sum("pos")).as("n_neg"))
         .select(col("n_pos"), col("n_neg"),

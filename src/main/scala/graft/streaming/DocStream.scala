@@ -127,7 +127,22 @@ object DocStream {
     *
     * No state store at all: the "state" IS the durable index artifact,
     * exactly as in batch — which is why this family CAN stream while the
-    * full-corpus dedup (global transitive closure) cannot. */
+    * full-corpus dedup (global transitive closure) cannot.
+    *
+    * ID PRECONDITION (r15 advice): both replay-hygiene rules above are
+    * id-keyed, so they are only sound when `doc_id` is globally unique and
+    * never REBOUND to different text — a legitimately re-ingested id with
+    * new content would silently lose its near-dup flags (excluded as "own
+    * id") and never be re-admitted (skipped as "already indexed"). The
+    * precondition is ASSERTED, not assumed: each batch compares its ids'
+    * recomputed shingle sets against the index rows they collide with and
+    * FAILS the stream on the first mismatch (an id collision is an
+    * upstream id-allocation bug; admitting either half corrupts the
+    * index). The check is an equi-join on doc_id with the batch side tiny,
+    * and shingles are computed only for the colliding rows. Caveat: docs
+    * under 3 tokens have an empty shingle set, so a rebound id between two
+    * such degenerate texts is indistinguishable — their near-dup semantics
+    * are equally degenerate. */
   def nearDupAdmission(docs: DataFrame, indexPath: String, hitsPath: String,
                        checkpoint: String,
                        appendAccepted: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery =
@@ -137,6 +152,19 @@ object DocStream {
         val b = batch.toDF().select("doc_id", "text")
         val sigs = b.sparkSession.read.parquet(indexPath)
         val bIds = b.select("doc_id")
+        // fail fast on id reuse with different content (see scaladoc) —
+        // bounded: ≤4 collision rows reach the driver, only to name them
+        val collisions = b
+          .join(sigs.select(col("doc_id"), col("sh").as("index_sh")), Seq("doc_id"))
+          .filter(org.apache.spark.sql.functions.expr("graft_shingles(text, 3)")
+            =!= col("index_sh"))
+          .select("doc_id").limit(4).collect()
+        if (collisions.nonEmpty) throw new IllegalStateException(
+          "nearDupAdmission: incoming doc_id(s) " +
+            collisions.map(_.getLong(0)).mkString(", ") +
+            " already exist in the index with DIFFERENT text — doc ids must " +
+            "be globally unique and never rebound (id-keyed replay hygiene " +
+            "would silently drop their near-dup flags)")
         // (1) vs the index — minus this batch's own ids (replay hygiene)
         val indexHits = TextQueries.nearDupProbe(b, sigs)
           .join(bIds.withColumnRenamed("doc_id", "corpus_doc_id"),

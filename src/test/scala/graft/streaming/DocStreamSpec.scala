@@ -371,4 +371,42 @@ class DocStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("corpus_doc_id"))).toSet
     replayHits shouldBe Set((20L, 11L)) // same hits as the first attempt; no self-flag
   }
+
+  test("nearDupAdmission fails fast when an indexed doc_id arrives rebound to different text") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+
+    val base = java.nio.file.Files.createTempDirectory("mh-collide").toString
+    val indexPath = s"$base/sigs"
+    def text(prefix: String): String = (1 to 30).map(i => s"$prefix$i").mkString(" ")
+    val seed = Seq((1L, text("w")), (2L, text("q")))
+    graft.sources.Sinks.sortedParquet(
+      TextQueries.minhashSignaturesOf(seed.toDF("doc_id", "text")), indexPath, Seq("doc_id"))
+
+    // id 1 arrives REBOUND to unrelated text — the id-keyed replay hygiene
+    // would silently drop its flags and never re-admit it (r15 advice), so
+    // the batch must DIE, not admit either half
+    val input = MemoryStream[(Long, String)]
+    val q = DocStream.nearDupAdmission(
+      input.toDF.toDF("doc_id", "text"), indexPath, s"$base/hits", s"$base/ckpt")
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { input.addData(Seq((1L, text("z")))); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val msgs = Iterator.iterate(thrown: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    msgs should include("rebound")
+    // the index is untouched by the poisoned batch
+    spark.read.parquet(indexPath).collect()
+      .map(_.getAs[Long]("doc_id")).sorted shouldBe Array(1L, 2L)
+
+    // whereas a REPLAY of an identical-text id (the legitimate collision —
+    // the at-least-once append) still sails through and converges
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = DocStream.nearDupAdmission(
+      input2.toDF.toDF("doc_id", "text"), indexPath, s"$base/hits2", s"$base/ckpt2")
+    try { input2.addData(Seq((1L, text("w")))); q2.processAllAvailable() } finally q2.stop()
+    spark.read.parquet(indexPath).collect()
+      .map(_.getAs[Long]("doc_id")).sorted shouldBe Array(1L, 2L)
+  }
 }
