@@ -885,4 +885,54 @@ FROM th CROSS JOIN nr
 LEFT JOIN pc ON pc.tau = th.tau
 LEFT JOIN dc ON dc.tau = th.tau
 ORDER BY th.tau"""
+
+  /** x134: the ONE-PLAN release→pack bridge — the whole curation run as a
+    * single declarative composition: x64 composite quality gate → exact
+    * collapse + near-dup CC (the x59 chain, over the GATED subset only) →
+    * keep-min-id survivors → x129's √-flattened per-source token quota
+    * over the SURVIVING mass (budget = half of it, so the cut always
+    * binds) → quota cut and x112 pack-span tiling off the SAME running
+    * prefix sum. `gate` is TextQueries.gatePassSql("toks") and `packLen`
+    * its packSeqLen — passed in as arguments so the thresholds/constants
+    * keep living in exactly one place (TextQueries) and no object-init
+    * cycle forms between the two objects (HashOracles vals initialize
+    * while TextQueries vals are still constructing). */
+  def releasePackBridge(packLen: Long, gate: String): String = {
+    val qualSql =
+      s"""SELECT doc_id, source, text, n_tok FROM (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+        |  FROM documents) gq
+        | WHERE $gate = 1""".stripMargin
+    s"""${minhashCtesOver(qualSql)},
+$ccCtes,
+qual AS ($qualSql),
+erep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS e_rep FROM qual),
+chain AS (SELECT e.doc_id, l.rep FROM erep e JOIN labels l ON l.doc_id = e.e_rep),
+surv AS (SELECT rep AS keep_id FROM chain GROUP BY rep),
+sv AS (SELECT s.keep_id, q.source, q.n_tok FROM surv s JOIN qual q ON q.doc_id = s.keep_id),
+per AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS m FROM sv GROUP BY source),
+tot AS (SELECT CAST(SUM(m) AS BIGINT) // 2 AS budget,
+    list_sum(list_sort(list(sqrt(CAST(m AS DOUBLE))))) AS sum_sqrt FROM per),
+quo AS (SELECT p.source,
+    CAST(FLOOR(t.budget * sqrt(CAST(p.m AS DOUBLE)) / t.sum_sqrt) AS BIGINT) AS quota_tokens
+  FROM per p CROSS JOIN tot t),
+ord AS (SELECT sv.keep_id, sv.source, sv.n_tok, quo.quota_tokens,
+    CAST(COALESCE(SUM(sv.n_tok) OVER (PARTITION BY sv.source
+      ORDER BY md5(CAST(sv.keep_id AS VARCHAR)), sv.keep_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM sv JOIN quo ON quo.source = sv.source),
+kept AS (SELECT * FROM ord WHERE cum_before < quota_tokens),
+ex AS (SELECT source, quota_tokens, cum_before, n_tok,
+    unnest(range(cum_before // $packLen, (cum_before + n_tok - 1) // $packLen + 1)) AS pack_id
+  FROM kept),
+sp AS (SELECT source, quota_tokens, CAST(pack_id AS BIGINT) AS pack_id,
+    CAST(LEAST(cum_before + n_tok, (pack_id+1)*$packLen)
+      - GREATEST(cum_before, pack_id*$packLen) AS BIGINT) AS span_len
+  FROM ex)
+SELECT source, pack_id, quota_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(SUM(span_len) AS BIGINT) AS n_tokens
+FROM sp GROUP BY source, pack_id, quota_tokens ORDER BY source, pack_id"""
+  }
 }

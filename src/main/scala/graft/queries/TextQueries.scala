@@ -4030,6 +4030,97 @@ object TextQueries {
       .orderBy("tau")
   }
 
+  /** x134: the ONE-PLAN release→pack bridge (r15 verdict item 3) — the
+    * composition a real 100 TB curation run executes, as a single
+    * declarative plan instead of the two separate plans the registry
+    * proved piecewise (x59 raw→release; x112/x121/x124 manifest→packs):
+    *
+    *   x64 composite gate → exact collapse + near-dup CC (x59's chain,
+    *   over the GATED subset only) → keep-min-id survivors → x129's
+    *   √-flattened per-source token quota over the SURVIVING mass
+    *   (budget = half of it, so the cut binds at every sf) → quota cut
+    *   AND x112 pack-span tiling off ONE shared prefix sum.
+    *
+    * Output: one row per assembled training sequence — (source, pack_id,
+    * quota_tokens, n_spans, n_tokens): the release's pack manifest with
+    * the budget that shaped it riding along.
+    *
+    * Why one plan matters at 100 TB: Catalyst sees gate → sketch in one
+    * tree, so the composite gate prunes rows BEFORE any shingling/banding
+    * work (the expensive stages run on survivors only — same argument as
+    * x59, now carried through packing), and the quota cut emits the
+    * running `cum_before` that IS the pack offset, so packing adds ZERO
+    * exchanges beyond the quota pass itself: kept-row → pack_id/span_len
+    * is row-local integer arithmetic, and the only post-cut shuffle is the
+    * packs-sized output rollup. No driver-side barrier separates curation
+    * from packing — the documented lazy-checkpoint boundaries (qual:
+    * gate+scan once for its three consumers; sv: survivor rows once for
+    * mass + quota attach; svq: the quota-attached rows once for the
+    * prefix pass's two reads; the chain's internal sig/pair boundaries)
+    * are plan-reuse pins, not materialization fences a scheduler must
+    * drain.
+    *
+    * Token conventions: mass is the x112 trim/\s+ count; the gate rules
+    * stay on x64's space-split contract — both from the one scan, exactly
+    * the x130 stance. Integer-exact end to end except the one √-flatten
+    * division, which both engines compute as FLOOR(budget·√m/Σ√m) with
+    * the array-sorted Σ√m (x128's order-free-exactness move). */
+  val releasePackBridge = sql("x134_release_pack_bridge",
+    HashOracles.releasePackBridge(packSeqLen, gatePassSql("toks"))) { (s, d) =>
+    releasePackBridgeOf(docs(s, d))
+  }
+
+  /** x134's engine over an arbitrary (doc_id, source, text) frame —
+    * factored so CorpusReleaseSpec replays the whole bridge on a
+    * hand-computable fixture (known gate failures, a planted exact-dup
+    * pair, a planted near-dup pair). */
+  def releasePackBridgeOf(documents: DataFrame): DataFrame = {
+    val L = packSeqLen
+    val qual = qualityGateOf(
+        documents.withColumn("n_tok",
+          size(split(trim(col("text")), "\\s+")).cast("long")),
+        keep = Seq("source", "n_tok", "text"))
+      .filter(col("pass") === 1)
+      .select("doc_id", "source", "text", "n_tok")
+      .localCheckpoint(eager = false) // gate+scan ONCE: three consumers
+    val (_, labels) = sigsAndLabelsOf(qual)
+    val chain = docExactRep(qual)
+      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
+      .select("doc_id", "rep")
+    val sv = chain.select(col("rep").as("keep_id")).distinct()
+      .join(qual.select(col("doc_id").as("keep_id"), col("source"), col("n_tok")),
+        Seq("keep_id"))
+      .localCheckpoint(eager = false) // survivors ONCE: mass + quota cut
+    val per = sv.groupBy("source").agg(sum("n_tok").as("m"))
+    val tot = per.agg(expr("sum(m) div 2").as("budget"),
+      aggregate(array_sort(collect_list(sqrt(col("m").cast("double")))),
+        lit(0.0), (a, x) => a + x).as("sum_sqrt"))
+    val quo = per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        floor(col("budget") * sqrt(col("m").cast("double")) / col("sum_sqrt"))
+          .cast("long").as("quota_tokens"))
+    // checkpoint the quota-attached survivors: PrefixQuota reads its input
+    // TWICE (bucket totals + rows), and without the pin the whole
+    // per→totals→quota subtree would compute once per read
+    val svq = sv.join(broadcast(quo), Seq("source"))
+      .localCheckpoint(eager = false)
+    val kept = graft.operators.PrefixQuota.takeUntilQuota(
+      svq,
+      "source", orderKey = md5(col("keep_id").cast("string")), tie = col("keep_id"),
+      value = col("n_tok"), quota = col("quota_tokens"))
+    kept
+      .withColumn("pack_id",
+        explode(sequence(expr(s"cum_before div $L"),
+          expr(s"(cum_before + n_tok - 1) div $L"))))
+      .withColumn("span_len",
+        least(col("cum_before") + col("n_tok"), (col("pack_id") + 1) * L)
+          - greatest(col("cum_before"), col("pack_id") * L))
+      .groupBy("source", "pack_id", "quota_tokens")
+      .agg(count(lit(1)).as("n_spans"), sum("span_len").as("n_tokens"))
+      .select("source", "pack_id", "quota_tokens", "n_spans", "n_tokens")
+      .orderBy("source", "pack_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -4046,5 +4137,6 @@ object TextQueries {
     packSpans, datasheetMerge, packEfficiency, curationFunnel, langidConfusion,
     shardBalance, clusterSizeHist, packAssemble, epochOrder, epochMixAudit,
     bpeFertility, packAppend, packDecontaminate, mixtureTemperature,
-    mixtureGated, packQuality, scoreAuc, tokenSpectrum, dedupThresholdCurve)
+    mixtureGated, packQuality, scoreAuc, tokenSpectrum, dedupThresholdCurve,
+    releasePackBridge)
 }

@@ -193,4 +193,78 @@ class CorpusReleaseSpec extends AnyFunSuite with Matchers with SparkTestBase {
     rows.map(r => r._1 -> ((r._3, r._4, r._5))).toMap shouldBe expected
     rows.length should be > 1 // singletons AND real clusters both present
   }
+
+  test("x134 bridge: gate→dedup→quota→pack replays exactly on a hand-built fixture") {
+    import spark.implicits._
+    // registry: x134_release_pack_bridge
+    // Gate-passing doc: "the a" (2 stop hits) + n-2 DISTINCT 5-char tokens
+    // per prefix (disjoint vocabularies across prefixes, so no accidental
+    // near-dups) → n_words = n, mean_wlen = (4 + 5(n-2))/n ∈ [4.0, 5.0]
+    // for every n used here, dup_bigram_frac = 0.
+    def passDoc(prefix: String, n: Int): String =
+      "the a " + (1 to n - 2).map(i => f"$prefix$i%04d").mkString(" ")
+    val dup600 = passDoc("p", 600)
+    val fixture = Seq(
+      (1L, "a", dup600),                                  // survivor candidate
+      (2L, "a", dup600),                                  // EXACT dup of 1
+      (3L, "a", dup600.dropRight(5) + "zzzzz"),           // NEAR dup of 1 (J≈0.99)
+      (4L, "a", passDoc("q", 30)),                        // unique survivor
+      (5L, "a", "the a " + (1 to 8).map(i => s"u$i").mkString(" ")), // gate fail: 10 words
+      (6L, "a", (1 to 30).map(i => f"v$i%04d").mkString(" ")),       // gate fail: no stops
+      (9L, "a", passDoc("r", 800)),                       // big survivor (forces a CUT)
+      (7L, "b", passDoc("s", 25)),
+      (8L, "b", passDoc("t", 26))
+    ).toDF("doc_id", "source", "text")
+
+    // FROM-SCRATCH REPLAY of the whole composition, driver-side:
+    // survivors after gate + exact collapse + near-dup CC are {1, 4, 9}
+    // (2 exact-dups 1, 3 near-dups 1, 5/6 fail the gate) and {7, 8}
+    val surv = Map("a" -> Seq((1L, 600L), (4L, 30L), (9L, 800L)),
+                   "b" -> Seq((7L, 25L), (8L, 26L)))
+    val masses = surv.view.mapValues(_.map(_._2).sum).toMap // a→1430, b→51
+    val budget = masses.values.sum / 2 // integer div, as both engines
+    // Σ√m folded in ASCENDING order — the engines' array_sort/list_sort move
+    val sumSqrt = masses.values.toSeq.map(m => math.sqrt(m.toDouble))
+      .sorted.foldLeft(0.0)(_ + _)
+    def quota(m: Long): Long =
+      math.floor(budget * math.sqrt(m.toDouble) / sumSqrt).toLong
+    def md5hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = surv.toSeq.flatMap { case (src, docs) =>
+      val q = quota(masses(src))
+      // kept = overshoot-by-one prefix of the md5 order; cum_before is the
+      // pack offset — the ONE shared prefix sum the bridge exists to prove
+      var cum = 0L
+      val spans = docs.sortBy { case (id, _) => (md5hex(id), id) }.flatMap {
+        case (_, n) =>
+          val keep = cum < q
+          val spanRows = if (keep) {
+            (cum / 512 to (cum + n - 1) / 512).map { p =>
+              p -> (math.min(cum + n, (p + 1) * 512) - math.max(cum, p * 512))
+            }
+          } else Seq.empty
+          if (keep) cum += n
+          spanRows
+      }
+      spans.groupBy(_._1).toSeq.map { case (p, g) =>
+        (src, p, q, g.length.toLong, g.map(_._2).sum)
+      }
+    }.sortBy(r => (r._1, r._2))
+    // the replay must itself exercise every stage: a real cut (source a
+    // drops docs 4 and 1), a multi-pack source, and a multi-span pack
+    expected.filter(_._1 == "a").map(_._5).sum should be < masses("a")
+    expected.count(_._1 == "a") should be > 1
+    expected.exists(_._4 > 1) shouldBe true
+
+    val out = TextQueries.releasePackBridgeOf(fixture).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    out shouldBe expected
+    // every non-final pack tiles to exactly 512 real tokens
+    out.groupBy(_._1).values.foreach { packs =>
+      packs.map(_._2).sorted shouldBe (0L until packs.length.toLong)
+      packs.sortBy(_._2).init.foreach(_._5 shouldBe 512L)
+    }
+  }
 }

@@ -272,8 +272,16 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
         .map(_.group(1)).toSet shouldBe Set("pid")
       // and the mid-ranks are right: 3×1.0 → ranks 1..3 → 2.0;
       // 2×2.0 → ranks 4,5 → 4.5; 1×5.0 → rank 6.
-      val got = ranks.orderBy("v").collect().map(r => (r.getDouble(0), r.getDouble(2)))
-      got.toSeq shouldBe Seq((1.0, 2.0), (2.0, 4.5), (5.0, 6.0))
+      val got = ranks.orderBy("v").collect().map(r =>
+        (r.getDouble(0), r.getAs[Double]("rk"),
+          r.getAs[Long]("rank_offset") + r.getAs[Long]("cum_before"),
+          r.getAs[Long]("c")))
+      got.map(g => (g._1, g._2)).toSeq shouldBe Seq((1.0, 2.0), (2.0, 4.5), (5.0, 6.0))
+      // the exposed integer components reassemble the mid-rank exactly
+      // (rk = offset + cum_before + 1 + (c-1)/2 — the x131 BIGINT contract)
+      got.foreach { case (_, rk, off, c) =>
+        rk shouldBe off + 1.0 + (c - 1) / 2.0
+      }
     }
   }
 
@@ -575,6 +583,32 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     // join's exchanges, nothing structural
     def nEx(p: String) = "Exchange".r.findAllIn(p).size
     nEx(p108) should be <= (nEx(p59) + 3)
+  }
+
+  test("x134: quota cut and pack tiling share ONE bucket-split prefix sum; quotas broadcast") {
+    // registry: x134_release_pack_bridge
+    val plan = planOf(TextQueries.releasePackBridge)
+    // everything downstream of the survivor checkpoint is visible here:
+    // ONE PrefixQuota pass plans exactly two (…, __bkt) exchanges — the
+    // bucket-totals partial-final aggregate and the bucket-local window.
+    // A SECOND runningBefore for packing (instead of riding the quota
+    // cut's cum_before — the single-plan claim) would double that.
+    val hashParts = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan)
+      .map(_.group(1)).toSeq
+    hashParts.count(_.contains("__bkt")) shouldBe 2
+    // and the full-width window exchange is bucket-split, never per-source
+    // serial (the x53 pin, inherited)
+    hashParts.filter(p => p.contains("__bkt") && p.contains("source")) should not be empty
+    // the per-source quota table attaches as a broadcast, never a shuffle
+    // of the survivor rows toward a sources-sized frame
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    // the 1-row totals attach (budget + Σ√m, the x128/x129 crossJoin
+    // pattern) lives behind the quota'd-survivor checkpoint, computed
+    // exactly once — the visible plan must carry NO nested-loop node
+    plan should not include "BroadcastNestedLoopJoin"
+    // no exchange downstream of the checkpoints ever keys on the payload
+    hashParts.filter(_.contains("text")) shouldBe empty
   }
 
   test("x110: one corpus scan behind the checkpoint; vocab is TakeOrdered + broadcast") {
