@@ -1206,8 +1206,17 @@ FROM embeddings ORDER BY vec_id""") { (s, d) =>
     * (nprobe/nCells of the corpus × |queries|); exact side is x12's
     * broadcast-queries pass. Nothing rescans the corpus per rung. */
   val annRecallSweep = sql("x126_ann_recall_sweep", x126Oracle) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    val nearestCells = nearestCellsBy(IvfPinned.centroids) _
+    recallSweepOf(Tables.embeddings(s, d), IvfPinned.centroids)
+  }
+
+  /** x126's sweep over any (vec_id, embedding) frame and ANY centroid
+    * table — factored out so the refresh-and-swap job ([[refreshAnnIndex]])
+    * can run the identical audited sweep against a CANDIDATE index before
+    * committing it, and so IndexDurabilitySpec can drive it on planted
+    * fixtures. Contract unchanged from x126: queries are `vec_id < 10`,
+    * recall@5 vs exact brute force, nprobe ∈ {1,2,4,8}. */
+  def recallSweepOf(emb: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+    val nearestCells = nearestCellsBy(centroids) _
     val corpus = emb.withColumn("cell", element_at(nearestCells(col("embedding"), 1), 1))
     val queriesBase = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -1260,14 +1269,18 @@ FROM embeddings ORDER BY vec_id""") { (s, d) =>
     * window over the POST-AGGREGATE |rungs|-row frame — 4 rows by
     * construction, never corpus-scale), then a row-local filter + top-1. */
   val annOperatingPoint = sql("x127_ann_operating_point", x127Oracle) { (s, d) =>
-    val sweep = annRecallSweep.run(s, d)
+    operatingPointOf(annRecallSweep.run(s, d))
+  }
+
+  /** x127's selection rule over any [[recallSweepOf]] frame: the smallest
+    * nprobe whose recall clears 90% of the best rung (exact integers). */
+  def operatingPointOf(sweep: DataFrame): DataFrame =
     sweep
       .withColumn("max_recall_ppm",
         max(col("recall_ppm")).over(Window.partitionBy(lit(1))))
       .filter(col("recall_ppm") * 10 >= col("max_recall_ppm") * 9)
       .orderBy("nprobe").limit(1)
       .select("nprobe", "n_queries", "n_hits", "recall_ppm", "max_recall_ppm")
-  }
 
   /** Persist x127's chosen operating point as a durable 1-row artifact
     * (the saveIvfIndex stance: the serving layer reads the PIN, not the
@@ -1275,6 +1288,63 @@ FROM embeddings ORDER BY vec_id""") { (s, d) =>
     * against it. */
   def saveAnnOperatingPoint(s: SparkSession, d: String, path: String): Unit =
     graft.sources.Sinks.parquet(annOperatingPoint.run(s, d), path)
+
+  /** REFRESH-AND-SWAP: the recovery path that closes the IVF lifecycle
+    * (r15 verdict item 4). x127 pins the operating point and the staleness
+    * canary DETECTS a bad index; this is the job that acts on it:
+    *
+    *   1. run the audited x126 sweep against the CANDIDATE centroids
+    *      (retrained elsewhere — [[trainIvf]] — or handed in);
+    *   2. THE CANARY AS A GATE: the candidate's recall at the PINNED
+    *      nprobe must clear the pin's own 90%-of-best floor
+    *      (recall·10 ≥ pinned max·9, exact integers). A degraded candidate
+    *      is REFUSED with both numbers named — the live index and pin are
+    *      left untouched;
+    *   3. swap the durable index via staging + rename (readers see the old
+    *      or the new table, never a partial write; the delete→rename gap
+    *      is the documented non-transactional window — a production
+    *      deployment serializes refreshes, and a reader that loses the
+    *      race retries the path);
+    *   4. re-emit the pin FROM THE NEW INDEX's own sweep, so the serving
+    *      config and the index can never describe different geometries.
+    *
+    * Returns the re-emitted pin row. The sweep runs ONCE; the gate and the
+    * new pin both read the tiny 4-row result. */
+  def refreshAnnIndex(emb: DataFrame, candidate: Seq[Seq[Double]],
+      indexPath: String, pinPath: String): org.apache.spark.sql.Row = {
+    val s = emb.sparkSession
+    val pin = s.read.parquet(pinPath).collect()
+    require(pin.length == 1, s"operating-point artifact at $pinPath must be 1 row")
+    val pinnedNprobe = pin.head.getAs[Int]("nprobe")
+    val pinnedMax = pin.head.getAs[Long]("max_recall_ppm")
+    val sweep = recallSweepOf(emb, candidate).collect() // 4 rows by construction
+    val candRecall = sweep.find(_.getAs[Int]("nprobe") == pinnedNprobe)
+      .map(_.getAs[Long]("recall_ppm"))
+      .getOrElse(throw new IllegalStateException(
+        s"candidate sweep has no rung at pinned nprobe=$pinnedNprobe"))
+    if (candRecall * 10 < pinnedMax * 9) throw new IllegalStateException(
+      s"refreshAnnIndex REFUSED: candidate recall $candRecall ppm at pinned " +
+        s"nprobe=$pinnedNprobe is below the pinned floor " +
+        s"(90% of max_recall_ppm=$pinnedMax); live index at $indexPath untouched")
+    // staging + rename swap of the centroid artifact
+    import s.implicits._
+    val staging = indexPath + ".staging"
+    graft.sources.Sinks.parquet(
+      candidate.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid"),
+      staging)
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath)) fs.delete(hPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), hPath)
+    clearIvfCache() // memoized loads of the old artifact path are now stale
+    // the pin must describe the INDEX NOW SERVING — recompute from the
+    // candidate's own sweep (already in hand) and overwrite the artifact
+    val newPin = operatingPointOf(
+      s.createDataFrame(java.util.Arrays.asList(sweep: _*),
+        recallSweepOf(emb, candidate).schema))
+    graft.sources.Sinks.parquet(newPin, pinPath)
+    s.read.parquet(pinPath).collect().head
+  }
 
   val all: Seq[QueryDef] = Seq(embNorm, embPairCosine, simBruteTopk, simLshTopk, simIvfTopk,
     simIvfCells, simPqTopk, dedupEmbedding, dedupEmbLsh, embQuantize, simContamination,

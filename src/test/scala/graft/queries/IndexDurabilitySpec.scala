@@ -160,4 +160,71 @@ class IndexDurabilitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     val plan = viaBands.queryExecution.executedPlan.toString
     plan should include("Bucketed: true")
   }
+
+  test("refreshAnnIndex: the canary REFUSES a degraded candidate; a good one swaps atomically with the pin re-emitted") {
+    import spark.implicits._
+    // Planted 16-cluster fixture with hand-provable recall: cluster i sits
+    // at 10·e_i (axes 0..15); member m rides noise 1·e_{16+(m mod 16)} and
+    // a tiny distinct ε on dim 63. vec_id = i + 16·m, so queries (id < 10)
+    // are member 0 of clusters 0..9 and each query's exact top-5 is five
+    // of its own cluster-mates (intra cos ≈ 0.99, cross ≈ 0).
+    val dim = 64
+    val rows = for (i <- 0 until 16; m <- 0 until 24) yield {
+      val v = Array.fill(dim)(0.0f)
+      v(i) = 10.0f
+      v(16 + (m % 16)) = 1.0f
+      v(63) = (v(63) + 0.001f * m).toFloat
+      (i + 16L * m, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    // GOOD geometry: one centroid per planted cluster → every query's
+    // neighbors share its cell → recall 10⁶ at nprobe 1 (so the pinned
+    // operating point IS nprobe 1, floor 900000)
+    def oneHot(axis: Int, scale: Double): Seq[Double] =
+      Seq.tabulate(dim)(k => if (k == axis) scale else 0.0)
+    val good = Seq.tabulate(16)(i => oneHot(i, 10.0))
+    val base = java.nio.file.Files.createTempDirectory("ann-refresh").toString
+    val indexPath = s"$base/ivf"
+    val pinPath = s"$base/pin"
+    graft.sources.Sinks.parquet(
+      good.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid"), indexPath)
+    graft.sources.Sinks.parquet(
+      SimilarityQueries.operatingPointOf(SimilarityQueries.recallSweepOf(emb, good)),
+      pinPath)
+    val pinned = spark.read.parquet(pinPath).collect().head
+    pinned.getAs[Int]("nprobe") shouldBe 1
+    pinned.getAs[Long]("recall_ppm") shouldBe 1000000L
+
+    // DEGRADED candidate: centroids live on the NOISE axes (16..31), so
+    // cluster-mates scatter PERFECTLY evenly across all 16 cells (member m
+    // lands in cell m mod 16 by construction) — recall at the pinned
+    // nprobe=1 is 0: the canary must refuse and touch nothing
+    val degraded = Seq.tabulate(16)(j => oneHot(16 + j, 10.0))
+    val before = spark.read.parquet(indexPath).orderBy("cell").collect()
+      .map(_.getSeq[Double](1))
+    val err = intercept[IllegalStateException] {
+      SimilarityQueries.refreshAnnIndex(emb, degraded, indexPath, pinPath)
+    }
+    err.getMessage should include("REFUSED")
+    err.getMessage should include("nprobe=1")
+    spark.read.parquet(indexPath).orderBy("cell").collect()
+      .map(_.getSeq[Double](1)) shouldBe before // live index untouched
+    spark.read.parquet(pinPath).collect().head
+      .getAs[Long]("recall_ppm") shouldBe 1000000L // pin untouched
+    // refusal precedes any write: no staging directory is ever created
+    new java.io.File(indexPath + ".staging").exists() shouldBe false
+
+    // GOOD candidate (a retrain that shifted slightly but kept geometry):
+    // clears the floor → the artifact now holds the CANDIDATE centroids
+    // and the pin is re-emitted from the candidate's own sweep
+    val candidate = good.map(c => c.updated(62, 0.01))
+    val newPin = SimilarityQueries.refreshAnnIndex(emb, candidate, indexPath, pinPath)
+    newPin.getAs[Int]("nprobe") shouldBe 1
+    newPin.getAs[Long]("recall_ppm") shouldBe 1000000L
+    val swapped = spark.read.parquet(indexPath).orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toSeq)
+    swapped.toSeq shouldBe candidate
+    spark.read.parquet(pinPath).collect().head
+      .getAs[Long]("max_recall_ppm") shouldBe 1000000L
+  }
 }
