@@ -143,6 +143,93 @@ object DocStream {
     * under 3 tokens have an empty shingle set, so a rebound id between two
     * such degenerate texts is indistinguishable — their near-dup semantics
     * are equally degenerate. */
+  /** Streaming per-source token-QUOTA admission — the budget axis of live
+    * curation, completing what [[nearDupAdmission]] did for the dup axis
+    * (r15 verdict item 5): an unbounded document stream is admitted
+    * against the x128/x129-style per-source token budgets until each
+    * source's quota is spent, with the batch x53 cut rule applied to the
+    * concatenated stream order.
+    *
+    * Cut rule (EXACTLY x53's, so batch and stream agree on semantics): a
+    * doc is admitted iff the tokens consumed before it — prior epochs'
+    * admitted mass plus this batch's running prefix in (md5(doc_id),
+    * doc_id) order — is strictly under the source's quota; the crossing
+    * doc is admitted (overshoot-by-one), everything after is cut. Across
+    * batches the order is arrival order; within a batch it is the same
+    * content-independent hash order as batch x53, computed by the SAME
+    * `PrefixQuota.runningBefore` bucket-split pass (a micro-batch can be
+    * arbitrarily large — the per-source serialization hazard doesn't
+    * disappear because the input is a stream). A source with no quota row
+    * admits nothing (admission control: no budget, no entry).
+    *
+    * State is NOT a state store: the per-source consumed ledger is a
+    * durable epoch-partitioned artifact ([[EventStream.writeEpoch]] —
+    * sources-sized rows per epoch), and each batch reads the ledger AS OF
+    * the latest epoch strictly BEFORE itself. That read rule is what makes
+    * at-least-once replay deterministic: a replayed epoch recomputes from
+    * exactly the prior state the first attempt saw (its own half-committed
+    * rows are excluded by the `< epoch` filter) and dynamically overwrites
+    * its own partitions in both artifacts — the ledger and the admitted
+    * manifest converge instead of double-counting. Monoid argument as the
+    * datasheet twin: per-source consumed tokens only add. */
+  def quotaAdmission(docs: DataFrame, quotas: DataFrame, statePath: String,
+                     acceptedPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        quotaAdmitBatch(batch.toDF(), epoch, quotas, statePath, acceptedPath)
+      }
+      .start()
+
+  /** One [[quotaAdmission]] micro-batch, factored out so DocStreamSpec can
+    * re-deliver the SAME epoch (the at-least-once shape) and assert both
+    * artifacts converge. */
+  private[graft] def quotaAdmitBatch(b0: DataFrame, epoch: Long, quotas: DataFrame,
+                                     statePath: String, acceptedPath: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val s = b0.sparkSession
+    import s.implicits._
+    val b = b0.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    // Ledger AS OF the latest epoch strictly before this one (the replay
+    // rule). EAGER checkpoint: the ledger read must be fully cut out of
+    // every later lineage — the state write below dynamically overwrites
+    // the SAME path, and Spark refuses a plan that reads a path it is
+    // overwriting (and a lazy lineage surviving into that write is exactly
+    // the loaner hazard the x131 rank bug taught).
+    val statePathH = new org.apache.hadoop.fs.Path(statePath)
+    val fs = statePathH.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val prior = (
+      if (!fs.exists(statePathH)) Seq.empty[(String, Long)].toDF("source", "prior_tokens")
+      else s.read.parquet(statePath)
+        .filter(col("__epoch") < epoch)
+        .groupBy("source")
+        .agg(max(struct(col("__epoch"), col("consumed_tokens")))
+          .getField("consumed_tokens").as("prior_tokens"))
+      ).localCheckpoint(eager = true)
+    // inner join: a source with no quota row admits nothing, by contract
+    val rows = b.join(broadcast(quotas.select(col("source"), col("quota_tokens"))),
+        Seq("source"))
+      .join(broadcast(prior), Seq("source"), "left")
+      .na.fill(0L, Seq("prior_tokens"))
+    val admitted = graft.operators.PrefixQuota.runningBefore(
+        rows, "source",
+        orderKey = md5(col("doc_id").cast("string")), tie = col("doc_id"),
+        value = col("n_tok"))
+      .withColumn("offset_tokens", col("prior_tokens") + col("cum_before"))
+      .filter(col("offset_tokens") < col("quota_tokens"))
+      .select("doc_id", "source", "n_tok", "offset_tokens", "quota_tokens")
+      .localCheckpoint(eager = true) // both writes below read this pin
+    EventStream.writeEpoch(admitted, epoch, acceptedPath)
+    val newState = admitted.groupBy("source")
+      .agg(sum("n_tok").as("batch_tokens"))
+      .join(broadcast(prior), Seq("source"), "left")
+      .na.fill(0L, Seq("prior_tokens"))
+      .select(col("source"),
+        (col("prior_tokens") + col("batch_tokens")).as("consumed_tokens"))
+    EventStream.writeEpoch(newState, epoch, statePath)
+  }
+
   def nearDupAdmission(docs: DataFrame, indexPath: String, hitsPath: String,
                        checkpoint: String,
                        appendAccepted: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery =

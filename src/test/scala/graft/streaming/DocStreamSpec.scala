@@ -372,6 +372,84 @@ class DocStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     replayHits shouldBe Set((20L, 11L)) // same hits as the first attempt; no self-flag
   }
 
+  test("quotaAdmission: x53 cut rule over the concatenated stream; ledger state; same-epoch replay converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+
+    val base = java.nio.file.Files.createTempDirectory("quota-admit").toString
+    val statePath = s"$base/state"
+    val acceptedPath = s"$base/accepted"
+    def doc(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
+    val quotas = Seq(("a", 100L), ("b", 50L)).toDF("source", "quota_tokens")
+
+    // epoch 0 — md5 order within source a is 1, 2, 3 (c4ca… < c81e…? no:
+    // the test doesn't hand-assume; the driver-side replay below computes
+    // the order itself). Source c has NO quota row → admits nothing.
+    val b1 = Seq((1L, "a", doc(40)), (2L, "a", doc(40)), (3L, "a", doc(40)),
+      (4L, "b", doc(30)), (5L, "c", doc(10)))
+    // epoch 1 — a's quota is already overspent (crossing-doc overshoot),
+    // so its new doc is cut; b still has room for both arrivals
+    val b2 = Seq((6L, "a", doc(10)), (7L, "b", doc(15)), (8L, "b", doc(10)))
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = DocStream.quotaAdmission(
+      input.toDF.toDF("doc_id", "source", "text"), quotas,
+      statePath, acceptedPath, s"$base/ckpt")
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    // DRIVER-SIDE REPLAY of the cut rule on the concatenated stream: per
+    // source, per epoch, docs in (md5, id) order, admitted while the
+    // running total (across epochs) is under quota — crossing doc kept
+    def md5hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val quotaMap = Map("a" -> 100L, "b" -> 50L)
+    val consumed = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long, Long)]
+    Seq(0L -> b1, 1L -> b2).foreach { case (ep, batch) =>
+      batch.groupBy(_._2).toSeq.foreach { case (src, docs0) =>
+        quotaMap.get(src).foreach { quota =>
+          docs0.sortBy(d => (md5hex(d._1), d._1)).foreach { case (id, _, text) =>
+            val n = text.split("\\s+").length.toLong
+            if (consumed(src) < quota) {
+              expected += ((ep, id, src, n, consumed(src)))
+              consumed(src) += n
+            }
+          }
+        }
+      }
+    }
+    def readAccepted() = spark.read.parquet(acceptedPath).collect()
+      .map(r => (r.getAs[Number]("__epoch").longValue, r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("offset_tokens"))).sortBy(t => (t._1, t._2)).toSeq
+    readAccepted() shouldBe expected.sortBy(t => (t._1, t._2)).toSeq
+    // the cut really bit both ways: a's epoch-1 doc rejected, c never admitted
+    readAccepted().map(_._2) should not contain 6L
+    readAccepted().map(_._3) should not contain "c"
+    // the ledger holds the cumulative admitted mass per source
+    def latestState() = spark.read.parquet(statePath).collect()
+      .map(r => (r.getAs[Number]("__epoch").longValue, r.getAs[String]("source"),
+        r.getAs[Long]("consumed_tokens")))
+      .groupBy(_._2).view.mapValues(_.maxBy(_._1)._3).toMap
+    latestState() shouldBe consumed.toMap
+    // bounded state by construction: per epoch, at most one row per source
+    spark.read.parquet(statePath).collect()
+      .map(r => (r.getAs[Number]("__epoch").longValue, r.getAs[String]("source")))
+      .groupBy(identity).values.foreach(_.length shouldBe 1)
+
+    // SAME-EPOCH REPLAY (foreachBatch is at-least-once): re-deliver epoch 1
+    // through the factored batch body — the prior-ledger read excludes the
+    // replayed epoch's own half-committed rows, so both artifacts converge
+    val before = (readAccepted(), latestState())
+    DocStream.quotaAdmitBatch(
+      b2.toDF("doc_id", "source", "text"), 1L, quotas, statePath, acceptedPath)
+    (readAccepted(), latestState()) shouldBe before
+  }
+
   test("nearDupAdmission fails fast when an indexed doc_id arrives rebound to different text") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
