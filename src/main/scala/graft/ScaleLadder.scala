@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The >sf0.1 measured point the r10 verdict asked for: synthesize an N×
@@ -15,11 +15,22 @@ import org.apache.spark.sql.functions._
   * manufactured across copies:
   *   - ids shift by k·10⁷ (disjoint ranges; group COUNTS scale ×N while
   *     per-group sizes stay constant — the realistic growth axis);
-  *   - document tokens are salted per copy (`w → w_k`), so copy k's
-  *     vocabulary is disjoint from copy j's and NO cross-copy near-dups
-  *     exist: dup/shingle/cluster mass scales exactly ×N (appending copies
-  *     verbatim would instead make every doc a 10-clique of exact dups and
-  *     quadratically inflate the dedup families); n_chars recomputed;
+  *   - document tokens are salted per copy by a SEEDED ALPHABET
+  *     PERMUTATION (`translate` under a Fisher-Yates shuffle keyed by k;
+  *     copy 0 is verbatim; the stop words `the`/`a` are exempt), so copy
+  *     k's vocabulary is disjoint from copy j's (sporadic single-token
+  *     image collisions are possible for short words, but a cross-copy
+  *     near-dup needs 3-token SHINGLE collisions — cubically rarer — so
+  *     dup/shingle/cluster mass still scales ×N, never quadratically).
+  *     Length-preserving and stopword-preserving BY DESIGN (r16): the old
+  *     `w → w_k` suffix salt grew every token by 2+ chars and destroyed
+  *     the stop words, so every salted doc failed x64's composite gate
+  *     (mean_wlen ∈ [4,5], ≥2 stop hits) and gate-FILTERING queries
+  *     (x134) measured an empty pipeline at N× — rows_Nx was 0. Under the
+  *     permutation, per-copy gate verdicts, token lengths, and bigram
+  *     structure are the base corpus's (bijective token map), so both the
+  *     dedup families and the gate-filtering families scale honestly;
+  *     n_chars recomputed (now a no-op, kept for safety);
   *   - embeddings perturb by +k/1000 per dimension (distinct vectors, same
   *     geometry per copy; x68 encodes against the committed PqPinned
   *     codebooks as it would any drifted corpus — timing is what matters
@@ -34,22 +45,55 @@ object ScaleLadder {
 
   /** The most expensive registry rows per BENCH_r10 (verdict item 4), plus
     * the later additions that joined that tier (x104's dup-chain rollup,
-    * x108's keep-best manifest). */
+    * x108's keep-best manifest; r16: the flop-bound ANN paths x12/x13 —
+    * the only expensive family without standing calm-baseline rungs, which
+    * is why their r15 driver-run spike was unadjudicable from repo records
+    * alone — and x134's release→pack bridge). */
   val hotQueries: Seq[String] = Seq(
     "x50_deciles", "x34_profile_orders", "x03_dedup_minhash",
     "x48_ev_resample_ffill", "q10_median", "x61_substring_cut",
+    "x12_sim_brute_topk", "x13_sim_lsh_topk",
     "x68_pq_topk", "x26_dedup_clusters", "x58_dup_source_matrix",
     "x59_release_manifest", "x104_shard_dup_rate",
     "x108_release_manifest_keep_best", "x116_curation_funnel",
     "x118_shard_balance", "x119_cluster_size_hist",
     "x121_epoch_order", "x122_epoch_mix_audit",
-    "x126_ann_recall_sweep", "x127_ann_operating_point")
+    "x126_ann_recall_sweep", "x127_ann_operating_point",
+    "x134_release_pack_bridge")
 
   private val Shift = 10000000L // id stride between copies (disjoint ranges)
 
   /** N distribution-preserving copies: per-copy transform then union-all. */
   private def copies(n: Int)(mk: Int => DataFrame): DataFrame =
     (0 until n).map(mk).reduce(_ unionAll _)
+
+  private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Copy k's alphabet permutation (identity for copy 0): seeded
+    * Fisher-Yates, so every copy gets a distinct bijective token map and
+    * the copy count is unbounded (a rot-k cipher would cycle at 26 copies
+    * and re-create cross-copy exact dups). */
+  private[graft] def permFor(k: Int): String =
+    if (k == 0) Alphabet
+    else {
+      val arr = Alphabet.toCharArray
+      val rnd = new scala.util.Random(0x5eed0000L + k)
+      var i = arr.length - 1
+      while (i >= 1) {
+        val j = rnd.nextInt(i + 1)
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+        i -= 1
+      }
+      new String(arr)
+    }
+
+  /** The per-copy text salt: stopword-exempt alphabet permutation (see
+    * class doc — gate verdicts, token lengths, and shingle structure are
+    * preserved per copy; vocabularies are copy-disjoint). */
+  private def saltText(k: Int): Column = array_join(
+    transform(split(col("text"), " "),
+      t => when(t === "the" || t === "a", t)
+        .otherwise(translate(t, Alphabet, permFor(k)))), " ")
 
   def synthesize(spark: SparkSession, base: String, out: String, n: Int): Unit = {
     val dir = new java.io.File(out)
@@ -67,7 +111,7 @@ object ScaleLadder {
     write(copies(n) { k =>
       docs
         .withColumn("doc_id", col("doc_id") + k * Shift)
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1_" + k))
+        .withColumn("text", saltText(k))
         .withColumn("n_chars", length(col("text")))
     }, "documents")
 
