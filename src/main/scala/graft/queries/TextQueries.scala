@@ -861,21 +861,33 @@ object TextQueries {
   }
 
   /** x62's body over any (doc_id, text) frame — x66 composes it. */
-  def lmScoreOf(dd: DataFrame): DataFrame = {
+  def lmScoreOf(dd: DataFrame): DataFrame =
+    lmScoreCore(dd, Nil)
+      .select(col("doc_id"), col("n_trans"),
+        (col("sum_f").cast("double") / col("n_trans") / lit(1e6)).as("lm_score"))
+
+  /** The doc-level integer core of x62 over any (doc_id[, carry...], text)
+    * frame: (doc_id, carry..., n_trans, sum_f), where f is the floor-ppm
+    * bigram transition probability. `carry` columns ride the bigram rows
+    * (a small fixed payload per exploded row, zero extra exchanges); the
+    * alternative — re-attaching them by a doc-keyed join after the
+    * rollup — would cost a second corpus-wide shuffle. x62 consumes it
+    * with carry = ∅ (its lm_score double is the same sum_f/n_trans/1e6
+    * arithmetic as before the factoring); x135 carries lang. */
+  private def lmScoreCore(dd: DataFrame, carry: Seq[String]): DataFrame = {
     val bg = dd
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id") +: carry.map(col) :+ split(col("text"), " ").as("toks"): _*)
       .filter(size(col("toks")) >= 2) // DuckDB range(2,2) is empty; Spark sequence(2,1) would DESCEND
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS w1, toks[i-1] AS w2))")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col("doc_id") +: carry.map(col) :+ explode(expr(
+        "transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS w1, toks[i-1] AS w2))")).as("b"): _*)
+      .select(col("doc_id") +: carry.map(col) :+ col("b.w1").as("w1") :+ col("b.w2").as("w2"): _*)
     val cpair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val cctx = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     bg.join(cpair, Seq("w1", "w2"))
       .join(broadcast(cctx), Seq("w1"))
       .withColumn("f", floor(col("c2").cast("double") / col("c1") * 1e6))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_trans"),
-        (sum("f").cast("double") / count(lit(1)) / lit(1e6)).as("lm_score"))
+      .groupBy("doc_id", carry: _*)
+      .agg(count(lit(1)).as("n_trans"), sum("f").as("sum_f"))
   }
 
   /** x63: BPE first-merge pair counts — the tokenizer-induction step: count
@@ -4121,6 +4133,93 @@ object TextQueries {
       .orderBy("source", "pack_id")
   }
 
+  /** x135: perplexity-BUCKET datasheet — the CCNet split: per LANGUAGE,
+    * cut the corpus into head/middle/tail tertiles of the x62 LM score
+    * (head = the most-predictable third under the corpus bigram model —
+    * the slice CCNet keeps outright; tail = the third a recipe drops or
+    * routes to extra filtering) and report each bucket's mass. The knob
+    * x64's fixed gate cannot express: a QUANTILE cut adapts per language,
+    * so a low-resource language keeps its best third instead of being
+    * starved by a global threshold.
+    *
+    * Exactness: bucketing runs on the INTEGER score_ppm = sum_f div
+    * n_trans (BIGINT floor division on both engines — x62's double
+    * lm_score never participates), and the tertile thresholds are
+    * value-based crossovers over per-(lang, score) COUNTS: t_k = min score
+    * with 3·cum ≥ k·total. Ties at a threshold go to the lower bucket in
+    * both engines (x50's rule); a degenerate language (t1 = t2) simply has
+    * an empty middle.
+    *
+    * Scale shape: x62's bigram chain (its exchanges, unchanged) → the
+    * (lang, score_ppm) count table, which is BOUNDED BY CONSTRUCTION at
+    * ≤ |langs| × 1e6+1 rows at ANY corpus size (score_ppm ∈ [0, 1e6] by
+    * definition of f) — so the threshold window runs on a bounded table,
+    * the thresholds broadcast back, and the rollup is ≤ |langs|×3 rows.
+    * No corpus-wide sort anywhere (the failure mode of rank-based
+    * tertiles, which need a per-lang global order over every doc). */
+  val pplBuckets = sql(
+    "x135_ppl_buckets",
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |bgk AS (SELECT doc_id, lang, unnest(range(2, len(toks)+1)) AS i, toks FROM t),
+      |bg AS (SELECT doc_id, lang, toks[i-1] AS w1, toks[i] AS w2 FROM bgk),
+      |cpair AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+      |cctx AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+      |px AS (SELECT bg.doc_id, bg.lang,
+      |    CAST(FLOOR(CAST(c2 AS DOUBLE) / c1 * 1000000) AS BIGINT) AS f
+      |  FROM bg JOIN cpair USING (w1, w2) JOIN cctx USING (w1)),
+      |doc AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_trans,
+      |    CAST(SUM(f) AS BIGINT) AS sum_f FROM px GROUP BY 1, 2),
+      |sco AS (SELECT doc_id, lang, n_trans, sum_f // n_trans AS score_ppm FROM doc),
+      |sc AS (SELECT lang, score_ppm, COUNT(*) AS n FROM sco GROUP BY 1, 2),
+      |cm AS (SELECT lang, score_ppm,
+      |    SUM(n) OVER (PARTITION BY lang ORDER BY score_ppm) AS cum,
+      |    SUM(n) OVER (PARTITION BY lang) AS tot FROM sc),
+      |th AS (SELECT lang, MIN(CASE WHEN cum*3 >= tot THEN score_ppm END) AS t1,
+      |    MIN(CASE WHEN cum*3 >= tot*2 THEN score_ppm END) AS t2 FROM cm GROUP BY lang),
+      |b AS (SELECT sco.lang,
+      |    CASE WHEN score_ppm <= t1 THEN 'tail'
+      |         WHEN score_ppm <= t2 THEN 'middle' ELSE 'head' END AS bucket,
+      |    n_trans, score_ppm
+      |  FROM sco JOIN th USING (lang))
+      |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_trans) AS BIGINT) AS n_trans,
+      |  CAST(MIN(score_ppm) AS BIGINT) AS min_ppm,
+      |  CAST(MAX(score_ppm) AS BIGINT) AS max_ppm,
+      |  ROUND(CAST(SUM(score_ppm) AS DOUBLE) / COUNT(*), 6) AS mean_ppm
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    pplBucketsOf(docs(s, d)).orderBy("lang", "bucket")
+  }
+
+  /** x135's engine over any (doc_id, lang, text) frame (factored so the
+    * edge spec can hand-build boundary-tie and empty-middle cases). */
+  def pplBucketsOf(dd: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sco = lmScoreCore(dd, Seq("lang"))
+      .withColumn("score_ppm", expr("sum_f div n_trans"))
+      .localCheckpoint(eager = false) // two consumers (threshold table +
+    // bucket rollup) — without the pin the whole bigram chain runs twice
+    val cum = Window.partitionBy("lang").orderBy("score_ppm")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("lang")
+    val th = sco.groupBy("lang", "score_ppm").agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum("n").over(cum))
+      .withColumn("tot", sum("n").over(whole))
+      .groupBy("lang")
+      .agg(min(when(col("cum") * 3 >= col("tot"), col("score_ppm"))).as("t1"),
+        min(when(col("cum") * 3 >= col("tot") * 2, col("score_ppm"))).as("t2"))
+    sco.join(broadcast(th), Seq("lang"))
+      .withColumn("bucket",
+        when(col("score_ppm") <= col("t1"), "tail")
+          .when(col("score_ppm") <= col("t2"), "middle")
+          .otherwise("head"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_trans").as("n_trans"),
+        min("score_ppm").as("min_ppm"),
+        max("score_ppm").as("max_ppm"),
+        round(sum("score_ppm").cast("double") / count(lit(1)), 6).as("mean_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -4138,5 +4237,5 @@ object TextQueries {
     shardBalance, clusterSizeHist, packAssemble, epochOrder, epochMixAudit,
     bpeFertility, packAppend, packDecontaminate, mixtureTemperature,
     mixtureGated, packQuality, scoreAuc, tokenSpectrum, dedupThresholdCurve,
-    releasePackBridge)
+    releasePackBridge, pplBuckets)
 }

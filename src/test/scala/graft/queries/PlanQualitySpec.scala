@@ -811,6 +811,25 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "SortMergeJoin"
   }
 
+  test("x135: thresholds attach broadcast; the bigram chain is computed once") {
+    // registry: x135_ppl_buckets
+    val plan = planOf(TextQueries.pplBuckets)
+    // the integer-score table is checkpointed for its two consumers
+    // (threshold window + bucket rollup): the final plan reads ONLY the
+    // checkpoint — the x62 bigram chain can never run twice
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 0
+    plan should include("ExistingRDD")
+    // per-lang tertile thresholds come back as a BROADCAST attach (a
+    // langs-sized table); the lang window runs on the BOUNDED
+    // (lang, score_ppm) count table, never on doc rows
+    plan should include("BroadcastHashJoin")
+    plan should include("windowspecdefinition(lang")
+    // one rangepartitioning only — the output sort; a rank-based tertile
+    // would need a second (per-lang global order over every doc)
+    "rangepartitioning".r.findAllIn(plan).size shouldBe 1
+    plan should not include "CartesianProduct"
+  }
+
   test("x133: pairs are verified once — every tau rung reads the checkpointed pair set") {
     // registry: x133_dedup_threshold_curve
     val plan = planOf(TextQueries.dedupThresholdCurve)

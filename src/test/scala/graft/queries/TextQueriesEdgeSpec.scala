@@ -760,4 +760,63 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // non-degenerate: real distances, not all-zero or all-max
     out.values.map(_._1).toSet.size should be > 1
   }
+
+  test("x135 ppl buckets: tertile crossovers, boundary ties stay together, empty bucket survives") {
+    // registry: x135_ppl_buckets
+    import spark.implicits._
+    // lang zz: 4 copies of a text whose (c,·) context is diluted by the
+    // other group, 2 copies of a rarer continuation — the 4-way score tie
+    // must land in ONE bucket and one bucket must come out empty
+    val zz = (1L to 4L).map(i => (i, "zz", "c a a c a")) ++
+      (5L to 6L).map(i => (i, "zz", "c b"))
+    // lang aa: 9 docs with strictly increasing scores (repetition ladder)
+    // → clean 3/3/3 tertiles
+    val aa = (10L to 18L).map { i =>
+      val rep = (i - 9).toInt
+      (i, "aa", (("m n " * rep) + s"t$i s$i").trim)
+    }
+    val dd = (zz ++ aa).toDF("doc_id", "lang", "text")
+    val got = TextQueries.pplBucketsOf(dd).orderBy("lang", "bucket").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+
+    // independent driver replay of the whole rule from the raw texts:
+    // corpus bigram model → floor-ppm f → integer score → value-crossover
+    // tertile thresholds → bucket rollup
+    val raw = (zz ++ aa)
+    val bigrams = raw.flatMap { case (id, lang, t) =>
+      t.split(" ").toSeq.sliding(2).filter(_.length == 2)
+        .map(p => (id, lang, p.head, p(1))).toSeq
+    }
+    val c2 = bigrams.groupBy(b => (b._3, b._4)).view.mapValues(_.size).toMap
+    val c1 = bigrams.groupBy(_._3).view.mapValues(_.size).toMap
+    val sco = bigrams.groupBy(b => (b._1, b._2)).map { case ((id, lang), bs) =>
+      val fs = bs.map(b => math.floor(c2((b._3, b._4)).toDouble / c1(b._3) * 1e6).toLong)
+      (id, lang, bs.size.toLong, fs.sum / bs.size) // sum_f div n_trans
+    }.toSeq
+    val expected = sco.groupBy(_._2).flatMap { case (lang, ds) =>
+      val byScore = ds.groupBy(_._4).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val tot = ds.size.toLong
+      val cums = byScore.scanLeft(0L)(_ + _._2).tail
+      val t1 = byScore.zip(cums).collectFirst { case ((s0, _), c) if c * 3 >= tot => s0 }.get
+      val t2 = byScore.zip(cums).collectFirst { case ((s0, _), c) if c * 3 >= 2L * tot => s0 }.get
+      ds.groupBy(d => if (d._4 <= t1) "tail" else if (d._4 <= t2) "middle" else "head")
+        .map { case (b, xs) =>
+          (lang, b, xs.size.toLong, xs.map(_._3).sum, xs.map(_._4).min, xs.map(_._4).max,
+            xs.map(_._4).sum.toDouble / xs.size)
+        }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    got.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)).toSeq shouldBe
+      expected.map(t => (t._1, t._2, t._3, t._4, t._5, t._6))
+    got.map(_._7).zip(expected.map(_._7)).foreach { case (g, e) =>
+      g shouldBe (e +- 1e-6)
+    }
+    // the engineered shapes actually happened: aa is a clean 3/3/3 split;
+    // zz has exactly two buckets with the 4-way tie together in one
+    got.filter(_._1 == "aa").map(t => (t._2, t._3)).toSet shouldBe
+      Set(("head", 3L), ("middle", 3L), ("tail", 3L))
+    val zzBuckets = got.filter(_._1 == "zz").map(t => (t._2, t._3)).toSet
+    zzBuckets should have size 2
+    zzBuckets.map(_._2) shouldBe Set(2L, 4L)
+  }
 }
