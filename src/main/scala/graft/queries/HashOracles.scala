@@ -935,4 +935,39 @@ SELECT source, pack_id, quota_tokens,
   CAST(SUM(span_len) AS BIGINT) AS n_tokens
 FROM sp GROUP BY source, pack_id, quota_tokens ORDER BY source, pack_id"""
   }
+
+  /** x136: contamination HALO — x35's 5-gram benchmark hits expanded
+    * through the near-dup closure. The minhash+CC chain runs over the
+    * TRAIN side only (a test doc must never glue two train clusters, and
+    * a train doc exact-dup'd by a TEST doc must still keep a train-side
+    * rep — the reason this cannot reuse the full-corpus chain's collapsed
+    * reps). Seeds are x35's per-train-doc hit rollup; the purge set is
+    * every train doc whose cluster contains a seed. */
+  val contaminationHalo: String = {
+    val trainBase = "SELECT doc_id, text FROM documents " +
+      "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'"
+    s"""${minhashCtesOver(trainBase)},
+$ccCtes,
+erep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS e_rep FROM ($trainBase) tb),
+chain AS (SELECT e.doc_id, l.rep FROM erep e JOIN labels l ON l.doc_id = e.e_rep),
+dtk AS (SELECT doc_id,
+    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+         THEN 'train' ELSE 'test' END AS split,
+    string_split(text, ' ') AS tt FROM documents),
+dgr AS (SELECT DISTINCT doc_id, split, array_to_string(tt[i+1:i+5], ' ') AS g
+  FROM dtk, UNNEST(range(greatest(len(tt) - 4, 0))) AS u(i)),
+seeds AS (SELECT tr.doc_id AS train_id,
+    CAST(COUNT(DISTINCT te.doc_id) AS BIGINT) AS n_eval_docs,
+    CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM dgr tr JOIN dgr te ON tr.g = te.g
+  WHERE tr.split = 'train' AND te.split = 'test'
+  GROUP BY tr.doc_id),
+creps AS (SELECT DISTINCT c.rep FROM chain c JOIN seeds s ON s.train_id = c.doc_id)
+SELECT c.doc_id, c.rep,
+  CASE WHEN s.train_id IS NOT NULL THEN 'direct' ELSE 'halo' END AS reason,
+  CAST(COALESCE(s.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
+  CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared
+FROM chain c JOIN creps USING (rep) LEFT JOIN seeds s ON s.train_id = c.doc_id
+ORDER BY c.doc_id"""
+  }
 }

@@ -699,6 +699,17 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** DISTINCT (doc_id, g) 5-token grams over any (doc_id, text) frame —
+    * the ONE gram rule shared by x35, x136 and the streaming decon
+    * admission, so the overlap predicate can never drift between the
+    * batch audits and the live gate. */
+  private[graft] def fiveGramsOf(dd: DataFrame): DataFrame =
+    dd.withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 5) // Spark sequence(0, n) DESCENDS for n<0 — never let it
+      .withColumn("i", explode(sequence(lit(0), size(col("t")) - 5)))
+      .select(col("doc_id"), array_join(slice(col("t"), col("i") + 1, lit(5)), " ").as("g"))
+      .distinct()
+
   /** Benchmark decontamination: find train-split documents sharing at least
     * one 5-token n-gram with a test-split document (the GPT-3-style overlap
     * check every serious pretraining pipeline runs before training). Splits
@@ -727,15 +738,10 @@ object TextQueries {
       |FROM grams tr JOIN grams te ON tr.g = te.g
       |WHERE tr.split = 'train' AND te.split = 'test'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    val grams = docs(s, d)
-      .withColumn("t", split(col("text"), " "))
-      .filter(size(col("t")) >= 5) // Spark sequence(0, n) DESCENDS for n<0 — never let it
-      .withColumn("i", explode(sequence(lit(0), size(col("t")) - 5)))
-      .select(col("doc_id"),
+    val grams = fiveGramsOf(docs(s, d))
+      .withColumn("split",
         when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "d", "train")
-          .otherwise("test").as("split"),
-        array_join(slice(col("t"), col("i") + 1, lit(5)), " ").as("g"))
-      .distinct()
+          .otherwise("test"))
     val train = grams.filter(col("split") === "train").select(col("doc_id").as("train_id"), col("g"))
     val test = grams.filter(col("split") === "test").select(col("doc_id").as("test_id"), col("g"))
     train.join(broadcast(test), "g")
@@ -4220,6 +4226,64 @@ object TextQueries {
         round(sum("score_ppm").cast("double") / count(lit(1)), 6).as("mean_ppm"))
   }
 
+  /** x136: contamination HALO — the purge rule serious decontamination
+    * actually needs: x35 flags train docs sharing a 5-gram with the
+    * benchmark, but a NEAR-DUPLICATE of a flagged doc is just as
+    * contaminated even when its own copy of the gram was mutated away
+    * (paraphrase, truncation, boilerplate insertion) — exactly the rows a
+    * token-level check can never see. This query expands x35's hit set
+    * through the x26/x51 near-dup closure over the TRAIN side and emits
+    * the full purge list: every train doc in a cluster containing a hit,
+    * tagged 'direct' (its own grams match) or 'halo' (guilty by cluster),
+    * with the seed evidence counts.
+    *
+    * The closure runs over TRAIN docs only: a test doc must never glue two
+    * train clusters into one purge, and a train doc whose exact-dup rep
+    * would be a TEST doc (min-id collapse across the split) must keep a
+    * train-side rep — so the chain CANNOT reuse x51's full-corpus labels.
+    *
+    * Scale shape: seeds ride x35's plan (gram equi-join, benchmark side
+    * DISTINCT+broadcast — work ∝ true overlap); the closure is the x03
+    * band-bounded pair pass + hash-min CC, both proven to 1000×; the
+    * expansion is two broadcast joins (the contaminated-rep set and the
+    * seed rollup are both bounded by benchmark size, not corpus size).
+    * Purge-by-halo is the one dedup-decon INTERACTION in the pipeline:
+    * run it before survivor selection and the whole cluster dies; run
+    * plain x35 after x51 and a surviving near-dup ships the leak. */
+  val contaminationHalo = sql("x136_contamination_halo", HashOracles.contaminationHalo) { (s, d) =>
+    contaminationHaloOf(docs(s, d)).orderBy("doc_id")
+  }
+
+  /** x136's engine over any (doc_id, text) frame (factored so the spec can
+    * plant a guaranteed halo: a near-dup of a contaminated doc whose own
+    * benchmark gram is mutated away). */
+  def contaminationHaloOf(dd: DataFrame): DataFrame = {
+    val isTrain = substring(md5(col("doc_id").cast("string")), 1, 1) <= "d"
+    val grams = fiveGramsOf(dd).withColumn("split", when(isTrain, "train").otherwise("test"))
+    val trainG = grams.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("g"))
+    val testG = grams.filter(col("split") === "test")
+      .select(col("doc_id").as("test_id"), col("g"))
+    val seeds = trainG.join(broadcast(testG), "g")
+      .groupBy("train_id")
+      .agg(countDistinct("test_id").as("n_eval_docs"), count(lit(1)).as("n_shared"))
+      .localCheckpoint(eager = false) // two consumers: rep seeding + reason attach
+    val (_, labels) = sigsAndLabelsOf(dd.filter(isTrain))
+    val chain = docExactRep(dd.filter(isTrain))
+      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
+      .select("doc_id", "rep")
+      .localCheckpoint(eager = false) // two consumers: contaminated-rep set + purge expansion
+    val creps = chain
+      .join(broadcast(seeds), col("doc_id") === col("train_id"), "left_semi")
+      .select("rep").distinct()
+    chain.join(broadcast(creps), Seq("rep"))
+      .join(broadcast(seeds), col("doc_id") === col("train_id"), "left")
+      .select(col("doc_id"), col("rep"),
+        when(col("train_id").isNotNull, "direct").otherwise("halo").as("reason"),
+        coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -4237,5 +4301,5 @@ object TextQueries {
     shardBalance, clusterSizeHist, packAssemble, epochOrder, epochMixAudit,
     bpeFertility, packAppend, packDecontaminate, mixtureTemperature,
     mixtureGated, packQuality, scoreAuc, tokenSpectrum, dedupThresholdCurve,
-    releasePackBridge, pplBuckets)
+    releasePackBridge, pplBuckets, contaminationHalo)
 }

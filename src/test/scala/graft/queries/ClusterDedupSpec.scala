@@ -155,4 +155,40 @@ class ClusterDedupSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out.count { case (_, n, c, _) => c > 0 && c < n } should be > 0
     out.count(_._3 == 0L) should be > 300
   }
+
+  test("x136 halo: a near-dup of a contaminated doc is purged even with its gram mutated away") {
+    // registry: x136_contamination_halo
+    import spark.implicits._
+    def md5hex1(id: Long): Char = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
+    // pick ids on the required sides of the x31 md5 split
+    val trainIds = (1L to 500L).filter(md5hex1(_) <= 'd')
+    val testIds = (1L to 500L).filter(md5hex1(_) > 'd')
+    val Seq(idA, idB, idC, idD, idE) = trainIds.take(5).toSeq
+    val idT = testIds.head
+    // shared 60-token prefix → shingle Jaccard ≈ 0.85 between A and B:
+    // a verified near-dup pair. A carries the benchmark gram G; B carries
+    // a mutated gram H — B shares NO 5-gram with the benchmark.
+    val prefix = (1 to 60).map(i => s"p$i").mkString(" ")
+    val gramG = "g1 g2 g3 g4 g5"
+    val gramH = "h1 h2 h3 h4 h5"
+    val dd = Seq(
+      (idA, s"$prefix $gramG"), // direct: contains G
+      (idB, s"$prefix $gramH"), // halo: near-dup of A, gram mutated
+      (idD, s"$prefix $gramG"), // exact dup of A → direct on its own grams
+      (idE, s"$prefix $gramH"), // exact dup of B → halo via the e_rep chain
+      (idC, (1 to 40).map(i => s"z$i").mkString(" ")), // clean train doc
+      (idT, gramG)              // the benchmark doc
+    ).toDF("doc_id", "text")
+    val out = TextQueries.contaminationHaloOf(dd)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val rep = Seq(idA, idB, idD, idE).min // one cluster labeled by its min id
+    out.keySet shouldBe Set(idA, idB, idD, idE) // clean + test docs absent
+    out(idA) shouldBe ((rep, "direct", 1L, 1L))
+    out(idD) shouldBe ((rep, "direct", 1L, 1L))
+    out(idB) shouldBe ((rep, "halo", 0L, 0L))
+    out(idE) shouldBe ((rep, "halo", 0L, 0L))
+  }
 }

@@ -830,6 +830,21 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "CartesianProduct"
   }
 
+  test("x136: purge expansion is broadcast-only; no exchange ever carries the text payload") {
+    // registry: x136_contamination_halo
+    val plan = planOf(TextQueries.contaminationHalo)
+    // the contaminated-rep set and the seed rollup attach as BROADCASTS
+    // (both bounded by benchmark size); the doc→rep chain is read from its
+    // checkpoint, so the closure never recomputes per consumer
+    plan should include("ExistingRDD")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    // document-sized strings must never key a shuffle (the x51 stance):
+    // exact collapse shuffles on the 16-byte (__h, __len) derived key
+    "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan)
+      .map(_.group(1)).filter(_.contains("text")).toSeq shouldBe empty
+  }
+
   test("x133: pairs are verified once — every tau rung reads the checkpointed pair set") {
     // registry: x133_dedup_threshold_curve
     val plan = planOf(TextQueries.dedupThresholdCurve)
