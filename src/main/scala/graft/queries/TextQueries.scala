@@ -4196,23 +4196,32 @@ object TextQueries {
     pplBucketsOf(docs(s, d)).orderBy("lang", "bucket")
   }
 
-  /** x135's engine over any (doc_id, lang, text) frame (factored so the
-    * edge spec can hand-build boundary-tie and empty-middle cases). */
-  def pplBucketsOf(dd: DataFrame): DataFrame = {
+  /** Per-language value-crossover tertile thresholds (lang, t1, t2) over
+    * any (lang, score_ppm, …) frame — x135's cut rule, shared verbatim by
+    * x137's anneal-eligibility so the two can never disagree about what
+    * "head quality" means. Runs on the BOUNDED (lang, score_ppm) count
+    * table (see x135's scale note). */
+  private def langTertileThresholds(sco: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sco = lmScoreCore(dd, Seq("lang"))
-      .withColumn("score_ppm", expr("sum_f div n_trans"))
-      .localCheckpoint(eager = false) // two consumers (threshold table +
-    // bucket rollup) — without the pin the whole bigram chain runs twice
     val cum = Window.partitionBy("lang").orderBy("score_ppm")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy("lang")
-    val th = sco.groupBy("lang", "score_ppm").agg(count(lit(1)).as("n"))
+    sco.groupBy("lang", "score_ppm").agg(count(lit(1)).as("n"))
       .withColumn("cum", sum("n").over(cum))
       .withColumn("tot", sum("n").over(whole))
       .groupBy("lang")
       .agg(min(when(col("cum") * 3 >= col("tot"), col("score_ppm"))).as("t1"),
         min(when(col("cum") * 3 >= col("tot") * 2, col("score_ppm"))).as("t2"))
+  }
+
+  /** x135's engine over any (doc_id, lang, text) frame (factored so the
+    * edge spec can hand-build boundary-tie and empty-middle cases). */
+  def pplBucketsOf(dd: DataFrame): DataFrame = {
+    val sco = lmScoreCore(dd, Seq("lang"))
+      .withColumn("score_ppm", expr("sum_f div n_trans"))
+      .localCheckpoint(eager = false) // two consumers (threshold table +
+    // bucket rollup) — without the pin the whole bigram chain runs twice
+    val th = langTertileThresholds(sco)
     sco.join(broadcast(th), Seq("lang"))
       .withColumn("bucket",
         when(col("score_ppm") <= col("t1"), "tail")
@@ -4284,6 +4293,149 @@ object TextQueries {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
   }
 
+  /** x137: two-phase ANNEAL schedule — the decay-phase data recipe modern
+    * pretraining runs actually ship: 90% of the token budget is the x129
+    * gated-√-flattened mixture (the "main" phase), and the final 10% (the
+    * "anneal"/midtraining tail, where the LR decays) is drawn ONLY from
+    * gate-passing docs in the HEAD perplexity tertile of their language
+    * (x135's cut), weighted by straight supply — at that point you spend
+    * budget on the best material you have, not on coverage.
+    *
+    * The datasheet answers the question that decides whether the recipe is
+    * even runnable: does the quality pool COVER the anneal demand?
+    * repeat_ppm = quota·10⁶ div supply is the per-(phase, source) epoch
+    * count in ppm — a row above 1 000 000 means that source's anneal slice
+    * repeats (the data-constrained regime), the number a recipe review
+    * reads first.
+    *
+    * Exactness: main-phase quotas are x129's arithmetic verbatim (floor of
+    * a √-share of 9·10⁸; Σ√ summed array-sorted on both engines); anneal
+    * quotas and repeat_ppm are PURE BIGINT (quota = 10⁸·supply div Σ,
+    * repeat = quota·10⁶ div supply — products ≤ 10⁸·mass stay far under
+    * 2⁶³ at tested scale; at true 100 TB masses the multiply moves to a
+    * wider type on both engines). Zero-supply branches pinned to 0 (never
+    * NULL/NaN, never a divide-by-zero — DuckDB `//` by zero errors).
+    *
+    * Plan/scale: ONE flags scan (x64's row-local gate + the x112 mass
+    * convention) feeding a |sources|-row aggregate; the x62 bigram chain
+    * (its exchanges, unchanged) carrying (lang, source, n_tok, pass)
+    * through the rollup — the carry is what keeps anneal eligibility from
+    * costing a doc-keyed corpus join; x135's thresholds broadcast; every
+    * table after the two corpus passes is |sources|-sized. */
+  val annealSchedule = sql(
+    "x137_anneal_schedule",
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |bgk AS (SELECT doc_id, lang, unnest(range(2, len(toks)+1)) AS i, toks FROM t),
+      |bg AS (SELECT doc_id, lang, toks[i-1] AS w1, toks[i] AS w2 FROM bgk),
+      |cpair AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+      |cctx AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+      |px AS (SELECT bg.doc_id, bg.lang,
+      |    CAST(FLOOR(CAST(c2 AS DOUBLE) / c1 * 1000000) AS BIGINT) AS f
+      |  FROM bg JOIN cpair USING (w1, w2) JOIN cctx USING (w1)),
+      |doc AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_trans,
+      |    CAST(SUM(f) AS BIGINT) AS sum_f FROM px GROUP BY 1, 2),
+      |sco AS (SELECT doc_id, lang, n_trans, sum_f // n_trans AS score_ppm FROM doc),
+      |sc AS (SELECT lang, score_ppm, COUNT(*) AS n FROM sco GROUP BY 1, 2),
+      |cm AS (SELECT lang, score_ppm,
+      |    SUM(n) OVER (PARTITION BY lang ORDER BY score_ppm) AS cum,
+      |    SUM(n) OVER (PARTITION BY lang) AS tot FROM sc),
+      |th AS (SELECT lang, MIN(CASE WHEN cum*3 >= tot THEN score_ppm END) AS t1,
+      |    MIN(CASE WHEN cum*3 >= tot*2 THEN score_ppm END) AS t2 FROM cm GROUP BY lang),
+      |w AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |g AS (SELECT doc_id, source, n_tok, ${gatePassSql("toks")} AS pass FROM w),
+      |per AS (SELECT source,
+      |    CAST(SUM(CASE WHEN pass = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS gated
+      |  FROM g GROUP BY source),
+      |tt AS (SELECT list_sum(list_sort(list(sqrt(CAST(gated AS DOUBLE))))) AS sum_sqrt FROM per),
+      |el AS (SELECT g.source, g.n_tok
+      |  FROM g JOIN sco USING (doc_id) JOIN th ON th.lang = sco.lang
+      |  WHERE g.pass = 1 AND sco.score_ppm > th.t2),
+      |hs AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS head_mass FROM el GROUP BY source),
+      |ht AS (SELECT CAST(SUM(head_mass) AS BIGINT) AS total_head FROM hs),
+      |r0 AS (SELECT p.source, p.gated, COALESCE(h.head_mass, 0) AS head_mass,
+      |    t.sum_sqrt, q.total_head
+      |  FROM per p CROSS JOIN tt t CROSS JOIN ht q
+      |  LEFT JOIN hs h ON h.source = p.source),
+      |ph AS (
+      |  SELECT source, 'main' AS phase,
+      |    CASE WHEN gated = 0 THEN 0
+      |         ELSE CAST(FLOOR(900000000 * sqrt(CAST(gated AS DOUBLE)) / sum_sqrt) AS BIGINT)
+      |         END AS quota_tokens,
+      |    gated AS supply_tokens,
+      |    CASE WHEN gated = 0 THEN CAST(0.0 AS DOUBLE)
+      |         ELSE ROUND(sqrt(CAST(gated AS DOUBLE)) / sum_sqrt, 6) END AS weight
+      |  FROM r0
+      |  UNION ALL
+      |  SELECT source, 'anneal',
+      |    CASE WHEN total_head IS NULL OR total_head = 0 THEN 0
+      |         ELSE (100000000 * head_mass) // total_head END,
+      |    head_mass,
+      |    CASE WHEN total_head IS NULL OR total_head = 0 THEN CAST(0.0 AS DOUBLE)
+      |         ELSE ROUND(CAST(head_mass AS DOUBLE) / total_head, 6) END
+      |  FROM r0)
+      |SELECT source, phase,
+      |  CAST(quota_tokens AS BIGINT) AS quota_tokens,
+      |  CAST(supply_tokens AS BIGINT) AS supply_tokens,
+      |  CAST(CASE WHEN supply_tokens = 0 THEN 0
+      |       ELSE (quota_tokens * 1000000) // supply_tokens END AS BIGINT) AS repeat_ppm,
+      |  weight
+      |FROM ph ORDER BY source, phase""".stripMargin) { (s, d) =>
+    annealScheduleOf(docs(s, d)).orderBy("source", "phase")
+  }
+
+  /** x137's engine over any (doc_id, lang, source, text) frame. Budget
+    * B = 10⁹ (x129's convention), anneal A = B div 10, main M = B − A. */
+  def annealScheduleOf(dd: DataFrame): DataFrame = {
+    val B = 1000000000L
+    val A = B / 10
+    val M = B - A
+    val flags = qualityGateOf(
+      dd.withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long")),
+      keep = Seq("lang", "source", "n_tok", "text"))
+      .select("doc_id", "lang", "source", "n_tok", "text", "pass")
+    val per = flags.groupBy("source")
+      .agg(sum(when(col("pass") === 1, col("n_tok")).otherwise(0L)).as("gated"))
+      .localCheckpoint(eager = false) // two consumers: Σ√ total + output rows
+    val tot = per.agg(
+      aggregate(array_sort(collect_list(sqrt(col("gated").cast("double")))),
+        lit(0.0), (a, x) => a + x).as("sum_sqrt"))
+    val sco = lmScoreCore(flags, Seq("lang", "source", "n_tok", "pass"))
+      .withColumn("score_ppm", expr("sum_f div n_trans"))
+      .localCheckpoint(eager = false) // two consumers: thresholds + eligibility
+    val th = langTertileThresholds(sco)
+    val hs = sco.join(broadcast(th), Seq("lang"))
+      .filter(col("pass") === 1 && col("score_ppm") > col("t2"))
+      .groupBy("source").agg(sum("n_tok").as("head_mass"))
+    val ht = hs.agg(sum("head_mass").as("total_head"))
+    val sq = sqrt(col("gated").cast("double"))
+    val r0 = per.crossJoin(broadcast(tot))
+      .join(broadcast(hs), Seq("source"), "left")
+      .crossJoin(broadcast(ht))
+      .withColumn("head_mass", coalesce(col("head_mass"), lit(0L)))
+      .localCheckpoint(eager = false) // two consumers: the two phase rows
+    val main = r0.select(col("source"), lit("main").as("phase"),
+      when(col("gated") === 0, 0L)
+        .otherwise(floor(lit(M) * sq / col("sum_sqrt")).cast("long")).as("quota_tokens"),
+      col("gated").as("supply_tokens"),
+      when(col("gated") === 0, 0.0)
+        .otherwise(round(sq / col("sum_sqrt"), 6)).as("weight"))
+    val ann = r0.select(col("source"), lit("anneal").as("phase"),
+      when(col("total_head").isNull || col("total_head") === 0, 0L)
+        .otherwise(expr(s"CAST($A AS BIGINT) * head_mass div total_head"))
+        .as("quota_tokens"),
+      col("head_mass").as("supply_tokens"),
+      when(col("total_head").isNull || col("total_head") === 0, 0.0)
+        .otherwise(round(col("head_mass").cast("double") / col("total_head"), 6))
+        .as("weight"))
+    main.unionByName(ann)
+      .withColumn("repeat_ppm",
+        when(col("supply_tokens") === 0, 0L)
+          .otherwise(expr("quota_tokens * CAST(1000000 AS BIGINT) div supply_tokens")))
+      .select("source", "phase", "quota_tokens", "supply_tokens", "repeat_ppm", "weight")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -4301,5 +4453,5 @@ object TextQueries {
     shardBalance, clusterSizeHist, packAssemble, epochOrder, epochMixAudit,
     bpeFertility, packAppend, packDecontaminate, mixtureTemperature,
     mixtureGated, packQuality, scoreAuc, tokenSpectrum, dedupThresholdCurve,
-    releasePackBridge, pplBuckets, contaminationHalo)
+    releasePackBridge, pplBuckets, contaminationHalo, annealSchedule)
 }

@@ -845,6 +845,20 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
       .map(_.group(1)).filter(_.contains("text")).toSeq shouldBe empty
   }
 
+  test("x137: both phases read the one checkpointed |sources|-row table") {
+    // registry: x137_anneal_schedule
+    val plan = planOf(TextQueries.annealSchedule)
+    // the two corpus passes (flags scan, bigram chain) and every rollup
+    // live BEHIND the r0 checkpoint: the final plan is a union of two
+    // row-local projections over the pinned |sources|-row table — re-scan
+    // or re-join here would mean the schedule recomputes per phase
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 0
+    plan should include("ExistingRDD")
+    plan should include("Union")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("x133: pairs are verified once — every tau rung reads the checkpointed pair set") {
     // registry: x133_dedup_threshold_curve
     val plan = planOf(TextQueries.dedupThresholdCurve)

@@ -819,4 +819,81 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     zzBuckets should have size 2
     zzBuckets.map(_._2) shouldBe Set(2L, 4L)
   }
+
+  test("x137 anneal schedule ≡ a driver replay composed from the verified gate/score parts") {
+    // registry: x137_anneal_schedule
+    val sf = "/root/testdata/sf0.001"
+    val dd = graft.Tables.documents(spark, sf)
+    val got = TextQueries.annealSchedule.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+
+    // replay: per-doc gate flags (x64, oracle-trusted) + x112-convention
+    // mass, per-doc scores (x62, oracle-trusted), then the ENTIRE x137
+    // composition — tertile thresholds, supplies, quotas, repeats — in
+    // plain Scala
+    val meta = dd.collect().map { r =>
+      val id = r.getAs[Long]("doc_id")
+      (id, r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[String]("text").trim.split("\\s+").length.toLong)
+    }
+    val pass = TextQueries.qualityGateOf(dd).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("pass")).toMap
+    val scoreRows = TextQueries.lmScoreOf(dd.select("doc_id", "text")).collect()
+      .map { r =>
+        val n = r.getAs[Long]("n_trans")
+        // reconstruct the integer score: lm_score = (sum_f / n) / 1e6
+        // exactly, so sum_f = round(lm_score * n * 1e6) (integer-valued)
+        val sumF = math.round(r.getAs[Double]("lm_score") * n * 1e6)
+        r.getAs[Long]("doc_id") -> sumF / n
+      }.toMap
+    val byLang = meta.filter(m => scoreRows.contains(m._1)).groupBy(_._2)
+    val t2 = byLang.map { case (lang, ms) =>
+      val byScore = ms.map(m => scoreRows(m._1)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val tot = ms.size.toLong
+      val cums = byScore.scanLeft(0L)(_ + _._2).tail
+      lang -> byScore.zip(cums)
+        .collectFirst { case ((s0, _), c) if c * 3 >= 2L * tot => s0 }.get
+    }
+    val gatedBySrc = meta.groupBy(_._3).view.mapValues(
+      _.collect { case (id, _, _, n) if pass(id) == 1 => n }.sum).toMap
+    val headBySrc = meta.groupBy(_._3).view.mapValues(
+      _.collect { case (id, lang, _, n)
+        if pass(id) == 1 && scoreRows.get(id).exists(_ > t2(lang)) => n }.sum).toMap
+    val sumSqrt = gatedBySrc.values.map(g => math.sqrt(g.toDouble)).toSeq.sorted.sum
+    val totalHead = headBySrc.values.sum
+    def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = gatedBySrc.keys.flatMap { src =>
+      val g = gatedBySrc(src); val h = headBySrc(src)
+      val mq = if (g == 0) 0L else math.floor(9e8 * math.sqrt(g.toDouble) / sumSqrt).toLong
+      val aq = if (totalHead == 0) 0L else 100000000L * h / totalHead
+      Seq(
+        (src, "main") -> ((mq, g, if (g == 0) 0L else mq * 1000000L / g,
+          if (g == 0) 0.0 else r6(math.sqrt(g.toDouble) / sumSqrt))),
+        (src, "anneal") -> ((aq, h, if (h == 0) 0L else aq * 1000000L / h,
+          if (totalHead == 0) 0.0 else r6(h.toDouble / totalHead))))
+    }.toMap
+    got shouldBe expected
+    // non-vacuity on the shipped corpus: real head supply and real quotas
+    headBySrc.values.sum should be > 0L
+    got.values.map(_._1).count(_ > 0) should be > 10
+  }
+
+  test("x137 zero branches: a gate-dead source and an empty head pool stay 0, never NULL/NaN") {
+    import spark.implicits._
+    // every doc fails the gate (too short) → gated = 0, head pool empty
+    val dd = Seq(
+      (1L, "xx", "sA", "tiny doc one"),
+      (2L, "xx", "sB", "tiny doc two")
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = TextQueries.annealScheduleOf(dd).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    out.keySet shouldBe Set(("sA", "main"), ("sA", "anneal"), ("sB", "main"), ("sB", "anneal"))
+    out.values.foreach { case (q, s, rp, w) =>
+      q shouldBe 0L; s shouldBe 0L; rp shouldBe 0L; w shouldBe 0.0
+    }
+  }
 }
