@@ -710,6 +710,33 @@ object TextQueries {
       .select(col("doc_id"), array_join(slice(col("t"), col("i") + 1, lit(5)), " ").as("g"))
       .distinct()
 
+  /** The benchmark gram SET as a broadcast 1-row frame (`ev` string
+    * array) — the static artifact [[graft.streaming.DocStream.deconAdmission]]
+    * probes (the x103 merge-table posture: trained/extracted offline,
+    * broadcast online). Built with [[fiveGramsOf]] so the gram rule is
+    * x35's verbatim. */
+  def evalGramTable(dd: DataFrame): DataFrame =
+    broadcast(fiveGramsOf(dd).agg(collect_set(col("g")).as("ev")))
+
+  /** x35's gram rule as a row-local admission PROBE over any (doc_id,
+    * text) frame: each doc's DISTINCT 5-grams are intersected with the
+    * broadcast benchmark gram array; admitted ⇔ zero hits. No explode, no
+    * distinct, no per-doc rollup — the whole verdict is one codegen'd HOF
+    * per row, which is what lets the STREAMING twin run stateless in
+    * append mode (an exploded-gram join form would need two streaming
+    * aggregations). DocStreamSpec pins set-parity between this probe and
+    * the join form on the same rows, so the two gram-enumeration
+    * spellings cannot drift. */
+  def deconProbeOf(dd: DataFrame, evalGrams: DataFrame): DataFrame =
+    dd.crossJoin(evalGrams)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("gs", when(size(col("t")) < 5, expr("CAST(array() AS ARRAY<STRING>)"))
+        .otherwise(expr(
+          "array_distinct(transform(sequence(0, size(t) - 5), i -> array_join(slice(t, i + 1, 5), ' ')))")))
+      .withColumn("nh", size(array_intersect(col("gs"), col("ev"))))
+      .select(col("doc_id"), col("nh").cast("long").as("n_hits"),
+        (col("nh") === 0).as("admitted"))
+
   /** Benchmark decontamination: find train-split documents sharing at least
     * one 5-token n-gram with a test-split document (the GPT-3-style overlap
     * check every serious pretraining pipeline runs before training). Splits

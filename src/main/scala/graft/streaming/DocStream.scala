@@ -95,6 +95,24 @@ object DocStream {
   def fertilityUpdates(docs: DataFrame, merges: DataFrame): DataFrame =
     TextQueries.fertilityStatsOf(docs, merges)
 
+  /** Streaming DECONTAMINATION admission (x35's gram rule as a live gate —
+    * the third admission axis, after near-dup [[nearDupAdmission]] and
+    * budget [[quotaAdmission]]): each arriving doc's distinct 5-grams are
+    * intersected ROW-LOCALLY with the broadcast benchmark gram set
+    * ([[graft.queries.TextQueries.evalGramTable]], the trained-offline /
+    * broadcast-online artifact posture); admitted ⇔ zero hits. Emits
+    * (doc_id, n_hits, admitted) in append mode.
+    *
+    * Stateless BY CONSTRUCTION — the verdict is one codegen'd HOF per row
+    * (no explode, no distinct, no per-doc rollup: the join form x35 uses
+    * in batch would need two streaming aggregations), so there is no
+    * state store, replay is trivially idempotent, and the stream never
+    * shuffles. At 100 TB the gram array becomes hashed grams behind a
+    * Bloom/set broadcast; the plumbing (static broadcast side, row-local
+    * membership) is identical. */
+  def deconAdmission(docs: DataFrame, evalGrams: DataFrame): DataFrame =
+    TextQueries.deconProbeOf(docs, evalGrams)
+
   /** Streaming near-dup ADMISSION CONTROL — the ingest-time form of x37's
     * incremental probe, closing the durable-index lifecycle LIVE: each
     * arriving micro-batch probes the [[graft.queries.TextQueries.saveMinhashIndex]]

@@ -212,6 +212,53 @@ class DocStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
       org.apache.commons.codec.digest.DigestUtils.md5Hex("no pii here at all")
   }
 
+  test("streaming decon admission ≡ the x35 join form on the same rows (stateless twin)") {
+    import spark.implicits._
+    // benchmark: two docs → distinct eval grams incl. overlapping windows
+    val evalDocs = Seq(
+      (900L, "g1 g2 g3 g4 g5 g6"),
+      (901L, "q1 q2 q3 q4 q5")).toDF("doc_id", "text")
+    val ev = TextQueries.evalGramTable(evalDocs).cache()
+    ev.count()
+    val incoming: Seq[(Long, String)] = Seq(
+      (1L, "x g1 g2 g3 g4 g5 g6 y"), // two eval windows inside → 2 hits
+      (2L, "a perfectly clean document with many ordinary words inside"),
+      (3L, "too short"), // <5 tokens: no grams, must still be ADMITTED
+      (4L, "q1 q2 q3 q4 q5"), // verbatim benchmark doc → 1 hit
+      (5L, "g1 g2 g3 g4 g5 g1 g2 g3 g4 g5")) // repeated gram counts ONCE (distinct)
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF.toDF("doc_id", "text")
+    val q = DocStream.deconAdmission(docs, ev)
+      .writeStream.format("memory").queryName("deconstream").outputMode("append").start()
+    val streamed = try {
+      input.addData(incoming.take(3))
+      q.processAllAvailable()
+      input.addData(incoming.drop(3)) // second micro-batch, same artifact
+      q.processAllAvailable()
+      spark.table("deconstream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    } finally q.stop()
+
+    // the INDEPENDENT x35 join form on the same rows — a different gram
+    // enumeration spelling (explode+distinct+join) than the probe's
+    // row-local HOF, so the two can't share a bug
+    val evg = TextQueries.fiveGramsOf(evalDocs).select("g").distinct()
+    val hits = TextQueries.fiveGramsOf(incoming.toDF("doc_id", "text"))
+      .join(evg, "g").groupBy("doc_id").count()
+    val batch = incoming.toDF("doc_id", "text").select("doc_id")
+      .join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("count"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(1) == 0L)).sorted
+    streamed shouldBe batch
+    // the semantics, not just parity
+    val byId = streamed.map(t => t._1 -> ((t._2, t._3))).toMap
+    byId(1L) shouldBe ((2L, false))
+    byId(2L) shouldBe ((0L, true))
+    byId(3L) shouldBe ((0L, true)) // sub-gram-width doc admitted, not crashed
+    byId(4L) shouldBe ((1L, false))
+    byId(5L) shouldBe ((1L, false)) // distinct grams: the repeat is one hit
+  }
+
   test("streaming datasheet state-fold ≡ batch mergeable stats on the union (x113 twin)") {
     import spark.implicits._
     // two micro-batches that exercise the merge arms: an existing source
