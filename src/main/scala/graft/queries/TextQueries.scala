@@ -4412,6 +4412,77 @@ object TextQueries {
     annealScheduleOf(docs(s, d)).orderBy("source", "phase")
   }
 
+  /** x138: tokenizer VOCAB-MIGRATION audit — the datasheet a team reads
+    * before re-tokenizing a 100 TB corpus under a new vocabulary: encode
+    * every document under the OLD vocab (the first 2 learned merges) and
+    * the NEW one (all 3 — x99/x103's table) in the same pass, and report
+    * per source the token mass under each, the exact ppm saved, and how
+    * many documents change AT ALL (the re-encode is only worth the I/O
+    * where saved_ppm and churn say it is — and a source with zero churn
+    * can keep its old shards byte-identical).
+    *
+    * Exactness: both token counts are integers from the same native
+    * kernel; saved_ppm = (v1−v2)·10⁶ div v1 is pure BIGINT (v2 ≤ v1 by
+    * construction — a later merge can only shorten an encode).
+    *
+    * Plan/scale: x99's learning reuses the vocabulary-sized machinery
+    * (ONE bpeBests call builds BOTH merge tables — the old vocab is a
+    * PREFIX of the new one, exactly how production tokenizer versions
+    * relate); both tables broadcast as 1-row frames; the corpus is
+    * scanned ONCE with two codegen'd kernel calls per row; the only
+    * exchange after the scan is the |sources|-row partial-final rollup. */
+  val vocabMigration = sql(
+    "x138_vocab_migration",
+    s"""WITH RECURSIVE ${bpeOracleLearnSql(carryW = true)},
+       |${bpeOracleMergeCte(3, "w2", "b3", carryW = true)},
+       |v1 AS (SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS k1 FROM w2),
+       |v2 AS (SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS k2 FROM w3),
+       |dw AS (SELECT doc_id, source, ws, unnest(range(1, len(ws)+1)) AS pos
+       |  FROM (SELECT doc_id, source,
+       |          list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0) AS ws
+       |        FROM documents) q
+       |  WHERE len(ws) > 0),
+       |perdoc AS (SELECT d.doc_id, d.source,
+       |    CAST(SUM(v1.k1) AS BIGINT) AS t1, CAST(SUM(v2.k2) AS BIGINT) AS t2
+       |  FROM dw d JOIN v1 ON v1.w = d.ws[d.pos] JOIN v2 ON v2.w = d.ws[d.pos]
+       |  GROUP BY 1, 2)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(t1) AS BIGINT) AS tokens_v1,
+       |  CAST(SUM(t2) AS BIGINT) AS tokens_v2,
+       |  CAST(CASE WHEN SUM(t1) = 0 THEN 0
+       |       ELSE ((SUM(t1) - SUM(t2)) * 1000000) // SUM(t1) END AS BIGINT) AS saved_ppm,
+       |  CAST(SUM(CASE WHEN t1 <> t2 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_changed
+       |FROM perdoc GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val (b1, b2, b3) = bpeBests(s, d)
+    val mOld = broadcast(
+      b1.select(col("lhs").as("l1"), col("rhs").as("r1"))
+        .crossJoin(b2.select(col("lhs").as("l2"), col("rhs").as("r2")))
+        .select(concat_ws(" ", col("l1"), col("r1"), col("l2"), col("r2")).as("m_old")))
+    val mNew = broadcast(
+      b1.select(col("lhs").as("l1"), col("rhs").as("r1"))
+        .crossJoin(b2.select(col("lhs").as("l2"), col("rhs").as("r2")))
+        .crossJoin(b3.select(col("lhs").as("l3"), col("rhs").as("r3")))
+        .select(concat_ws(" ", col("l1"), col("r1"), col("l2"), col("r2"),
+          col("l3"), col("r3")).as("m_new")))
+    docs(s, d)
+      .crossJoin(mOld).crossJoin(mNew)
+      .select(col("source"),
+        size(expr("graft_bpe_tokens(text, m_old)")).cast("long").as("t1"),
+        size(expr("graft_bpe_tokens(text, m_new)")).cast("long").as("t2"))
+      .filter(col("t1") > 0) // a doc has >=1 token iff >=1 word (x103's rule)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("t1").as("tokens_v1"),
+        sum("t2").as("tokens_v2"),
+        sum(when(col("t1") =!= col("t2"), 1L).otherwise(0L)).as("n_docs_changed"))
+      .select(col("source"), col("n_docs"), col("tokens_v1"), col("tokens_v2"),
+        when(col("tokens_v1") === 0, 0L)
+          .otherwise(expr("(tokens_v1 - tokens_v2) * CAST(1000000 AS BIGINT) div tokens_v1"))
+          .as("saved_ppm"),
+        col("n_docs_changed"))
+      .orderBy("source")
+  }
+
   /** x137's engine over any (doc_id, lang, source, text) frame. Budget
     * B = 10⁹ (x129's convention), anneal A = B div 10, main M = B − A. */
   def annealScheduleOf(dd: DataFrame): DataFrame = {
@@ -4480,5 +4551,6 @@ object TextQueries {
     shardBalance, clusterSizeHist, packAssemble, epochOrder, epochMixAudit,
     bpeFertility, packAppend, packDecontaminate, mixtureTemperature,
     mixtureGated, packQuality, scoreAuc, tokenSpectrum, dedupThresholdCurve,
-    releasePackBridge, pplBuckets, contaminationHalo, annealSchedule)
+    releasePackBridge, pplBuckets, contaminationHalo, annealSchedule,
+    vocabMigration)
 }

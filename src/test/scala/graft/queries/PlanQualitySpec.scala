@@ -859,6 +859,22 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "CartesianProduct"
   }
 
+  test("x138: one corpus scan, two kernel calls; merge tables attach broadcast") {
+    // registry: x138_vocab_migration
+    val plan = planOf(TextQueries.vocabMigration)
+    // both vocab versions ride the SAME scan as row-local kernel calls —
+    // a second FileScan would mean the corpus is read per vocab version
+    "FileScan parquet".r.findAllIn(plan).map(_ => 1).sum +
+      "ExistingRDD".r.findAllIn(plan).map(_ => 1).sum should be >= 1
+    plan should include("graft_bpe_tokens")
+    plan should include("BroadcastNestedLoopJoin") // the two 1-row merge tables
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    // exactly one corpus-side FileScan of documents (the learning stages
+    // live behind the vocabulary-sized checkpoints)
+    "FileScan parquet [^\\n]*documents".r.findAllIn(plan).size should be <= 1
+  }
+
   test("x133: pairs are verified once — every tau rung reads the checkpointed pair set") {
     // registry: x133_dedup_threshold_curve
     val plan = planOf(TextQueries.dedupThresholdCurve)

@@ -881,6 +881,47 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     got.values.map(_._1).count(_ > 0) should be > 10
   }
 
+  test("x138 vocab migration ≡ composing the trusted x103 encode under both merge tables") {
+    // registry: x138_vocab_migration
+    val sf = "/root/testdata/sf0.001"
+    val got = TextQueries.vocabMigration.run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+
+    // replay: encode every doc under the NEW table with the oracle-trusted
+    // x103 transform, and under the OLD (2-merge prefix) table with the
+    // same transform, then re-derive the datasheet driver-side
+    val m3 = TextQueries.bpeMergeTable(spark, sf).cache()
+    m3.count()
+    val fullMerges = m3.collect().head.getString(0).split(" ")
+    fullMerges should have length 6 // 3 learned pairs
+    import spark.implicits._
+    val m2 = Seq(fullMerges.take(4).mkString(" ")).toDF("merges")
+    val dd = graft.Tables.documents(spark, sf)
+    def enc(m: org.apache.spark.sql.DataFrame) =
+      TextQueries.bpeEncodeDocs(dd.select("doc_id", "text"), m).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t1 = enc(m2); val t2 = enc(m3)
+    val srcOf = dd.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = t1.keys.toSeq.groupBy(srcOf).map { case (src, ids) =>
+      // ids MUST be a Seq here: mapping a key-SET through t1 would collapse
+      // equal token counts before the sum
+      val v1 = ids.map(t1).sum; val v2 = ids.map(t2).sum
+      src -> ((ids.size.toLong, v1, v2,
+        if (v1 == 0) 0L else (v1 - v2) * 1000000L / v1,
+        ids.count(id => t1(id) != t2(id)).toLong))
+    }
+    got shouldBe expected
+    // the migration is non-vacuous on the shipped corpus: the third merge
+    // really shortens encodes, and no source ever grows
+    got.values.map(_._5).sum should be > 0L
+    got.values.foreach { case (_, v1, v2, saved, _) =>
+      v2 should be <= v1
+      saved should be >= 0L
+    }
+  }
+
   test("x137 zero branches: a gate-dead source and an empty head pool stay 0, never NULL/NaN") {
     import spark.implicits._
     // every doc fails the gate (too short) → gated = 0, head pool empty
