@@ -4483,6 +4483,100 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** x139: ROBUST per-source quality datasheet — median / MAD / p10 / p90
+    * of the integer LM score. The mean-based datasheets (x57/x113) and the
+    * mean-anchored calibration (x66) are all outlier-sensitive; a source
+    * whose tail is a few pathological docs ranks wrong under a mean, and
+    * the number a curation review wants next to "mean quality" is the
+    * MEDIAN and the spread that ignores the tail (MAD). p10/p90 bound the
+    * gate's realistic operating range per source.
+    *
+    * Exactness: every statistic is a VALUE CROSSOVER over per-(source,
+    * score) integer counts — min score with k·cum ≥ m·n (x101's
+    * mass-median rule; no interpolation, no floats anywhere, ties resolve
+    * identically on both engines). MAD's second pass runs over the SAME
+    * bounded count table re-keyed by |score − median| — never a second
+    * corpus scan.
+    *
+    * Scale shape: x62's bigram chain → the (source, score_ppm) count
+    * table, bounded at ≤ |sources|·(1e6+1) rows at any corpus size
+    * (x135's argument); both crossover passes and the MAD re-key are
+    * windows/rollups on that bounded table; medians broadcast back onto
+    * it (never onto doc rows). */
+  val robustQuality = sql(
+    "x139_robust_quality",
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |bgk AS (SELECT doc_id, source, unnest(range(2, len(toks)+1)) AS i, toks FROM t),
+      |bg AS (SELECT doc_id, source, toks[i-1] AS w1, toks[i] AS w2 FROM bgk),
+      |cpair AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+      |cctx AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+      |px AS (SELECT bg.doc_id, bg.source,
+      |    CAST(FLOOR(CAST(c2 AS DOUBLE) / c1 * 1000000) AS BIGINT) AS f
+      |  FROM bg JOIN cpair USING (w1, w2) JOIN cctx USING (w1)),
+      |doc AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_trans,
+      |    CAST(SUM(f) AS BIGINT) AS sum_f FROM px GROUP BY 1, 2),
+      |sco AS (SELECT doc_id, source, sum_f // n_trans AS score_ppm FROM doc),
+      |sc AS (SELECT source, score_ppm, COUNT(*) AS n FROM sco GROUP BY 1, 2),
+      |cm AS (SELECT source, score_ppm,
+      |    SUM(n) OVER (PARTITION BY source ORDER BY score_ppm) AS cum,
+      |    SUM(n) OVER (PARTITION BY source) AS tot FROM sc),
+      |st AS (SELECT source, CAST(MIN(tot) AS BIGINT) AS n_docs,
+      |    MIN(CASE WHEN cum*10 >= tot THEN score_ppm END) AS p10,
+      |    MIN(CASE WHEN cum*2 >= tot THEN score_ppm END) AS med,
+      |    MIN(CASE WHEN cum*10 >= tot*9 THEN score_ppm END) AS p90
+      |  FROM cm GROUP BY source),
+      |dv AS (SELECT sc.source, abs(sc.score_ppm - st.med) AS dev, SUM(sc.n) AS n
+      |  FROM sc JOIN st USING (source) GROUP BY 1, 2),
+      |dm AS (SELECT source, dev,
+      |    SUM(n) OVER (PARTITION BY source ORDER BY dev) AS cum,
+      |    SUM(n) OVER (PARTITION BY source) AS tot FROM dv),
+      |mad AS (SELECT source, CAST(MIN(CASE WHEN cum*2 >= tot THEN dev END) AS BIGINT) AS mad
+      |  FROM dm GROUP BY source)
+      |SELECT st.source, st.n_docs,
+      |  CAST(st.p10 AS BIGINT) AS p10_ppm,
+      |  CAST(st.med AS BIGINT) AS median_ppm,
+      |  CAST(st.p90 AS BIGINT) AS p90_ppm,
+      |  mad.mad AS mad_ppm
+      |FROM st JOIN mad USING (source) ORDER BY st.source""".stripMargin) { (s, d) =>
+    robustQualityOf(docs(s, d)).orderBy("source")
+  }
+
+  /** x139's engine over any (doc_id, source, text) frame (factored so the
+    * edge spec can hand-build crossover-tie and skew cases). */
+  def robustQualityOf(dd: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = lmScoreCore(dd, Seq("source"))
+      .withColumn("score_ppm", expr("sum_f div n_trans"))
+      .groupBy("source", "score_ppm").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // two consumers: crossover stats + MAD re-key —
+    // without the pin the whole bigram chain runs twice
+    val cum = Window.partitionBy("source").orderBy("score_ppm")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("source")
+    val st = sc
+      .withColumn("cum", sum("n").over(cum))
+      .withColumn("tot", sum("n").over(whole))
+      .groupBy("source")
+      .agg(min("tot").as("n_docs"),
+        min(when(col("cum") * 10 >= col("tot"), col("score_ppm"))).as("p10"),
+        min(when(col("cum") * 2 >= col("tot"), col("score_ppm"))).as("med"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("score_ppm"))).as("p90"))
+      .localCheckpoint(eager = false) // two consumers: MAD attach + output
+    val dcum = Window.partitionBy("source").orderBy("dev")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = sc.join(broadcast(st.select("source", "med")), Seq("source"))
+      .withColumn("dev", abs(col("score_ppm") - col("med")))
+      .groupBy("source", "dev").agg(sum("n").as("n"))
+      .withColumn("cum", sum("n").over(dcum))
+      .withColumn("tot", sum("n").over(whole))
+      .groupBy("source")
+      .agg(min(when(col("cum") * 2 >= col("tot"), col("dev"))).as("mad_ppm"))
+    st.join(broadcast(mad), Seq("source"))
+      .select(col("source"), col("n_docs"),
+        col("p10").as("p10_ppm"), col("med").as("median_ppm"),
+        col("p90").as("p90_ppm"), col("mad_ppm"))
+  }
+
   /** x137's engine over any (doc_id, lang, source, text) frame. Budget
     * B = 10⁹ (x129's convention), anneal A = B div 10, main M = B − A. */
   def annealScheduleOf(dd: DataFrame): DataFrame = {
@@ -4552,5 +4646,5 @@ object TextQueries {
     bpeFertility, packAppend, packDecontaminate, mixtureTemperature,
     mixtureGated, packQuality, scoreAuc, tokenSpectrum, dedupThresholdCurve,
     releasePackBridge, pplBuckets, contaminationHalo, annealSchedule,
-    vocabMigration)
+    vocabMigration, robustQuality)
 }

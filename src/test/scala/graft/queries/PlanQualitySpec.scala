@@ -875,6 +875,19 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     "FileScan parquet [^\\n]*documents".r.findAllIn(plan).size should be <= 1
   }
 
+  test("x139: both crossover passes run on the checkpointed bounded count table") {
+    // registry: x139_robust_quality
+    val plan = planOf(TextQueries.robustQuality)
+    // the bigram chain lives behind the (source, score_ppm) count-table
+    // checkpoint; the stats pass, the MAD re-key, and the median attach
+    // all read that bounded table — no corpus re-scan, medians broadcast
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 0
+    plan should include("ExistingRDD")
+    plan should include("BroadcastHashJoin")
+    plan should include("windowspecdefinition(source")
+    plan should not include "CartesianProduct"
+  }
+
   test("x133: pairs are verified once — every tau rung reads the checkpointed pair set") {
     // registry: x133_dedup_threshold_curve
     val plan = planOf(TextQueries.dedupThresholdCurve)

@@ -922,6 +922,56 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("x139 robust quality: crossover order statistics ≡ a driver sort replay; MAD from the re-keyed table") {
+    // registry: x139_robust_quality
+    import spark.implicits._
+    // source sA: a heavy outlier that must move the MEAN but not the
+    // median/MAD; sB: an even-count tie straddling the median crossover
+    val mk = (id: Long, src: String, rep: Int, tag: String) =>
+      (id, src, (("m n " * rep) + s"t$tag s$tag").trim)
+    val dd = ((1L to 9L).map(i => mk(i, "sA", i.toInt, s"a$i")) ++
+      (11L to 14L).map(i => mk(i, "sB", if (i <= 12) 2 else 7, s"b$i"))).toDF("doc_id", "source", "text")
+    val got = TextQueries.robustQualityOf(dd).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+
+    // independent replay: bigram model → integer scores (the x135 spec's
+    // fold), then plain sorted-order crossovers in Scala
+    val raw = dd.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bigrams = raw.toSeq.flatMap { case (id, src, t) =>
+      t.split(" ").toSeq.sliding(2).filter(_.length == 2)
+        .map(p => (id, src, p.head, p(1))).toSeq
+    }
+    val c2 = bigrams.groupBy(b => (b._3, b._4)).view.mapValues(_.size).toMap
+    val c1 = bigrams.groupBy(_._3).view.mapValues(_.size).toMap
+    // .toSeq BEFORE the map: producing (src, score) PAIRS from a Map would
+    // re-key by src and collapse every source to one doc
+    val sco = bigrams.groupBy(b => (b._1, b._2)).toSeq.map { case ((_, src), bs) =>
+      val fs = bs.map(b => math.floor(c2((b._3, b._4)).toDouble / c1(b._3) * 1e6).toLong)
+      (src, fs.sum / bs.size)
+    }
+    def crossover(sorted: Seq[Long], mulCum: Long, mulTot: Long): Long = {
+      val n = sorted.size.toLong
+      sorted.zipWithIndex.collectFirst {
+        case (v, i) if (i + 1) * mulCum >= n * mulTot => v
+      }.get
+    }
+    val expected = sco.groupBy(_._1).map { case (src, xs) =>
+      val s = xs.map(_._2).sorted
+      val med = crossover(s, 2, 1)
+      val devs = s.map(v => math.abs(v - med)).sorted
+      (src, s.size.toLong, crossover(s, 10, 1), med, crossover(s, 10, 9),
+        crossover(devs, 2, 1))
+    }.toSeq.sortBy(_._1)
+    got.toSeq shouldBe expected
+    // the engineered shapes: sB's 2-2 tie puts the median on the LOWER
+    // value (crossover rule), and its MAD equals half the gap's magnitude
+    // distribution's lower median — recompute directly
+    val sB = sco.filter(_._1 == "sB").map(_._2).sorted
+    sB.toSet should have size 2 // two tied pairs
+    got.find(_._1 == "sB").get._4 shouldBe sB.head // median = lower tie value
+  }
+
   test("x137 zero branches: a gate-dead source and an empty head pool stay 0, never NULL/NaN") {
     import spark.implicits._
     // every doc fails the gate (too short) → gated = 0, head pool empty
