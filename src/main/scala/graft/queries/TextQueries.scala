@@ -4483,6 +4483,66 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** The x62 bigram LM as a durable ARTIFACT table (w1, w2, f) — the
+    * trained-offline model a live scorer probes (CCNet's posture: the
+    * reference LM is a build-time artifact, not something a stream can
+    * retrain). f is the same floor-ppm transition integer x62 computes
+    * inline. */
+  def lmModelOf(dd: DataFrame): DataFrame = {
+    val bg = dd
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS w1, toks[i-1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cpair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cctx = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    cpair.join(broadcast(cctx), Seq("w1"))
+      .select(col("w1"), col("w2"),
+        floor(col("c2").cast("double") / col("c1") * 1e6).as("f"))
+  }
+
+  /** x135's pinned tertile thresholds as a durable artifact (lang, t1,
+    * t2) — built from the same inline chain the oracle checks. */
+  def lmThresholdsOf(dd: DataFrame): DataFrame =
+    langTertileThresholds(
+      lmScoreCore(dd, Seq("lang")).withColumn("score_ppm", expr("sum_f div n_trans")))
+
+  /** Score any (doc_id, lang, text) frame against a PINNED model table
+    * (w1, w2, f): (doc_id, lang, n_trans, score_ppm). Transitions the
+    * model never saw score f = 0 (the harshest floor — deterministic on
+    * any engine, and exactly what happens to genuinely out-of-domain
+    * text under a fixed reference LM). When the model IS the frame's own
+    * [[lmModelOf]], this reproduces the inline x62/x135 scores exactly
+    * (TextQueriesEdgeSpec pins the identity) — the equivalence that lets
+    * the STREAMING census trust the artifact path. */
+  def scoreAgainstLmModel(dd: DataFrame, model: DataFrame): DataFrame =
+    dd.select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS w1, toks[i-1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(model, Seq("w1", "w2"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_trans"),
+        sum(coalesce(col("f"), lit(0L))).as("sum_f"))
+      .withColumn("score_ppm", expr("sum_f div n_trans"))
+
+  /** The (lang, bucket, n) census of a scored frame against PINNED
+    * thresholds — x135's bucket rule verbatim over artifact inputs; a
+    * pure mergeable monoid (≤ |langs|×3 groups), usable identically as a
+    * batch rollup and as per-epoch streaming output. Languages ABSENT
+    * from the pinned thresholds are dropped (a reference cut cannot
+    * bucket a language it never saw) — watch for novel languages via the
+    * datasheet twin's lang set, then retrain the reference. */
+  def qualityCensusOf(sco: DataFrame, thresholds: DataFrame): DataFrame =
+    sco.join(broadcast(thresholds), Seq("lang"))
+      .withColumn("bucket",
+        when(col("score_ppm") <= col("t1"), "tail")
+          .when(col("score_ppm") <= col("t2"), "middle")
+          .otherwise("head"))
+      .groupBy("lang", "bucket").agg(count(lit(1)).as("n"))
+
   /** x139: ROBUST per-source quality datasheet — median / MAD / p10 / p90
     * of the integer LM score. The mean-based datasheets (x57/x113) and the
     * mean-anchored calibration (x66) are all outlier-sensitive; a source

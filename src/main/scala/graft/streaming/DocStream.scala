@@ -113,6 +113,42 @@ object DocStream {
   def deconAdmission(docs: DataFrame, evalGrams: DataFrame): DataFrame =
     TextQueries.deconProbeOf(docs, evalGrams)
 
+  /** Streaming QUALITY census (x135's live form — the doc-axis sibling of
+    * EmbStream's cell census and EventStream's drift bins): each arriving
+    * micro-batch is scored against the PINNED bigram-LM artifact
+    * ([[graft.queries.TextQueries.lmModelOf]] — trained offline, the CCNet
+    * posture; a stream cannot retrain its own reference) and bucketed
+    * against the PINNED tertile thresholds
+    * ([[graft.queries.TextQueries.lmThresholdsOf]]), then the
+    * (epoch, lang, bucket, n) rows commit through the idempotent epoch
+    * sink. The live dashboard is a read-side rollup over epochs; a
+    * sustained shift of incoming mass out of `head` is the
+    * data-quality-regression alarm a curation deployment watches.
+    *
+    * Two chained aggregations (per-doc score, then the census) rule out
+    * a plain streaming aggregation — hence foreachBatch with batch
+    * semantics per epoch (the quotaAdmission pattern, minus state: the
+    * census needs none). Replay: a redelivered epoch recomputes the same
+    * rows against the same pinned artifacts and dynamically overwrites
+    * ONLY its own partition ([[EventStream.writeEpoch]]), so at-least-once
+    * delivery converges. Scale: the model join is the x62 shuffle shape
+    * per micro-batch; census state is ≤ |langs|×3 rows per epoch. */
+  def qualityCensus(docs: DataFrame, model: DataFrame, thresholds: DataFrame,
+      outPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        EventStream.writeEpoch(qualityCensusBatch(batch.toDF(), model, thresholds), epoch, outPath)
+      }
+      .start()
+
+  /** The factored per-epoch census body (batch ≡ stream by construction;
+    * the spec replays an epoch through it directly). */
+  private[graft] def qualityCensusBatch(batch: DataFrame, model: DataFrame,
+      thresholds: DataFrame): DataFrame =
+    TextQueries.qualityCensusOf(
+      TextQueries.scoreAgainstLmModel(batch, model), thresholds)
+
   /** Streaming near-dup ADMISSION CONTROL — the ingest-time form of x37's
     * incremental probe, closing the durable-index lifecycle LIVE: each
     * arriving micro-batch probes the [[graft.queries.TextQueries.saveMinhashIndex]]

@@ -259,6 +259,83 @@ class DocStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     byId(5L) shouldBe ((1L, false)) // distinct grams: the repeat is one hit
   }
 
+  test("streaming quality census vs pinned LM+thresholds (x135 live twin); replay idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("qcensus").toString
+    val out = s"$base/census"
+    // the pinned reference: model + tertile thresholds trained on the
+    // batch corpus (the CCNet posture — the stream never retrains)
+    val ref = graft.Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val model = TextQueries.lmModelOf(ref).cache(); model.count()
+    val th = TextQueries.lmThresholdsOf(ref).cache(); th.count()
+    val langs = th.collect().map(_.getString(0)).toSet
+
+    // the artifact path ≡ the inline oracle-checked path on the corpus
+    // itself: scoring the training corpus against its OWN model must
+    // reproduce x62's integer scores exactly
+    val fromArtifact = TextQueries.scoreAgainstLmModel(ref, model).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_ppm")).toMap
+    val inline = TextQueries.lmScoreOf(ref.select("doc_id", "text")).collect()
+      .map { r =>
+        val n = r.getAs[Long]("n_trans")
+        r.getAs[Long]("doc_id") -> math.round(r.getAs[Double]("lm_score") * n * 1e6) / n
+      }.toMap
+    fromArtifact shouldBe inline
+
+    // incoming stream: corpus-like docs (known langs, shifted ids), a doc
+    // of pure OOV transitions (scores 0 → tail), a lang the reference
+    // never saw (must be DROPPED, not crash)
+    val corpusDocs = ref.orderBy("doc_id").limit(4).collect()
+      .map(r => (r.getLong(0) + 700000L, r.getString(1), r.getString(2))).toSeq
+    val lang0 = langs.head
+    val incoming = corpusDocs ++ Seq(
+      (700101L, lang0, "zzq wwq vvq uuq ttq ssq"), // all-OOV → score 0 → tail
+      (700102L, "xx_unseen", "some text in an unknown language here"))
+    val input = MemoryStream[(Long, String, String)]
+    val q = DocStream.qualityCensus(
+      input.toDF.toDF("doc_id", "lang", "text"), model, th, out, s"$base/ckpt")
+    try {
+      input.addData(incoming.take(3)); q.processAllAvailable()
+      input.addData(incoming.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Number]("__epoch").longValue(), r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+
+    // independent driver replay: score each doc in plain Scala against the
+    // COLLECTED model map (OOV transition → 0), bucket vs the collected
+    // thresholds, count per (epoch, lang, bucket)
+    val mMap = model.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val tMap = th.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def census(epoch: Long, docs0: Seq[(Long, String, String)]) =
+      docs0.flatMap { case (_, lang, text) =>
+        val w = text.split(" ")
+        if (w.length < 2 || !tMap.contains(lang)) None
+        else {
+          val fs = w.sliding(2).map(p => mMap.getOrElse((p(0), p(1)), 0L)).toSeq
+          val s0 = fs.sum / fs.size
+          val (t1, t2) = tMap(lang)
+          Some((lang, if (s0 <= t1) "tail" else if (s0 <= t2) "middle" else "head"))
+        }
+      }.groupBy(identity).map { case ((l, b), xs) => (epoch, l, b, xs.size.toLong) }.toSet
+    val expected = census(0L, incoming.take(3)) ++ census(1L, incoming.drop(3))
+    got shouldBe expected
+    // the engineered rows: the OOV doc landed in tail; the unseen lang is absent
+    got.exists(r => r._1 == 1L && r._3 == "tail") shouldBe true
+    got.map(_._2) should not contain "xx_unseen"
+
+    // replay: re-running epoch 1's body through the factored batch path
+    // overwrites ONLY its own partition with identical rows
+    graft.streaming.EventStream.writeEpoch(
+      graft.streaming.DocStream.qualityCensusBatch(
+        incoming.drop(3).toDF("doc_id", "lang", "text"), model, th), 1L, out)
+    spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Number]("__epoch").longValue(), r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet shouldBe expected
+  }
+
   test("streaming datasheet state-fold ≡ batch mergeable stats on the union (x113 twin)") {
     import spark.implicits._
     // two micro-batches that exercise the merge arms: an existing source
