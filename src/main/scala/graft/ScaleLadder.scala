@@ -59,7 +59,10 @@ object ScaleLadder {
     "x118_shard_balance", "x119_cluster_size_hist",
     "x121_epoch_order", "x122_epoch_mix_audit",
     "x126_ann_recall_sweep", "x127_ann_operating_point",
-    "x134_release_pack_bridge")
+    "x134_release_pack_bridge",
+    // r16 session 2: the dedup-decon interaction joins the minhash-chain
+    // family's standing rungs
+    "x136_contamination_halo")
 
   private val Shift = 10000000L // id stride between copies (disjoint ranges)
 
