@@ -287,7 +287,17 @@ object Bench {
     // millisecond digits carry no signal), and the constant testdata prefix
     // on sf is recoverable from the driver's own invocation. Every byte
     // saved here is a per-query row that keeps its 10 ms digit.
-    val calib = calibration.take(6).map(d2t).mkString("[", ",", "]")
+    // six samples EVENLY SPACED across the run (first…last), not the first
+    // six: the emitted `noise` band is max/min over ALL samples, so a
+    // contended stretch late in the run must be visible in the displayed
+    // trace too — the r16 run printed [0.25…0.37] while noise read 3.49
+    // because the inflated sample was the 7th, silently dropped by take(6)
+    val calib = {
+      val shown =
+        if (calibration.size <= 6) calibration
+        else (0 until 6).map(i => calibration(i * (calibration.size - 1) / 5))
+      shown.map(d2t).mkString("[", ",", "]")
+    }
     // HOST NOISE BAND (r14 verdict item 5): max/min of the run's own
     // calibration samples — the same fixed job timed through the run, so
     // the ratio IS the host's scheduler luck during this artifact. Read
