@@ -3886,9 +3886,16 @@ object TextQueries {
       |  CAST(SUM(CASE WHEN pass = 0 THEN span_len ELSE 0 END) * 1000000
       |       // CAST(SUM(span_len) AS BIGINT) AS BIGINT) AS bad_ppm
       |FROM sp GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin) { (s, d) =>
+    packQualityFrameOf(docs(s, d)).orderBy("source", "pack_id")
+  }
+
+  /** x130's UNORDERED per-pack quality rollup over any (doc_id, source,
+    * text) frame — factored so x140's schedule consumes the identical
+    * manifest (one definition, the bad_ppm rule can never drift). */
+  def packQualityFrameOf(dd: DataFrame): DataFrame = {
     val L = packSeqLen
     val flagged = qualityGateOf(
-      docs(s, d).withColumn("n_tok",
+      dd.withColumn("n_tok",
         size(split(trim(col("text")), "\\s+")).cast("long")),
       keep = Seq("source", "n_tok"))
       .select(col("source"), col("doc_id"), col("n_tok"), col("pass"))
@@ -3907,7 +3914,85 @@ object TextQueries {
       sum("span_len").as("n_real_tokens"),
       sum(when(col("pass") === 0, col("span_len")).otherwise(0L)).as("n_bad_tokens"))
       .withColumn("bad_ppm", expr("n_bad_tokens * 1000000 div n_real_tokens"))
-      .orderBy("source", "pack_id")
+  }
+
+  /** x140: anneal-phase pack SCHEDULE — the artifact the decay-phase
+    * trainer actually consumes, closing the loop x130 opened and x137
+    * budgeted: from the per-pack quality manifest, take the CLEAN packs
+    * (bad_ppm ≤ 200 000 — at most a fifth of a sequence's tokens from
+    * gate-failing docs), order them by a content-independent hash (x121's
+    * reproducible-shuffle posture: the schedule must not correlate with
+    * source or assembly order), and cut at the anneal token budget —
+    * half the eligible clean mass, so the cut BINDS at every sf (x134's
+    * convention; the crossing pack overshoots by one, x53's rule). Output
+    * rows carry sched_offset — the pack's starting position in TOKENS
+    * within the phase — which is the number a training loop actually
+    * seeks by.
+    *
+    * Plan/scale: the manifest is [[packQualityFrameOf]] VERBATIM (one
+    * definition with x130); at 100 TB the packs table is corpus/512 rows
+    * — far too big for any unpartitioned window — so the global cut runs
+    * through PrefixQuota's bucket-split prefix machinery (the x53/x134
+    * pass; a single logical group is exactly the arbitrarily-large-group
+    * case it was built for). Budget total attaches broadcast; everything
+    * else is row-local. */
+  private val annealMaxBadPpm = 200000L
+  val annealPackOrder = sql(
+    "x140_anneal_pack_order",
+    s"""WITH d AS (SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+      |    md5(CAST(doc_id AS VARCHAR)) AS ord,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents),
+      |g AS (SELECT source, doc_id, n_tok, ord,
+      |    ${gatePassSql("toks")} AS pass
+      |  FROM d),
+      |c AS (SELECT source, doc_id, n_tok, pass,
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |  FROM g),
+      |e AS (SELECT source, pass, cum_before, n_tok,
+      |    unnest(range(cum_before // $packSeqLen, (cum_before + n_tok - 1) // $packSeqLen + 1)) AS pack_id
+      |  FROM c),
+      |sp AS (SELECT source, CAST(pack_id AS BIGINT) AS pack_id, pass,
+      |    CAST(LEAST(cum_before + n_tok, (pack_id + 1) * $packSeqLen)
+      |      - GREATEST(cum_before, pack_id * $packSeqLen) AS BIGINT) AS span_len
+      |  FROM e),
+      |pk AS (SELECT source, pack_id,
+      |    CAST(SUM(span_len) AS BIGINT) AS n_real_tokens,
+      |    CAST(SUM(CASE WHEN pass = 0 THEN span_len ELSE 0 END) * 1000000
+      |         // CAST(SUM(span_len) AS BIGINT) AS BIGINT) AS bad_ppm
+      |  FROM sp GROUP BY source, pack_id),
+      |el AS (SELECT source, pack_id, n_real_tokens, bad_ppm,
+      |    source || ':' || CAST(pack_id AS VARCHAR) AS tie
+      |  FROM pk WHERE bad_ppm <= $annealMaxBadPpm),
+      |b AS (SELECT CAST(SUM(n_real_tokens) // 2 AS BIGINT) AS anneal_budget FROM el),
+      |cws AS (SELECT source, pack_id, n_real_tokens, bad_ppm, anneal_budget,
+      |    CAST(COALESCE(SUM(n_real_tokens) OVER (ORDER BY md5(tie), tie
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sched_offset
+      |  FROM el CROSS JOIN b)
+      |SELECT source, pack_id, sched_offset, n_real_tokens, bad_ppm, anneal_budget
+      |FROM cws WHERE sched_offset < anneal_budget
+      |ORDER BY sched_offset, source, pack_id""".stripMargin) { (s, d) =>
+    annealPackOrderOf(docs(s, d)).orderBy("sched_offset", "source", "pack_id")
+  }
+
+  /** x140's engine over any (doc_id, source, text) frame (factored so the
+    * spec can engineer a binding cut and a crossing pack). */
+  def annealPackOrderOf(dd: DataFrame): DataFrame = {
+    val eligible = packQualityFrameOf(dd)
+      .filter(col("bad_ppm") <= annealMaxBadPpm)
+      .localCheckpoint(eager = false) // two consumers: budget total + the cut
+    val budget = eligible.agg(expr("sum(n_real_tokens) div 2").as("anneal_budget"))
+    val keyed = eligible.crossJoin(broadcast(budget))
+      .withColumn("__g", lit(1))
+      .withColumn("__tie", concat(col("source"), lit(":"), col("pack_id").cast("string")))
+    graft.operators.PrefixQuota.takeUntilQuota(
+      keyed, "__g",
+      orderKey = md5(col("__tie")), tie = col("__tie"),
+      value = col("n_real_tokens"), quota = col("anneal_budget"),
+      beforeName = "sched_offset")
+      .select("source", "pack_id", "sched_offset", "n_real_tokens", "bad_ppm", "anneal_budget")
   }
 
 
@@ -4706,5 +4791,5 @@ object TextQueries {
     bpeFertility, packAppend, packDecontaminate, mixtureTemperature,
     mixtureGated, packQuality, scoreAuc, tokenSpectrum, dedupThresholdCurve,
     releasePackBridge, pplBuckets, contaminationHalo, annealSchedule,
-    vocabMigration, robustQuality)
+    vocabMigration, robustQuality, annealPackOrder)
 }

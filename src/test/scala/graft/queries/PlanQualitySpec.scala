@@ -888,6 +888,22 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "CartesianProduct"
   }
 
+  test("x140: the global cut is bucket-split — no unpartitioned token window over packs") {
+    // registry: x140_anneal_pack_order
+    val plan = planOf(TextQueries.annealPackOrder)
+    // at 100 TB the packs table is corpus/512 rows: the schedule cut must
+    // run through PrefixQuota's bucket-split machinery, never a single
+    // unpartitioned running-sum window over every pack (the constant
+    // group key folds away, leaving the window partitioned on __bkt —
+    // exactly the shape that scales)
+    plan should include("windowspecdefinition(__bkt")
+    plan should include("hashpartitioning(__bkt")
+    // the manifest is checkpointed for its two consumers (budget + cut)
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 0
+    plan should include("ExistingRDD")
+    plan should not include "CartesianProduct"
+  }
+
   test("x133: pairs are verified once — every tau rung reads the checkpointed pair set") {
     // registry: x133_dedup_threshold_curve
     val plan = planOf(TextQueries.dedupThresholdCurve)

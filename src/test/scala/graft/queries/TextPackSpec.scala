@@ -392,4 +392,39 @@ class TextPackSpec extends AnyFunSuite with Matchers with SparkTestBase {
       ppm should be <= 1000000L
     }
   }
+
+  test("x140 anneal schedule ≡ a driver cut replay over the x130 manifest; crossing pack overshoots") {
+    // registry: x140_anneal_pack_order
+    val sf = "/root/testdata/sf0.01"
+    val dd = graft.Tables.documents(spark, sf)
+    val got = TextQueries.annealPackOrderOf(dd)
+      .orderBy("sched_offset", "source", "pack_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+
+    // replay the eligibility + hash order + budget cut driver-side over
+    // the ORACLE-CHECKED x130 manifest (one definition shared verbatim)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val manifest = TextQueries.packQualityFrameOf(dd).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("pack_id"),
+        r.getAs[Long]("n_real_tokens"), r.getAs[Long]("bad_ppm")))
+    val eligible = manifest.filter(_._4 <= 200000L)
+    eligible.length should be < manifest.length // the threshold really cuts
+    val budget = eligible.map(_._3).sum / 2
+    val ordered = eligible.sortBy { case (src, pid, _, _) =>
+      val tie = s"$src:$pid"; (md5hex(tie), tie)
+    }
+    val offsets = ordered.scanLeft(0L)(_ + _._3)
+    val expected = ordered.zip(offsets).collect {
+      case ((src, pid, real, ppm), off) if off < budget =>
+        (src, pid, off, real, ppm, budget)
+    }.sortBy(t => (t._3, t._1, t._2))
+    got.toSeq shouldBe expected.toSeq
+    // the cut BINDS and the crossing pack overshoots by exactly one pack
+    expected.length should be < eligible.length
+    val lastEnd = expected.map(t => t._3 + t._4).max
+    lastEnd should be >= budget // overshoot (or exact landing) — never undershoot
+    got.map(_._3).toSeq shouldBe got.map(_._3).toSeq.sorted // offsets ascend
+  }
 }
