@@ -287,15 +287,25 @@ object Bench {
     // millisecond digits carry no signal), and the constant testdata prefix
     // on sf is recoverable from the driver's own invocation. Every byte
     // saved here is a per-query row that keeps its 10 ms digit.
-    // six samples EVENLY SPACED across the run (first…last), not the first
-    // six: the emitted `noise` band is max/min over ALL samples, so a
-    // contended stretch late in the run must be visible in the displayed
-    // trace too — the r16 run printed [0.25…0.37] while noise read 3.49
-    // because the inflated sample was the 7th, silently dropped by take(6)
+    // six samples in temporal order, GUARANTEED to include the first, the
+    // last, the maximum, and the minimum — the emitted `noise` band is
+    // max/min over ALL samples, so the two samples that SET the band must
+    // be visible in the displayed trace (the r16 run printed [0.25…0.37]
+    // while noise read 3.49 because the inflated 7th sample was silently
+    // dropped by the old take(6); plain even spacing still missed a max
+    // on an unsampled index). Remaining slots fill evenly for the
+    // temporal shape that localizes contention to a stretch of queries.
     val calib = {
       val shown =
         if (calibration.size <= 6) calibration
-        else (0 until 6).map(i => calibration(i * (calibration.size - 1) / 5))
+        else {
+          val mustIdx = Seq(0, calibration.size - 1,
+            calibration.indexOf(calibration.max),
+            calibration.indexOf(calibration.min)).distinct
+          val fillIdx = (0 until 6).map(i => i * (calibration.size - 1) / 5)
+            .filterNot(mustIdx.contains).take(6 - mustIdx.size)
+          (mustIdx ++ fillIdx).sorted.map(calibration)
+        }
       shown.map(d2t).mkString("[", ",", "]")
     }
     // HOST NOISE BAND (r14 verdict item 5): max/min of the run's own

@@ -31,12 +31,14 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
     Bench.renderJson(samples, calibration = Seq(0.21, 0.32, 0.19),
       ivfTrain = 1.5, probeOnly = 0.8, sfDir = "/root/testdata/sf0.1")
 
-  test("displayed calibration trace spans the whole run: a late inflated sample is shown") {
-    // the emitted noise band is max/min over ALL samples; the six displayed
-    // ones are picked evenly first…last, so the sample that SET the band
-    // can never be silently dropped (the r16 take(6) lesson: [0.25…0.37]
-    // displayed while noise read 3.49 from a dropped 7th sample)
-    val calib = Seq(0.25, 0.37, 0.31, 0.34, 0.26, 0.26, 0.87, 0.27, 0.25, 0.26, 0.28)
+  test("displayed calibration trace always shows the band-setting samples (max AND min)") {
+    // the emitted noise band is max/min over ALL samples; the displayed
+    // six are first + last + max + min + even fill, so the samples that
+    // SET the band can never be silently dropped (the r16 take(6) lesson:
+    // [0.25…0.37] displayed while noise read 3.49 from a dropped 7th
+    // sample; plain even spacing would still miss a max on an unsampled
+    // index — here the max sits at index 7, which even spacing skips)
+    val calib = Seq(0.25, 0.37, 0.31, 0.34, 0.26, 0.26, 0.27, 0.87, 0.21, 0.26, 0.28)
     val line = Bench.renderJson(
       Seq("q01_filter_project" -> Seq(0.3, 0.2, 0.25)), calibration = calib,
       ivfTrain = 1.5, probeOnly = 0.8, sfDir = "/root/testdata/sf0.1")
@@ -45,8 +47,9 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
     shown should have size 6
     shown.head shouldBe 0.25 // first sample kept
     shown.last shouldBe 0.28 // last sample kept
-    shown should contain(0.87) // the band-setting sample is visible
-    root.get("noise").asDouble() shouldBe (0.87 / 0.25 +- 0.011)
+    shown should contain(0.87) // the max — on an index even spacing skips
+    shown should contain(0.21) // the min
+    root.get("noise").asDouble() shouldBe (0.87 / 0.21 +- 0.011)
   }
 
   test("artifact is one JSON object keyed by short registry ids, sized for tail capture") {
