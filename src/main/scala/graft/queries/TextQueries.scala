@@ -4366,8 +4366,15 @@ object TextQueries {
     * Scale shape: seeds ride x35's plan (gram equi-join, benchmark side
     * DISTINCT+broadcast — work ∝ true overlap); the closure is the x03
     * band-bounded pair pass + hash-min CC, both proven to 1000×; the
-    * expansion is two broadcast joins (the contaminated-rep set and the
-    * seed rollup are both bounded by benchmark size, not corpus size).
+    * expansion is two broadcast joins. Broadcast-size honesty: the
+    * contaminated-rep set and the seed rollup are bounded by the
+    * benchmark-induced HIT set — ≪ corpus on any sane benchmark, but a
+    * boilerplate-heavy corpus can inflate it (a ubiquitous 5-gram that
+    * happens to appear in an eval doc hits every doc carrying it). The
+    * documented pipeline order already defuses this: x111's boilerplate
+    * strip runs BEFORE decon exactly so shared chrome can't manufacture
+    * mass hits; if a deployment skips it, swap the two seed attaches to
+    * plain equi-joins (same results, one extra shuffle).
     * Purge-by-halo is the one dedup-decon INTERACTION in the pipeline:
     * run it before survivor selection and the whole cluster dies; run
     * plain x35 after x51 and a surviving near-dup ships the leak. */
