@@ -62,7 +62,11 @@ object ScaleLadder {
     "x134_release_pack_bridge",
     // r16 session 2: the dedup-decon interaction joins the minhash-chain
     // family's standing rungs
-    "x136_contamination_halo")
+    "x136_contamination_halo",
+    // r17: the anneal pack schedule joins x134 in the standing tier (r16
+    // verdict item 2 — the two north-star release artifacts both priced
+    // every round from here on)
+    "x140_anneal_pack_order")
 
   private val Shift = 10000000L // id stride between copies (disjoint ranges)
 

@@ -714,9 +714,25 @@ object TextQueries {
     * array) — the static artifact [[graft.streaming.DocStream.deconAdmission]]
     * probes (the x103 merge-table posture: trained/extracted offline,
     * broadcast online). Built with [[fiveGramsOf]] so the gram rule is
-    * x35's verbatim. */
-  def evalGramTable(dd: DataFrame): DataFrame =
-    broadcast(fiveGramsOf(dd).agg(collect_set(col("g")).as("ev")))
+    * x35's verbatim.
+    *
+    * Cardinality guard (r16 advice): the single array cell has NO spill
+    * path, so a benchmark beyond `maxGrams` distinct grams fails HERE —
+    * an eager count at artifact-build time (this is the offline half of
+    * the posture; eagerness is free) with a clear size error — instead
+    * of as an executor OOM inside the stream. The 10⁷ default is already
+    * far past any sane benchmark (~hundreds of MB broadcast); raise it
+    * consciously, or swap the probe to the documented Bloom-filter form
+    * (x70's bits) when a benchmark genuinely carries that many grams. */
+  def evalGramTable(dd: DataFrame, maxGrams: Long = 10000000L): DataFrame = {
+    val grams = fiveGramsOf(dd)
+    val n = grams.count()
+    require(n <= maxGrams,
+      s"evalGramTable: benchmark has $n distinct 5-grams (cap $maxGrams); " +
+        "a single-cell broadcast array this size risks driver/executor OOM " +
+        "— raise maxGrams deliberately or gate through a Bloom filter")
+    broadcast(grams.agg(collect_set(col("g")).as("ev")))
+  }
 
   /** x35's gram rule as a row-local admission PROBE over any (doc_id,
     * text) frame: each doc's DISTINCT 5-grams are intersected with the
@@ -3916,6 +3932,8 @@ object TextQueries {
       .withColumn("bad_ppm", expr("n_bad_tokens * 1000000 div n_real_tokens"))
   }
 
+  private val annealMaxBadPpm = 200000L
+
   /** x140: anneal-phase pack SCHEDULE — the artifact the decay-phase
     * trainer actually consumes, closing the loop x130 opened and x137
     * budgeted: from the per-pack quality manifest, take the CLEAN packs
@@ -3936,7 +3954,6 @@ object TextQueries {
     * pass; a single logical group is exactly the arbitrarily-large-group
     * case it was built for). Budget total attaches broadcast; everything
     * else is row-local. */
-  private val annealMaxBadPpm = 200000L
   val annealPackOrder = sql(
     "x140_anneal_pack_order",
     s"""WITH d AS (SELECT source, doc_id,
@@ -4431,8 +4448,11 @@ object TextQueries {
     * a √-share of 9·10⁸; Σ√ summed array-sorted on both engines); anneal
     * quotas and repeat_ppm are PURE BIGINT (quota = 10⁸·supply div Σ,
     * repeat = quota·10⁶ div supply — products ≤ 10⁸·mass stay far under
-    * 2⁶³ at tested scale; at true 100 TB masses the multiply moves to a
-    * wider type on both engines). Zero-supply branches pinned to 0 (never
+    * 2⁶³ at tested scale; at true 100 TB masses — head_mass beyond
+    * Long.MaxValue/10⁸ ≈ 9.2·10¹⁰ tokens — the engine RAISES via
+    * [[annealQuotaCol]]'s guard instead of silently wrapping the way
+    * non-ANSI Spark otherwise would, matching DuckDB's erroring BIGINT
+    * multiply). Zero-supply branches pinned to 0 (never
     * NULL/NaN, never a divide-by-zero — DuckDB `//` by zero errors).
     *
     * Plan/scale: ONE flags scan (x64's row-local gate + the x112 mass
@@ -4729,6 +4749,25 @@ object TextQueries {
         col("p90").as("p90_ppm"), col("mad_ppm"))
   }
 
+  /** x137's anneal-quota column `A·head_mass div total_head`, with the
+    * BIGINT overflow guard the 100 TB regime needs: unguarded, the failure
+    * mode swings with `spark.sql.ansi.enabled` — a generic
+    * ARITHMETIC_OVERFLOW under ANSI (the Spark 4 default), a SILENT wrap
+    * to a negative quota with ANSI off (while DuckDB's BIGINT `*` always
+    * errors — the engines would disagree exactly when it matters). The
+    * guard makes head_mass beyond Long.MaxValue/A raise the same DOMAIN
+    * error naming the offending mass in both regimes, instead of shipping
+    * a corrupted schedule. Factored so TextQueriesEdgeSpec can drive it
+    * with literal masses on both sides of the bound under both ANSI
+    * settings. */
+  private[graft] def annealQuotaCol(a: Long): Column =
+    when(col("head_mass") > lit(Long.MaxValue / a),
+      raise_error(concat(
+        lit(s"x137 anneal quota: head_mass exceeds Long.MaxValue/$a — " +
+          "BIGINT quota multiply would overflow (head_mass="),
+        col("head_mass").cast("string"), lit(")"))).cast("long"))
+      .otherwise(expr(s"CAST($a AS BIGINT) * head_mass div total_head"))
+
   /** x137's engine over any (doc_id, lang, source, text) frame. Budget
     * B = 10⁹ (x129's convention), anneal A = B div 10, main M = B − A. */
   def annealScheduleOf(dd: DataFrame): DataFrame = {
@@ -4767,7 +4806,7 @@ object TextQueries {
         .otherwise(round(sq / col("sum_sqrt"), 6)).as("weight"))
     val ann = r0.select(col("source"), lit("anneal").as("phase"),
       when(col("total_head").isNull || col("total_head") === 0, 0L)
-        .otherwise(expr(s"CAST($A AS BIGINT) * head_mass div total_head"))
+        .otherwise(annealQuotaCol(A))
         .as("quota_tokens"),
       col("head_mass").as("supply_tokens"),
       when(col("total_head").isNull || col("total_head") === 0, 0.0)

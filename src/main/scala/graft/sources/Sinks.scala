@@ -36,6 +36,93 @@ object Sinks {
     spark.read.parquet(path).filter(col("__epoch") <= epoch)
   }
 
+  /** Latest-wins keyed read of an epoch-partitioned LEDGER strictly BEFORE
+    * `epoch` — the AS-OF rule [[graft.streaming.DocStream.quotaAdmitBatch]]
+    * replays deterministically under at-least-once delivery (a replayed
+    * epoch's own half-committed rows are excluded by the `< epoch` cut).
+    * Per key, the value from the row with the greatest `__epoch < epoch`
+    * wins; keys absent from every prior epoch are absent from the result.
+    * Partition pruning serves the epoch cut from directory names alone,
+    * exactly as in [[readAsOfEpoch]]. Factored here so the compaction
+    * round-trip ([[compactEpochLedger]]) is testable against the ONE read
+    * the admission path actually uses. */
+  def ledgerBeforeEpoch(spark: org.apache.spark.sql.SparkSession, path: String,
+      epoch: Long, key: String, value: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max, struct}
+    spark.read.parquet(path).filter(col("__epoch") < epoch)
+      .groupBy(col(key))
+      .agg(max(struct(col("__epoch"), col(value))).getField(value).as(value))
+  }
+
+  /** Fold a keyed latest-wins ledger's epoch history ≤ `upTo` into ONE base
+    * partition at `__epoch = upTo` — the retention/compaction unit the
+    * per-epoch directory layout was designed to give
+    * ([[graft.streaming.EventStream.writeEpoch]]'s scaladoc): a long-lived
+    * ingest writes |keys| rows per epoch forever, and this job bounds the
+    * directory count without changing ANY read the admission path performs.
+    *
+    * Correctness: per key, the folded row carries the value of the greatest
+    * epoch ≤ `upTo` stamped AT epoch `upTo`, so `max(struct(__epoch, v))`
+    * over any window that includes the base — [[ledgerBeforeEpoch]] at
+    * every `epoch > upTo`, [[readAsOfEpoch]] folded the same way — returns
+    * exactly what the uncompacted history returned (the struct max compares
+    * epoch first; within one key the folded epoch dominates all folded-away
+    * ones and the value is unchanged).
+    *
+    * Crash-safety ordering: the base partition is WRITTEN FIRST (dynamic
+    * overwrite touches only `__epoch=upTo`), older partitions are deleted
+    * after. A crash between the two leaves stale older directories behind,
+    * which latest-wins reads IGNORE (the base row dominates per key) — so
+    * the job is safely re-runnable, never a read-wrong window.
+    *
+    * PRECONDITION: `upTo` must be ≤ the stream's last COMMITTED epoch.
+    * Structured Streaming only ever redelivers the batch in flight at a
+    * crash (no commit-log entry), so committed epochs are never replayed —
+    * but a replay OF `upTo` itself after compaction would read an empty
+    * prior window (`< upTo` excludes the base) and double-admit. Compact
+    * only what the checkpoint has committed. */
+  def compactEpochLedger(spark: org.apache.spark.sql.SparkSession, path: String,
+      upTo: Long, key: String, value: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max, struct}
+    val base = spark.read.parquet(path)
+      .filter(col("__epoch") <= upTo)
+      .groupBy(col(key))
+      .agg(max(struct(col("__epoch"), col(value))).getField(value).as(value))
+      // eager: the write below dynamically overwrites a partition of the
+      // very path this plan reads — cut the read out of the write's lineage
+      .localCheckpoint(eager = true)
+    base.withColumn("__epoch", lit(upTo))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("__epoch")
+      .parquet(path)
+    dropEpochsBefore(spark, path, upTo)
+  }
+
+  /** Retention for epoch-partitioned APPEND artifacts (hit logs, admitted
+    * manifests, census rows): delete `__epoch=e` directories with
+    * `e < cutoff` and return how many were dropped. This is a POLICY
+    * delete, not a semantics-preserving fold — readers must only need
+    * windows ≥ `cutoff` (for keyed ledgers use [[compactEpochLedger]],
+    * which preserves the as-of reads exactly). Same precondition as
+    * compaction: only epochs the checkpoint has committed, since a
+    * replayed epoch would re-create its directory from scratch. */
+  def dropEpochsBefore(spark: org.apache.spark.sql.SparkSession, path: String,
+      cutoff: Long): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return 0
+    val old = fs.listStatus(hPath).filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("__epoch=") &&
+          scala.util.Try(p.getName.stripPrefix("__epoch=").toLong)
+            .toOption.exists(_ < cutoff)
+      }
+    old.foreach(p => fs.delete(p, true))
+    old.length
+  }
+
   /** JSONL corpus read with an EXPLICIT schema — never schema inference,
     * which at corpus scale is a full extra pass over 100 TB before the
     * first real job, and silently widens/narrows types when a shard's

@@ -134,13 +134,22 @@ object DocStream {
     * delivery converges. Scale: the model join is the x62 shuffle shape
     * per micro-batch; census state is ≤ |langs|×3 rows per epoch. */
   def qualityCensus(docs: DataFrame, model: DataFrame, thresholds: DataFrame,
-      outPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      outPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // The "pinned artifact" posture made REAL, not assumed (r16 advice): a
+    // caller that built the two reference frames in-process hands us the
+    // full x62 bigram-chain lineage, and foreachBatch would re-execute it
+    // every micro-batch. Both frames are bounded (vocab-sized /
+    // |langs|-sized), so pin them once here — after this, each epoch reads
+    // materialized rows whatever the caller did.
+    val m = model.localCheckpoint(eager = true)
+    val t = thresholds.localCheckpoint(eager = true)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
-        EventStream.writeEpoch(qualityCensusBatch(batch.toDF(), model, thresholds), epoch, outPath)
+        EventStream.writeEpoch(qualityCensusBatch(batch.toDF(), m, t), epoch, outPath)
       }
       .start()
+  }
 
   /** The factored per-epoch census body (batch ≡ stream by construction;
     * the spec replays an epoch through it directly). */
@@ -148,6 +157,97 @@ object DocStream {
       thresholds: DataFrame): DataFrame =
     TextQueries.qualityCensusOf(
       TextQueries.scoreAgainstLmModel(batch, model), thresholds)
+
+  /** Streaming per-source token-QUOTA admission — the budget axis of live
+    * curation, completing what [[nearDupAdmission]] did for the dup axis
+    * (r15 verdict item 5): an unbounded document stream is admitted
+    * against the x128/x129-style per-source token budgets until each
+    * source's quota is spent, with the batch x53 cut rule applied to the
+    * concatenated stream order.
+    *
+    * Cut rule (EXACTLY x53's, so batch and stream agree on semantics): a
+    * doc is admitted iff the tokens consumed before it — prior epochs'
+    * admitted mass plus this batch's running prefix in (md5(doc_id),
+    * doc_id) order — is strictly under the source's quota; the crossing
+    * doc is admitted (overshoot-by-one), everything after is cut. Across
+    * batches the order is arrival order; within a batch it is the same
+    * content-independent hash order as batch x53, computed by the SAME
+    * `PrefixQuota.runningBefore` bucket-split pass (a micro-batch can be
+    * arbitrarily large — the per-source serialization hazard doesn't
+    * disappear because the input is a stream). A source with no quota row
+    * admits nothing (admission control: no budget, no entry).
+    *
+    * State is NOT a state store: the per-source consumed ledger is a
+    * durable epoch-partitioned artifact ([[EventStream.writeEpoch]] —
+    * sources-sized rows per epoch), and each batch reads the ledger AS OF
+    * the latest epoch strictly BEFORE itself. That read rule is what makes
+    * at-least-once replay deterministic: a replayed epoch recomputes from
+    * exactly the prior state the first attempt saw (its own half-committed
+    * rows are excluded by the `< epoch` filter) and dynamically overwrites
+    * its own partitions in both artifacts — the ledger and the admitted
+    * manifest converge instead of double-counting. Monoid argument as the
+    * datasheet twin: per-source consumed tokens only add. */
+  def quotaAdmission(docs: DataFrame, quotas: DataFrame, statePath: String,
+                     acceptedPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        quotaAdmitBatch(batch.toDF(), epoch, quotas, statePath, acceptedPath)
+        ()
+      }
+      .start()
+
+  /** One [[quotaAdmission]] micro-batch, factored out so DocStreamSpec can
+    * re-deliver the SAME epoch (the at-least-once shape) and assert both
+    * artifacts converge. Returns the admitted frame (pinned) so the
+    * composed pipeline ([[admitBatch]]) can key its index append off it
+    * without re-reading the epoch it just wrote. */
+  private[graft] def quotaAdmitBatch(b0: DataFrame, epoch: Long, quotas: DataFrame,
+                                     statePath: String, acceptedPath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val s = b0.sparkSession
+    import s.implicits._
+    val b = b0.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    // Ledger AS OF the latest epoch strictly before this one (the replay
+    // rule), via the ONE factored reader the compaction job round-trips
+    // against ([[graft.sources.Sinks.ledgerBeforeEpoch]]). EAGER
+    // checkpoint: the ledger read must be fully cut out of every later
+    // lineage — the state write below dynamically overwrites the SAME
+    // path, and Spark refuses a plan that reads a path it is overwriting
+    // (and a lazy lineage surviving into that write is exactly the loaner
+    // hazard the x131 rank bug taught).
+    val statePathH = new org.apache.hadoop.fs.Path(statePath)
+    val fs = statePathH.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val prior = (
+      if (!fs.exists(statePathH)) Seq.empty[(String, Long)].toDF("source", "prior_tokens")
+      else graft.sources.Sinks.ledgerBeforeEpoch(s, statePath, epoch,
+          key = "source", value = "consumed_tokens")
+        .withColumnRenamed("consumed_tokens", "prior_tokens")
+      ).localCheckpoint(eager = true)
+    // inner join: a source with no quota row admits nothing, by contract
+    val rows = b.join(broadcast(quotas.select(col("source"), col("quota_tokens"))),
+        Seq("source"))
+      .join(broadcast(prior), Seq("source"), "left")
+      .na.fill(0L, Seq("prior_tokens"))
+    val admitted = graft.operators.PrefixQuota.runningBefore(
+        rows, "source",
+        orderKey = md5(col("doc_id").cast("string")), tie = col("doc_id"),
+        value = col("n_tok"))
+      .withColumn("offset_tokens", col("prior_tokens") + col("cum_before"))
+      .filter(col("offset_tokens") < col("quota_tokens"))
+      .select("doc_id", "source", "n_tok", "offset_tokens", "quota_tokens")
+      .localCheckpoint(eager = true) // both writes below read this pin
+    EventStream.writeEpoch(admitted, epoch, acceptedPath)
+    val newState = admitted.groupBy("source")
+      .agg(sum("n_tok").as("batch_tokens"))
+      .join(broadcast(prior), Seq("source"), "left")
+      .na.fill(0L, Seq("prior_tokens"))
+      .select(col("source"),
+        (col("prior_tokens") + col("batch_tokens")).as("consumed_tokens"))
+    EventStream.writeEpoch(newState, epoch, statePath)
+    admitted
+  }
 
   /** Streaming near-dup ADMISSION CONTROL — the ingest-time form of x37's
     * incremental probe, closing the durable-index lifecycle LIVE: each
@@ -197,93 +297,6 @@ object DocStream {
     * under 3 tokens have an empty shingle set, so a rebound id between two
     * such degenerate texts is indistinguishable — their near-dup semantics
     * are equally degenerate. */
-  /** Streaming per-source token-QUOTA admission — the budget axis of live
-    * curation, completing what [[nearDupAdmission]] did for the dup axis
-    * (r15 verdict item 5): an unbounded document stream is admitted
-    * against the x128/x129-style per-source token budgets until each
-    * source's quota is spent, with the batch x53 cut rule applied to the
-    * concatenated stream order.
-    *
-    * Cut rule (EXACTLY x53's, so batch and stream agree on semantics): a
-    * doc is admitted iff the tokens consumed before it — prior epochs'
-    * admitted mass plus this batch's running prefix in (md5(doc_id),
-    * doc_id) order — is strictly under the source's quota; the crossing
-    * doc is admitted (overshoot-by-one), everything after is cut. Across
-    * batches the order is arrival order; within a batch it is the same
-    * content-independent hash order as batch x53, computed by the SAME
-    * `PrefixQuota.runningBefore` bucket-split pass (a micro-batch can be
-    * arbitrarily large — the per-source serialization hazard doesn't
-    * disappear because the input is a stream). A source with no quota row
-    * admits nothing (admission control: no budget, no entry).
-    *
-    * State is NOT a state store: the per-source consumed ledger is a
-    * durable epoch-partitioned artifact ([[EventStream.writeEpoch]] —
-    * sources-sized rows per epoch), and each batch reads the ledger AS OF
-    * the latest epoch strictly BEFORE itself. That read rule is what makes
-    * at-least-once replay deterministic: a replayed epoch recomputes from
-    * exactly the prior state the first attempt saw (its own half-committed
-    * rows are excluded by the `< epoch` filter) and dynamically overwrites
-    * its own partitions in both artifacts — the ledger and the admitted
-    * manifest converge instead of double-counting. Monoid argument as the
-    * datasheet twin: per-source consumed tokens only add. */
-  def quotaAdmission(docs: DataFrame, quotas: DataFrame, statePath: String,
-                     acceptedPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
-        quotaAdmitBatch(batch.toDF(), epoch, quotas, statePath, acceptedPath)
-      }
-      .start()
-
-  /** One [[quotaAdmission]] micro-batch, factored out so DocStreamSpec can
-    * re-deliver the SAME epoch (the at-least-once shape) and assert both
-    * artifacts converge. */
-  private[graft] def quotaAdmitBatch(b0: DataFrame, epoch: Long, quotas: DataFrame,
-                                     statePath: String, acceptedPath: String): Unit = {
-    import org.apache.spark.sql.functions._
-    val s = b0.sparkSession
-    import s.implicits._
-    val b = b0.select(col("doc_id"), col("source"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
-    // Ledger AS OF the latest epoch strictly before this one (the replay
-    // rule). EAGER checkpoint: the ledger read must be fully cut out of
-    // every later lineage — the state write below dynamically overwrites
-    // the SAME path, and Spark refuses a plan that reads a path it is
-    // overwriting (and a lazy lineage surviving into that write is exactly
-    // the loaner hazard the x131 rank bug taught).
-    val statePathH = new org.apache.hadoop.fs.Path(statePath)
-    val fs = statePathH.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val prior = (
-      if (!fs.exists(statePathH)) Seq.empty[(String, Long)].toDF("source", "prior_tokens")
-      else s.read.parquet(statePath)
-        .filter(col("__epoch") < epoch)
-        .groupBy("source")
-        .agg(max(struct(col("__epoch"), col("consumed_tokens")))
-          .getField("consumed_tokens").as("prior_tokens"))
-      ).localCheckpoint(eager = true)
-    // inner join: a source with no quota row admits nothing, by contract
-    val rows = b.join(broadcast(quotas.select(col("source"), col("quota_tokens"))),
-        Seq("source"))
-      .join(broadcast(prior), Seq("source"), "left")
-      .na.fill(0L, Seq("prior_tokens"))
-    val admitted = graft.operators.PrefixQuota.runningBefore(
-        rows, "source",
-        orderKey = md5(col("doc_id").cast("string")), tie = col("doc_id"),
-        value = col("n_tok"))
-      .withColumn("offset_tokens", col("prior_tokens") + col("cum_before"))
-      .filter(col("offset_tokens") < col("quota_tokens"))
-      .select("doc_id", "source", "n_tok", "offset_tokens", "quota_tokens")
-      .localCheckpoint(eager = true) // both writes below read this pin
-    EventStream.writeEpoch(admitted, epoch, acceptedPath)
-    val newState = admitted.groupBy("source")
-      .agg(sum("n_tok").as("batch_tokens"))
-      .join(broadcast(prior), Seq("source"), "left")
-      .na.fill(0L, Seq("prior_tokens"))
-      .select(col("source"),
-        (col("prior_tokens") + col("batch_tokens")).as("consumed_tokens"))
-    EventStream.writeEpoch(newState, epoch, statePath)
-  }
-
   def nearDupAdmission(docs: DataFrame, indexPath: String, hitsPath: String,
                        checkpoint: String,
                        appendAccepted: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery =
@@ -291,49 +304,136 @@ object DocStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
         val b = batch.toDF().select("doc_id", "text")
-        val sigs = b.sparkSession.read.parquet(indexPath)
-        val bIds = b.select("doc_id")
-        // fail fast on id reuse with different content (see scaladoc) —
-        // bounded: ≤4 collision rows reach the driver, only to name them
-        val collisions = b
-          .join(sigs.select(col("doc_id"), col("sh").as("index_sh")), Seq("doc_id"))
-          .filter(org.apache.spark.sql.functions.expr("graft_shingles(text, 3)")
-            =!= col("index_sh"))
-          .select("doc_id").limit(4).collect()
-        if (collisions.nonEmpty) throw new IllegalStateException(
-          "nearDupAdmission: incoming doc_id(s) " +
-            collisions.map(_.getLong(0)).mkString(", ") +
-            " already exist in the index with DIFFERENT text — doc ids must " +
-            "be globally unique and never rebound (id-keyed replay hygiene " +
-            "would silently drop their near-dup flags)")
-        // (1) vs the index — minus this batch's own ids (replay hygiene)
-        val indexHits = TextQueries.nearDupProbe(b, sigs)
-          .join(bIds.withColumnRenamed("doc_id", "corpus_doc_id"),
-            Seq("corpus_doc_id"), "left_anti")
-        // (2) exact dups within the batch → their representative
-        val intraExact = b
-          .join(TextQueries.exactCollapse(b).select("text", "keep_id"), Seq("text"))
-          .filter(col("doc_id") =!= col("keep_id"))
-          .select(col("doc_id"), col("keep_id").as("corpus_doc_id"),
-            lit(1.0).as("jaccard"))
-        // (3) near dups within the batch → the earlier id wins
-        val intraNear = TextQueries.minhashPairs(TextQueries.minhashSignaturesOf(b))
-          .select(col("doc_b").as("doc_id"), col("doc_a").as("corpus_doc_id"),
-            col("jaccard"))
-        // eager: cut the index read out of every later lineage BEFORE the
-        // append below adds files to the same path
-        val hits = indexHits.unionByName(intraExact).unionByName(intraNear)
-          .localCheckpoint(eager = true)
-        EventStream.writeEpoch(hits, epoch, hitsPath)
-        if (appendAccepted) {
-          val alreadyIndexed = bIds
-            .join(sigs.select("doc_id"), Seq("doc_id"), "left_semi")
-            .localCheckpoint(eager = true) // pre-append, same hazard rule
-          val accepted = b
-            .join(hits.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-            .join(alreadyIndexed, Seq("doc_id"), "left_anti")
-          TextQueries.appendToMinhashIndex(accepted, indexPath)
-        }
+        val survivors = nearDupAdmitBatch(b, epoch, indexPath, hitsPath)
+        if (appendAccepted)
+          appendNovelToIndex(b.join(survivors, Seq("doc_id"), "left_semi"), indexPath)
       }
       .start()
+
+  /** One [[nearDupAdmission]] micro-batch MINUS the index append: verdicts
+    * + hit-log write. Returns the surviving (novel, non-dup) doc ids —
+    * what the next admission axis consumes in the composed pipeline.
+    * NOTE the survivors do NOT exclude already-indexed ids: a replayed doc
+    * whose signature committed on the first attempt must flow downstream
+    * exactly as it did then (the quota epoch overwrite makes that read
+    * idempotent); only the APPEND ([[appendNovelToIndex]]) skips it. */
+  private[graft] def nearDupAdmitBatch(b0: DataFrame, epoch: Long,
+      indexPath: String, hitsPath: String): DataFrame = {
+    val b = b0.select("doc_id", "text")
+    val sigs = b.sparkSession.read.parquet(indexPath)
+    val bIds = b.select("doc_id")
+    // fail fast on id reuse with different content (see scaladoc) —
+    // bounded: ≤4 collision rows reach the driver, only to name them
+    val collisions = b
+      .join(sigs.select(col("doc_id"), col("sh").as("index_sh")), Seq("doc_id"))
+      .filter(org.apache.spark.sql.functions.expr("graft_shingles(text, 3)")
+        =!= col("index_sh"))
+      .select("doc_id").limit(4).collect()
+    if (collisions.nonEmpty) throw new IllegalStateException(
+      "nearDupAdmission: incoming doc_id(s) " +
+        collisions.map(_.getLong(0)).mkString(", ") +
+        " already exist in the index with DIFFERENT text — doc ids must " +
+        "be globally unique and never rebound (id-keyed replay hygiene " +
+        "would silently drop their near-dup flags)")
+    // (1) vs the index — minus this batch's own ids (replay hygiene)
+    val indexHits = TextQueries.nearDupProbe(b, sigs)
+      .join(bIds.withColumnRenamed("doc_id", "corpus_doc_id"),
+        Seq("corpus_doc_id"), "left_anti")
+    // (2) exact dups within the batch → their representative
+    val intraExact = b
+      .join(TextQueries.exactCollapse(b).select("text", "keep_id"), Seq("text"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), col("keep_id").as("corpus_doc_id"),
+        lit(1.0).as("jaccard"))
+    // (3) near dups within the batch → the earlier id wins
+    val intraNear = TextQueries.minhashPairs(TextQueries.minhashSignaturesOf(b))
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("corpus_doc_id"),
+        col("jaccard"))
+    // eager: cut the index read out of every later lineage BEFORE any
+    // append adds files to the same path
+    val hits = indexHits.unionByName(intraExact).unionByName(intraNear)
+      .localCheckpoint(eager = true)
+    EventStream.writeEpoch(hits, epoch, hitsPath)
+    bIds.join(hits.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+  }
+
+  /** The index-append half of near-dup admission: add `docs` (doc_id,
+    * text) signatures to the durable index, skipping ids already present
+    * (replay convergence — see [[nearDupAdmission]]'s discipline (b)).
+    * The skip set is pinned BEFORE the append so nothing reads the index
+    * path while writing to it. */
+  private[graft] def appendNovelToIndex(docs: DataFrame, indexPath: String): Unit = {
+    val b = docs.select("doc_id", "text")
+    val alreadyIndexed = b.select("doc_id")
+      .join(b.sparkSession.read.parquet(indexPath).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = true) // pre-append, same hazard rule
+    TextQueries.appendToMinhashIndex(
+      b.join(alreadyIndexed, Seq("doc_id"), "left_anti"), indexPath)
+  }
+
+  /** The COMPOSED live-curation admission — the three axes a production
+    * ingest actually runs as ONE pipeline, in x134's order: contamination
+    * gate first (row-local, cheapest — a benchmark-tainted doc must not
+    * cost shingle work, index probes, or budget), then near-dup vs the
+    * durable index + both intra-batch surfaces, then the token quota cut
+    * over what SURVIVED — so a doc the dup axis rejected can never consume
+    * budget in the same micro-batch (the interaction no single-axis test
+    * can see, and exactly the r16 verdict's composition ask).
+    *
+    * Artifacts per epoch (all through the idempotent epoch sink):
+    * decon verdicts → `deconPath`; near-dup hit pairs → `hitsPath`;
+    * admitted manifest + consumed-token ledger → `acceptedPath`/
+    * `statePath` (quotaAdmitBatch's two, unchanged).
+    *
+    * Index membership = the ADMITTED corpus (x134's release stance): only
+    * docs that cleared all three axes append their signatures, so a future
+    * near-dup of a doc the quota cut never shipped is judged on its own
+    * merits rather than rejected against phantom corpus text.
+    *
+    * Replay: every stage is the factored single-axis batch body with its
+    * own proven discipline (decon is stateless; near-dup excludes own-id
+    * index rows and skips already-indexed appends; quota reads the ledger
+    * AS-OF strictly-before and overwrites only its own partitions), and the
+    * stage WIRING is pure column pruning — so redelivering an epoch
+    * reproduces every artifact and the index byte-identically
+    * (DocStreamSpec redelivers through [[admitBatch]] and asserts all
+    * four paths + the index converge). */
+  def admission(docs: DataFrame, evalGrams: DataFrame, quotas: DataFrame,
+      indexPath: String, deconPath: String, hitsPath: String,
+      statePath: String, acceptedPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        admitBatch(batch.toDF(), epoch, evalGrams, quotas,
+          indexPath, deconPath, hitsPath, statePath, acceptedPath)
+      }
+      .start()
+
+  /** One composed [[admission]] micro-batch over (doc_id, source, text) —
+    * factored so DocStreamSpec can drive the full decon → near-dup → quota
+    * chain directly and re-deliver the same epoch. */
+  private[graft] def admitBatch(b0: DataFrame, epoch: Long, evalGrams: DataFrame,
+      quotas: DataFrame, indexPath: String, deconPath: String, hitsPath: String,
+      statePath: String, acceptedPath: String): Unit = {
+    val b = b0.select("doc_id", "source", "text")
+      // every axis + the append reads this batch; pin it once
+      .localCheckpoint(eager = true)
+    // axis 1: decon — one codegen'd HOF per row against the broadcast
+    // benchmark grams; rejected docs stop HERE, before any shingle work
+    val dec = TextQueries.deconProbeOf(b.select("doc_id", "text"), evalGrams)
+      .localCheckpoint(eager = true) // verdict log + the downstream filter
+    EventStream.writeEpoch(dec, epoch, deconPath)
+    val clean = b.join(dec.filter(col("admitted")).select("doc_id"), Seq("doc_id"))
+    // axis 2: near-dup vs index + intra-batch (hit log written inside)
+    val novel = clean.join(
+      nearDupAdmitBatch(clean.select("doc_id", "text"), epoch, indexPath, hitsPath),
+      Seq("doc_id"), "left_semi")
+    // axis 3: token quota — only dup-survivors consume budget
+    val admitted = quotaAdmitBatch(novel, epoch, quotas, statePath, acceptedPath)
+    // the release joins the corpus: admitted docs only (see scaladoc)
+    appendNovelToIndex(
+      novel.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi"), indexPath)
+  }
 }

@@ -70,6 +70,31 @@ class RepoHygieneSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("the docs' registry range label (x01-xNNN) tracks the registry's last query") {
+    // r15 advice item 7 and r16 missing-item 5, the SAME class twice: the
+    // SURVEY §2.3 prose enumerates each round's new families but the
+    // "(x01-xNNN" range label lags the registry. Derive the label from the
+    // registry and assert EVERY x01-range mention in the current-state
+    // docs matches, so the label cannot go stale a third time. (PLANS.md
+    // stays exempt — dated logs of past registry states.)
+    val last = SparkEntry.defs.map(_.name).collect {
+      case n if n.matches("x\\d+_.*") => n.drop(1).takeWhile(_.isDigit).toInt
+    }.max
+    val range = raw"x01-x(\d+)".r
+    def text(f: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8")
+    for (f <- Seq("README.md", "SURVEY.md", "COVERAGE.md");
+         m <- range.findAllMatchIn(text(f))) {
+      withClue(s"$f: stale registry range '${m.matched}' (registry ends at x$last): ") {
+        m.group(1).toInt shouldBe last
+      }
+    }
+    // non-vacuity: SURVEY must actually carry the label
+    withClue(s"SURVEY.md must carry the range label x01-x$last: ") {
+      text("SURVEY.md") should include(s"x01-x$last")
+    }
+  }
+
   test("every registered query name is pinned in a covering spec file") {
     // The r14 incident (x126 shipped in the final snapshot commit with no
     // spec, no plan guard, no doc rows) was the SECOND consecutive round in

@@ -972,6 +972,62 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     got.find(_._1 == "sB").get._4 shouldBe sB.head // median = lower tie value
   }
 
+  test("x137 anneal-quota overflow guard: head_mass past Long.MaxValue/A raises instead of wrapping") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val A = 100000000L
+    val bound = Long.MaxValue / A
+    // in-range masses: the exact BIGINT arithmetic, untouched by the guard
+    val ok = Seq((bound, bound), (1000L, 4000L)).toDF("head_mass", "total_head")
+      .select(TextQueries.annealQuotaCol(A).as("q"))
+      .collect().map(_.getLong(0))
+    ok(0) shouldBe A // bound·A div bound = A exactly
+    ok(1) shouldBe (A * 1000L) / 4000L
+    // one past the bound: the guard must RAISE with the offending mass
+    val e = intercept[Exception] {
+      Seq((bound + 1L, bound + 1L)).toDF("head_mass", "total_head")
+        .select(TextQueries.annealQuotaCol(A).as("q")).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    msgs should include("overflow")
+    msgs should include((bound + 1L).toString) // names the mass, not just the rule
+    // the deployment-dependence the guard removes: UNguarded, the failure
+    // mode swings with spark.sql.ansi.enabled — a generic engine overflow
+    // under ANSI (the Spark 4 default, measured here), a SILENT wrap to a
+    // negative quota with ANSI off. The guard's domain error above fires
+    // identically in both regimes.
+    def raw = Seq((bound + 1L, bound + 1L)).toDF("head_mass", "total_head")
+      .select(expr(s"CAST($A AS BIGINT) * head_mass div total_head").as("q"))
+    intercept[Exception] { raw.collect() }.toString should include("ARITHMETIC_OVERFLOW")
+    val ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try raw.head().getLong(0) should be < 0L // the silent corruption x137's scaladoc warned about
+    finally spark.conf.set("spark.sql.ansi.enabled", ansi)
+    // ...and the guard still raises the SAME domain error with ANSI off
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try intercept[Exception] {
+      Seq((bound + 1L, bound + 1L)).toDF("head_mass", "total_head")
+        .select(TextQueries.annealQuotaCol(A).as("q")).collect()
+    }.toString should include("overflow")
+    finally spark.conf.set("spark.sql.ansi.enabled", ansi)
+  }
+
+  test("evalGramTable cardinality guard: an oversized benchmark fails at artifact build, not as a stream OOM") {
+    import spark.implicits._
+    val evalDocs = Seq((900L, "g1 g2 g3 g4 g5 g6")).toDF("doc_id", "text")
+    // under the cap: the artifact is unchanged (both overlapping windows)
+    TextQueries.evalGramTable(evalDocs).head().getSeq[String](0).toSet shouldBe
+      Set("g1 g2 g3 g4 g5", "g2 g3 g4 g5 g6")
+    // over a (deliberately tiny) cap: a clear size error naming the
+    // cardinality and the remedy — raised BEFORE any collect_set runs
+    val e = intercept[IllegalArgumentException] {
+      TextQueries.evalGramTable(evalDocs, maxGrams = 1L)
+    }
+    e.getMessage should include("2 distinct 5-grams")
+    e.getMessage should include("Bloom")
+  }
+
   test("x137 zero branches: a gate-dead source and an empty head pool stay 0, never NULL/NaN") {
     import spark.implicits._
     // every doc fails the gate (too short) → gated = 0, head pool empty

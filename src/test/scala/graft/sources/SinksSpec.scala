@@ -118,6 +118,63 @@ class SinksSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("compactEpochLedger: as-of reads identical across the fold; re-runnable; later epochs land cleanly") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("ledger").toString + "/state"
+    def w(rows: Seq[(String, Long)], e: Long): Unit =
+      graft.streaming.EventStream.writeEpoch(
+        rows.toDF("source", "consumed_tokens"), e, path)
+    // keyed latest-wins history: a grows, b appears late, c writes once
+    w(Seq(("a", 10L), ("c", 5L)), 0L)
+    w(Seq(("a", 25L), ("b", 7L)), 1L)
+    w(Seq(("b", 9L)), 2L)
+    def ledger(e: Long): Map[String, Long] =
+      Sinks.ledgerBeforeEpoch(spark, path, e, "source", "consumed_tokens")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    def epochDirs(): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("__epoch=")).map(_.stripPrefix("__epoch=").toLong)
+        .sorted.toSeq
+    }
+    val before = (3L to 6L).map(e => e -> ledger(e)).toMap
+    before(3L) shouldBe Map("a" -> 25L, "b" -> 9L, "c" -> 5L)
+
+    Sinks.compactEpochLedger(spark, path, upTo = 2L, "source", "consumed_tokens")
+    // one base partition remains, and every as-of read PAST the fold is
+    // byte-identical to what the uncompacted history answered
+    epochDirs() shouldBe Seq(2L)
+    (3L to 6L).foreach(e => ledger(e) shouldBe before(e))
+    // the generic readAsOfEpoch, folded the same latest-wins way, agrees
+    Sinks.readAsOfEpoch(spark, path, 2L)
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct($"__epoch", $"consumed_tokens"))
+        .getField("consumed_tokens").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap shouldBe before(3L)
+    // crash-recovery shape: the job is safely re-runnable (idempotent)
+    Sinks.compactEpochLedger(spark, path, upTo = 2L, "source", "consumed_tokens")
+    ledger(3L) shouldBe before(3L)
+    // a post-compaction epoch folds in exactly as it would have before
+    w(Seq(("a", 40L)), 3L)
+    ledger(4L) shouldBe Map("a" -> 40L, "b" -> 9L, "c" -> 5L)
+  }
+
+  test("dropEpochsBefore: append-artifact retention deletes only strictly-older epoch directories") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("retain").toString + "/hits"
+    (0L to 3L).foreach(e => graft.streaming.EventStream.writeEpoch(
+      Seq((e * 10, s"v$e")).toDF("id", "v"), e, path))
+    Sinks.dropEpochsBefore(spark, path, cutoff = 2L) shouldBe 2
+    spark.read.parquet(path).collect()
+      .map(_.getAs[Number]("__epoch").longValue()).sorted.toSeq shouldBe Seq(2L, 3L)
+    // re-run: nothing left below the cutoff
+    Sinks.dropEpochsBefore(spark, path, cutoff = 2L) shouldBe 0
+    // a missing path is a no-op, not a crash (retention runs on a timer)
+    Sinks.dropEpochsBefore(spark, path + "/nope", 5L) shouldBe 0
+  }
+
   test("compactParquet preserves hive partition layout when told about it") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

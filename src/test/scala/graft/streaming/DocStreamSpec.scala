@@ -574,6 +574,179 @@ class DocStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     (readAccepted(), latestState()) shouldBe before
   }
 
+  test("composed admission (decon → near-dup → quota): rejected docs consume no quota; index = admitted corpus; redelivery converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+
+    val base = java.nio.file.Files.createTempDirectory("admit-all").toString
+    val indexPath = s"$base/sigs"
+    val paths = Seq("decon", "hits", "state", "accepted").map(p => s"$base/$p")
+    val Seq(deconPath, hitsPath, statePath, acceptedPath) = paths
+
+    def t(prefix: String, last: String): String =
+      (1 to 29).map(i => s"$prefix$i").mkString(" ") + " " + last
+    def d40(prefix: String): String = (1 to 40).map(i => s"$prefix$i").mkString(" ")
+    val caPrefix = (1 to 25).map(i => s"ca$i").mkString(" ")
+
+    // pinned artifacts: benchmark grams + a seeded dup-free index
+    val ev = TextQueries.evalGramTable(
+      Seq((900L, "g1 g2 g3 g4 g5 g6")).toDF("doc_id", "text")).cache()
+    ev.count()
+    val seed = Seq((1L, t("w", "alpha")), (2L, (1 to 30).map(i => s"q$i").mkString(" ")))
+    graft.sources.Sinks.sortedParquet(
+      TextQueries.minhashSignaturesOf(seed.toDF("doc_id", "text")), indexPath, Seq("doc_id"))
+    val quotas = Seq(("a", 100L), ("b", 25L)).toDF("source", "quota_tokens")
+
+    // epoch 0 — every rejection class in source a, sized so the INTERACTION
+    // is binding: if EITHER rejected 30-token doc consumed quota, the two
+    // clean 40-token docs could not both fit under a's 100
+    val b1 = Seq(
+      (10L, "a", s"$caPrefix g1 g2 g3 g4 g5"), // benchmark gram inside → decon-rejected
+      (11L, "a", t("w", "beta")),              // near-dup of INDEX doc 1 → dup-rejected
+      (12L, "a", d40("ad")),                   // clean novel → admitted
+      (13L, "a", d40("ae")),                   // clean novel → admitted
+      (14L, "a", d40("ad")),                   // intra-batch EXACT dup of 12 → dup-rejected
+      (15L, "b", t("bb", "one")),              // b: exactly one of {15,17} fits quota 25
+      (17L, "b", t("bc", "two")),
+      (16L, "c", t("cc", "solo")))             // no quota row → never admitted
+    // epoch 1 — the index-membership pins: 20 near-dups a doc ADMITTED one
+    // epoch earlier (flagged); 21 near-dups the DECON-REJECTED 10 (last two
+    // tokens differ, no benchmark gram) — 10 never joined the corpus, so 21
+    // is judged on its own merits and admitted; 22 dies at the quota (b spent)
+    val b2 = Seq(
+      (20L, "a", (1 to 39).map(i => s"ad$i").mkString(" ") + " zz"),
+      (21L, "a", s"$caPrefix g1 g2 g3 h4 h5"),
+      (22L, "b", t("bd", "late")))
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = DocStream.admission(input.toDF.toDF("doc_id", "source", "text"),
+      ev, quotas, indexPath, deconPath, hitsPath, statePath, acceptedPath, s"$base/ckpt")
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    // decon log: exactly the contaminated doc rejected, per epoch
+    val dec = spark.read.parquet(deconPath).collect()
+      .map(r => (r.getAs[Number]("__epoch").longValue, r.getAs[Long]("doc_id"),
+        r.getAs[Boolean]("admitted")))
+    dec.filter(!_._3).map(d => (d._1, d._2)).toSet shouldBe Set((0L, 10L))
+    dec.map(_._2).toSet shouldBe (b1 ++ b2).map(_._1).toSet
+
+    // near-dup log: the index hit, the intra-batch exact dup, and the
+    // cross-epoch hit against the epoch-0 ADMITTED doc — and nothing else
+    // (in particular nothing ever flagged against unadmitted 10/11/14/16/22)
+    spark.read.parquet(hitsPath).collect()
+      .map(r => (r.getAs[Number]("__epoch").longValue, r.getAs[Long]("doc_id"),
+        r.getAs[Long]("corpus_doc_id"))).toSet shouldBe
+      Set((0L, 11L, 1L), (0L, 14L, 12L), (1L, 20L, 12L))
+
+    // quota: driver-side replay of the x53 cut over the SURVIVOR stream
+    def md5hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val survivors = Map( // post-decon, post-dup, by construction above
+      0L -> b1.filter(d => !Seq(10L, 11L, 14L).contains(d._1)),
+      1L -> b2.filter(_._1 != 20L))
+    val quotaMap = Map("a" -> 100L, "b" -> 25L)
+    val consumed = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    Seq(0L, 1L).foreach { ep =>
+      survivors(ep).groupBy(_._2).toSeq.sortBy(_._1).foreach { case (src, ds) =>
+        quotaMap.get(src).foreach { quota =>
+          ds.sortBy(d => (md5hex(d._1), d._1)).foreach { case (id, _, text) =>
+            if (consumed(src) < quota) {
+              expected += ((ep, id)); consumed(src) += text.split("\\s+").length.toLong
+            }
+          }
+        }
+      }
+    }
+    def accepted() = spark.read.parquet(acceptedPath).collect()
+      .map(r => (r.getAs[Number]("__epoch").longValue, r.getAs[Long]("doc_id"))).toSet
+    accepted() shouldBe expected.toSet
+    // the binding interaction + membership pins, explicitly:
+    accepted() should contain allOf ((0L, 12L), (0L, 13L)) // rejected docs consumed NOTHING
+    accepted() should contain((1L, 21L)) // near-dup of an UNADMITTED doc sails through
+    accepted().map(_._2) should contain noneOf (16L, 22L)
+    def ledger() = spark.read.parquet(statePath).collect()
+      .map(r => (r.getAs[Number]("__epoch").longValue, r.getAs[String]("source"),
+        r.getAs[Long]("consumed_tokens")))
+      .groupBy(_._2).view.mapValues(_.maxBy(_._1)._3).toMap
+    ledger() shouldBe consumed.toMap
+    ledger()("a") shouldBe 110L // 40+40 (epoch 0) + 30 (epoch 1); never 10/11/14's mass
+
+    // the index holds EXACTLY seed + fully-admitted docs
+    def indexIds() = spark.read.parquet(indexPath).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    val admittedIds = expected.map(_._2).toSet
+    indexIds() shouldBe (Seq(1L, 2L) ++ admittedIds).sorted
+
+    // SAME-EPOCH REDELIVERY through the factored composed body: every
+    // artifact and the index converge byte-identically
+    val before = (dec.toSet, accepted(), ledger(), indexIds(),
+      spark.read.parquet(hitsPath).count())
+    DocStream.admitBatch(b2.toDF("doc_id", "source", "text"), 1L, ev, quotas,
+      indexPath, deconPath, hitsPath, statePath, acceptedPath)
+    val after = (spark.read.parquet(deconPath).collect()
+        .map(r => (r.getAs[Number]("__epoch").longValue, r.getAs[Long]("doc_id"),
+          r.getAs[Boolean]("admitted"))).toSet,
+      accepted(), ledger(), indexIds(), spark.read.parquet(hitsPath).count())
+    after shouldBe before
+  }
+
+  test("quota ledger compaction mid-stream: post-compaction epochs and replays see identical as-of state") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("quota-compact").toString
+    def doc(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
+    val quotas = Seq(("a", 100L), ("b", 50L)).toDF("source", "quota_tokens")
+    val epochs = Seq(
+      0L -> Seq((1L, "a", doc(40)), (2L, "a", doc(40)), (3L, "b", doc(30))),
+      1L -> Seq((4L, "a", doc(10)), (5L, "b", doc(15))),
+      2L -> Seq((6L, "a", doc(30)), (7L, "b", doc(20))))
+
+    // two mirrored runs of the SAME stream; one compacts after epoch 1
+    def run(tag: String, compactAfter1: Boolean): (Set[(Long, Long, Long)], Map[String, Long]) = {
+      val st = s"$base/$tag/state"; val acc = s"$base/$tag/accepted"
+      epochs.foreach { case (ep, rows) =>
+        if (compactAfter1 && ep == 2L)
+          graft.sources.Sinks.compactEpochLedger(spark, st, upTo = 1L,
+            "source", "consumed_tokens")
+        DocStream.quotaAdmitBatch(rows.toDF("doc_id", "source", "text"),
+          ep, quotas, st, acc)
+      }
+      val a = spark.read.parquet(acc).collect()
+        .map(r => (r.getAs[Number]("__epoch").longValue, r.getAs[Long]("doc_id"),
+          r.getAs[Long]("offset_tokens"))).toSet
+      val l = spark.read.parquet(st).collect()
+        .map(r => (r.getAs[Number]("__epoch").longValue, r.getAs[String]("source"),
+          r.getAs[Long]("consumed_tokens")))
+        .groupBy(_._2).view.mapValues(_.maxBy(_._1)._3).toMap
+      (a, l)
+    }
+    val plain = run("plain", compactAfter1 = false)
+    val compacted = run("compact", compactAfter1 = true)
+    // the fold changed NOTHING the admission path reads: same admitted
+    // rows WITH OFFSETS, same cumulative ledger
+    compacted shouldBe plain
+    // ...but it really did fold the directories
+    val stC = new org.apache.hadoop.fs.Path(s"$base/compact/state")
+    val dirs = stC.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(stC).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("__epoch=")).sorted.toSeq
+    dirs shouldBe Seq("__epoch=1", "__epoch=2")
+    // an epoch REPLAYED after its predecessors were compacted reads the
+    // folded base as its strictly-before window and converges (epoch 2 is
+    // the only replayable epoch here — 0 and 1 are committed-and-folded,
+    // which is exactly the compaction precondition)
+    DocStream.quotaAdmitBatch(epochs(2)._2.toDF("doc_id", "source", "text"),
+      2L, quotas, s"$base/compact/state", s"$base/compact/accepted")
+    val afterAcc = spark.read.parquet(s"$base/compact/accepted").collect()
+      .map(r => (r.getAs[Number]("__epoch").longValue, r.getAs[Long]("doc_id"),
+        r.getAs[Long]("offset_tokens"))).toSet
+    afterAcc shouldBe plain._1
+  }
+
   test("nearDupAdmission fails fast when an indexed doc_id arrives rebound to different text") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
