@@ -21,6 +21,11 @@ object NflScaleBench {
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the ScaleLadder lesson (r14, PLANS.md): an N×-scale shuffle into a
+      // 1×-sized partition count concentrates per-task window/aggregate
+      // state until it OOMs — let AQE size reduce stages by bytes, so the
+      // 1000× rung keeps enough partitions while small runs coalesce back
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 16 * cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

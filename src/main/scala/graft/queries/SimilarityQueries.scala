@@ -482,6 +482,118 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
+  /** x145's outlier threshold: cos-to-assigned-centroid below this is an
+    * outlier. 0.15 sits between the shipped corpora's p10s (sf0.01 p10 ≈
+    * 0.19, sf0.1 p10 ≈ 0.12) so the census is non-degenerate at both test
+    * scales; a deployment pins its own τ off this census's first run. */
+  private val outlierTauPpm = 150000L
+
+  /** (d, cell, cos_ppm) of the ASSIGNED (nearest) pinned cell as ONE
+    * row-local codegen'd expression over literal centroids: per centroid a
+    * struct of the x17 IVF score, the cell id, and the integer-ppm cosine;
+    * sort_array orders by (d, cell) — exactly x17's assignment tie-break —
+    * and element 1 is the assigned cell WITH its cosine, so assignment and
+    * quality come from one pass with no join back to a centroid table. */
+  private def assignedCellCos(e: Column): Column = {
+    val arr = array(IvfPinned.centroids.zipWithIndex.map { case (c, i) =>
+      val cn2 = c.map(x => x * x).sum
+      struct(
+        (lit(cn2) - lit(2.0) * dot(e, typedLit(c))).as("d"),
+        lit(i).as("cell"),
+        round(dot(e, typedLit(c)) / (norm(e) * lit(math.sqrt(cn2))) * lit(1e6), 0)
+          .cast("long").as("cos_ppm"))
+    }: _*)
+    element_at(sort_array(arr), 1)
+  }
+
+  /** DuckDB replication of the x145 rollup: the x17 pinned-centroid
+    * VALUES table and k=1 assignment verbatim, then the cosine to the
+    * assigned centroid rounded to integer ppm (the same ROUND(x·10⁶)
+    * both engines compute on the identical double — the x17 cos
+    * precedent), and a purely integer census. The mean offsets by +10⁶
+    * before the floor division so both engines divide non-negative
+    * operands (cos can be negative; `div` vs `//` need not agree on
+    * negative dividends). */
+  private val x145Oracle: String = {
+    val rows = ivfCtRows
+    s"""WITH ct(cell, cn2, centroid) AS (VALUES
+      |$rows),
+      |scores AS (
+      |  SELECT e.vec_id, ct.cell,
+      |    ct.cn2 - 2.0 * list_sum(list_transform(range(1, 65),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * ct.centroid[i])) AS d
+      |  FROM embeddings e CROSS JOIN ct),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM scores) s WHERE rn = 1),
+      |cosv AS (
+      |  SELECT a.cell,
+      |    CAST(ROUND(
+      |      list_sum(list_transform(range(1, 65),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * ct.centroid[i]))
+      |      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(ct.cn2)) * 1000000.0, 0) AS BIGINT) AS cos_ppm
+      |  FROM assign a JOIN embeddings e USING (vec_id) JOIN ct ON ct.cell = a.cell)
+      |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(CAST(SUM(cos_ppm + 1000000) AS BIGINT) // COUNT(*) - 1000000 AS BIGINT) AS mean_cos_ppm,
+      |  CAST(MIN(cos_ppm) AS BIGINT) AS min_cos_ppm,
+      |  CAST(SUM(CASE WHEN cos_ppm < $outlierTauPpm THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(SUM(CASE WHEN cos_ppm < $outlierTauPpm THEN 1 ELSE 0 END) * 1000000
+      |       // COUNT(*) AS BIGINT) AS outlier_ppm
+      |FROM cosv GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
+  /** x145: per-cell embedding OUTLIER census over the pinned IVF index —
+    * the embedding-QUALITY read that completes the index-health triptych:
+    * x65 reads label purity (is the cell semantically coherent?), x126/
+    * x127 read recall (does the probe find what brute force finds?), and
+    * this reads GEOMETRY (how far do a cell's members sit from their own
+    * centroid?). A cell whose mean cosine-to-centroid sags or whose
+    * outlier rate climbs is where garbage embeddings pool (failed
+    * encodes, wrong-modality rows, drift since training) — and outliers
+    * are exactly the vectors IVF serves worst, since they sit near cell
+    * boundaries where nProbe misses; the census names the cells to
+    * re-encode or re-train first (the x68 refresh decision, fed by
+    * measurement instead of suspicion).
+    *
+    * Exactness: assignment is x17's literal-centroid argmin verbatim; the
+    * ONE float step per row is the cosine to that centroid, immediately
+    * rounded to integer ppm (the x17 ROUND-cos precedent: identical
+    * double arithmetic both engines, then BIGINT end to end). The mean
+    * offsets by +10⁶ so the floor division never sees a negative
+    * dividend (engine `div` and DuckDB `//` agree on non-negatives).
+    *
+    * Plan/scale: ONE corpus map against broadcast literals (assignment +
+    * cosine fused in one sorted-struct expression, no centroid join),
+    * then a grouped aggregate straight to ≤ nCells rows. At 100 TB the
+    * only corpus-sized work is the map pass — same plan as x65. */
+  val annOutlierCensus = sql("x145_ann_outlier_census", x145Oracle) { (s, d) =>
+    annOutlierCensusOf(Tables.embeddings(s, d)).orderBy("cell")
+  }
+
+  /** The mergeable per-cell outlier-stat fold behind x145 — counts, the
+    * offset cosine sum, the min, and the under-τ count are ALL monoids
+    * (≤ nCells groups), so this exact aggregate serves as the batch body
+    * AND as streaming update-mode state
+    * ([[graft.streaming.EmbStream.outlierCensusUpdates]] — shared
+    * verbatim, the cellCensusStatsOf precedent). */
+  def outlierStatsOf(emb: DataFrame): DataFrame =
+    emb.withColumn("b", assignedCellCos(col("embedding")))
+      .select(col("b.cell").as("cell"), col("b.cos_ppm").as("cos_ppm"))
+      .groupBy("cell").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("cos_ppm") + lit(1000000L)).as("sum_off"),
+        min("cos_ppm").as("min_cos_ppm"),
+        sum(when(col("cos_ppm") < lit(outlierTauPpm), 1L).otherwise(0L)).as("n_outliers"))
+
+  /** x145's engine over any (vec_id, embedding) frame. */
+  def annOutlierCensusOf(emb: DataFrame): DataFrame =
+    outlierStatsOf(emb)
+      .withColumn("mean_cos_ppm", expr("sum_off div n_vecs - CAST(1000000 AS BIGINT)"))
+      .withColumn("outlier_ppm", expr("n_outliers * CAST(1000000 AS BIGINT) div n_vecs"))
+      .select("cell", "n_vecs", "mean_cos_ppm", "min_cos_ppm", "n_outliers", "outlier_ppm")
+
   /** Exact embedding-cosine near-dup, incremental-ingest shape: the 50
     * newest vectors (the "incoming batch") are checked against everything
     * before them (and each other). The batch side is broadcast; the corpus
@@ -1348,5 +1460,6 @@ FROM embeddings ORDER BY vec_id""") { (s, d) =>
 
   val all: Seq[QueryDef] = Seq(embNorm, embPairCosine, simBruteTopk, simLshTopk, simIvfTopk,
     simIvfCells, simPqTopk, dedupEmbedding, dedupEmbLsh, embQuantize, simContamination,
-    semanticDedup, embRandomProjection, embLabelDrift, annRecallSweep, annOperatingPoint)
+    semanticDedup, embRandomProjection, embLabelDrift, annRecallSweep, annOperatingPoint,
+    annOutlierCensus)
 }

@@ -4819,6 +4819,378 @@ object TextQueries {
       .select("source", "phase", "quota_tokens", "supply_tokens", "repeat_ppm", "weight")
   }
 
+  /** x141: excess-hardness domain REWEIGHTING — the DoReMi-flavored knob
+    * (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up
+    * Language Model Pretraining") between x129's pure √-supply mixture
+    * and x137's quality-head anneal: upweight the domains the corpus
+    * bigram LM predicts WORST (highest excess perplexity = most still to
+    * learn), weighted by the token mass that hardness applies to.
+    * weight ∝ tok_mass · hardness, hardness_ppm = 10⁶ − mean score_ppm —
+    * the one-model proxy for DoReMi's reference/proxy loss gap, exactly
+    * computable from artifacts this engine already audits (the x62 score,
+    * the x112 mass convention).
+    *
+    * Exactness: integer end to end — score_ppm is x62's floor-ppm BIGINT;
+    * the per-source mean is SUM div COUNT over SCOREABLE docs (≥2 tokens
+    * — the only docs a transition score exists for; n_docs/tok_mass count
+    * the same set so the weight never claims mass the hardness was not
+    * measured on); the share denominator is `greatest(sum_w div 10⁶, 1)`
+    * — dividing DOWN first keeps every product within BIGINT for up to
+    * ~9·10¹² tokens/source (a 100 TB corpus), where the naive
+    * raw_w·10⁶/sum_w spelling would overflow at ~9·10⁶ tokens/source.
+    * The one unguardable product (tok_mass·hardness) raises the x137-style
+    * domain error past Long.MaxValue/10⁶ tokens instead of wrapping.
+    *
+    * Plan/scale: the x62 bigram chain (its exchanges, unchanged) with
+    * (source, n_tok) carried through the rollup — no doc-keyed re-join;
+    * everything after is |sources|-sized with the total broadcast. */
+  val doremiWeights = sql(
+    "x141_doremi_weights",
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |bgk AS (SELECT doc_id, lang, unnest(range(2, len(toks)+1)) AS i, toks FROM t),
+      |bg AS (SELECT doc_id, lang, toks[i-1] AS w1, toks[i] AS w2 FROM bgk),
+      |cpair AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+      |cctx AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+      |px AS (SELECT bg.doc_id, bg.lang,
+      |    CAST(FLOOR(CAST(c2 AS DOUBLE) / c1 * 1000000) AS BIGINT) AS f
+      |  FROM bg JOIN cpair USING (w1, w2) JOIN cctx USING (w1)),
+      |doc AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_trans,
+      |    CAST(SUM(f) AS BIGINT) AS sum_f FROM px GROUP BY 1, 2),
+      |sco AS (SELECT doc_id, lang, n_trans, sum_f // n_trans AS score_ppm FROM doc),
+      |w AS (SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |per AS (SELECT w.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(w.n_tok) AS BIGINT) AS tok_mass,
+      |    CAST(SUM(sco.score_ppm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_score_ppm
+      |  FROM sco JOIN w USING (doc_id) GROUP BY w.source),
+      |hw AS (SELECT source, n_docs, tok_mass, mean_score_ppm,
+      |    1000000 - mean_score_ppm AS hardness_ppm,
+      |    tok_mass * (1000000 - mean_score_ppm) AS raw_w FROM per),
+      |tot AS (SELECT CAST(SUM(raw_w) AS BIGINT) AS sum_w FROM hw)
+      |SELECT source, n_docs, tok_mass, mean_score_ppm, hardness_ppm,
+      |  CAST(raw_w // GREATEST(sum_w // 1000000, 1) AS BIGINT) AS weight_ppm
+      |FROM hw CROSS JOIN tot ORDER BY source""".stripMargin) { (s, d) =>
+    doremiWeightsOf(docs(s, d)).orderBy("source")
+  }
+
+  /** x141's engine over any (doc_id, source, text) frame. */
+  def doremiWeightsOf(dd: DataFrame): DataFrame = {
+    val sco = lmScoreCore(
+      dd.withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long")),
+      Seq("source", "n_tok"))
+      .withColumn("score_ppm", expr("sum_f div n_trans"))
+    val per = sco.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("tok_mass"),
+      sum("score_ppm").as("sum_sc"))
+      .withColumn("mean_score_ppm", expr("sum_sc div n_docs"))
+      .withColumn("hardness_ppm", lit(1000000L) - col("mean_score_ppm"))
+      .withColumn("raw_w",
+        when(col("tok_mass") > lit(Long.MaxValue / 1000000L),
+          raise_error(concat(
+            lit("x141 domain weights: tok_mass exceeds Long.MaxValue/1000000 — " +
+              "BIGINT hardness multiply would overflow (tok_mass="),
+            col("tok_mass").cast("string"), lit(")"))).cast("long"))
+          .otherwise(col("tok_mass") * col("hardness_ppm")))
+    val tot = per.agg(sum("raw_w").as("sum_w"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tok_mass"), col("mean_score_ppm"),
+        col("hardness_ppm"),
+        expr("raw_w div greatest(sum_w div CAST(1000000 AS BIGINT), CAST(1 AS BIGINT))")
+          .as("weight_ppm"))
+  }
+
+  /** The x142 normalization: lowercase, whitespace-collapse, trim, and
+    * collapse CONSECUTIVE repeated tokens (crawl stutter — boilerplate
+    * renderers and scraped menus emit `table table`-style doubles). One
+    * row-local codegen'd HOF per row, shared by BOTH normalization passes
+    * so the idempotence audit audits exactly the shipped rule. Spark's
+    * lambda index is 0-based while element_at is 1-based, so
+    * `element_at(ts, i)` at filter-index i IS the PREVIOUS token. */
+  private def normTextCol(src: Column): Column = {
+    val ts = split(trim(lower(src)), "\\s+")
+    array_join(filter(ts, (t, i) => i === 0 || t =!= element_at(ts, i)), " ")
+  }
+
+  /** x142: text-normalization FIXPOINT audit — the pre-flight datasheet
+    * for the cleaning pass every corpus gets before tokenization: apply
+    * the normalization ([[normTextCol]]) and report, per source, how much
+    * it changed (docs touched, characters removed), how many NEW exact
+    * duplicates it revealed (distinct md5 before vs after — normalization
+    * collapsing two raw docs is dedup the raw pass would have missed),
+    * and whether it is IDEMPOTENT on this corpus (n_unstable = docs where
+    * a second application changes the text again — computed, not assumed:
+    * a normalization that keeps rewriting is a bug that makes every
+    * downstream fingerprint unstable).
+    *
+    * Exactness: string equality and integer counts only; the distinct
+    * counts key on md5(text) (16-byte keys through the exchange — the
+    * exactCollapse posture — with DuckDB and Spark md5 byte-identical).
+    *
+    * Plan/scale: two chained row-local HOF maps + ONE grouped aggregate;
+    * the only exchanges are the distinct-count expand — no joins, no
+    * windows, no second corpus scan for the idempotence pass. */
+  val normalizeFixpoint = sql(
+    "x142_normalize_fixpoint",
+    // plain (non-interpolated) string: \s reaches DuckDB as-is
+    """WITH d AS (SELECT doc_id, source, text,
+      |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+      |n1 AS (SELECT doc_id, source, text,
+      |    array_to_string(list_filter(toks, (t, i) -> i = 1 OR t <> toks[i - 1]), ' ') AS norm
+      |  FROM d),
+      |d2 AS (SELECT doc_id, source, text, norm,
+      |    string_split_regex(trim(lower(norm)), '\s+') AS toks2 FROM n1),
+      |n2 AS (SELECT doc_id, source, text, norm,
+      |    array_to_string(list_filter(toks2, (t, i) -> i = 1 OR t <> toks2[i - 1]), ' ') AS norm2
+      |  FROM d2)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(SUM(length(text) - length(norm)) AS BIGINT) AS chars_removed,
+      |  CAST(SUM(CASE WHEN norm2 <> norm THEN 1 ELSE 0 END) AS BIGINT) AS n_unstable,
+      |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_raw,
+      |  CAST(COUNT(DISTINCT md5(norm)) AS BIGINT) AS n_distinct_norm
+      |FROM n2 GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    normalizeAuditOf(docs(s, d)).orderBy("source")
+  }
+
+  /** x142's engine over any (doc_id, source, text) frame. */
+  def normalizeAuditOf(dd: DataFrame): DataFrame =
+    dd.withColumn("norm", normTextCol(col("text")))
+      .withColumn("norm2", normTextCol(col("norm")))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("norm") =!= col("text"), 1L).otherwise(0L)).as("n_changed"),
+        sum((length(col("text")) - length(col("norm"))).cast("long")).as("chars_removed"),
+        sum(when(col("norm2") =!= col("norm"), 1L).otherwise(0L)).as("n_unstable"),
+        countDistinct(md5(col("text"))).as("n_distinct_raw"),
+        countDistinct(md5(col("norm"))).as("n_distinct_norm"))
+
+  /** x143: context-window TRUNCATION-WASTE curve — the number a packing
+    * review reads BEFORE picking the sequence length: for each candidate
+    * L, how many docs per source exceed it and what token mass a
+    * truncate-at-L loader would throw away (waste_ppm of the source's
+    * mass). The complement of x113's pack-efficiency table: packing pays
+    * padding for SHORT docs, truncation pays loss for LONG ones, and the
+    * L that minimizes the sum is a read off these two curves.
+    *
+    * Exactness: pure BIGINT (the x112 trim/\s+ token count, GREATEST and
+    * comparisons, a guarded ppm division). The L ladder rides as a 3-row
+    * literal table on both engines.
+    *
+    * Plan/scale: ONE corpus scan, each row exploded onto the |L|=3
+    * literal lengths row-locally, then a single (source, L)-grouped
+    * aggregate (map-side combined, ≤ |sources|·3 rows out). No joins, no
+    * windows, no per-L re-scan. */
+  val truncationWaste = sql(
+    "x143_truncation_waste",
+    // plain (non-interpolated) string: \s reaches DuckDB as-is
+    """WITH w AS (SELECT source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |l AS (SELECT * FROM (VALUES (CAST(64 AS BIGINT)), (CAST(256 AS BIGINT)),
+      |    (CAST(1024 AS BIGINT))) AS t(seq_len)),
+      |per AS (SELECT source, seq_len,
+      |    CAST(SUM(CASE WHEN n_tok > seq_len THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_over,
+      |    CAST(SUM(GREATEST(n_tok - seq_len, 0)) AS BIGINT) AS tokens_lost,
+      |    CAST(SUM(n_tok) AS BIGINT) AS tok_mass
+      |  FROM w CROSS JOIN l GROUP BY source, seq_len)
+      |SELECT source, seq_len, n_docs_over, tokens_lost,
+      |  CAST(CASE WHEN tok_mass = 0 THEN 0
+      |       ELSE tokens_lost * 1000000 // tok_mass END AS BIGINT) AS waste_ppm
+      |FROM per ORDER BY source, seq_len""".stripMargin) { (s, d) =>
+    truncationWasteOf(docs(s, d)).orderBy("source", "seq_len")
+  }
+
+  /** x143's engine over any (source, text) frame. */
+  def truncationWasteOf(dd: DataFrame): DataFrame =
+    dd.select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        explode(array(lit(64L), lit(256L), lit(1024L))).as("seq_len"))
+      .groupBy("source", "seq_len").agg(
+        sum(when(col("n_tok") > col("seq_len"), 1L).otherwise(0L)).as("n_docs_over"),
+        sum(greatest(col("n_tok") - col("seq_len"), lit(0L))).as("tokens_lost"),
+        sum("n_tok").as("tok_mass"))
+      .select(col("source"), col("seq_len"), col("n_docs_over"), col("tokens_lost"),
+        when(col("tok_mass") === 0, 0L)
+          .otherwise(expr("tokens_lost * CAST(1000000 AS BIGINT) div tok_mass"))
+          .as("waste_ppm"))
+
+  /** x144: per-source BIGRAM-NOVELTY datasheet — how much of each
+    * source's language is EXCLUSIVE to it: bigram occurrences whose type
+    * appears in no other source, as mass and as ppm of the source's
+    * bigram mass. The diversity-side complement of x58's duplicate-overlap
+    * matrix: x58 says which sources copy each other's DOCUMENTS; this says
+    * which sources contribute language no one else covers — the number a
+    * mixture review reads before DOWN-weighting a source (cutting a
+    * high-novelty source removes vocabulary coverage, cutting a
+    * low-novelty one mostly removes repetition).
+    *
+    * Exactness: pure integer counting; ties/types have no float step.
+    *
+    * Plan/scale: the x62 bigram explode, ONE (source, bigram)-grouped
+    * aggregate (map-side combined), then ownership counted by a window
+    * over the count table partitioned by bigram — a group is AT MOST
+    * |sources| rows BY CONSTRUCTION (one count row per owning source),
+    * so the window is bounded at any corpus size; the final rollup is
+    * |sources|-sized. No corpus-sized join, no unbounded window. */
+  val ngramNovelty = sql(
+    "x144_ngram_novelty",
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |bgk AS (SELECT doc_id, source, unnest(range(2, len(toks)+1)) AS i, toks FROM t),
+      |bg AS (SELECT source, toks[i-1] AS w1, toks[i] AS w2 FROM bgk),
+      |sb AS (SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2, 3),
+      |own AS (SELECT source, cnt,
+      |    COUNT(*) OVER (PARTITION BY w1, w2) AS n_sources FROM sb)
+      |SELECT source,
+      |  CAST(SUM(cnt) AS BIGINT) AS bigram_mass,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(CASE WHEN n_sources = 1 THEN cnt ELSE 0 END) AS BIGINT) AS exclusive_mass,
+      |  CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive_types,
+      |  CAST(SUM(CASE WHEN n_sources = 1 THEN cnt ELSE 0 END) * 1000000
+      |       // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS exclusive_ppm
+      |FROM own GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    ngramNoveltyOf(docs(s, d)).orderBy("source")
+  }
+
+  /** x144's engine over any (doc_id, source, text) frame. */
+  def ngramNoveltyOf(dd: DataFrame): DataFrame = {
+    val bg = dd.select(col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2) // Spark sequence(2,1) would DESCEND
+      .select(col("source"), explode(expr(
+        "transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS w1, toks[i-1] AS w2))")).as("b"))
+      .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val sb = bg.groupBy("source", "w1", "w2").agg(count(lit(1)).as("cnt"))
+    val own = sb.withColumn("n_sources",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("w1", "w2")))
+    own.groupBy("source").agg(
+        sum("cnt").as("bigram_mass"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n_sources") === 1, col("cnt")).otherwise(0L)).as("exclusive_mass"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("n_exclusive_types"))
+      .withColumn("exclusive_ppm",
+        expr("exclusive_mass * CAST(1000000 AS BIGINT) div bigram_mass"))
+  }
+
+  /** x146: DATA-CONSTRAINED repeat allocation (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": repeated epochs decay in
+    * value, with ~4 epochs the practical ceiling): spend a token budget
+    * B = 3.8×supply across sources by √-flattened WATER-FILLING —
+    * quota_i = min(4·s_i, λ·√s_i) with λ the unique water level that
+    * spends exactly B — so large sources get x128's √-flattening while
+    * small sources SATURATE at the 4-epoch cap instead of being ground
+    * through 20 epochs of repetition. The output names the
+    * data-constrained sources (saturated) and prices what marginal
+    * budget actually buys — the recipe-review table for the regime every
+    * frontier run now lives in.
+    *
+    * Exactness: the water level has a CLOSED FORM per saturation count k
+    * — λ(k) = (B − 4·Σ_sat s) / Σ_unsat √s — evaluated on the sorted rung
+    * table. Both engines compute the same doubles: √ of the same BIGINT,
+    * running sums in the same `ORDER BY (satpoint, source)` window frame
+    * (order-PINNED, so float summation order cannot differ — the reason
+    * this uses window cumulatives, not a free-order aggregate), the same
+    * minimal valid k (k unique; at a λ = satpoint boundary both rungs
+    * price identical quotas and `saturated` derives from quota = cap,
+    * never from k). Quotas floor to BIGINT; Σ quota ∈ (B − |sources|, B]
+    * (per-source floor slack < 1 token). The defensive COALESCE prices
+    * every source at cap if no rung validates — unreachable while
+    * B < 4·supply, load-bearing if the budget rule ever grows past it.
+    *
+    * Plan/scale: one corpus scan → the |sources| supply table; the rungs,
+    * window sums, water-level pick, and final pricing all run on
+    * ≤ |sources|+1 rows — the unpartitioned windows are bounded by
+    * construction (the x135-threshold argument), and λ attaches back
+    * broadcast. */
+  val repeatDecay = sql(
+    "x146_repeat_decay",
+    // plain (non-interpolated) string: \s reaches DuckDB as-is
+    """WITH w AS (SELECT source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |per AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS supply FROM w GROUP BY source),
+      |tot AS (SELECT CAST(SUM(supply) * 38 // 10 AS BIGINT) AS budget FROM per),
+      |r1 AS (SELECT source, supply, budget,
+      |    4.0 * sqrt(CAST(supply AS DOUBLE)) AS satpoint,
+      |    ROW_NUMBER() OVER (ORDER BY 4.0 * sqrt(CAST(supply AS DOUBLE)), source) AS k,
+      |    CAST(SUM(supply) OVER (ORDER BY 4.0 * sqrt(CAST(supply AS DOUBLE)), source) AS BIGINT) AS cum_s,
+      |    SUM(sqrt(CAST(supply AS DOUBLE))) OVER (ORDER BY 4.0 * sqrt(CAST(supply AS DOUBLE)), source) AS cum_sqrt
+      |  FROM per CROSS JOIN tot),
+      |rungs AS (
+      |  SELECT k, budget, satpoint, cum_s, cum_sqrt FROM r1
+      |  UNION ALL
+      |  SELECT 0, budget, CAST(NULL AS DOUBLE), CAST(0 AS BIGINT), 0.0 FROM tot),
+      |ts AS (SELECT MAX(cum_sqrt) AS tot_sqrt FROM rungs),
+      |pr AS (SELECT k, budget, satpoint, cum_s, cum_sqrt,
+      |    LEAD(satpoint, 1) OVER (ORDER BY k) AS next_sat,
+      |    tot_sqrt - cum_sqrt AS rest_sqrt
+      |  FROM rungs CROSS JOIN ts),
+      |lm AS (SELECT k, satpoint, next_sat,
+      |    CASE WHEN rest_sqrt > 0.0
+      |         THEN CAST(budget - 4 * cum_s AS DOUBLE) / rest_sqrt END AS lam
+      |  FROM pr),
+      |v AS (SELECT k, lam,
+      |    (lam IS NOT NULL AND (satpoint IS NULL OR satpoint < lam)
+      |     AND (next_sat IS NULL OR lam <= next_sat)) AS valid FROM lm),
+      |pick AS (SELECT arg_min(lam, k) AS lam_star FROM v WHERE valid),
+      |q AS (SELECT p.source, p.supply,
+      |    LEAST(4 * p.supply,
+      |      COALESCE(CAST(FLOOR(pick.lam_star * sqrt(CAST(p.supply AS DOUBLE))) AS BIGINT),
+      |               4 * p.supply)) AS quota
+      |  FROM per p CROSS JOIN pick)
+      |SELECT source, supply AS supply_tokens,
+      |  CAST(4 * supply AS BIGINT) AS cap_tokens,
+      |  CAST(quota AS BIGINT) AS quota_tokens,
+      |  CAST(quota * 1000000 // supply AS BIGINT) AS epochs_ppm,
+      |  CAST(CASE WHEN quota = 4 * supply THEN 1 ELSE 0 END AS INTEGER) AS saturated
+      |FROM q ORDER BY source""".stripMargin) { (s, d) =>
+    repeatDecayOf(docs(s, d)).orderBy("source")
+  }
+
+  /** x146's engine over any (source, text) frame. */
+  def repeatDecayOf(dd: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = dd.select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("supply"))
+      .localCheckpoint(eager = false) // bounded; rungs + final pricing read it
+    val tot = per.agg(expr("CAST(sum(supply) * 38 div 10 AS BIGINT)").as("budget"))
+    val satpoint = lit(4.0) * sqrt(col("supply").cast("double"))
+    val ord = Window.orderBy(satpoint, col("source"))
+    val r1 = per.crossJoin(broadcast(tot))
+      .select(col("budget"), satpoint.as("satpoint"),
+        row_number().over(ord).as("k"),
+        sum("supply").over(ord).as("cum_s"),
+        sum(sqrt(col("supply").cast("double"))).over(ord).as("cum_sqrt"))
+    val rungs = r1.unionByName(tot.select(col("budget"),
+        lit(null).cast("double").as("satpoint"), lit(0).as("k"),
+        lit(0L).as("cum_s"), lit(0.0).as("cum_sqrt")))
+      .localCheckpoint(eager = false) // two consumers: tot_sqrt + the rungs
+    val ts = rungs.agg(max("cum_sqrt").as("tot_sqrt"))
+    val kord = Window.orderBy("k")
+    val lm = rungs.crossJoin(broadcast(ts))
+      .withColumn("next_sat", lead("satpoint", 1).over(kord))
+      .withColumn("rest_sqrt", col("tot_sqrt") - col("cum_sqrt"))
+      .withColumn("lam", when(col("rest_sqrt") > 0.0,
+        (col("budget") - lit(4L) * col("cum_s")).cast("double") / col("rest_sqrt")))
+      .withColumn("valid",
+        col("lam").isNotNull &&
+          (col("satpoint").isNull || col("satpoint") < col("lam")) &&
+          (col("next_sat").isNull || col("lam") <= col("next_sat")))
+    val pick = lm.agg(min(when(col("valid"), struct(col("k"), col("lam")))).as("kl"))
+      .select(col("kl").getField("lam").as("lam_star"))
+    per.crossJoin(broadcast(pick))
+      .select(col("source"), col("supply").as("supply_tokens"),
+        (lit(4L) * col("supply")).as("cap_tokens"),
+        least(lit(4L) * col("supply"),
+          coalesce(floor(col("lam_star") * sqrt(col("supply").cast("double"))).cast("long"),
+            lit(4L) * col("supply"))).as("quota_tokens"))
+      .withColumn("epochs_ppm",
+        expr("quota_tokens * CAST(1000000 AS BIGINT) div supply_tokens"))
+      .withColumn("saturated",
+        when(col("quota_tokens") === col("cap_tokens"), 1).otherwise(0))
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -4837,5 +5209,7 @@ object TextQueries {
     bpeFertility, packAppend, packDecontaminate, mixtureTemperature,
     mixtureGated, packQuality, scoreAuc, tokenSpectrum, dedupThresholdCurve,
     releasePackBridge, pplBuckets, contaminationHalo, annealSchedule,
-    vocabMigration, robustQuality, annealPackOrder)
+    vocabMigration, robustQuality, annealPackOrder,
+    doremiWeights, normalizeFixpoint, truncationWaste, ngramNovelty,
+    repeatDecay)
 }

@@ -42,4 +42,20 @@ object EmbStream {
     * and alert on cell-share drift. */
   def cellCensusUpdates(emb: DataFrame): DataFrame =
     graft.queries.SimilarityQueries.cellCensusStatsOf(emb)
+
+  /** Continuously-maintained per-cell OUTLIER census (the STREAMING twin
+    * of x145's geometry read, completing the live index-health pair:
+    * [[cellCensusUpdates]] watches cell SKEW, this watches cell QUALITY):
+    * arriving vectors assign-and-score against the pinned centroids with
+    * x145's one fused row-local expression, then fold into per-cell
+    * (n_vecs, offset-cosine sum, min, under-τ count) — every component a
+    * monoid (counts/sums add, min folds), so the state store holds
+    * ≤ nCells rows and the streaming fold is EXACT
+    * (SimilarityQueries.outlierStatsOf, shared verbatim). Update mode;
+    * n_vecs is monotone per cell, so the latest emission per cell is the
+    * current census; consumers derive mean_cos_ppm/outlier_ppm exactly as
+    * batch x145 does. A climbing outlier share in live traffic is the
+    * embedding-drift alarm that fires BETWEEN x127 refresh canaries. */
+  def outlierCensusUpdates(emb: DataFrame): DataFrame =
+    graft.queries.SimilarityQueries.outlierStatsOf(emb)
 }

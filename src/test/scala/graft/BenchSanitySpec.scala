@@ -72,24 +72,34 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
     root.get("metric").asText() shouldBe "total"
     root.get("unit").asText() shouldBe "sec"
     root.get("runs") shouldBe null // constant, documented in the verify skill
-    val qKeys = root.get("queries").fieldNames().asScala.toSeq
-    qKeys shouldBe shorts
+    // the per-query map survives EVERY rung, in one of two forms: the
+    // object, or (last-resort rung) the packed `k:v` string
+    val qMap: Seq[(String, Double)] =
+      if (root.get("queries") != null)
+        root.get("queries").fieldNames().asScala.toSeq
+          .map(k => k -> root.get("queries").get(k).asDouble())
+      else root.get("queries_packed").asText().split(' ').toSeq.map { kv =>
+        val c = kv.lastIndexOf(':')
+        kv.substring(0, c) -> kv.substring(c + 1).toDouble
+      }
+    qMap.map(_._1) shouldBe shorts
     // per-query precision is BEST-EFFORT by the self-sizing ladder: %.2f
     // (10 ms) while the line fits the budget, degrading to %.1f only when
     // the registry outgrows it. Decide the rung from the LADDER itself
-    // (renderRungs — the last rung is the only %.1f one), not from value
+    // (renderRungs — rungs 0-3 are the %.2f ones), not from value
     // digits: the old digit sniff silently weakened to coarse tolerance
     // whenever every hundredths digit happened to be 0 (r14 advice).
     val rungs = Bench.renderRungs(samples, calibration = Seq(0.21, 0.32, 0.19),
       ivfTrain = 1.5, probeOnly = 0.8, sfDir = "/root/testdata/sf0.1")
     line shouldBe rungs.find(_.length < 1880).getOrElse(rungs.last)
-    val fine = rungs.init.exists(_.length < 1880) // some %.2f rung fits
+    val fine = rungs.take(4).exists(_.length < 1880) // some %.2f rung fits
     // a fitting %.2f render must never ship %.1f rows: if fine, the shipped
     // line IS a %.2f rung and every value must sit on the 10 ms grid
     val tol = if (fine) 5.1e-3 else 5.1e-2
+    val byKey = qMap.toMap
     names.zipWithIndex.foreach { case (n, i) =>
       val expMin = 0.1 + i * 0.001
-      root.get("queries").get(Bench.shortKey(n)).asDouble() shouldBe expMin +- tol
+      byKey(Bench.shortKey(n)) shouldBe expMin +- tol
     }
     // all synthetic rows are calm (max/min < 2) → the EMPTY hot_max field
     // is omitted entirely (13 bytes per calm run)
@@ -103,17 +113,68 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
     // key legend are documented OUT of the line (PLANS.md, verify skill)
     // — every in-line byte competes with query rows for tail capture
     root.get("calibration_job") shouldBe null
-    root.get("ivf_train_sec").asDouble() shouldBe 1.5 +- 1e-9
-    root.get("x03_probe_only_sec").asDouble() shouldBe 0.8 +- 1e-9
+    // the index scalars ride every FULL rung; the shed rungs drop them
+    // (they live in PLANS.md history) — presence decided by the ladder
+    if (rungs.take(5).exists(_.length < 1880)) {
+      root.get("ivf_train_sec").asDouble() shouldBe 1.5 +- 1e-9
+      root.get("x03_probe_only_sec").asDouble() shouldBe 0.8 +- 1e-9
+    }
     // host noise band: max/min of the run's calibration samples — the
     // regression-gate discount factor (r14 verdict item 5). 0.32/0.19 ≈ 1.68
     root.get("noise").asDouble() shouldBe 0.32 / 0.19 +- 5.1e-3
     // summary fields ride at the END of the line (truncation-from-the-
     // front must cost the least-diagnostic bytes first)
-    val idxQueries = line.indexOf("\"queries\"")
+    val idxQueries = line.indexOf("\"queries")
     Seq("\"failed\"", "\"calibration_sec\"", "\"value\"", "\"sf\"").foreach { f =>
       line.lastIndexOf(f) should be > idxQueries
     }
+  }
+
+  test("last-resort rungs: scalar shed then packed queries — smaller, parseable, and self-adjudicating") {
+    // a far-future registry (240 rows) that no object-form rung can fit:
+    // the ladder must keep shedding in least-diagnostic order and the
+    // packed rung must stay lossless for loadPrevBench
+    val samples = (1 to 240).map { i =>
+      f"x$i%03d_mega" -> Seq(10.0 + i * 0.01, 10.0 + i * 0.011, 10.0 + i * 0.012)
+    }
+    val calib7 = Seq(0.21, 0.32, 0.19, 0.55, 0.25, 0.22, 0.18)
+    val rungs = Bench.renderRungs(samples, calib7,
+      ivfTrain = 1.5, probeOnly = 0.8, sfDir = "/root/testdata/sf0.1")
+    rungs should have size 7
+    val Seq(shed, packed) = rungs.takeRight(2)
+    shed.length should be < rungs(4).length
+    packed.length should be < shed.length
+    // shed rung: scalars gone, calibration trimmed to EXACTLY the four
+    // guaranteed band-setters (first, last, max, min)
+    val shedRoot = mapper.readTree(shed)
+    shedRoot.get("ivf_train_sec") shouldBe null
+    val calib = shedRoot.get("calibration_sec").elements().asScala.map(_.asDouble()).toSeq
+    calib should have size 4
+    calib should contain allOf (0.21, 0.18, 0.55) // first (0.21=min too), max, last
+    // packed rung: the object is gone, the string holds every row
+    val pRoot = mapper.readTree(packed)
+    pRoot.get("queries") shouldBe null
+    pRoot.get("queries_packed").asText().split(' ') should have length 240
+    // the adjudication tail survives BOTH rungs
+    Seq(shedRoot, pRoot).foreach { r =>
+      r.get("failed").asInt() shouldBe 0
+      r.get("noise").asDouble() shouldBe 0.55 / 0.18 +- 5.1e-2
+      r.get("value").isNumber shouldBe true
+      r.get("sf").asText() shouldBe "sf0.1"
+    }
+    // loadPrevBench parses the packed form exactly as it would the object:
+    // write a driver-style wrapper with the packed line in its tail
+    val dir = java.nio.file.Files.createTempDirectory("bench-packed").toString
+    val wrapper = s"""{"n": 99, "rc": 0, "parsed": null, "tail": ${
+      mapper.writeValueAsString("-" * 40 + "\n" + packed + "\n[success] done")}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "BENCH_r99.json"),
+      wrapper.getBytes("UTF-8"))
+    val prev = Bench.loadPrevBench(dir).get
+    prev.round shouldBe 99
+    prev.sf shouldBe "sf0.1"
+    prev.queries should have size 240
+    prev.queries("x001") shouldBe 10.0 +- 5.1e-2 // %.1f quantized
+    prev.queries("x240") shouldBe 12.4 +- 5.1e-2
   }
 
   test("a contended row surfaces its max in hot_max; calm rows stay min-only") {

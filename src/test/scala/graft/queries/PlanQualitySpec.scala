@@ -917,6 +917,76 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     // their static SMJs into broadcasts at runtime, same as x126's spine)
   }
 
+  test("x141: one bigram chain with the source carried through; totals attach broadcast") {
+    // registry: x141_doremi_weights
+    val plan = planOf(TextQueries.doremiWeights)
+    // (source, n_tok) ride the bigram rows — the rollup must not re-join
+    // the corpus by doc_id, and the sum_w total attaches as a broadcast
+    // 1-row frame, never a shuffle
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "CartesianProduct"
+    "HashAggregate".r.findAllIn(plan).size should be >= 2 // map-side combine
+  }
+
+  test("x142: pure row-local normalization — no joins, no windows, one rollup") {
+    // registry: x142_normalize_fixpoint
+    val plan = planOf(TextQueries.normalizeFixpoint)
+    // both normalization passes and the idempotence compare are row-local
+    // HOFs fused above ONE grouped aggregate (the distinct counts expand
+    // inside it); anything join- or window-shaped would be a second
+    // corpus pass in disguise
+    plan should not include "Join"
+    plan should not include "Window"
+    plan should include("Expand") // the two count-distinct branches
+    "HashAggregate".r.findAllIn(plan).size should be >= 2
+  }
+
+  test("x143: the L ladder explodes row-locally — no join against the length table") {
+    // registry: x143_truncation_waste
+    val plan = planOf(TextQueries.truncationWaste)
+    plan should not include "Join"
+    plan should not include "Window"
+    plan should include("Generate explode") // the 3-element literal ladder
+    "HashAggregate".r.findAllIn(plan).size should be >= 2
+  }
+
+  test("x144: ownership counted by a bigram-bounded window, not a corpus join") {
+    // registry: x144_ngram_novelty
+    val plan = planOf(TextQueries.ngramNovelty)
+    // n_sources comes from a window over the (source, bigram) COUNT table
+    // partitioned by the bigram — a group is ≤ |sources| rows by
+    // construction — never from joining the corpus-sized bigram rows back
+    // to themselves
+    plan should include("windowspecdefinition(w1")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    "HashAggregate".r.findAllIn(plan).size should be >= 4 // both rollups partial-final
+  }
+
+  test("x145: assignment and cosine fused in one row-local map — no centroid join") {
+    // registry: x145_ann_outlier_census
+    val plan = planOf(SimilarityQueries.annOutlierCensus)
+    // the pinned centroids ride the plan as literals inside one sorted-
+    // struct expression: the only corpus-sized work is the map pass into
+    // a ≤ nCells-row aggregate — any Join here means the index artifact
+    // leaked out of the expression
+    plan should not include "Join"
+    plan should not include "CartesianProduct"
+    "HashAggregate".r.findAllIn(plan).size should be >= 2
+  }
+
+  test("x146: one corpus scan — the water-filling runs entirely on the bounded rung table") {
+    // registry: x146_repeat_decay
+    val plan = planOf(TextQueries.repeatDecay)
+    // the supply table is checkpointed; the rungs, the λ pick, and the
+    // final pricing read it — a second FileScan would mean the corpus is
+    // being re-tokenized for a |sources|-row computation
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 0
+    plan should include("ExistingRDD")
+    plan should include("BroadcastNestedLoopJoin") // budget/λ attach broadcast
+    plan should not include "CartesianProduct"
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:

@@ -462,6 +462,43 @@ class SimilaritySpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   // registry: x100_emb_rproj
+  test("x145 outlier census ≡ driver-side recomputation (assignment, ppm cosine, census)") {
+    val sf = "/root/testdata/sf0.01" // the corpus the pinned index is synced to
+    // registry: x145_ann_outlier_census
+    val out = SimilarityQueries.annOutlierCensus.run(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+      .toMap
+    val emb = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toVector)
+    // same arithmetic as the engine/oracle: sequential double folds, argmin
+    // tie-broken by cell, cosine rounded HALF_UP to integer ppm (what
+    // Spark's round does via BigDecimal)
+    val scored = emb.map { v =>
+      IvfPinned.centroids.zipWithIndex.map { case (c, i) =>
+        val cn2 = c.map(x => x * x).sum
+        val dotv = (0 until 64).map(j => v(j).toDouble * c(j)).sum
+        val ne = math.sqrt((0 until 64).map(j => v(j).toDouble * v(j).toDouble).sum)
+        val ppm = new java.math.BigDecimal(dotv / (ne * math.sqrt(cn2)) * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        (cn2 - 2.0 * dotv, i, ppm)
+      }.minBy(t => (t._1, t._2))
+    }
+    val expected = scored.groupBy(_._2).map { case (cell, rows) =>
+      val ppms = rows.map(_._3)
+      val n = ppms.length.toLong
+      val nOut = ppms.count(_ < 150000L).toLong
+      cell -> ((n, ppms.map(_ + 1000000L).sum / n - 1000000L, ppms.min,
+        nOut, nOut * 1000000L / n))
+    }
+    out shouldBe expected
+    // non-degenerate on the shipped corpus: the threshold splits — some
+    // cells carry outliers, some are clean, and every vector is counted
+    out.values.map(_._1).sum shouldBe emb.length.toLong
+    out.values.map(_._4).sum should be > 0L
+    out.values.count(_._4 == 0L) should be > 0
+  }
+
   test("x100 JL projection: pairwise distances survive within JL distortion bounds") {
     val emb = graft.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding").collect()

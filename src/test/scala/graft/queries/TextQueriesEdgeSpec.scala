@@ -972,6 +972,156 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     got.find(_._1 == "sB").get._4 shouldBe sB.head // median = lower tie value
   }
 
+  test("x141 doremi weights ≡ a driver replay from the verified score parts; hardest source upweighted") {
+    import spark.implicits._
+    // sP: fully predictable chains (every transition is forced → f = 10⁶
+    // → hardness 0); sH: one context word fanning out to many successors
+    // (f = 10⁶/fan-out → high hardness). A third tiny source exercises the
+    // scoreable-docs-only contract (its 1-token doc carries no score and
+    // must not contribute mass).
+    val dd = Seq(
+      (1L, "sP", "m n m n m n m n"),
+      (2L, "sP", "m n m n"),
+      (3L, "sH", "x a1 x b1 x c1"),
+      (4L, "sH", "x a2 x b2 x c2"),
+      (5L, "sT", "solo"), // 1 token: no transitions, excluded everywhere
+      (6L, "sT", "x a3")
+    ).toDF("doc_id", "source", "text")
+    val got = TextQueries.doremiWeightsOf(dd).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+
+    // independent replay: corpus bigram model → per-doc floor-ppm score →
+    // per-source means → hardness-mass weights (the .toSeq-before-map
+    // idiom per the replay-trap lesson)
+    val raw = dd.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bigrams = raw.toSeq.flatMap { case (id, src, t) =>
+      t.split(" ").toSeq.sliding(2).filter(_.length == 2)
+        .map(p => (id, src, p.head, p(1))).toSeq
+    }
+    val c2 = bigrams.groupBy(b => (b._3, b._4)).view.mapValues(_.size).toMap
+    val c1 = bigrams.groupBy(_._3).view.mapValues(_.size).toMap
+    val perDoc = bigrams.groupBy(b => (b._1, b._2)).toSeq.map { case ((id, src), bs) =>
+      val fs = bs.map(b => math.floor(c2((b._3, b._4)).toDouble / c1(b._3) * 1e6).toLong)
+      (id, src, fs.sum / bs.size)
+    }
+    val nTok = raw.toSeq.map(r => (r._1, r._3.trim.split("\\s+").length.toLong)).toMap
+    val per = perDoc.groupBy(_._2).toSeq.map { case (src, ds) =>
+      val mean = ds.map(_._3).sum / ds.size
+      (src, ds.size.toLong, ds.map(d => nTok(d._1)).sum, mean,
+        1000000L - mean)
+    }
+    val sumW = per.map(p => p._3 * p._5).sum
+    val expected = per.map { case (src, n, mass, mean, hard) =>
+      (src, n, mass, mean, hard, mass * hard / math.max(sumW / 1000000L, 1L))
+    }.sortBy(_._1)
+    got.toSeq shouldBe expected
+    // the engineered shapes: sP is perfectly predictable (hardness 0, so
+    // ZERO weight despite the largest mass), sH carries the bulk
+    val bySrc = got.map(g => g._1 -> g).toMap
+    bySrc("sP")._5 shouldBe 0L
+    bySrc("sP")._6 shouldBe 0L
+    bySrc("sH")._6 should be > bySrc("sT")._6
+    // sT's mass counts only its scoreable doc (2 tokens), not the solo doc
+    bySrc("sT")._2 shouldBe 1L
+    bySrc("sT")._3 shouldBe 2L
+  }
+
+  test("x142 normalize fixpoint: stutter collapse, idempotence, and normalization-revealed dups (hand-pinned)") {
+    import spark.implicits._
+    val dd = Seq(
+      (1L, "sA", "The  THE the cat"), // case + stutter + double space → "the cat"
+      (2L, "sA", "the cat"),          // already normal; COLLIDES with doc 1's norm
+      (3L, "sA", " padded  text "),   // trim + whitespace collapse only
+      (4L, "sB", "clean doc")         // untouched source
+    ).toDF("doc_id", "source", "text")
+    val got = TextQueries.normalizeAuditOf(dd).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    got.toSeq shouldBe Seq(
+      // sA: docs 1,3 changed; removed = (16-7) + (14-11) = 12; the second
+      // application changes NOTHING (idempotent by construction); dedup
+      // reveal: 3 raw texts but 2 normal forms
+      ("sA", 3L, 2L, 12L, 0L, 3L, 2L),
+      ("sB", 1L, 0L, 0L, 0L, 1L, 1L))
+  }
+
+  test("x143 truncation waste: the curve replays exactly on known lengths") {
+    import spark.implicits._
+    def doc(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
+    val dd = Seq(
+      (1L, "sA", doc(10)), (2L, "sA", doc(100)), (3L, "sA", doc(300)),
+      (4L, "sB", doc(2000))
+    ).toDF("doc_id", "source", "text")
+    val got = TextQueries.truncationWasteOf(dd).orderBy("source", "seq_len").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // sA mass 410: L=64 loses (100-64)+(300-64)=272; L=256 loses 44; L=1024 nothing
+    // sB mass 2000: always the one doc, losing mass-L
+    got.toSeq shouldBe Seq(
+      ("sA", 64L, 2L, 272L, 272L * 1000000L / 410L),
+      ("sA", 256L, 1L, 44L, 44L * 1000000L / 410L),
+      ("sA", 1024L, 0L, 0L, 0L),
+      ("sB", 64L, 1L, 1936L, 968000L),
+      ("sB", 256L, 1L, 1744L, 872000L),
+      ("sB", 1024L, 1L, 976L, 488000L))
+  }
+
+  test("x144 ngram novelty: exclusive vs shared bigram mass (hand-pinned)") {
+    import spark.implicits._
+    val dd = Seq(
+      (1L, "sA", "p q p q"), // (p,q)×2 shared with sB; (q,p)×1 exclusive
+      (2L, "sB", "p q z"),   // (p,q) shared; (q,z) exclusive
+      (3L, "sC", "u v"),     // fully exclusive vocabulary
+      (4L, "sC", "w")        // 1 token: no bigrams, must not crash or count
+    ).toDF("doc_id", "source", "text")
+    val got = TextQueries.ngramNoveltyOf(dd).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    got.toSeq shouldBe Seq(
+      ("sA", 3L, 2L, 1L, 1L, 333333L),
+      ("sB", 2L, 2L, 1L, 1L, 500000L),
+      ("sC", 1L, 1L, 1L, 1L, 1000000L))
+  }
+
+  test("x146 repeat-decay allocation: water-filling saturates small sources exactly (hand-pinned) and spends the budget") {
+    import spark.implicits._
+    def doc(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
+    // supplies 10000 / 100 / 100 / 400 → B = 3.8·10600 = 40280. Sorted
+    // saturation points 4√s: B,C at 40, D at 80, A at 400. Hand
+    // water-filling: k=3 is the unique valid rung (λ = (40280−2400)/√10000
+    // = 378.8 ∈ (80, 400]) → B, C, D saturate at 4 epochs; A takes the
+    // rest: floor(378.8·100) = 37880
+    val dd = Seq(
+      (1L, "sA", doc(10000)),
+      (2L, "sB", doc(100)),
+      (3L, "sC", doc(100)),
+      (4L, "sD", doc(400))
+    ).toDF("doc_id", "source", "text")
+    val got = TextQueries.repeatDecayOf(dd).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    got.toSeq shouldBe Seq(
+      ("sA", 10000L, 40000L, 37880L, 3788000L, 0),
+      ("sB", 100L, 400L, 400L, 4000000L, 1),
+      ("sC", 100L, 400L, 400L, 4000000L, 1),
+      ("sD", 400L, 1600L, 1600L, 4000000L, 1))
+    // the budget is spent to within per-source floor slack
+    val spent = got.map(_._4).sum
+    val budget = 10600L * 38L / 10L
+    spent should be <= budget
+    spent should be > budget - got.length
+    // no source ever exceeds the 4-epoch ceiling
+    got.foreach(_._5 should be <= 4000000L)
+
+    // and the no-skew regime: uniform sources → NOBODY saturates, shares
+    // equalize (the √-flattening degenerates to proportional)
+    val uni = (1L to 4L).map(i => (i, s"u$i", doc(500))).toDF("doc_id", "source", "text")
+    val g2 = TextQueries.repeatDecayOf(uni).collect()
+      .map(r => (r.getLong(3), r.getInt(5)))
+    g2.foreach(_._2 shouldBe 0)
+    g2.map(_._1).distinct.length shouldBe 1 // identical quotas by symmetry
+  }
+
   test("x137 anneal-quota overflow guard: head_mass past Long.MaxValue/A raises instead of wrapping") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr

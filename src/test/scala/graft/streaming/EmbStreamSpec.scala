@@ -54,4 +54,50 @@ class EmbStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     updates.groupBy(r => (r.getInt(0), r.getInt(1))).values
       .count(_.size >= 2) should be > 0
   }
+
+  // registry: x145_ann_outlier_census (outlierStatsOf is x145's fold,
+  // shared verbatim with the streaming twin tested here)
+  test("streamed outlier census over two batches ≡ batch fold on the union; derives x145 exactly") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01" // the corpus the pinned index is synced to
+    val rows = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = rows.splitAt(300) // second arrival really merges into state
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = EmbStream.outlierCensusUpdates(input.toDF.toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("outliercensus").outputMode("update").start()
+    val updates = try {
+      input.addData(b1.toSeq)
+      q.processAllAvailable()
+      input.addData(b2.toSeq)
+      q.processAllAvailable()
+      spark.table("outliercensus").collect()
+    } finally q.stop()
+
+    // n_vecs is monotone per cell → the max emission is the final state
+    val latest = updates.groupBy(_.getInt(0)).map { case (c, rs) =>
+      val r = rs.maxBy(_.getLong(1))
+      c -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    }
+    val batch = SimilarityQueries.outlierStatsOf(
+      rows.toSeq.toDF("vec_id", "embedding")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    latest shouldBe batch
+
+    // deriving x145's published columns from the streamed state reproduces
+    // the registry query on the same corpus — the dashboard and the audit
+    // cannot disagree
+    val x145 = SimilarityQueries.annOutlierCensus.run(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    latest.map { case (c, (n, sumOff, minPpm, nOut)) =>
+      c -> ((n, sumOff / n - 1000000L, minPpm, nOut, nOut * 1000000L / n))
+    } shouldBe x145
+    // the min really FOLDED across batches for at least one cell (a
+    // second emission with the same or lower min)
+    updates.groupBy(_.getInt(0)).values.count(_.size >= 2) should be > 0
+  }
 }
