@@ -970,4 +970,37 @@ SELECT c.doc_id, c.rep,
 FROM chain c JOIN creps USING (rep) LEFT JOIN seeds s ON s.train_id = c.doc_id
 ORDER BY c.doc_id"""
   }
+
+  /** x147: dup-cluster size × quality LINK — per log2 cluster-size bucket
+    * (x119's integer CASE ladder over the FULL-corpus x51 chain), the
+    * x64 composite-gate pass rate of the documents in those clusters: the
+    * cross-family readout dedup papers publish (heavily duplicated text
+    * skews toward boilerplate — if pass_ppm falls with cluster size here,
+    * dedup and the quality gate agree about what to cut; if it rises,
+    * near-dup mass is GOOD text being over-represented and
+    * survivor-selection is the right treatment, not dropping). `gate` is
+    * TextQueries.gatePassSql("toks"), passed in for the same
+    * one-place/no-init-cycle reasons as releasePackBridge. */
+  def dupQualityLink(gate: String): String = {
+    val bucketCase = (0 until 20)
+      .map(b => s"WHEN sz < ${2L << b} THEN $b")
+      .mkString("CASE ", " ", " ELSE 20 END")
+    s"""$minhashCtes,
+$ccCtes,
+erep AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS e_rep FROM documents),
+chain AS (SELECT e.doc_id, l.rep FROM erep e JOIN labels l ON l.doc_id = e.e_rep),
+gt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+gp AS (SELECT doc_id, $gate AS pass FROM gt),
+cq AS (SELECT c.rep, CAST(COUNT(*) AS BIGINT) AS sz,
+    CAST(SUM(g.pass) AS BIGINT) AS n_pass
+  FROM chain c JOIN gp g ON g.doc_id = c.doc_id GROUP BY c.rep),
+bk AS (SELECT sz, n_pass, CAST($bucketCase AS INTEGER) AS bucket FROM cq),
+g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+    CAST(SUM(sz) AS BIGINT) AS n_docs, CAST(SUM(n_pass) AS BIGINT) AS n_pass
+  FROM bk GROUP BY bucket)
+SELECT bucket, CAST(POWER(2, bucket) AS BIGINT) AS floor_size,
+  n_clusters, n_docs, n_pass,
+  (n_pass * 1000000) // n_docs AS pass_ppm
+FROM g ORDER BY bucket"""
+  }
 }

@@ -5191,6 +5191,128 @@ object TextQueries {
         when(col("quota_tokens") === col("cap_tokens"), 1).otherwise(0))
   }
 
+  /** x147: dup-cluster size × quality LINK — per log2 cluster-size bucket
+    * (x119's integer CASE ladder over the full-corpus x51 chain), the x64
+    * composite-gate pass rate of the documents sitting in those clusters.
+    * The cross-family readout dedup studies publish: if pass_ppm FALLS
+    * with cluster size, duplication concentrates in boilerplate and
+    * dedup + the gate agree about what to cut; if it RISES, the
+    * duplicated mass is good text being over-represented and
+    * survivor-selection (x107/x108), not dropping, is the right
+    * treatment. x119 says how much mass sits at each size; this says
+    * what that mass is WORTH.
+    *
+    * Exactness: pure integer counting on both engines (the gate is x64's
+    * INTEGER verdict, cluster labels the proven hash-min CC); bucketing
+    * is the x119 CASE ladder (floor-log2 without log2()'s boundary-ulp
+    * gamble); pass_ppm a BIGINT floor division.
+    *
+    * Plan/scale: the x51 chain (its exchanges, unchanged) + ONE
+    * doc-keyed equi-join attaching the row-local gate verdict, a
+    * clusters-sized groupBy(rep), then a ≤ 21-row bucket rollup. */
+  val dupQualityLink = sql(
+    "x147_dup_quality_link",
+    HashOracles.dupQualityLink(gatePassSql("toks"))) { (s, d) =>
+    val bucketCase = (0 until 20)
+      .map(b => s"WHEN sz < ${2L << b} THEN $b")
+      .mkString("CASE ", " ", " ELSE 20 END")
+    val (_, labels) = sigsAndLabels(s, d)
+    val chain = docExactRep(docs(s, d))
+      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
+      .select("doc_id", "rep")
+    val gp = qualityGateOf(docs(s, d)).select("doc_id", "pass")
+    val cq = chain.join(gp, Seq("doc_id"))
+      .groupBy("rep").agg(count(lit(1)).as("sz"), sum("pass").as("n_pass"))
+    cq.withColumn("bucket", expr(bucketCase).cast("int"))
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs"),
+        sum("n_pass").as("n_pass"))
+      .select(col("bucket"),
+        expr("CAST(POWER(2, bucket) AS BIGINT)").as("floor_size"),
+        col("n_clusters"), col("n_docs"), col("n_pass"),
+        expr("(n_pass * 1000000) div n_docs").as("pass_ppm"))
+      .orderBy("bucket")
+  }
+
+  /** x148: LM-score LENGTH-BIAS datasheet — per log2 bucket of n_trans
+    * (document length in bigram transitions), the median and mean x62
+    * score: the confound every score-thresholded gate must be read
+    * against, because a bigram LM scores short documents on a handful of
+    * transitions (high variance, systematically shifted mass) while long
+    * ones regress to the corpus mean — threshold once globally and the
+    * gate silently becomes a length filter. x135 cuts tertiles PER
+    * LANGUAGE for the same reason; this table says whether a PER-LENGTH
+    * correction is warranted too (CCNet buckets by length before
+    * perplexity-filtering for exactly this effect).
+    *
+    * Exactness: score_ppm is x62's BIGINT floor-ppm; the median is a
+    * value crossover over the (bucket, score_ppm) count table (x101's
+    * mass-median rule — lower value wins even-count ties, identical both
+    * engines); the mean is SUM div COUNT; buckets are the x119 integer
+    * CASE ladder on n_trans.
+    *
+    * Plan/scale: the x62 chain, then EVERYTHING on the (bucket,
+    * score_ppm) count table — bounded at ≤ 21·(10⁶+1) rows at any corpus
+    * size (the x135 argument), so the crossover window never sees corpus
+    * rows. */
+  val scoreLengthBias = sql(
+    "x148_score_length_bias",
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |bgk AS (SELECT doc_id, lang, unnest(range(2, len(toks)+1)) AS i, toks FROM t),
+      |bg AS (SELECT doc_id, lang, toks[i-1] AS w1, toks[i] AS w2 FROM bgk),
+      |cpair AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+      |cctx AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+      |px AS (SELECT bg.doc_id, bg.lang,
+      |    CAST(FLOOR(CAST(c2 AS DOUBLE) / c1 * 1000000) AS BIGINT) AS f
+      |  FROM bg JOIN cpair USING (w1, w2) JOIN cctx USING (w1)),
+      |doc AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_trans,
+      |    CAST(SUM(f) AS BIGINT) AS sum_f FROM px GROUP BY 1, 2),
+      |sco AS (SELECT doc_id, lang, n_trans, sum_f // n_trans AS score_ppm FROM doc),
+      |bkt AS (SELECT n_trans, score_ppm,
+      |    CAST(${(0 until 20).map(b => s"WHEN n_trans < ${2L << b} THEN $b")
+        .mkString("CASE ", " ", " ELSE 20 END")} AS INTEGER) AS bucket
+      |  FROM sco),
+      |sc AS (SELECT bucket, score_ppm, CAST(COUNT(*) AS BIGINT) AS n FROM bkt GROUP BY 1, 2),
+      |cm AS (SELECT bucket, score_ppm,
+      |    SUM(n) OVER (PARTITION BY bucket ORDER BY score_ppm) AS cum,
+      |    SUM(n) OVER (PARTITION BY bucket) AS tot FROM sc),
+      |md AS (SELECT bucket, MIN(CASE WHEN 2*cum >= tot THEN score_ppm END) AS med FROM cm GROUP BY bucket),
+      |ag AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(score_ppm) AS BIGINT) AS ssum FROM bkt GROUP BY bucket)
+      |SELECT a.bucket, CAST(POWER(2, a.bucket) AS BIGINT) AS floor_trans,
+      |  a.n_docs, CAST(m.med AS BIGINT) AS median_score_ppm,
+      |  CAST(a.ssum // a.n_docs AS BIGINT) AS mean_score_ppm
+      |FROM ag a JOIN md m ON m.bucket = a.bucket ORDER BY a.bucket""".stripMargin) { (s, d) =>
+    scoreLengthBiasOf(docs(s, d)).orderBy("bucket")
+  }
+
+  /** x148's engine over any (doc_id, text) frame. */
+  def scoreLengthBiasOf(dd: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketCase = (0 until 20)
+      .map(b => s"WHEN n_trans < ${2L << b} THEN $b")
+      .mkString("CASE ", " ", " ELSE 20 END")
+    val b = lmScoreCore(dd, Nil)
+      .withColumn("score_ppm", expr("sum_f div n_trans"))
+      .withColumn("bucket", expr(bucketCase).cast("int"))
+      .localCheckpoint(eager = false) // two consumers: count table + mean rollup
+    val sc = b.groupBy("bucket", "score_ppm").agg(count(lit(1)).as("n"))
+    val cm = sc
+      .withColumn("cum", sum("n").over(
+        Window.partitionBy("bucket").orderBy("score_ppm")))
+      .withColumn("tot", sum("n").over(Window.partitionBy("bucket")))
+    val md = cm.groupBy("bucket").agg(
+      min(when(lit(2) * col("cum") >= col("tot"), col("score_ppm"))).as("med"))
+    val ag = b.groupBy("bucket").agg(
+      count(lit(1)).as("n_docs"), sum("score_ppm").as("ssum"))
+    ag.join(md, Seq("bucket"))
+      .select(col("bucket"),
+        expr("CAST(POWER(2, bucket) AS BIGINT)").as("floor_trans"),
+        col("n_docs"), col("med").cast("long").as("median_score_ppm"),
+        expr("ssum div n_docs").as("mean_score_ppm"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -5211,5 +5333,5 @@ object TextQueries {
     releasePackBridge, pplBuckets, contaminationHalo, annealSchedule,
     vocabMigration, robustQuality, annealPackOrder,
     doremiWeights, normalizeFixpoint, truncationWaste, ngramNovelty,
-    repeatDecay)
+    repeatDecay, dupQualityLink, scoreLengthBias)
 }

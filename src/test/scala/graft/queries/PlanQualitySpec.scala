@@ -987,6 +987,29 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "CartesianProduct"
   }
 
+  test("x147: the CC chain stays checkpointed; the gate attaches by equi-join, never cartesian") {
+    // registry: x147_dup_quality_link
+    val plan = planOf(TextQueries.dupQualityLink)
+    plan should include("ExistingRDD") // the x51 chain's checkpointed labels
+    plan should not include "CartesianProduct"
+    // the exact-rep window keys on the (hash, len) shuffle — dup-group
+    // bounded, never an unpartitioned corpus window
+    plan should include("windowspecdefinition(__h")
+    "HashAggregate".r.findAllIn(plan).size should be >= 2
+  }
+
+  test("x148: both statistics run on the bounded (bucket, score) count table") {
+    // registry: x148_score_length_bias
+    val plan = planOf(TextQueries.scoreLengthBias)
+    // the bigram chain lives behind the bucketed-doc checkpoint; the
+    // median crossover windows partition on the bucket over the COUNT
+    // table (≤ 21·(1e6+1) rows at any corpus size), never corpus rows
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 0
+    plan should include("ExistingRDD")
+    plan should include("windowspecdefinition(bucket")
+    plan should not include "CartesianProduct"
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:

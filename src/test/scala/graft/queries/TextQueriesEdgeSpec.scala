@@ -1122,6 +1122,96 @@ class TextQueriesEdgeSpec extends AnyFunSuite with Matchers with SparkTestBase {
     g2.map(_._1).distinct.length shouldBe 1 // identical quotas by symmetry
   }
 
+  test("x147 dup-quality link: a planted clique and gate-known singletons land in exact buckets; reconciles with x119 and x64") {
+    import spark.implicits._
+    // gate-PASSING 30-token text: 2 stop hits, mean wlen (3+1+28·5)/30 =
+    // 4.8 ∈ [4,5], zero duplicate bigrams
+    def pass30(prefix: String, last: String): String =
+      "the a " + (1 to 27).map(i => f"${prefix}x$i%03d").mkString(" ") + " " + last
+    val d1 = pass30("w", "alpha")
+    val dd = Seq(
+      (1L, d1),                    // clique: near-dup pair + exact copy
+      (2L, d1),                    //   exact dup of 1
+      (3L, pass30("w", "betaa")),  //   near-dup of 1 (last token differs)
+      (4L, "tiny doc"),            // failing singleton
+      (5L, pass30("n", "gamma"))   // passing singleton, disjoint vocab
+    ).toDF("doc_id", "text")
+    // dupQualityLink's engine body inlines the chain; drive it via the
+    // registered query on a temp dir shaped like a testdata sf dir
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("x147").toString
+    dd.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextQueries.dupQualityLink.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    got.toSeq shouldBe Seq(
+      (0, 1L, 2L, 2L, 1L, 500000L),  // two singletons, one passes
+      (1, 2L, 1L, 3L, 3L, 1000000L)) // the size-3 clique, all passing
+  }
+
+  test("x147 reconciles with x119's histogram and x64's corpus pass count (same chain, same ladder)") {
+    val d = "/root/testdata/sf0.001"
+    // registry: x147_dup_quality_link / x119_cluster_size_hist
+    val link = TextQueries.dupQualityLink.run(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val hist = TextQueries.clusterSizeHist.run(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    // identical chain + identical bucket ladder ⇒ identical cluster/doc
+    // counts per bucket — the two tables cannot disagree about structure
+    link.map(t => (t._1, t._2, t._3)).toSeq shouldBe hist.toSeq
+    // the gate mass is conserved: Σ n_pass = x64's corpus pass count
+    val gatePass = TextQueries.qualityGateOf(
+      graft.Tables.documents(spark, d).select("doc_id", "text"))
+      .agg(org.apache.spark.sql.functions.sum("pass")).head().getLong(0)
+    link.map(_._4).sum shouldBe gatePass
+    // and the ppm column is exactly its own definition
+    link.foreach { case (_, _, nd, np, ppm) => ppm shouldBe np * 1000000L / nd }
+  }
+
+  test("x148 length-bias: medians and means replay from a driver bigram fold across engineered length buckets") {
+    import spark.implicits._
+    // bucket 2 (n_trans ∈ [4,8)): three 6-token docs; bucket 4 ([16,32)):
+    // two 20-token docs — scores differ by construction (predictable vs
+    // fanned-out transitions), so the median crossover has real work
+    val dd = Seq(
+      (1L, "m n m n m n"),             // forced transitions → f = 10⁶ each
+      (2L, "x a1 x a2 x a3"),          // x fans out → low f on x→·
+      (3L, "m n m n m n"),
+      (4L, (1 to 10).map(_ => "p q").mkString(" ")), // 20 tokens, forced
+      (5L, "x b1 x b2 x b3 x b4 x b5 x b6 x b7 x b8 x b9 x b10")
+    ).toDF("doc_id", "text")
+    val got = TextQueries.scoreLengthBiasOf(dd).orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+    // independent replay (the x139/x141 fold): corpus bigram model →
+    // per-doc floor-ppm scores → log2(n_trans) buckets → sorted-order
+    // lower-median + integer mean
+    val raw = dd.collect().map(r => (r.getLong(0), r.getString(1)))
+    val bigrams = raw.toSeq.flatMap { case (id, t) =>
+      t.split(" ").toSeq.sliding(2).filter(_.length == 2).map(p => (id, p.head, p(1))).toSeq
+    }
+    val c2 = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.size).toMap
+    val perDoc = bigrams.groupBy(_._1).toSeq.map { case (_, bs) =>
+      val fs = bs.map(b => math.floor(c2((b._2, b._3)).toDouble / c1(b._2) * 1e6).toLong)
+      (bs.size.toLong, fs.sum / bs.size)
+    }
+    def bucketOf(n: Long): Int = (0 until 20).find(b => n < (2L << b)).getOrElse(20)
+    val expected = perDoc.groupBy(d => bucketOf(d._1)).toSeq.map { case (bk, ds) =>
+      val s = ds.map(_._2).sorted
+      val med = s.zipWithIndex.collectFirst {
+        case (v, i) if 2 * (i + 1) >= s.size => v
+      }.get
+      (bk, 1L << bk, ds.size.toLong, med, ds.map(_._2).sum / ds.size)
+    }.sortBy(_._1)
+    got.toSeq shouldBe expected
+    // the engineered shape: both buckets exist and the short bucket's
+    // median really is a crossover between two distinct score levels
+    got.map(_._1).toSeq shouldBe Seq(2, 4)
+  }
+
   test("x137 anneal-quota overflow guard: head_mass past Long.MaxValue/A raises instead of wrapping") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
