@@ -4954,7 +4954,18 @@ object TextQueries {
     normalizeAuditOf(docs(s, d)).orderBy("source")
   }
 
-  /** x142's engine over any (doc_id, source, text) frame. */
+  /** x142's engine over any (doc_id, source, text) frame.
+    *
+    * Price note (bench r17: ~6 s at sf0.1, near-flat to 10×, 25 s at
+    * 1000×-of-sf0.01): the normalization HOFs evaluate via interpreted
+    * lambdas (Spark's higher-order array functions are CodegenFallback),
+    * so the per-row cost is real but constant — at small sf the corpus
+    * arrives in few input splits and the map runs at low parallelism,
+    * which is what makes the 1× and 10× prices LOOK flat; at 1000×
+    * (500k docs) the measured cost is ~0.05 ms/doc across 32 threads and
+    * the query scales linearly. A lazy-checkpoint barrier between the two
+    * passes was measured to change nothing (the cost is per-row, not
+    * plan-tree duplication), so the plan stays barrier-free. */
   def normalizeAuditOf(dd: DataFrame): DataFrame =
     dd.withColumn("norm", normTextCol(col("text")))
       .withColumn("norm2", normTextCol(col("norm")))
