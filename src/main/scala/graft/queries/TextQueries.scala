@@ -5024,7 +5024,7 @@ object TextQueries {
         sum("n_tok").as("tok_mass"))
       .select(col("source"), col("seq_len"), col("n_docs_over"), col("tokens_lost"),
         when(col("tok_mass") === 0, 0L)
-          .otherwise(expr("tokens_lost * CAST(1000000 AS BIGINT) div tok_mass"))
+          .otherwise(guardedPpm("x143 waste_ppm", col("tokens_lost"), col("tok_mass")))
           .as("waste_ppm"))
 
   /** x144: per-source BIGRAM-NOVELTY datasheet — how much of each
@@ -5080,8 +5080,26 @@ object TextQueries {
         sum(when(col("n_sources") === 1, col("cnt")).otherwise(0L)).as("exclusive_mass"),
         sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("n_exclusive_types"))
       .withColumn("exclusive_ppm",
-        expr("exclusive_mass * CAST(1000000 AS BIGINT) div bigram_mass"))
+        guardedPpm("x144 exclusive_ppm", col("exclusive_mass"), col("bigram_mass")))
   }
+
+  /** `numer·10⁶ div denom` with the x137-style BIGINT overflow guard: past
+    * Long.MaxValue/10⁶ the multiply's failure mode swings with
+    * `spark.sql.ansi.enabled` (generic overflow vs silent wrap — see
+    * [[annealQuotaCol]]); the guard raises the same DOMAIN error naming
+    * the operand in both regimes. Callers handle their own zero-denom
+    * branch; the r17 review found three fresh ppm sites shipping
+    * unguarded while their scaladocs claimed 100 TB-regime exactness —
+    * new ppm columns should route through here. */
+  private def guardedPpm(site: String, numer: Column, denom: Column): Column =
+    when(numer > lit(Long.MaxValue / 1000000L),
+      raise_error(concat(
+        lit(s"$site: numerator exceeds Long.MaxValue/1000000 — the BIGINT " +
+          "ppm multiply would overflow (value="),
+        numer.cast("string"), lit(")"))).cast("long"))
+      // call_function("div"): the INTEGRAL divide — Column./ is SQL's
+      // double division, which loses exactness past 2⁵³
+      .otherwise(call_function("div", numer * lit(1000000L), denom))
 
   /** x146: DATA-CONSTRAINED repeat allocation (Muennighoff et al. 2023,
     * "Scaling Data-Constrained Language Models": repeated epochs decay in
@@ -5197,7 +5215,7 @@ object TextQueries {
           coalesce(floor(col("lam_star") * sqrt(col("supply").cast("double"))).cast("long"),
             lit(4L) * col("supply"))).as("quota_tokens"))
       .withColumn("epochs_ppm",
-        expr("quota_tokens * CAST(1000000 AS BIGINT) div supply_tokens"))
+        guardedPpm("x146 epochs_ppm", col("quota_tokens"), col("supply_tokens")))
       .withColumn("saturated",
         when(col("quota_tokens") === col("cap_tokens"), 1).otherwise(0))
   }

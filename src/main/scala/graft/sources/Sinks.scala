@@ -75,12 +75,18 @@ object Sinks {
     * which latest-wins reads IGNORE (the base row dominates per key) — so
     * the job is safely re-runnable, never a read-wrong window.
     *
-    * PRECONDITION: `upTo` must be ≤ the stream's last COMMITTED epoch.
-    * Structured Streaming only ever redelivers the batch in flight at a
-    * crash (no commit-log entry), so committed epochs are never replayed —
-    * but a replay OF `upTo` itself after compaction would read an empty
-    * prior window (`< upTo` excludes the base) and double-admit. Compact
-    * only what the checkpoint has committed. */
+    * PRECONDITIONS: (1) `upTo` must be ≤ the stream's last COMMITTED
+    * epoch. Structured Streaming only ever redelivers the batch in flight
+    * at a crash (no commit-log entry), so committed epochs are never
+    * replayed — but a replay OF `upTo` itself after compaction would read
+    * an empty prior window (`< upTo` excludes the base) and double-admit.
+    * (2) The consuming stream must be QUIESCENT (between micro-batches,
+    * or stopped — r17 review): a ledger read planned against the old
+    * epoch directories whose tasks execute after the delete dies with
+    * FileNotFoundException; run compaction from the maintenance window,
+    * not concurrently with an in-flight batch (a table format with
+    * snapshot isolation removes this constraint — same caveat as
+    * [[compactParquet]]'s swap). */
   def compactEpochLedger(spark: org.apache.spark.sql.SparkSession, path: String,
       upTo: Long, key: String, value: String): Unit = {
     import org.apache.spark.sql.functions.{col, lit, max, struct}

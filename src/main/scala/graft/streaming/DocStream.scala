@@ -402,14 +402,26 @@ object DocStream {
   def admission(docs: DataFrame, evalGrams: DataFrame, quotas: DataFrame,
       indexPath: String, deconPath: String, hitsPath: String,
       statePath: String, acceptedPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // pin the two reference artifacts once (the qualityCensus posture,
+    // r17 review): an in-process evalGramTable hands us the full 5-gram
+    // explode + collect_set lineage, and foreachBatch would re-extract
+    // and re-broadcast the benchmark set EVERY micro-batch; both frames
+    // are bounded (1-row gram array / |sources| quota rows)
+    // re-assert the broadcast hint: the checkpoint truncates the plan to
+    // an ExistingRDD whose size estimate is the pessimistic default, and
+    // deconProbeOf's crossJoin must broadcast THIS side, never the stream
+    val ev = org.apache.spark.sql.functions.broadcast(
+      evalGrams.localCheckpoint(eager = true))
+    val qu = quotas.localCheckpoint(eager = true) // quotaAdmitBatch re-hints at its join
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
-        admitBatch(batch.toDF(), epoch, evalGrams, quotas,
+        admitBatch(batch.toDF(), epoch, ev, qu,
           indexPath, deconPath, hitsPath, statePath, acceptedPath)
       }
       .start()
+  }
 
   /** One composed [[admission]] micro-batch over (doc_id, source, text) —
     * factored so DocStreamSpec can drive the full decon → near-dup → quota
