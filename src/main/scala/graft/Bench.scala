@@ -60,9 +60,15 @@ object Bench {
           // ONE string field (see renderRungs' ladder comment)
           val p = inner.get("queries_packed")
           if (p == null) return None
-          p.asText().split(' ').iterator.filter(_.nonEmpty).map { kv =>
+          // Front-truncation of the 2000-char tail capture can leave the
+          // FIRST token mangled (no colon, or a clipped value). One bad
+          // token must not abort the whole load — skip it and keep every
+          // rung that did survive, so self-adjudication degrades to
+          // partial coverage instead of silently switching off.
+          p.asText().split(' ').iterator.filter(_.nonEmpty).flatMap { kv =>
             val c = kv.lastIndexOf(':')
-            kv.substring(0, c) -> kv.substring(c + 1).toDouble
+            if (c <= 0) None
+            else kv.substring(c + 1).toDoubleOption.map(kv.substring(0, c) -> _)
           }.toMap
         }
       val noise = if (inner.has("noise")) inner.get("noise").asDouble() else 1.0

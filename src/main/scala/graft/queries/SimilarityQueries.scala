@@ -587,11 +587,18 @@ object SimilarityQueries {
         min("cos_ppm").as("min_cos_ppm"),
         sum(when(col("cos_ppm") < lit(outlierTauPpm), 1L).otherwise(0L)).as("n_outliers"))
 
-  /** x145's engine over any (vec_id, embedding) frame. */
+  /** x145's engine over any (vec_id, embedding) frame. outlier_ppm routes
+    * through [[TextQueries.guardedPpm]] (r17 review convention: every ppm
+    * multiply carries the x137-style overflow guard). mean_cos_ppm's
+    * `sum_off` needs no guard by operand bound: each row contributes ≤
+    * 2·10⁶ to the sum, so overflow needs > 4.6·10¹² vectors in ONE cell —
+    * and the sum itself, not a later multiply, would be the overflow
+    * site, raising Spark's own ANSI sum-overflow error. */
   def annOutlierCensusOf(emb: DataFrame): DataFrame =
     outlierStatsOf(emb)
       .withColumn("mean_cos_ppm", expr("sum_off div n_vecs - CAST(1000000 AS BIGINT)"))
-      .withColumn("outlier_ppm", expr("n_outliers * CAST(1000000 AS BIGINT) div n_vecs"))
+      .withColumn("outlier_ppm",
+        TextQueries.guardedPpm("x145 outlier_ppm", col("n_outliers"), col("n_vecs")))
       .select("cell", "n_vecs", "mean_cos_ppm", "min_cos_ppm", "n_outliers", "outlier_ppm")
 
   /** Exact embedding-cosine near-dup, incremental-ingest shape: the 50

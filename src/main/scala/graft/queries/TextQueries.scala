@@ -5090,8 +5090,9 @@ object TextQueries {
     * the operand in both regimes. Callers handle their own zero-denom
     * branch; the r17 review found three fresh ppm sites shipping
     * unguarded while their scaladocs claimed 100 TB-regime exactness —
-    * new ppm columns should route through here. */
-  private def guardedPpm(site: String, numer: Column, denom: Column): Column =
+    * new ppm columns should route through here (package-visible so
+    * SimilarityQueries' ppm sites share the one guard). */
+  private[queries] def guardedPpm(site: String, numer: Column, denom: Column): Column =
     when(numer > lit(Long.MaxValue / 1000000L),
       raise_error(concat(
         lit(s"$site: numerator exceeds Long.MaxValue/1000000 — the BIGINT " +
@@ -5260,7 +5261,7 @@ object TextQueries {
       .select(col("bucket"),
         expr("CAST(POWER(2, bucket) AS BIGINT)").as("floor_size"),
         col("n_clusters"), col("n_docs"), col("n_pass"),
-        expr("(n_pass * 1000000) div n_docs").as("pass_ppm"))
+        guardedPpm("x147 pass_ppm", col("n_pass"), col("n_docs")).as("pass_ppm"))
       .orderBy("bucket")
   }
 

@@ -90,7 +90,18 @@ object Sinks {
   def compactEpochLedger(spark: org.apache.spark.sql.SparkSession, path: String,
       upTo: Long, key: String, value: String): Unit = {
     import org.apache.spark.sql.functions.{col, lit, max, struct}
-    val base = spark.read.parquet(path)
+    val ledger = spark.read.parquet(path)
+    // The fold below projects to exactly (key, value, __epoch). A wider
+    // ledger would silently lose its extra columns in the base write —
+    // and a crash between the base write and the delete would then leave
+    // MIXED-schema partitions that spark.read.parquet resolves from one
+    // sampled file (r17 advice). Refuse wider ledgers up front.
+    val cols = ledger.columns.toSet
+    require(cols == Set(key, value, "__epoch"),
+      s"compactEpochLedger: ledger at $path has columns ${ledger.columns.sorted.mkString("(", ", ", ")")}; " +
+        s"this fold preserves exactly ($key, $value, __epoch) — compacting a wider " +
+        "ledger would silently drop the extra columns from the folded base")
+    val base = ledger
       .filter(col("__epoch") <= upTo)
       .groupBy(col(key))
       .agg(max(struct(col("__epoch"), col(value))).getField(value).as(value))
@@ -105,6 +116,39 @@ object Sinks {
       .parquet(path)
     dropEpochsBefore(spark, path, upTo)
   }
+
+  /** The last epoch the stream at `checkpointLocation` has COMMITTED, read
+    * from the checkpoint's own commit log (`commits/<batchId>`, one file
+    * per completed micro-batch — foreachBatch epoch ids ARE these batch
+    * ids). None when the log doesn't exist or holds no committed batch
+    * yet. Structured Streaming writes the commit file strictly AFTER the
+    * batch body succeeds, so every epoch ≤ this value is replay-immune —
+    * exactly [[compactEpochLedger]]'s precondition (1). */
+  def lastCommittedEpoch(spark: org.apache.spark.sql.SparkSession,
+      checkpointLocation: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(checkpointLocation, "commits")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).iterator
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .maxOption
+  }
+
+  /** [[compactEpochLedger]] with `upTo` DERIVED from the consuming
+    * stream's commit log instead of caller-supplied — the r17 verdict's
+    * "automate the precondition" item: a hand-picked `upTo` past the last
+    * committed epoch is the one way to make a later replay double-admit,
+    * and this entry point makes that footgun unloadable. No-ops (None)
+    * when the stream has committed nothing. The QUIESCENCE precondition
+    * remains the caller's: run from the maintenance window, with the
+    * stream stopped or between micro-batches. Returns the epoch folded
+    * to, for the maintenance job's log line. */
+  def compactCommitted(spark: org.apache.spark.sql.SparkSession,
+      checkpointLocation: String, path: String, key: String,
+      value: String): Option[Long] =
+    lastCommittedEpoch(spark, checkpointLocation).map { e =>
+      compactEpochLedger(spark, path, e, key, value); e
+    }
 
   /** Retention for epoch-partitioned APPEND artifacts (hit logs, admitted
     * manifests, census rows): delete `__epoch=e` directories with

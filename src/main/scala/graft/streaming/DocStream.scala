@@ -391,6 +391,19 @@ object DocStream {
     * near-dup of a doc the quota cut never shipped is judged on its own
     * merits rather than rejected against phantom corpus text.
     *
+    * Intra-batch caveat (r17 advice, ACCEPTED consequence of the
+    * decon → dup → quota order): WITHIN one micro-batch, a doc flagged as
+    * a near-dup of a batch peer stays rejected even when that peer then
+    * dies at the quota axis — for that epoch it was cut against text that
+    * never joined the corpus. This is deliberate: re-admitting such docs
+    * would re-enter the quota axis for the same epoch, making each
+    * source's budget order dependent on the batch's dup topology (and
+    * recursively so, since a re-admitted doc can itself be quota-cut
+    * while representing further dups). The own-merits stance is
+    * CROSS-EPOCH: the quota-cut peer never reaches the index, so the
+    * same text redelivered in any later epoch is judged fresh
+    * (DocStreamSpec "intra-batch phantom rejection" pins both halves).
+    *
     * Replay: every stage is the factored single-axis batch body with its
     * own proven discipline (decon is stateless; near-dup excludes own-id
     * index rows and skips already-indexed appends; quota reads the ledger

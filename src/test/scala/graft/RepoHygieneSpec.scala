@@ -126,6 +126,61 @@ class RepoHygieneSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("committed local correctness artifacts: newest pair exists, parses, covers the registry, all green, not older than the last completed round") {
+    // r17 verdict item 1: the driver's CORRECTNESS_r{N}.json has arrived
+    // empty two rounds running, so the committed CORRECTNESS_local_r{N}_sf*
+    // artifacts ARE the round's correctness signal — but nothing caught a
+    // stale or forgotten re-cut. Pin all four failure classes:
+    //   (a) missing sf: the newest round must carry BOTH sf0.01 and sf0.1;
+    //   (b) stale count: entry count must equal the CURRENT registry size,
+    //       so adding a query without re-cutting the artifacts is a local
+    //       `sbt test` failure in the same tree;
+    //   (c) non-green: every entry must be rows+schema+hash true, err null;
+    //   (d) forgotten round: the newest artifact round must be ≥ the max
+    //       committed BENCH_r{N}.json round (the driver commits BENCH at
+    //       each round close, so artifacts older than the last completed
+    //       round mean a whole round shipped without a re-cut).
+    val root = new java.io.File(sys.props("user.dir"))
+    assert(new java.io.File(root, "build.sbt").isFile,
+      s"$root is not the repo root — spec must run from it")
+    val artRx = "^CORRECTNESS_local_r(\\d+)_sf([0-9.]+)\\.json$".r
+    val arts = root.listFiles.map(_.getName).collect {
+      case n @ artRx(r, sf) => (r.toInt, sf, n)
+    }
+    assert(arts.nonEmpty, "no CORRECTNESS_local_r*_sf*.json committed at all")
+    val newest = arts.map(_._1).max
+    val benchRx = "^BENCH_r(\\d+)\\.json$".r
+    val maxBench = root.listFiles.map(_.getName)
+      .collect { case benchRx(r) => r.toInt }.foldLeft(0)(math.max)
+    withClue(s"newest local artifacts are r$newest but the driver has closed " +
+      s"round $maxBench — a whole round shipped without a re-cut: ") {
+      newest should be >= maxBench
+    }
+    val bySf = arts.filter(_._1 == newest).map(s => s._2 -> s._3).toMap
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    for (sf <- Seq("0.01", "0.1")) {
+      withClue(s"round r$newest is missing its sf$sf artifact: ") {
+        bySf.keySet should contain(sf)
+      }
+      val node = mapper.readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(bySf(sf)))) // readTree throws on non-JSON
+      import scala.jdk.CollectionConverters._
+      val entries = node.fieldNames().asScala.toSet
+      withClue(s"${bySf(sf)}: entry set vs the current registry " +
+        s"(${entries.size} vs ${SparkEntry.queries.size} — re-cut the " +
+        "artifacts on this tree): ") {
+        entries shouldBe SparkEntry.queries.keySet
+      }
+      val nonGreen = entries.filter { q =>
+        val e = node.get(q)
+        !(e.path("rows_match").asBoolean(false) &&
+          e.path("schema_match").asBoolean(false) &&
+          e.path("hash_match").asBoolean(false) && e.path("err").isNull)
+      }
+      withClue(s"${bySf(sf)}: non-green entries: ") { nonGreen shouldBe empty }
+    }
+  }
+
   test("repo root has no unexpected files") {
     // tests run from the repo root — don't hardcode a checkout path, and
     // treat an unreadable root as a FAILURE, not a vacuous pass

@@ -695,6 +695,149 @@ class DocStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     after shouldBe before
   }
 
+  test("composed admission: intra-batch phantom rejection is epoch-local — dup of a quota-cut peer stays out this epoch, same text admitted fresh next epoch") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("admit-phantom").toString
+    val indexPath = s"$base/sigs"
+    val Seq(deconPath, hitsPath, statePath, acceptedPath) =
+      Seq("decon", "hits", "state", "accepted").map(p => s"$base/$p")
+
+    val ev = TextQueries.evalGramTable(
+      Seq((900L, "g1 g2 g3 g4 g5 g6")).toDF("doc_id", "text")).cache()
+    ev.count()
+    graft.sources.Sinks.sortedParquet(
+      TextQueries.minhashSignaturesOf(
+        Seq((1L, (1 to 30).map(i => s"seed$i").mkString(" "))).toDF("doc_id", "text")),
+      indexPath, Seq("doc_id"))
+    // z's quota is exhausted by the FILLER (md5("30") < md5("31"): the
+    // x53 hash order puts 30 first), so the REP 31 is quota-cut — after
+    // its dup 32 was already rejected against it at the dup axis
+    val quotas = Seq(("z", 5L), ("y", 100L)).toDF("source", "quota_tokens")
+    val repText = (1 to 29).map(i => s"zr$i").mkString(" ") + " omega"
+    val dupText = (1 to 29).map(i => s"zr$i").mkString(" ") + " kappa"
+    DocStream.admitBatch(Seq(
+      (30L, "z", (1 to 10).map(i => s"zf$i").mkString(" ")), // filler: admitted, spends z
+      (31L, "z", repText),                                   // rep: survives dup, quota-CUT
+      (32L, "z", dupText)                                    // dup of 31 → phantom-rejected
+    ).toDF("doc_id", "source", "text"), 0L, ev, quotas,
+      indexPath, deconPath, hitsPath, statePath, acceptedPath)
+
+    def accepted() = spark.read.parquet(acceptedPath).collect()
+      .map(r => (r.getAs[Number]("__epoch").longValue, r.getAs[Long]("doc_id"))).toSet
+    // epoch 0: ONLY the filler shipped; 32 was rejected against text (31's)
+    // that never joined the corpus — the documented epoch-local phantom
+    accepted() shouldBe Set((0L, 30L))
+    spark.read.parquet(hitsPath).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("corpus_doc_id"))).toSet shouldBe
+      Set((32L, 31L))
+    spark.read.parquet(indexPath).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq shouldBe Seq(1L, 30L) // 31 never indexed
+
+    // epoch 1: the SAME text (32's) under a funded source is judged on its
+    // own merits — no index row for 31/32 exists to reject it against
+    DocStream.admitBatch(Seq((33L, "y", dupText)).toDF("doc_id", "source", "text"),
+      1L, ev, quotas, indexPath, deconPath, hitsPath, statePath, acceptedPath)
+    accepted() shouldBe Set((0L, 30L), (1L, 33L))
+    spark.read.parquet(hitsPath).count() shouldBe 1L // no new hit was logged
+  }
+
+  test("composed admission restart-from-checkpoint: in-flight epoch replayed after automated committed-ledger compaction converges with an uninterrupted run") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // r17 verdict item 2: DocStreamSpec proved the BATCH-BODY semantics
+    // under redelivery, but never stopped a live admission() and restarted
+    // it from its checkpointLocation — the lifecycle edge where the commit
+    // log, not the spec harness, decides what replays. This drives exactly
+    // that: two committed epochs, stop, [[Sinks.compactCommitted]] derives
+    // upTo=1 from the commit log (verdict item 5's automation), an
+    // in-flight epoch 2 whose body effects hit disk but whose commit never
+    // landed, then a restart that must replay epoch 2 against the FOLDED
+    // ledger and carry on to epoch 3.
+    def d40(p: String): String = (1 to 40).map(i => s"$p$i").mkString(" ")
+    val batches = Seq(
+      Seq((10L, "a", d40("aa"))),
+      // 15 near-dups the admitted 10 → dup-rejected, consumes nothing
+      // (and gives the hit log a row, so every artifact path is exercised)
+      Seq((11L, "a", d40("ab")),
+        (15L, "a", (1 to 39).map(i => s"aa$i").mkString(" ") + " zz")),
+      // epoch 2 is where the as-of ledger read BINDS: consumed(a)=80 < 100
+      // admits 12 (→120), which must then cut 13 — a wrong post-compaction
+      // window (empty, or including epoch 2's own half-committed rows on
+      // replay) admits both or neither
+      Seq((12L, "a", d40("ac")), (13L, "a", d40("ad"))),
+      Seq((14L, "a", d40("ae"))))
+    val quotas = Seq(("a", 100L)).toDF("source", "quota_tokens")
+    val ev = TextQueries.evalGramTable(
+      Seq((900L, "g1 g2 g3 g4 g5 g6")).toDF("doc_id", "text")).cache()
+    ev.count()
+
+    def mkPaths(tag: String): (String, Seq[String]) = {
+      val base = java.nio.file.Files.createTempDirectory(s"admit-rst-$tag").toString
+      val index = s"$base/sigs"
+      graft.sources.Sinks.sortedParquet(
+        TextQueries.minhashSignaturesOf(
+          Seq((1L, (1 to 30).map(i => s"seed$i").mkString(" "))).toDF("doc_id", "text")),
+        index, Seq("doc_id"))
+      (base, index +: Seq("decon", "hits", "state", "accepted").map(p => s"$base/$p"))
+    }
+    def stateOf(paths: Seq[String]) = {
+      val Seq(index, decon, hits, state, accepted) = paths
+      (spark.read.parquet(decon).collect()
+        .map(r => (r.getAs[Number]("__epoch").longValue, r.getAs[Long]("doc_id"),
+          r.getAs[Boolean]("admitted"))).toSet,
+       spark.read.parquet(hits).count(),
+       spark.read.parquet(accepted).collect()
+         .map(r => (r.getAs[Number]("__epoch").longValue, r.getAs[Long]("doc_id"))).toSet,
+       spark.read.parquet(state).collect()
+         .map(r => (r.getAs[Number]("__epoch").longValue, r.getAs[String]("source"),
+           r.getAs[Long]("consumed_tokens")))
+         .groupBy(_._2).view.mapValues(_.maxBy(_._1)._3).toMap,
+       spark.read.parquet(index).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq)
+    }
+
+    // ---- interrupted run: 2 committed epochs, stop, compact, crash-replay
+    val (base, paths) = mkPaths("live")
+    val Seq(indexPath, deconPath, hitsPath, statePath, acceptedPath) = paths
+    val input = MemoryStream[(Long, String, String)]
+    def start() = DocStream.admission(input.toDF.toDF("doc_id", "source", "text"),
+      ev, quotas, indexPath, deconPath, hitsPath, statePath, acceptedPath, s"$base/ckpt")
+    val q1 = start()
+    try {
+      input.addData(batches(0)); q1.processAllAvailable()
+      input.addData(batches(1)); q1.processAllAvailable()
+    } finally q1.stop()
+    // automated precondition: upTo comes from the commit log, not a guess
+    graft.sources.Sinks.lastCommittedEpoch(spark, s"$base/ckpt") shouldBe Some(1L)
+    graft.sources.Sinks.compactCommitted(spark, s"$base/ckpt", statePath,
+      "source", "consumed_tokens") shouldBe Some(1L)
+    new java.io.File(statePath).list().filter(_.startsWith("__epoch="))
+      .toSeq shouldBe Seq("__epoch=1") // epochs 0-1 really folded
+    // epoch 2 "in flight at stop": body effects on disk, commit never lands
+    DocStream.admitBatch(batches(2).toDF("doc_id", "source", "text"), 2L, ev,
+      quotas, indexPath, deconPath, hitsPath, statePath, acceptedPath)
+    // restart from the SAME checkpoint: batch 2 must be REPLAYED (it has no
+    // commit-log entry), then the stream moves on
+    val q2 = start()
+    try {
+      input.addData(batches(2)); q2.processAllAvailable()
+      input.addData(batches(3)); q2.processAllAvailable()
+    } finally q2.stop()
+    graft.sources.Sinks.lastCommittedEpoch(spark, s"$base/ckpt") shouldBe Some(3L)
+
+    // ---- mirror: the same four epochs uninterrupted, no compaction
+    val (_, mPaths) = mkPaths("mirror")
+    batches.zipWithIndex.foreach { case (rows, ep) =>
+      DocStream.admitBatch(rows.toDF("doc_id", "source", "text"), ep.toLong, ev,
+        quotas, mPaths(0), mPaths(1), mPaths(2), mPaths(3), mPaths(4))
+    }
+    stateOf(paths) shouldBe stateOf(mPaths)
+    // and the binding epoch-2 cut landed the one right way: 12 in, 13 cut
+    // at 120 ≥ 100, and post-restart epoch 3's 14 cut against the spent
+    // budget (the stream really continued past the replay)
+    stateOf(paths)._3 shouldBe Set((0L, 10L), (1L, 11L), (2L, 12L))
+    stateOf(paths)._1.map(_._1) should contain(3L) // epoch 3 was processed
+  }
+
   test("quota ledger compaction mid-stream: post-compaction epochs and replays see identical as-of state") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("quota-compact").toString
