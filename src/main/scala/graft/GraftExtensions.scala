@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{BpeTokens, ChunkHashes, DotProduct, MinHashSignature, ShingleHashes, ShinglePosHashes, SimHash64, TokenStats}
+import graft.functions.{BpeTokens, ChunkHashes, DotProduct, MinHashSignature, NormTextExpr, ShingleHashes, ShinglePosHashes, SimHash64, TokenStats}
 
 /** SparkSessionExtensions registering the engine's native expressions, so
   * they are callable from SQL and `expr(...)` alike:
@@ -20,6 +20,8 @@ import graft.functions.{BpeTokens, ChunkHashes, DotProduct, MinHashSignature, Sh
   *   graft_dot(a, b)          → DOUBLE sequential-fold dot product
   *   graft_bpe_tokens(text, merges) → ARRAY<STRING> BPE tokens (greedy
   *                              in-order merge application; see x103)
+  *   graft_norm_text(text)    → STRING x142 normalization (lower, trim,
+  *                              \s+-split, stutter collapse, space join)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -86,6 +88,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(text, merges) => BpeTokens(text, merges)
         case _ => throw new IllegalArgumentException("graft_bpe_tokens(text, merges)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_norm_text"),
+      new ExpressionInfo(classOf[NormTextExpr].getName, "graft_norm_text"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => NormTextExpr(text)
+        case _ => throw new IllegalArgumentException("graft_norm_text(text)")
       }))
   }
 }

@@ -49,12 +49,20 @@ final class NflPipeline(
   /** MB:63-91 frame-grain rusher table (also the MO:37 plot feed). Persisted:
     * the metric stage reads it three times (pivot, delta-end, snap labels) —
     * without the boundary each read recomputes the set-point + clamp DAG
-    * (measured 49 s → 4 s for the metric at 600k tracking rows). */
+    * (measured 49 s → 4 s for the metric at 600k tracking rows). Since the
+    * r18 width prune this persists only the frame-grain math columns; the
+    * rusher-play labels live in [[rusherLabels]]. */
   lazy val rusherFrames: DataFrame =
     PressureZone.rusherFrames(mainDf, setPoints, playStart, playEnd).persist(storage)
 
+  /** The rusher-play-constant label columns (r18 width prune) — a pure
+    * filter+project over the persisted mainDf, read once by the metric's
+    * snap attach and by the plot feed; no boundary needed. */
+  lazy val rusherLabels: DataFrame = PressureZone.rusherLabels(mainDf)
+
   /** MB:93-108 per-rusher-play metric (read by finalize + blocker attach). */
-  lazy val metric: DataFrame = truncated(PressureZone.metric(rusherFrames))
+  lazy val metric: DataFrame =
+    truncated(PressureZone.metric(rusherFrames, rusherLabels))
 
   /** MB:134-145 final rusher table (blocker counts, OL gate, play-action). */
   lazy val rushersFinal: DataFrame =

@@ -25,19 +25,39 @@ object PressureZone {
   /** Chebyshev radius of the pressure zone in yards (MB:62). */
   val yardsToSetPoint = 2.0
 
+  /** MB:63-64's role/position slice of the fact (shared by the frame table
+    * and the label projection — one predicate, pushed to the scan). */
+  private def rusherSlice(mainDf: DataFrame): DataFrame =
+    mainDf.filter(col("pff_role") === "Pass Rush" &&
+      col("pff_positionLinedUp").isin(rusherPositions: _*))
+
+  /** The rusher-play-CONSTANT half of MB:63-66's 19-column projection,
+    * still at frame grain and keyed (playId, gameId, nflId, frameId) so
+    * [[metric]]'s MB:106-108 attach reads the label values from the exact
+    * snap ROW the pre-r18 carried columns came from (no first()/distinct
+    * guesswork if odd data ever had a mid-play label change). */
+  def rusherLabels(mainDf: DataFrame): DataFrame =
+    rusherSlice(mainDf).select("playId", "gameId", "nflId", "frameId",
+      "jerseyNumber", "team", "playDirection", "pff_positionLinedUp",
+      "pff_hit", "pff_hurry", "pff_sack", "passResult", "dropBackType", "playResult")
+
   /** MB:63-91: frame-grain rusher table with Chebyshev distance to the set
     * point, frame triggers, and pressure-start status. Shared by the metric
-    * (`metric`) and by the sample-play plot feed (MO:37-43). */
+    * (`metric`) and by the sample-play plot feed (MO:37-43).
+    *
+    * r18 width prune (r17 verdict item 4): of MB:63-66's 19 columns only
+    * this frame-grain set (keys, coords, speed/accel for the plot feed,
+    * event) rides the per-frame math — the 10 rusher-play-constant labels
+    * used to ride EVERY frame through the pressure-start join's shuffle
+    * and the persisted frame table (~40% of the row bytes at 1000×, where
+    * the NFL rung was disk-bound). They re-attach at MB:106-108
+    * ([[metric]]) and at the plot feed ([[graft.nfl.Rankings.samplePlay]])
+    * from [[rusherLabels]] by natural key. */
   def rusherFrames(mainDf: DataFrame, setPoints: DataFrame,
       playStart: DataFrame, playEnd: DataFrame): DataFrame = {
 
-    // MB:63-66: role/position filter + 19-column projection.
-    val rushers = mainDf
-      .filter(col("pff_role") === "Pass Rush" &&
-        col("pff_positionLinedUp").isin(rusherPositions: _*))
-      .select("nflId", "playId", "gameId", "frameId", "jerseyNumber", "team",
-        "playDirection", "x", "y", "s", "a", "event", "pff_positionLinedUp",
-        "pff_hit", "pff_hurry", "pff_sack", "passResult", "dropBackType", "playResult")
+    val rushers = rusherSlice(mainDf)
+      .select("nflId", "playId", "gameId", "frameId", "x", "y", "s", "a", "event")
 
     // MB:68-75: attach set point (natural join on playId, gameId — the
     // QB's nflId is carried as nflId_QB so it can't collide) and clamp
@@ -79,8 +99,9 @@ object PressureZone {
   /** MB:93-108: per-rusher-play metric — pivot the status-frame distances
     * wide (absent → 0, exactly `reshape::cast`'s `sum(∅)=0`), derive
     * Seconds / Distance / %PZ (capped at 1) / %PZ/s, and re-attach the
-    * snap-frame labels. Output grain: (playId, gameId, nflId). */
-  def metric(rusherFrames: DataFrame): DataFrame = {
+    * snap-frame labels (from [[rusherLabels]] since the r18 width prune —
+    * same snap rows, keyed attach). Output grain: (playId, gameId, nflId). */
+  def metric(rusherFrames: DataFrame, labels: DataFrame): DataFrame = {
     val summary = rusherFrames.filter(col("Frame_Status").isNotNull)
 
     // MB:94-96 melt→cast. groupBy().pivot() with explicit values: one
@@ -119,9 +140,14 @@ object PressureZone {
         col("Percent_to_Pressure_Zone") / col("Seconds"))
 
     // MB:106-108: snap-frame labels (position, jersey, team, PFF outcome
-    // flags, play context) re-attached by natural key.
+    // flags, play context) re-attached by natural key. The label VALUES
+    // come from the summary's own snap rows — summary supplies the
+    // (keys, frameId) row set exactly as pre-r18, the label projection
+    // supplies the columns the frame table no longer carries.
     scored.transform(naturalJoin(_,
       summary.filter(col("event") === "ball_snap")
+        .select("playId", "gameId", "nflId", "frameId")
+        .join(labels, Seq("playId", "gameId", "nflId", "frameId"))
         .select("playId", "gameId", "nflId", "pff_positionLinedUp", "jerseyNumber",
           "team", "pff_hurry", "pff_sack", "pff_hit", "passResult", "playResult")))
   }

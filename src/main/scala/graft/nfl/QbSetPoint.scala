@@ -54,10 +54,19 @@ object QbSetPoint {
     // MB:45 sentinel (kept for fidelity; the MB:48 filter already excludes
     // the snap frame, so it can only matter for a duplicated snap event) and
     // MB:48 frame filter, then the two lag passes (MB:49-50).
-    val curves = bounded
+    val filtered = bounded
       .withColumn("s", when(col("event") === "ball_snap", -999.0).otherwise(col("s")))
       .filter(col("frameId") >= col("dropStartFrameId") &&
         col("frameId") > col("play_start_frameId"))
+
+    // r18 width prune (r17 verdict item 4): only the lag math's columns
+    // cross the window shuffle — the set-point coords are read back from
+    // the SAME filtered rows by the MB:56-58 join below (already keyed on
+    // (group, frameId), so the row domain and values are unchanged; the
+    // only delta is that x/y no longer ride the window exchange).
+    val curves = filtered
+      .select("gameId", "nflId", "playId", "frameId", "s",
+        "dropStartFrameId", "play_end_frameId")
       .withColumn("a_direction", col("s") - lag("s", 1).over(w))
       .withColumn("s_direction",
         col("a_direction") > lag("a_direction", 1).over(w) && col("a_direction") > 0)
@@ -85,8 +94,11 @@ object QbSetPoint {
       .agg((min("frameId") - 1).as("frameId"))
 
     // MB:56-58: read the QB's coords at the set-point frame; rename to the
-    // published schema.
-    withPeak.select("nflId", "playId", "gameId", "frameId", "x", "y")
+    // published schema. Coords come from the pre-window `filtered` rows —
+    // identical row set and values to the pre-r18 withPeak read (withPeak
+    // only further restricts to groups WITH a peak, which the inner join
+    // against setPointFrame enforces by itself).
+    filtered.select("nflId", "playId", "gameId", "frameId", "x", "y")
       .transform(naturalJoin(_, setPointFrame))          // on (nflId, playId, gameId, frameId)
       .toDF("nflId_QB", "playId", "gameId", "frameId", "x_set_point", "y_set_point")
   }

@@ -71,10 +71,17 @@ object Rankings {
 
   /** MO:37-38: the animated-plot feed — one play's rusher frames, first 157
     * rows in frame order (the reference's `[1:157,]` slice made
-    * deterministic with an explicit sort, SURVEY.md §2.1 C9). */
-  def samplePlay(rusherFrames: DataFrame, gameId: Long, playId: Long, team: String): DataFrame =
+    * deterministic with an explicit sort, SURVEY.md §2.1 C9). Since the r18
+    * width prune the team/jersey labels re-attach by natural key from
+    * [[graft.nfl.PressureZone.rusherLabels]] (the play filter lands on both
+    * sides before the join, so this stays a two-tiny-frames join). */
+  def samplePlay(rusherFrames: DataFrame, labels: DataFrame,
+      gameId: Long, playId: Long, team: String): DataFrame =
     rusherFrames
-      .filter(col("gameId") === gameId && col("playId") === playId && col("team") === team)
+      .filter(col("gameId") === gameId && col("playId") === playId)
+      .join(labels.filter(col("gameId") === gameId && col("playId") === playId),
+        Seq("playId", "gameId", "nflId", "frameId"))
+      .filter(col("team") === team)
       .orderBy("nflId", "frameId")
       .limit(157)
 }

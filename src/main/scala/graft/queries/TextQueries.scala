@@ -4903,15 +4903,16 @@ object TextQueries {
 
   /** The x142 normalization: lowercase, whitespace-collapse, trim, and
     * collapse CONSECUTIVE repeated tokens (crawl stutter — boilerplate
-    * renderers and scraped menus emit `table table`-style doubles). One
-    * row-local codegen'd HOF per row, shared by BOTH normalization passes
-    * so the idempotence audit audits exactly the shipped rule. Spark's
-    * lambda index is 0-based while element_at is 1-based, so
-    * `element_at(ts, i)` at filter-index i IS the PREVIOUS token. */
-  private def normTextCol(src: Column): Column = {
-    val ts = split(trim(lower(src)), "\\s+")
-    array_join(filter(ts, (t, i) => i === 0 || t =!= element_at(ts, i)), " ")
-  }
+    * renderers and scraped menus emit `table table`-style doubles).
+    * Since r18 this is the native one-pass codegen kernel
+    * [[graft.functions.NormText]] (r17 verdict item 3: the HOF
+    * formulation's lambdas ran interpreted — CodegenFallback — making
+    * x142 the registry's one interpreted hot path at ~6 s/sf0.1).
+    * NormTextSpec pins kernel ≡ the original HOF column on adversarial
+    * strings; shared by BOTH normalization passes so the idempotence
+    * audit audits exactly the shipped rule. */
+  private def normTextCol(src: Column): Column =
+    call_function("graft_norm_text", src)
 
   /** x142: text-normalization FIXPOINT audit — the pre-flight datasheet
     * for the cleaning pass every corpus gets before tokenization: apply
