@@ -26,6 +26,13 @@ object NflScaleBench {
       // state until it OOMs — let AQE size reduce stages by bytes, so the
       // 1000× rung keeps enough partitions while small runs coalesce back
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 16 * cpus.toInt)
+      // r18: the 1000× rung is DISK-bound on this host (shuffle spill +
+      // the persisted frame tables exceed the ~75 GiB free even after the
+      // width prune) — trade CPU for disk exactly as a disk-tight cluster
+      // would: zstd for shuffle/spill streams (~1.5-2× denser than the
+      // lz4 default) and compressed serialized RDD cache blocks
+      .config("spark.io.compression.codec", "zstd")
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1465,8 +1465,120 @@ FROM embeddings ORDER BY vec_id""") { (s, d) =>
     s.read.parquet(pinPath).collect().head
   }
 
+  /** DuckDB replication of x150: identical ppm-integer pipeline — vectors
+    * quantized to BIGINT ppm per dim FIRST (ROUND(x·10⁶), the one rounding
+    * both engines do on the identical double), so every centroid is a
+    * floor-div of exact integer sums (order-free — no float-summation
+    *-order hazard), and every cosine is doubles-from-exact-BIGINTs. */
+  private val x150Oracle: String =
+    """WITH k AS (SELECT unnest(range(1, 65)) AS dim),
+      |v AS (SELECT e.vec_id, e.label, k.dim,
+      |    CAST(ROUND(CAST(e.embedding[k.dim] AS DOUBLE) * 1000000, 0) AS BIGINT) AS vp
+      |  FROM embeddings e CROSS JOIN k),
+      |n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM embeddings),
+      |cent AS (SELECT v.label, v.dim, CAST(CAST(SUM(v.vp) AS BIGINT) // n.n_vecs AS BIGINT) AS c
+      |  FROM v JOIN n USING (label) GROUP BY v.label, v.dim, n.n_vecs),
+      |gcent AS (SELECT dim, CAST(CAST(SUM(vp) AS BIGINT) // (SELECT n_all FROM tot) AS BIGINT) AS g
+      |  FROM v GROUP BY dim),
+      |cn AS (SELECT label, CAST(SUM(c * c) AS BIGINT) AS n2c FROM cent GROUP BY label),
+      |gn AS (SELECT CAST(SUM(g * g) AS BIGINT) AS n2g FROM gcent),
+      |own AS (SELECT v.vec_id, v.label,
+      |    CAST(SUM(v.vp * cent.c) AS BIGINT) AS dot,
+      |    CAST(SUM(v.vp * v.vp) AS BIGINT) AS n2v
+      |  FROM v JOIN cent USING (label, dim) GROUP BY v.vec_id, v.label),
+      |cosv AS (SELECT o.label,
+      |    CAST(ROUND(CAST(o.dot AS DOUBLE) / (sqrt(CAST(o.n2v AS DOUBLE)) * sqrt(CAST(cn.n2c AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS cos_ppm
+      |  FROM own o JOIN cn USING (label)),
+      |lg AS (SELECT cent.label, CAST(SUM(cent.c * gcent.g) AS BIGINT) AS dotg
+      |  FROM cent JOIN gcent USING (dim) GROUP BY cent.label),
+      |lcos AS (SELECT lg.label,
+      |    CAST(ROUND(CAST(dotg AS DOUBLE) / (sqrt(CAST(cn.n2c AS DOUBLE)) * sqrt(CAST(gn.n2g AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS centroid_cos_global_ppm
+      |  FROM lg JOIN cn USING (label) CROSS JOIN gn)
+      |SELECT n.label, n.n_vecs,
+      |  CAST(CAST(SUM(c2.cos_ppm + 1000000) AS BIGINT) // COUNT(*) - 1000000 AS BIGINT) AS mean_cos_own_ppm,
+      |  CAST(MIN(c2.cos_ppm) AS BIGINT) AS min_cos_own_ppm,
+      |  MAX(lcos.centroid_cos_global_ppm) AS centroid_cos_global_ppm
+      |FROM cosv c2 JOIN n USING (label) JOIN lcos USING (label)
+      |GROUP BY n.label, n.n_vecs ORDER BY n.label""".stripMargin
+
+  /** x150: per-LABEL centroid census — the embedding-space datasheet a
+    * cluster-based curation pass (SemDeDup-style pruning, IVF training,
+    * x65's purity read) wants BEFORE trusting the labels: per label, how
+    * tight the cluster is (mean cosine of members to their OWN centroid),
+    * whether it contains junk (min member cosine — failed encodes and
+    * wrong-modality rows sit anti-correlated to their centroid), and how
+    * distinguishable it is from the corpus mean direction (centroid
+    * cosine to the GLOBAL centroid — a label whose centroid rides the
+    * global mean carries no class signal, so pruning "per cluster" there
+    * is just random pruning). x145 reads the same geometry per IVF CELL
+    * against pinned centroids; this reads it per SEMANTIC LABEL with
+    * centroids from the data itself.
+    *
+    * Exactness: vectors quantize to BIGINT ppm per dim FIRST, so both
+    * centroids are floor-divs of exact integer sums (order-free — the
+    * float-summation-order hazard that forces x129's array-sorted Σ√
+    * simply never arises) and each cosine is one double expression over
+    * exact BIGINTs, rounded to ppm (the x17/x145 ROUND-cos precedent).
+    * The mean offsets by +10⁶ so the floor division never sees a
+    * negative dividend.
+    *
+    * Plan/scale: one posexplode (codegen Generate) over the vectors, two
+    * integer grouped aggregates for the centroids (map-side combined),
+    * then one (vec, label)-keyed aggregate against the BROADCAST
+    * (|labels|·64)-row centroid table — no vector ever joins another
+    * vector; everything after is |labels|-sized. At 100 TB the only
+    * corpus-sized exchanges are the two ppm-sum aggregates. */
+  val labelCentroidCensus = sql("x150_label_centroid_census", x150Oracle) { (s, d) =>
+    labelCentroidCensusOf(Tables.embeddings(s, d)).orderBy("label")
+  }
+
+  /** x150's engine over any (vec_id, embedding, label) frame. */
+  def labelCentroidCensusOf(emb: DataFrame): DataFrame = {
+    val v = emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "xv")))
+      .withColumn("vp", round(col("xv").cast("double") * lit(1e6), 0).cast("long"))
+      .drop("xv")
+    val n = emb.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    val nAll = emb.agg(count(lit(1)).as("n_all"))
+    val cent = v.groupBy("label", "dim").agg(sum("vp").as("sv"))
+      .join(broadcast(n), Seq("label"))
+      .select(col("label"), col("dim"), expr("sv div n_vecs").as("c"))
+      .localCheckpoint(eager = false) // bounded (|labels|·64 rows); 3 consumers
+    val gcent = v.groupBy("dim").agg(sum("vp").as("sg"))
+      .crossJoin(broadcast(nAll))
+      .select(col("dim"), expr("sg div n_all").as("g"))
+      .localCheckpoint(eager = false) // 64 rows; 2 consumers
+    val cn = cent.groupBy("label").agg(sum(col("c") * col("c")).as("n2c"))
+      .localCheckpoint(eager = false) // |labels| rows; 2 consumers
+    val own = v.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("vp") * col("c")).as("dot"), sum(col("vp") * col("vp")).as("n2v"))
+      .join(broadcast(cn), Seq("label"))
+      .withColumn("cos_ppm",
+        round(col("dot").cast("double")
+          / (sqrt(col("n2v").cast("double")) * sqrt(col("n2c").cast("double")))
+          * lit(1e6), 0).cast("long"))
+    val gn = gcent.agg(sum(col("g") * col("g")).as("n2g"))
+    val lcos = cent.join(gcent, Seq("dim"))
+      .groupBy("label").agg(sum(col("c") * col("g")).as("dotg"))
+      .join(cn, Seq("label")).crossJoin(broadcast(gn))
+      .select(col("label"),
+        round(col("dotg").cast("double")
+          / (sqrt(col("n2c").cast("double")) * sqrt(col("n2g").cast("double")))
+          * lit(1e6), 0).cast("long").as("centroid_cos_global_ppm"))
+    own.groupBy("label").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("cos_ppm") + lit(1000000L)).as("so"),
+        min("cos_ppm").as("min_cos_own_ppm"))
+      .select(col("label"), col("n_vecs"),
+        expr("so div n_vecs - CAST(1000000 AS BIGINT)").as("mean_cos_own_ppm"),
+        col("min_cos_own_ppm"))
+      .join(broadcast(lcos), Seq("label")) // |labels| rows — never SMJ
+  }
+
   val all: Seq[QueryDef] = Seq(embNorm, embPairCosine, simBruteTopk, simLshTopk, simIvfTopk,
     simIvfCells, simPqTopk, dedupEmbedding, dedupEmbLsh, embQuantize, simContamination,
     semanticDedup, embRandomProjection, embLabelDrift, annRecallSweep, annOperatingPoint,
-    annOutlierCensus)
+    annOutlierCensus, labelCentroidCensus)
 }

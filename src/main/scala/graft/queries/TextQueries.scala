@@ -5178,14 +5178,27 @@ object TextQueries {
     repeatDecayOf(docs(s, d)).orderBy("source")
   }
 
-  /** x146's engine over any (source, text) frame. */
-  def repeatDecayOf(dd: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val per = dd.select(col("source"),
+  /** x146's per-source supply table (the shared x112 count — one corpus
+    * scan, |sources| rows out), factored so x152's budget sweep prices
+    * three budgets off ONE scan. */
+  private def repeatSupplyOf(dd: DataFrame): DataFrame =
+    dd.select(col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
       .groupBy("source").agg(sum("n_tok").as("supply"))
       .localCheckpoint(eager = false) // bounded; rungs + final pricing read it
-    val tot = per.agg(expr("CAST(sum(supply) * 38 div 10 AS BIGINT)").as("budget"))
+
+  /** x146's engine over any (source, text) frame. */
+  def repeatDecayOf(dd: DataFrame): DataFrame =
+    waterFill(repeatSupplyOf(dd), b10 = 38)
+
+  /** The x146 closed-form water-filling over a (source, supply) table at
+    * budget B = supply·b10/10 — x146 calls it at the paper's 3.8×; x152
+    * sweeps it. Pure |sources|-bounded arithmetic, identical rung-table
+    * machinery either way (RepeatBudgetSpec pins x152@38 ≡ x146 row for
+    * row, so the sweep can never drift from the shipped recipe). */
+  private def waterFill(per: DataFrame, b10: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = per.agg(expr(s"CAST(sum(supply) * $b10 div 10 AS BIGINT)").as("budget"))
     val satpoint = lit(4.0) * sqrt(col("supply").cast("double"))
     val ord = Window.orderBy(satpoint, col("source"))
     val r1 = per.crossJoin(broadcast(tot))
@@ -5220,6 +5233,87 @@ object TextQueries {
         guardedPpm("x146 epochs_ppm", col("quota_tokens"), col("supply_tokens")))
       .withColumn("saturated",
         when(col("quota_tokens") === col("cap_tokens"), 1).otherwise(0))
+  }
+
+  /** x152: repeat-decay BUDGET SWEEP — x146's closed-form water-filling
+    * priced at three token budgets (1.9× / 3.8× / 7.6× the corpus supply;
+    * the paper's operating point and its halving/doubling): per
+    * (budget, source), the quota, epoch count, and saturation flag. The
+    * read a data-constrained scaling review wants before committing to a
+    * budget: WHERE does saturation onset move as the budget grows (a
+    * source saturated at 1.9× is data-constrained at any realistic
+    * budget), and at 7.6× — past the 4-epoch ceiling's total — every row
+    * saturates and the recipe is infeasible as specced, which the sweep
+    * shows as a full saturated column instead of hiding it (λ has no
+    * valid rung there; quotas land on the cap, exactly Muennighoff's
+    * "more compute than useful data" regime).
+    *
+    * Exactness: x146's arithmetic VERBATIM per budget — the engine runs
+    * the SAME [[waterFill]] the shipped recipe runs (RepeatBudgetSpec
+    * pins the 38-rung ≡ x146 row for row); the oracle runs the same rung
+    * machinery with every window PARTITION BY budget. The empty-valid-λ
+    * branch (7.6×) is an aggregate-over-empty → NULL → cap on both
+    * engines (FILTER-ed arg_min / when-guarded struct-min).
+    *
+    * Plan/scale: ONE corpus scan (the factored supply table checkpoints
+    * once and all three budgets read it); everything after is
+    * 3·|sources|-bounded arithmetic. */
+  val repeatBudgetSweep = sql(
+    "x152_repeat_budget_sweep",
+    // plain (non-interpolated) string: \s reaches DuckDB as-is
+    """WITH b AS (SELECT unnest([19, 38, 76]) AS b10),
+      |w AS (SELECT source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |per AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS supply FROM w GROUP BY source),
+      |tot AS (SELECT b10, CAST(SUM(supply) * b10 // 10 AS BIGINT) AS budget
+      |  FROM per CROSS JOIN b GROUP BY b10),
+      |r1 AS (SELECT t.b10, source, supply, budget,
+      |    4.0 * sqrt(CAST(supply AS DOUBLE)) AS satpoint,
+      |    ROW_NUMBER() OVER (PARTITION BY t.b10 ORDER BY 4.0 * sqrt(CAST(supply AS DOUBLE)), source) AS k,
+      |    CAST(SUM(supply) OVER (PARTITION BY t.b10 ORDER BY 4.0 * sqrt(CAST(supply AS DOUBLE)), source) AS BIGINT) AS cum_s,
+      |    SUM(sqrt(CAST(supply AS DOUBLE))) OVER (PARTITION BY t.b10 ORDER BY 4.0 * sqrt(CAST(supply AS DOUBLE)), source) AS cum_sqrt
+      |  FROM per CROSS JOIN tot t),
+      |rungs AS (
+      |  SELECT b10, k, budget, satpoint, cum_s, cum_sqrt FROM r1
+      |  UNION ALL
+      |  SELECT b10, 0, budget, CAST(NULL AS DOUBLE), CAST(0 AS BIGINT), 0.0 FROM tot),
+      |ts AS (SELECT b10, MAX(cum_sqrt) AS tot_sqrt FROM rungs GROUP BY b10),
+      |pr AS (SELECT r.b10, k, budget, satpoint, cum_s, cum_sqrt,
+      |    LEAD(satpoint, 1) OVER (PARTITION BY r.b10 ORDER BY k) AS next_sat,
+      |    tot_sqrt - cum_sqrt AS rest_sqrt
+      |  FROM rungs r JOIN ts USING (b10)),
+      |lm AS (SELECT b10, k, satpoint, next_sat,
+      |    CASE WHEN rest_sqrt > 0.0
+      |         THEN CAST(budget - 4 * cum_s AS DOUBLE) / rest_sqrt END AS lam
+      |  FROM pr),
+      |v AS (SELECT b10, k, lam,
+      |    (lam IS NOT NULL AND (satpoint IS NULL OR satpoint < lam)
+      |     AND (next_sat IS NULL OR lam <= next_sat)) AS valid FROM lm),
+      |pick AS (SELECT b10, arg_min(lam, k) FILTER (WHERE valid) AS lam_star
+      |  FROM v GROUP BY b10),
+      |q AS (SELECT pick.b10, p.source, p.supply,
+      |    LEAST(4 * p.supply,
+      |      COALESCE(CAST(FLOOR(pick.lam_star * sqrt(CAST(p.supply AS DOUBLE))) AS BIGINT),
+      |               4 * p.supply)) AS quota
+      |  FROM per p CROSS JOIN pick)
+      |SELECT CAST(b10 AS INTEGER) AS budget_x10, source, supply AS supply_tokens,
+      |  CAST(4 * supply AS BIGINT) AS cap_tokens,
+      |  CAST(quota AS BIGINT) AS quota_tokens,
+      |  CAST(quota * 1000000 // supply AS BIGINT) AS epochs_ppm,
+      |  CAST(CASE WHEN quota = 4 * supply THEN 1 ELSE 0 END AS INTEGER) AS saturated
+      |FROM q ORDER BY budget_x10, source""".stripMargin) { (s, d) =>
+    repeatBudgetSweepOf(docs(s, d)).orderBy("budget_x10", "source")
+  }
+
+  /** x152's engine over any (source, text) frame. */
+  def repeatBudgetSweepOf(dd: DataFrame): DataFrame = {
+    val per = repeatSupplyOf(dd) // checkpointed once; all three budgets read it
+    Seq(19, 38, 76)
+      .map(b => waterFill(per, b).withColumn("budget_x10", lit(b)))
+      .reduce(_ unionByName _)
+      .select("budget_x10", "source", "supply_tokens", "cap_tokens",
+        "quota_tokens", "epochs_ppm", "saturated")
   }
 
   /** x147: dup-cluster size × quality LINK — per log2 cluster-size bucket
@@ -5344,6 +5438,285 @@ object TextQueries {
         expr("ssum div n_docs").as("mean_score_ppm"))
   }
 
+  /** x149: DSIR-flavored importance GAP — which sources look like the
+    * TARGET distribution (here: the x64 gate-passing subset, the cleanest
+    * target the corpus itself defines)? Xie et al. 2023 ("Data Selection
+    * for Language Models via Importance Resampling") select raw docs by
+    * the log-ratio of target-vs-raw hashed-ngram likelihoods; this is the
+    * exact-arithmetic analog on the x62 bigram features: per doc, the gap
+    * between its mean TARGET-model transition probability and its mean
+    * CORPUS-model transition probability (both floor-ppm BIGINTs), with
+    * gap > 0 = "more target-like than corpus-average" as the selection
+    * rule. Per source: scored docs, selected docs, selected token mass,
+    * mean gap — the table that says which raw sources would survive a
+    * DSIR-style cut and at what rate, BEFORE anyone spends a real encoder
+    * on importance weights.
+    *
+    * Semantics pin: a transition UNSEEN in the target model contributes
+    * probability 0 (no smoothing — the harshest, and only exactly-
+    * replicable, convention; documented rather than hidden: a doc of
+    * entirely-novel bigrams scores gap = −mean_corpus_prob, never NULL).
+    *
+    * Exactness: integer counts, two floor-ppm divisions per transition,
+    * per-doc floor-div means, and the x145 +10⁶-offset trick for the
+    * (possibly negative) mean gap — BIGINT end-to-end, both engines.
+    *
+    * Plan/scale: the bigram explode (pass riding the rows — x137's carry
+    * argument) is re-run from the columnar scan by each of the four model
+    * aggregates and the probe rows (5 Generates — x62's accepted trade:
+    * re-exploding beats materializing token-grain rows), then pair-keyed
+    * joins back: corpus pair inner + ctx broadcast (x62's exact shape),
+    * target pair LEFT + target ctx broadcast LEFT. Everything after the
+    * doc rollup is |sources|-sized. */
+  val dsirImportance = sql(
+    "x149_dsir_importance",
+    // s-interpolated (gatePassSql) ⇒ '\\s+' so DuckDB receives \s+
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |g AS (SELECT doc_id, source, n_tok, toks, ${gatePassSql("toks")} AS pass FROM t),
+      |bgk AS (SELECT doc_id, source, n_tok, pass, unnest(range(2, len(toks)+1)) AS i, toks FROM g),
+      |bg AS (SELECT doc_id, source, n_tok, pass, toks[i-1] AS w1, toks[i] AS w2 FROM bgk),
+      |cp AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+      |cc AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      |tp AS (SELECT w1, w2, COUNT(*) AS t2 FROM bg WHERE pass = 1 GROUP BY 1, 2),
+      |tc AS (SELECT w1, COUNT(*) AS t1 FROM bg WHERE pass = 1 GROUP BY 1),
+      |px AS (SELECT bg.doc_id, bg.source, bg.n_tok,
+      |    CAST(FLOOR(CAST(cp.c2 AS DOUBLE) / cc.c1 * 1000000) AS BIGINT) AS fc,
+      |    CAST(COALESCE(FLOOR(CAST(tp.t2 AS DOUBLE) / tc.t1 * 1000000), 0) AS BIGINT) AS ft
+      |  FROM bg JOIN cp USING (w1, w2) JOIN cc USING (w1)
+      |  LEFT JOIN tp USING (w1, w2) LEFT JOIN tc USING (w1)),
+      |doc AS (SELECT doc_id, source, n_tok, CAST(COUNT(*) AS BIGINT) AS n_trans,
+      |    CAST(SUM(ft) AS BIGINT) AS sft, CAST(SUM(fc) AS BIGINT) AS sfc
+      |  FROM px GROUP BY 1, 2, 3),
+      |sc AS (SELECT source, n_tok, sft // n_trans - sfc // n_trans AS gap FROM doc)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_scored,
+      |  CAST(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS sel_docs,
+      |  CAST(SUM(CASE WHEN gap > 0 THEN n_tok ELSE 0 END) AS BIGINT) AS sel_mass,
+      |  CAST(CAST(SUM(gap + 1000000) AS BIGINT) // COUNT(*) - 1000000 AS BIGINT) AS mean_gap_ppm
+      |FROM sc GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    dsirImportanceOf(docs(s, d)).orderBy("source")
+  }
+
+  /** x149's engine over any (doc_id, source, text) frame. */
+  def dsirImportanceOf(dd: DataFrame): DataFrame = {
+    val flags = qualityGateOf(
+      dd.withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long")),
+      keep = Seq("source", "n_tok", "text"))
+      .select("doc_id", "source", "n_tok", "text", "pass")
+    val bg = flags
+      .select(col("doc_id"), col("source"), col("n_tok"), col("pass"),
+        split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2) // Spark sequence(2,1) would DESCEND
+      .select(col("doc_id"), col("source"), col("n_tok"), col("pass"), explode(expr(
+        "transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS w1, toks[i-1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("pass"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cp = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cc = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val tp = bg.filter(col("pass") === 1).groupBy("w1", "w2").agg(count(lit(1)).as("t2"))
+    val tc = bg.filter(col("pass") === 1).groupBy("w1").agg(count(lit(1)).as("t1"))
+    val px = bg.join(cp, Seq("w1", "w2"))
+      .join(broadcast(cc), Seq("w1"))
+      .join(tp, Seq("w1", "w2"), "left")
+      .join(broadcast(tc), Seq("w1"), "left")
+      .withColumn("fc", floor(col("c2").cast("double") / col("c1") * 1e6))
+      .withColumn("ft",
+        coalesce(floor(col("t2").cast("double") / col("t1") * 1e6), lit(0L)))
+    val doc = px.groupBy("doc_id", "source", "n_tok")
+      .agg(count(lit(1)).as("n_trans"), sum("ft").as("sft"), sum("fc").as("sfc"))
+      .withColumn("gap", expr("sft div n_trans - sfc div n_trans"))
+    doc.groupBy("source").agg(
+        count(lit(1)).as("n_scored"),
+        sum(when(col("gap") > 0, 1L).otherwise(0L)).as("sel_docs"),
+        sum(when(col("gap") > 0, col("n_tok")).otherwise(0L)).as("sel_mass"),
+        sum(col("gap") + lit(1000000L)).as("sgo"))
+      .select(col("source"), col("n_scored"), col("sel_docs"), col("sel_mass"),
+        expr("sgo div n_scored - CAST(1000000 AS BIGINT)").as("mean_gap_ppm"))
+  }
+
+  /** x153: source-vs-corpus LM DIVERGENCE — how DISTINCT is each source's
+    * language, measured on the x62 bigram features: per transition
+    * instance, the gap between the probability its OWN source's model
+    * assigns it and the pooled corpus model's (both floor-ppm BIGINTs);
+    * per source, the mean |gap| (instance-weighted L1 divergence between
+    * the conditionals — the domain-distinctiveness number) and the mean
+    * signed gap (positive = the source's own transitions are more
+    * predictable in-domain than the pool finds them, i.e. a real domain;
+    * ≈ 0 = the source is distributionally redundant with the pool and its
+    * separate mixture weight buys nothing). The mixture-design companion
+    * to x149: x149 asks "is this source target-like?", this asks "is this
+    * source ITS OWN thing?" — together they say whether to upweight,
+    * merge, or drop a raw feed.
+    *
+    * Exactness: integer counts, two floor-ppm divisions per transition,
+    * BIGINT sums (exact to ~9·10¹² transitions/source — the x141 bound;
+    * past it Spark-ANSI and DuckDB both raise on the sum), the x145
+    * +10⁶-offset trick for the signed mean; |gap| mean is a plain
+    * non-negative floor-div.
+    *
+    * Plan/scale: the bigram explode (source riding — x137's carry
+    * argument) re-runs from the columnar scan per model aggregate (5
+    * Generates — the x62 trade, see x149); the corpus model is x62's
+    * pair-inner + ctx-broadcast joins; the source model aggregates keyed
+    * (source, w1[, w2]) — per-source models are disjoint row sets, so
+    * each bigram row shuffles once more, never a corpus self-join.
+    * Output is |sources| rows. */
+  val sourceLmDivergence = sql(
+    "x153_source_lm_divergence",
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |bgk AS (SELECT doc_id, source, unnest(range(2, len(toks)+1)) AS i, toks FROM t),
+      |bg AS (SELECT doc_id, source, toks[i-1] AS w1, toks[i] AS w2 FROM bgk),
+      |cp AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+      |cc AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      |sp AS (SELECT source, w1, w2, COUNT(*) AS s2 FROM bg GROUP BY 1, 2, 3),
+      |sc AS (SELECT source, w1, COUNT(*) AS s1 FROM bg GROUP BY 1, 2),
+      |px AS (SELECT bg.source,
+      |    CAST(FLOOR(CAST(sp.s2 AS DOUBLE) / sc.s1 * 1000000) AS BIGINT)
+      |      - CAST(FLOOR(CAST(cp.c2 AS DOUBLE) / cc.c1 * 1000000) AS BIGINT) AS gap
+      |  FROM bg JOIN cp USING (w1, w2) JOIN cc USING (w1)
+      |  JOIN sp USING (source, w1, w2) JOIN sc USING (source, w1))
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_trans,
+      |  CAST(CAST(SUM(ABS(gap)) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_abs_gap_ppm,
+      |  CAST(CAST(SUM(gap + 1000000) AS BIGINT) // COUNT(*) - 1000000 AS BIGINT) AS mean_gap_ppm
+      |FROM px GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    sourceLmDivergenceOf(docs(s, d)).orderBy("source")
+  }
+
+  /** x153's engine over any (doc_id, source, text) frame. */
+  def sourceLmDivergenceOf(dd: DataFrame): DataFrame = {
+    val bg = dd
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2) // Spark sequence(2,1) would DESCEND
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS w1, toks[i-1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cp = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cc = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val sp = bg.groupBy("source", "w1", "w2").agg(count(lit(1)).as("s2"))
+    val sc = bg.groupBy("source", "w1").agg(count(lit(1)).as("s1"))
+    val px = bg.join(cp, Seq("w1", "w2"))
+      .join(broadcast(cc), Seq("w1"))
+      .join(sp, Seq("source", "w1", "w2"))
+      .join(sc, Seq("source", "w1"))
+      .withColumn("gap",
+        floor(col("s2").cast("double") / col("s1") * 1e6)
+          - floor(col("c2").cast("double") / col("c1") * 1e6))
+    px.groupBy("source").agg(
+        count(lit(1)).as("n_trans"),
+        sum(abs(col("gap"))).as("sa"),
+        sum(col("gap") + lit(1000000L)).as("sgo"))
+      .select(col("source"), col("n_trans"),
+        expr("sa div n_trans").as("mean_abs_gap_ppm"),
+        expr("sgo div n_trans - CAST(1000000 AS BIGINT)").as("mean_gap_ppm"))
+  }
+
+  /** x151: gate-rule ABLATION datasheet — per (source, rule), what each of
+    * x64's four composite-gate rules actually does: n_fail (docs the rule
+    * rejects, alone or not), n_only (docs ONLY this rule rejects — a rule
+    * with n_only = 0 everywhere is redundant and can be dropped from the
+    * gate without changing one verdict), n_cascade (docs first rejected AT
+    * this rule in x64's fixed len → wlen → rep → stop order — the
+    * waterfall attribution quality-filter ablations publish, cf. Gopher /
+    * CCNet appendix tables), and fail_mass (the token mass the rule
+    * condemns, x112 count). x64 says WHO passes; this says WHICH rule did
+    * the cutting and what it cost — the table a gate-threshold review
+    * reads before touching any bound.
+    *
+    * Exactness: pure integer counting off x64's own per-rule verdict
+    * columns (the engine reuses [[qualityGateOf]] verbatim, so the rules
+    * CANNOT drift from the gate; the oracle re-derives them with x64's
+    * oracle expressions); token mass is the shared x112 trim/\s+ count
+    * (MixtureReconciliationSpec's convention).
+    *
+    * Plan/scale: ONE corpus scan (the gate is row-local codegen), one
+    * |sources|-row grouped aggregate, then a 4-way unionByName of
+    * |sources|-row projections — the melt is over the BOUNDED aggregate,
+    * never the corpus. */
+  val gateAblation = sql(
+    "x151_gate_ablation",
+    // plain (non-interpolated) string: \s reaches DuckDB as-is
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |s AS (SELECT doc_id, source, n_tok, len(toks) AS n_words,
+      |    CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+      |      / len(toks) AS mean_wlen,
+      |    CASE WHEN len(toks) < 2 THEN CAST(0.0 AS DOUBLE) ELSE
+      |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+      |        i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE) / (len(toks) - 1) END
+      |      AS dup_bigram_frac,
+      |    len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS stop_hits
+      |  FROM w),
+      |f AS (SELECT source, n_tok,
+      |    1 - CAST(n_words BETWEEN 25 AND 5000 AS INTEGER) AS f_len,
+      |    1 - CAST(mean_wlen BETWEEN 4.0 AND 5.0 AS INTEGER) AS f_wlen,
+      |    1 - CAST(dup_bigram_frac <= CAST(0.08 AS DOUBLE) AS INTEGER) AS f_rep,
+      |    1 - CAST(stop_hits >= 2 AS INTEGER) AS f_stop
+      |  FROM s),
+      |a AS (SELECT source,
+      |    CAST(SUM(f_len) AS BIGINT) AS fail_len,
+      |    CAST(SUM(f_wlen) AS BIGINT) AS fail_wlen,
+      |    CAST(SUM(f_rep) AS BIGINT) AS fail_rep,
+      |    CAST(SUM(f_stop) AS BIGINT) AS fail_stop,
+      |    CAST(SUM(CASE WHEN f_len = 1 AND f_wlen + f_rep + f_stop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_len,
+      |    CAST(SUM(CASE WHEN f_wlen = 1 AND f_len + f_rep + f_stop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_wlen,
+      |    CAST(SUM(CASE WHEN f_rep = 1 AND f_len + f_wlen + f_stop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_rep,
+      |    CAST(SUM(CASE WHEN f_stop = 1 AND f_len + f_wlen + f_rep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_stop,
+      |    CAST(SUM(f_len) AS BIGINT) AS casc_len,
+      |    CAST(SUM(CASE WHEN f_wlen = 1 AND f_len = 0 THEN 1 ELSE 0 END) AS BIGINT) AS casc_wlen,
+      |    CAST(SUM(CASE WHEN f_rep = 1 AND f_len = 0 AND f_wlen = 0 THEN 1 ELSE 0 END) AS BIGINT) AS casc_rep,
+      |    CAST(SUM(CASE WHEN f_stop = 1 AND f_len + f_wlen + f_rep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS casc_stop,
+      |    CAST(SUM(CASE WHEN f_len = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS mass_len,
+      |    CAST(SUM(CASE WHEN f_wlen = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS mass_wlen,
+      |    CAST(SUM(CASE WHEN f_rep = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS mass_rep,
+      |    CAST(SUM(CASE WHEN f_stop = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS mass_stop
+      |  FROM f GROUP BY source)
+      |SELECT source, 'len' AS rule, fail_len AS n_fail, only_len AS n_only,
+      |  casc_len AS n_cascade, mass_len AS fail_mass FROM a
+      |UNION ALL SELECT source, 'wlen', fail_wlen, only_wlen, casc_wlen, mass_wlen FROM a
+      |UNION ALL SELECT source, 'rep', fail_rep, only_rep, casc_rep, mass_rep FROM a
+      |UNION ALL SELECT source, 'stop', fail_stop, only_stop, casc_stop, mass_stop FROM a
+      |ORDER BY source, rule""".stripMargin) { (s, d) =>
+    gateAblationOf(docs(s, d)).orderBy("source", "rule")
+  }
+
+  /** x151's engine over any (doc_id, source, text) frame. */
+  def gateAblationOf(dd: DataFrame): DataFrame = {
+    val flags = qualityGateOf(
+      dd.withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long")),
+      keep = Seq("source", "n_tok"))
+      .select(col("source"), col("n_tok"),
+        (lit(1) - col("r_len")).as("f_len"), (lit(1) - col("r_wlen")).as("f_wlen"),
+        (lit(1) - col("r_rep")).as("f_rep"), (lit(1) - col("r_stop")).as("f_stop"))
+    def cnt(c: Column): Column = sum(c.cast("long"))
+    val others = Map(
+      "len" -> (col("f_wlen") + col("f_rep") + col("f_stop")),
+      "wlen" -> (col("f_len") + col("f_rep") + col("f_stop")),
+      "rep" -> (col("f_len") + col("f_wlen") + col("f_stop")),
+      "stop" -> (col("f_len") + col("f_wlen") + col("f_rep")))
+    // x64's fixed rule order is the cascade order: a doc attributes to the
+    // FIRST rule that rejects it
+    val before = Map(
+      "len" -> lit(0), "wlen" -> col("f_len"),
+      "rep" -> (col("f_len") + col("f_wlen")),
+      "stop" -> (col("f_len") + col("f_wlen") + col("f_rep")))
+    val rules = Seq("len", "wlen", "rep", "stop")
+    val aggs = rules.flatMap { r =>
+      Seq(
+        cnt(col(s"f_$r")).as(s"fail_$r"),
+        cnt(when(col(s"f_$r") === 1 && others(r) === 0, 1).otherwise(0)).as(s"only_$r"),
+        cnt(when(col(s"f_$r") === 1 && before(r) === 0, 1).otherwise(0)).as(s"casc_$r"),
+        sum(when(col(s"f_$r") === 1, col("n_tok")).otherwise(0L)).as(s"mass_$r"))
+    }
+    val wide = flags.groupBy("source").agg(aggs.head, aggs.tail: _*)
+    rules.map { r =>
+      wide.select(col("source"), lit(r).as("rule"),
+        col(s"fail_$r").as("n_fail"), col(s"only_$r").as("n_only"),
+        col(s"casc_$r").as("n_cascade"), col(s"mass_$r").as("fail_mass"))
+    }.reduce(_ unionByName _)
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -5364,5 +5737,6 @@ object TextQueries {
     releasePackBridge, pplBuckets, contaminationHalo, annealSchedule,
     vocabMigration, robustQuality, annealPackOrder,
     doremiWeights, normalizeFixpoint, truncationWaste, ngramNovelty,
-    repeatDecay, dupQualityLink, scoreLengthBias)
+    repeatDecay, dupQualityLink, scoreLengthBias, dsirImportance,
+    gateAblation, repeatBudgetSweep, sourceLmDivergence)
 }

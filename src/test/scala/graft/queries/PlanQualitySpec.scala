@@ -1014,6 +1014,60 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "CartesianProduct"
   }
 
+  test("x149: one bigram explode; target model joins are LEFT with the ctx side broadcast") {
+    // registry: x149_dsir_importance
+    val plan = planOf(TextQueries.dsirImportance)
+    // x62's accepted trade: each model aggregate re-runs the explode from
+    // the columnar scan (5 Generates: 4 models + the probe rows) rather
+    // than materializing token-grain rows; both ctx tables attach
+    // broadcast, the pair joins shuffle — never a cartesian
+    "Generate explode".r.findAllIn(plan).size shouldBe 5
+    "BroadcastHashJoin".r.findAllIn(plan).size should be >= 2
+    plan should not include "CartesianProduct"
+  }
+
+  test("x150: vectors never join vectors — the centroid table attaches broadcast") {
+    // registry: x150_label_centroid_census
+    val plan = planOf(SimilarityQueries.labelCentroidCensus)
+    // one posexplode (Generate) feeds the whole pipeline (the checkpointed
+    // bounded centroid tables split off their consumers); the per-vec dot
+    // joins the BROADCAST (|labels|·64)-row centroid table
+    plan should include("Generate posexplode")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("x151: the gate runs row-local in one scan; the melt is over the bounded aggregate") {
+    // registry: x151_gate_ablation
+    val plan = planOf(TextQueries.gateAblation)
+    plan should not include "Join"   // no doc-keyed re-attach anywhere
+    plan should not include "Window"
+    // one partial+final aggregate pair per union branch, all reading the
+    // same |sources|-row aggregate — never a second corpus scan per rule
+    "HashAggregate".r.findAllIn(plan).size should be >= 2
+  }
+
+  test("x152: one corpus scan serves all three budgets (the supply table is checkpointed)") {
+    // registry: x152_repeat_budget_sweep
+    val plan = planOf(TextQueries.repeatBudgetSweep)
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 0 // behind the checkpoint
+    plan should include("ExistingRDD")
+    plan should include("BroadcastNestedLoopJoin") // budget/λ attach broadcast
+    plan should not include "CartesianProduct"
+  }
+
+  test("x153: the source model re-aggregates the one exploded bigram set — no corpus self-join") {
+    // registry: x153_source_lm_divergence
+    val plan = planOf(TextQueries.sourceLmDivergence)
+    // the x62 re-explode trade (see x149's pin): 5 Generates = 4 model
+    // aggregates + the probe rows, no materialized token-grain table
+    "Generate explode".r.findAllIn(plan).size shouldBe 5
+    plan should include("BroadcastHashJoin") // the ctx attach
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:
