@@ -5681,8 +5681,15 @@ object TextQueries {
     gateAblationOf(docs(s, d)).orderBy("source", "rule")
   }
 
-  /** x151's engine over any (doc_id, source, text) frame. */
-  def gateAblationOf(dd: DataFrame): DataFrame = {
+  private val gateRules = Seq("len", "wlen", "rep", "stop")
+
+  /** x151's WIDE per-source aggregate — one groupBy of 16 integer-sum
+    * monoids, factored out so the streaming twin
+    * ([[graft.streaming.DocStream.gateAblationUpdates]]) can run it as a
+    * single stateful streaming aggregation (the 4-way melt below would be
+    * a union of aggregations, which streaming forbids; it is a read-side
+    * reshape anyway). */
+  private[graft] def gateAblationWideOf(dd: DataFrame): DataFrame = {
     val flags = qualityGateOf(
       dd.withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long")),
       keep = Seq("source", "n_tok"))
@@ -5701,21 +5708,28 @@ object TextQueries {
       "len" -> lit(0), "wlen" -> col("f_len"),
       "rep" -> (col("f_len") + col("f_wlen")),
       "stop" -> (col("f_len") + col("f_wlen") + col("f_rep")))
-    val rules = Seq("len", "wlen", "rep", "stop")
-    val aggs = rules.flatMap { r =>
+    val aggs = gateRules.flatMap { r =>
       Seq(
         cnt(col(s"f_$r")).as(s"fail_$r"),
         cnt(when(col(s"f_$r") === 1 && others(r) === 0, 1).otherwise(0)).as(s"only_$r"),
         cnt(when(col(s"f_$r") === 1 && before(r) === 0, 1).otherwise(0)).as(s"casc_$r"),
         sum(when(col(s"f_$r") === 1, col("n_tok")).otherwise(0L)).as(s"mass_$r"))
     }
-    val wide = flags.groupBy("source").agg(aggs.head, aggs.tail: _*)
-    rules.map { r =>
+    flags.groupBy("source").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The (source, rule) melt of [[gateAblationWideOf]] — a reshape of the
+    * bounded aggregate, shared by x151 and the streaming twin's read side. */
+  private[graft] def gateAblationMelt(wide: DataFrame): DataFrame =
+    gateRules.map { r =>
       wide.select(col("source"), lit(r).as("rule"),
         col(s"fail_$r").as("n_fail"), col(s"only_$r").as("n_only"),
         col(s"casc_$r").as("n_cascade"), col(s"mass_$r").as("fail_mass"))
     }.reduce(_ unionByName _)
-  }
+
+  /** x151's engine over any (doc_id, source, text) frame. */
+  def gateAblationOf(dd: DataFrame): DataFrame =
+    gateAblationMelt(gateAblationWideOf(dd))
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,

@@ -95,6 +95,23 @@ object DocStream {
   def fertilityUpdates(docs: DataFrame, merges: DataFrame): DataFrame =
     TextQueries.fertilityStatsOf(docs, merges)
 
+  /** Continuously-maintained gate-rule ABLATION waterfall (the STATEFUL
+    * twin of x151, the datasheet/fertility pattern): each arriving doc's
+    * four x64 rule verdicts fold into the per-source 16-sum wide
+    * aggregate — every cell a pure integer monoid, so the state store
+    * holds exactly one row per source and the live table is exact at
+    * every emission. Update mode; fail counts are monotone, so the
+    * latest emission per source IS the current waterfall; the (source,
+    * rule) melt is a read-side reshape
+    * ([[graft.queries.TextQueries]].gateAblationMelt — a union of
+    * aggregations is not streamable, and doesn't need to be). The alarm
+    * this feeds: a rule whose cascade share of INCOMING docs jumps is a
+    * feed change the batch ablation only sees at the next release.
+    * |sources|-bounded state, no watermark — corpus-lifetime state, the
+    * datasheet twin's argument. */
+  def gateAblationUpdates(docs: DataFrame): DataFrame =
+    TextQueries.gateAblationWideOf(docs)
+
   /** Streaming DECONTAMINATION admission (x35's gram rule as a live gate —
     * the third admission axis, after near-dup [[nearDupAdmission]] and
     * budget [[quotaAdmission]]): each arriving doc's distinct 5-grams are

@@ -382,6 +382,51 @@ class DocStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     latest("web")._4 should contain("fr") // the lang-set grew across batches
   }
 
+  test("streaming gate-ablation fold ≡ batch wide aggregate on the union (x151 twin); melt matches x151") {
+    import spark.implicits._
+    def good(p: String): String = "the a " + (1 to 38).map(i => f"$p${i}%04d").mkString(" ")
+    // batch 1: web has a pass + an only-len fail; batch 2 adds an
+    // only-stop fail to web (state must MERGE) and a new source
+    val b1 = Seq(
+      (1L, "web", good("w")),
+      (2L, "web", "the a zz"),                          // fails len only
+      (3L, "wiki", good("k")))
+    val b2 = Seq(
+      (4L, "web", (1 to 30).map(i => f"v${i}%04d").mkString(" ")), // fails stop only
+      (5L, "books", good("b")))
+
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF.toDF("doc_id", "source", "text")
+    val q = DocStream.gateAblationUpdates(docs)
+      .writeStream.format("memory").queryName("gastream").outputMode("update").start()
+    val updates = try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      spark.table("gastream").collect()
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row): Seq[Long] =
+      (1 until r.length).map(i => r.getLong(i))
+    // fail counts are monotone: the max-total row per source is the fold
+    val latest = updates.groupBy(_.getString(0))
+      .map { case (src, rs) => src -> rs.map(key).maxBy(_.sum) }
+    // compare against the UNION batch run of the same wide aggregate
+    val expected = DocStream.gateAblationUpdates(
+      (b1 ++ b2).toDF("doc_id", "source", "text"))
+      .collect().map(r => r.getString(0) -> key(r)).toMap
+    latest shouldBe expected
+    // non-vacuity: web emitted twice (real state merge), and its final
+    // row carries BOTH failure classes folded across batches
+    updates.count(_.getString(0) == "web") shouldBe 2
+    // the melt of the folded state ≡ x151 on the union corpus
+    val meltGot = TextQueries.gateAblationOf((b1 ++ b2).toDF("doc_id", "source", "text"))
+      .orderBy("source", "rule").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5)))
+    meltGot.filter(t => t._1 == "web" && t._2 == "len").head._3 shouldBe 1L
+    meltGot.filter(t => t._1 == "web" && t._2 == "stop").head._3 shouldBe 1L
+    meltGot.filter(t => t._1 == "books").map(_._3).sum shouldBe 0L
+  }
+
   test("streaming fertility fold ≡ batch per-lang stats on the union (x123 twin)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.broadcast
