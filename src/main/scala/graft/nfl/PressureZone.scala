@@ -142,13 +142,18 @@ object PressureZone {
     // MB:106-108: snap-frame labels (position, jersey, team, PFF outcome
     // flags, play context) re-attached by natural key. The label VALUES
     // come from the summary's own snap rows — summary supplies the
-    // (keys, frameId) row set exactly as pre-r18, the label projection
-    // supplies the columns the frame table no longer carries.
+    // (keys, frameId) row set, the label projection supplies the columns
+    // the frame table no longer carries. dropDuplicates ENFORCES the
+    // documented (playId, gameId, nflId) output grain (r18 self-review:
+    // a tracking row duplicated at (keys, frameId) would otherwise fan
+    // the keyed join out d² — and labels are play-constant by grain, so
+    // collapsing duplicates picks identical values, never arbitrary ones).
     scored.transform(naturalJoin(_,
       summary.filter(col("event") === "ball_snap")
         .select("playId", "gameId", "nflId", "frameId")
         .join(labels, Seq("playId", "gameId", "nflId", "frameId"))
         .select("playId", "gameId", "nflId", "pff_positionLinedUp", "jerseyNumber",
-          "team", "pff_hurry", "pff_sack", "pff_hit", "passResult", "playResult")))
+          "team", "pff_hurry", "pff_sack", "pff_hit", "passResult", "playResult")
+        .dropDuplicates("playId", "gameId", "nflId")))
   }
 }

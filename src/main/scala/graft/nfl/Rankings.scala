@@ -79,7 +79,11 @@ object Rankings {
       gameId: Long, playId: Long, team: String): DataFrame =
     rusherFrames
       .filter(col("gameId") === gameId && col("playId") === playId)
-      .join(labels.filter(col("gameId") === gameId && col("playId") === playId),
+      .join(labels.filter(col("gameId") === gameId && col("playId") === playId)
+          // frame-grain dedup keeps the slice at ONE row per frame even if
+          // a tracking row arrived duplicated (r18 self-review; the slice
+          // is one play — the exchange is trivial)
+          .dropDuplicates("playId", "gameId", "nflId", "frameId"),
         Seq("playId", "gameId", "nflId", "frameId"))
       .filter(col("team") === team)
       .orderBy("nflId", "frameId")

@@ -1551,22 +1551,38 @@ FROM embeddings ORDER BY vec_id""") { (s, d) =>
       .localCheckpoint(eager = false) // 64 rows; 2 consumers
     val cn = cent.groupBy("label").agg(sum(col("c") * col("c")).as("n2c"))
       .localCheckpoint(eager = false) // |labels| rows; 2 consumers
+    // Zero-norm guard (r18 self-review): an all-zero vector (a failed
+    // encode — exactly the junk this census exists to expose) or a label
+    // whose ppm sums cancel to a zero centroid would make cos 0/0 = NaN,
+    // which non-ANSI Spark casts to a SILENT 0 while the DuckDB oracle
+    // errors on CAST(NaN AS BIGINT). Raise the same named DOMAIN error in
+    // both regimes instead (the x137/guardedPpm discipline): zero-norm
+    // rows must be cleaned upstream (x10's embNorm read), not averaged in.
+    def normGuard(site: String, n2: Column, cos: Column): Column =
+      when(n2 === 0L, raise_error(concat(
+        lit(s"x150 $site: zero-norm operand — an all-zero ppm vector/centroid " +
+          "has no cosine; clean zero-norm embeddings upstream (see x10)"))).cast("long"))
+        .otherwise(cos)
     val own = v.join(broadcast(cent), Seq("label", "dim"))
       .groupBy("vec_id", "label")
       .agg(sum(col("vp") * col("c")).as("dot"), sum(col("vp") * col("vp")).as("n2v"))
       .join(broadcast(cn), Seq("label"))
       .withColumn("cos_ppm",
-        round(col("dot").cast("double")
-          / (sqrt(col("n2v").cast("double")) * sqrt(col("n2c").cast("double")))
-          * lit(1e6), 0).cast("long"))
+        normGuard("member cosine", col("n2v"),
+          normGuard("member cosine", col("n2c"),
+            round(col("dot").cast("double")
+              / (sqrt(col("n2v").cast("double")) * sqrt(col("n2c").cast("double")))
+              * lit(1e6), 0).cast("long"))))
     val gn = gcent.agg(sum(col("g") * col("g")).as("n2g"))
     val lcos = cent.join(gcent, Seq("dim"))
       .groupBy("label").agg(sum(col("c") * col("g")).as("dotg"))
       .join(cn, Seq("label")).crossJoin(broadcast(gn))
       .select(col("label"),
-        round(col("dotg").cast("double")
-          / (sqrt(col("n2c").cast("double")) * sqrt(col("n2g").cast("double")))
-          * lit(1e6), 0).cast("long").as("centroid_cos_global_ppm"))
+        normGuard("centroid cosine", col("n2c"),
+          normGuard("centroid cosine", col("n2g"),
+            round(col("dotg").cast("double")
+              / (sqrt(col("n2c").cast("double")) * sqrt(col("n2g").cast("double")))
+              * lit(1e6), 0).cast("long"))).as("centroid_cos_global_ppm"))
     own.groupBy("label").agg(
         count(lit(1)).as("n_vecs"),
         sum(col("cos_ppm") + lit(1000000L)).as("so"),

@@ -924,12 +924,7 @@ object TextQueries {
     * with carry = ∅ (its lm_score double is the same sum_f/n_trans/1e6
     * arithmetic as before the factoring); x135 carries lang. */
   private def lmScoreCore(dd: DataFrame, carry: Seq[String]): DataFrame = {
-    val bg = dd
-      .select(col("doc_id") +: carry.map(col) :+ split(col("text"), " ").as("toks"): _*)
-      .filter(size(col("toks")) >= 2) // DuckDB range(2,2) is empty; Spark sequence(2,1) would DESCEND
-      .select(col("doc_id") +: carry.map(col) :+ explode(expr(
-        "transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS w1, toks[i-1] AS w2))")).as("b"): _*)
-      .select(col("doc_id") +: carry.map(col) :+ col("b.w1").as("w1") :+ col("b.w2").as("w2"): _*)
+    val bg = bigramsOf(dd, carry)
     val cpair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val cctx = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     bg.join(cpair, Seq("w1", "w2"))
@@ -938,6 +933,19 @@ object TextQueries {
       .groupBy("doc_id", carry: _*)
       .agg(count(lit(1)).as("n_trans"), sum("f").as("sum_f"))
   }
+
+  /** The shared bigram explode over (doc_id[, carry...], text): one row
+    * per adjacent space-split token pair, carry columns riding the
+    * exploded rows (x137's carry argument — a small fixed payload, zero
+    * extra exchanges). Factored (r18 self-review) so the three bigram
+    * consumers — [[lmScoreCore]], x149's two-model probe, x153's
+    * per-source models — state the empty-range guard exactly once. */
+  private def bigramsOf(dd: DataFrame, carry: Seq[String]): DataFrame =
+    dd.select(col("doc_id") +: carry.map(col) :+ split(col("text"), " ").as("toks"): _*)
+      .filter(size(col("toks")) >= 2) // DuckDB range(2,2) is empty; Spark sequence(2,1) would DESCEND
+      .select(col("doc_id") +: carry.map(col) :+ explode(expr(
+        "transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS w1, toks[i-1] AS w2))")).as("b"): _*)
+      .select(col("doc_id") +: carry.map(col) :+ col("b.w1").as("w1") :+ col("b.w2").as("w2"): _*)
 
   /** x63: BPE first-merge pair counts — the tokenizer-induction step: count
     * adjacent CHARACTER pairs across the corpus and rank the merge
@@ -4910,7 +4918,11 @@ object TextQueries {
     * x142 the registry's one interpreted hot path at ~6 s/sf0.1).
     * NormTextSpec pins kernel ≡ the original HOF column on adversarial
     * strings; shared by BOTH normalization passes so the idempotence
-    * audit audits exactly the shipped rule. */
+    * audit audits exactly the shipped rule. NB: resolving via
+    * call_function adds the session precondition every graft_* consumer
+    * already carries (GraftExtensions registered — the x103/x70/graft_dot
+    * convention); a session without the extension fails at ANALYSIS time
+    * with UNRESOLVED_ROUTINE, never silently. */
   private def normTextCol(src: Column): Column =
     call_function("graft_norm_text", src)
 
@@ -5504,14 +5516,7 @@ object TextQueries {
       dd.withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long")),
       keep = Seq("source", "n_tok", "text"))
       .select("doc_id", "source", "n_tok", "text", "pass")
-    val bg = flags
-      .select(col("doc_id"), col("source"), col("n_tok"), col("pass"),
-        split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 2) // Spark sequence(2,1) would DESCEND
-      .select(col("doc_id"), col("source"), col("n_tok"), col("pass"), explode(expr(
-        "transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS w1, toks[i-1] AS w2))")).as("b"))
-      .select(col("doc_id"), col("source"), col("n_tok"), col("pass"),
-        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bg = bigramsOf(flags, Seq("source", "n_tok", "pass"))
     val cp = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val cc = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val tp = bg.filter(col("pass") === 1).groupBy("w1", "w2").agg(count(lit(1)).as("t2"))
@@ -5585,12 +5590,7 @@ object TextQueries {
 
   /** x153's engine over any (doc_id, source, text) frame. */
   def sourceLmDivergenceOf(dd: DataFrame): DataFrame = {
-    val bg = dd
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 2) // Spark sequence(2,1) would DESCEND
-      .select(col("doc_id"), col("source"), explode(expr(
-        "transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS w1, toks[i-1] AS w2))")).as("b"))
-      .select(col("doc_id"), col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bg = bigramsOf(dd.select("doc_id", "source", "text"), Seq("source"))
     val cp = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val cc = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val sp = bg.groupBy("source", "w1", "w2").agg(count(lit(1)).as("s2"))

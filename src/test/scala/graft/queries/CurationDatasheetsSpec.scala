@@ -110,6 +110,26 @@ class CurationDatasheetsSpec extends AnyFunSuite with Matchers with SparkTestBas
     got(0)._3 should be < 710000L
   }
 
+  test("x150 zero-norm guard: an all-zero vector raises the named domain error instead of a silent NaN→0") {
+    import spark.implicits._
+    // registry: x150_label_centroid_census (r18 self-review finding: the
+    // DuckDB oracle errors on CAST(NaN AS BIGINT) while non-ANSI Spark
+    // casts NaN to a silent 0 — the engine must raise the SAME class of
+    // error in both regimes, naming the operand)
+    val dd = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 0f, 0f, 0f), 0) // failed encode: zero norm
+    ).toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] {
+      SimilarityQueries.labelCentroidCensusOf(dd).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    withClue(messages(e).mkString(" | ")) {
+      messages(e).exists(_.contains("zero-norm operand")) shouldBe true
+    }
+  }
+
   test("x151 gate ablation: one doc per only-one-rule class + a combo doc land in exact (fail, only, cascade, mass) cells") {
     import spark.implicits._
     // registry: x151_gate_ablation
