@@ -66,7 +66,11 @@ object ScaleLadder {
     // r17: the anneal pack schedule joins x134 in the standing tier (r16
     // verdict item 2 — the two north-star release artifacts both priced
     // every round from here on)
-    "x140_anneal_pack_order")
+    "x140_anneal_pack_order",
+    // r18: the DSIR importance gap runs TWO bigram models over the
+    // re-exploded corpus — a top-3 bench row (3.5-4.5 s at sf0.1) from
+    // birth, so it joins the tier immediately
+    "x149_dsir_importance")
 
   private val Shift = 10000000L // id stride between copies (disjoint ranges)
 

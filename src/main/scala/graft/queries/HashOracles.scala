@@ -981,6 +981,34 @@ ORDER BY c.doc_id"""
     * survivor-selection is the right treatment, not dropping). `gate` is
     * TextQueries.gatePassSql("toks"), passed in for the same
     * one-place/no-init-cycle reasons as releasePackBridge. */
+  /** x156: dedup SURVIVORSHIP-BIAS datasheet — per source, the x64 gate
+    * pass rate over ALL docs vs over the x51 keep-min-id survivors, and
+    * the signed delta. The same chain + gate pieces as [[dupQualityLink]],
+    * rolled up by source instead of cluster-size bucket. */
+  def dedupSurvivorship(gate: String): String =
+    s"""$minhashCtes,
+$ccCtes,
+erep AS (SELECT doc_id, source, MIN(doc_id) OVER (PARTITION BY text) AS e_rep FROM documents),
+chain AS (SELECT e.doc_id, e.source, l.rep FROM erep e JOIN labels l ON l.doc_id = e.e_rep),
+gt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+gp AS (SELECT doc_id, $gate AS pass FROM gt),
+cq AS (SELECT c.doc_id, c.source, c.rep, g.pass FROM chain c JOIN gp g ON g.doc_id = c.doc_id),
+surv AS (SELECT rep, MIN(doc_id) AS doc_id FROM cq GROUP BY rep),
+al AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(pass) AS BIGINT) AS n_pass
+  FROM cq GROUP BY source),
+sv AS (SELECT c.source, CAST(COUNT(*) AS BIGINT) AS n_surv, CAST(SUM(c.pass) AS BIGINT) AS n_surv_pass
+  FROM cq c JOIN surv s ON s.rep = c.rep AND s.doc_id = c.doc_id GROUP BY c.source)
+SELECT a.source, a.n_docs, a.n_pass,
+  CAST(COALESCE(s.n_surv, 0) AS BIGINT) AS n_surv,
+  CAST(COALESCE(s.n_surv_pass, 0) AS BIGINT) AS n_surv_pass,
+  CAST(a.n_pass * 1000000 // a.n_docs AS BIGINT) AS pass_ppm_all,
+  CAST(CASE WHEN COALESCE(s.n_surv, 0) = 0 THEN 0
+       ELSE s.n_surv_pass * 1000000 // s.n_surv END AS BIGINT) AS pass_ppm_surv,
+  CAST(CASE WHEN COALESCE(s.n_surv, 0) = 0 THEN 0
+       ELSE s.n_surv_pass * 1000000 // s.n_surv END
+     - a.n_pass * 1000000 // a.n_docs AS BIGINT) AS delta_ppm
+FROM al a LEFT JOIN sv s USING (source) ORDER BY a.source"""
+
   def dupQualityLink(gate: String): String = {
     val bucketCase = (0 until 20)
       .map(b => s"WHEN sz < ${2L << b} THEN $b")

@@ -5731,6 +5731,220 @@ object TextQueries {
   def gateAblationOf(dd: DataFrame): DataFrame =
     gateAblationMelt(gateAblationWideOf(dd))
 
+  /** x154: token-ACCOUNTING sensitivity — the mixture-design confound
+    * x123/x105 measure per lang/source, priced at RECIPE level: every
+    * quota recipe here (x128/x129/x137/x141/x146) prices per-source mass
+    * in WHITESPACE tokens, but the training loader spends BPE tokens —
+    * and fertility differs by source (x105), so the same √-flattened
+    * budget lands differently depending on the accounting unit. Per
+    * source: both masses, the fertility (bpe per 10⁶ ws), the x128-form
+    * 10⁹-budget quota under EACH unit, and shift_ppm — how far the
+    * source's quota moves if the recipe switched units. A |shift| in the
+    * tens of thousands of ppm says the recipe review must pick its unit
+    * deliberately; ≈ 0 says the choice is free.
+    *
+    * Exactness: both masses are exact BIGINTs (the x112 count; the x103
+    * native-kernel token count ≡ the oracle's recursive-CTE encode —
+    * BpeEncodeSpec's pinned equivalence); each Σ√ is array-sorted
+    * (x128's order-free-exactness move); quotas are FLOOR of the same
+    * doubles; fert/shift are guarded/offset floor-ppm divisions
+    * (shift = bpe_quota·10⁶ div ws_quota − 10⁶ keeps both operands
+    * non-negative; a floored-to-zero ws_quota pins shift to 0).
+    *
+    * Plan/scale: ONE corpus scan computes both masses (the merge table
+    * rides broadcast, the kernel is row-local codegen); everything after
+    * is |sources|-sized with broadcast totals. */
+  val tokenAccounting = sql(
+    "x154_token_accounting",
+    s"""WITH RECURSIVE ${bpeOracleLearnSql(carryW = true)},
+      |${bpeOracleMergeCte(3, "w2", "b3", carryW = true)},
+      |venc AS (SELECT w, trim(s) AS ts FROM w3),
+      |dw AS (SELECT doc_id, source, ws, unnest(range(1, len(ws)+1)) AS pos
+      |  FROM (SELECT doc_id, source, list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0) AS ws
+      |        FROM documents) q
+      |  WHERE len(ws) > 0),
+      |wt AS (SELECT d.doc_id, d.source,
+      |    CAST(len(string_split(v.ts, ' ')) AS BIGINT) AS n_toks
+      |  FROM dw d JOIN venc v ON v.w = d.ws[d.pos]),
+      |bmass AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS bpe_mass FROM wt GROUP BY source),
+      |wmass AS (SELECT source,
+      |    CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS ws_mass
+      |  FROM documents GROUP BY source),
+      |per AS (SELECT w.source, w.ws_mass, COALESCE(b.bpe_mass, 0) AS bpe_mass
+      |  FROM wmass w LEFT JOIN bmass b USING (source)),
+      |tot AS (SELECT
+      |    list_sum(list_sort(list(sqrt(CAST(ws_mass AS DOUBLE))))) AS sws,
+      |    list_sum(list_sort(list(sqrt(CAST(bpe_mass AS DOUBLE))))) AS sbpe
+      |  FROM per),
+      |q AS (SELECT p.source, p.ws_mass, p.bpe_mass,
+      |    CAST(FLOOR(1000000000 * sqrt(CAST(p.ws_mass AS DOUBLE)) / t.sws) AS BIGINT) AS ws_quota,
+      |    CAST(FLOOR(1000000000 * sqrt(CAST(p.bpe_mass AS DOUBLE)) / t.sbpe) AS BIGINT) AS bpe_quota
+      |  FROM per p CROSS JOIN tot t)
+      |SELECT source, ws_mass, bpe_mass,
+      |  CAST(bpe_mass * 1000000 // ws_mass AS BIGINT) AS fert_ppm,
+      |  ws_quota, bpe_quota,
+      |  CAST(CASE WHEN ws_quota = 0 THEN 0
+      |       ELSE bpe_quota * 1000000 // ws_quota - 1000000 END AS BIGINT) AS shift_ppm
+      |FROM q ORDER BY source""".stripMargin) { (s, d) =>
+    val per = docs(s, d)
+      .crossJoin(bpeMergeTable(s, d))
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"),
+        size(expr("graft_bpe_tokens(text, merges)")).cast("long").as("n_bpe"))
+      .groupBy("source")
+      .agg(sum("n_ws").as("ws_mass"), sum("n_bpe").as("bpe_mass"))
+      .localCheckpoint(eager = false) // bounded; totals + output read it
+    val tot = per.agg(
+      aggregate(array_sort(collect_list(sqrt(col("ws_mass").cast("double")))),
+        lit(0.0), (a, x) => a + x).as("sws"),
+      aggregate(array_sort(collect_list(sqrt(col("bpe_mass").cast("double")))),
+        lit(0.0), (a, x) => a + x).as("sbpe"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("ws_mass"), col("bpe_mass"),
+        guardedPpm("x154 fert_ppm", col("bpe_mass"), col("ws_mass")).as("fert_ppm"),
+        floor(lit(1000000000L) * sqrt(col("ws_mass").cast("double")) / col("sws"))
+          .cast("long").as("ws_quota"),
+        floor(lit(1000000000L) * sqrt(col("bpe_mass").cast("double")) / col("sbpe"))
+          .cast("long").as("bpe_quota"))
+      .withColumn("shift_ppm",
+        when(col("ws_quota") === 0L, 0L)
+          .otherwise(expr("bpe_quota * CAST(1000000 AS BIGINT) div ws_quota") - lit(1000000L)))
+      .orderBy("source")
+  }
+
+  /** x155: contamination census BY BENCHMARK SUITE — x35 answers "which
+    * train docs share 5-grams with the held-out set"; a production decon
+    * review asks the per-SUITE question: which eval suite leaks into
+    * which source, and how badly — because the remediation differs (a
+    * suite-specific crawl ancestor gets source-level excision, a broad
+    * smear gets gram-level filtering; cf. the per-benchmark overlap
+    * tables in GPT-3 §4 / PaLM app. C). The held-out docs partition into
+    * three pseudo-suites by the x31 hash-digit ladder (deterministic,
+    * engine-neutral); per (suite, source): train docs, contaminated
+    * train docs (a doc counts ONCE per suite however many grams hit),
+    * hit ppm. Every (suite, source) cell is present — a zero row is the
+    * auditable "checked, clean" the release sheet needs.
+    *
+    * Exactness: integer counting on md5-derived partitions (the x35/x31
+    * conventions); DISTINCT-per-(doc, suite) before the rollup; ppm a
+    * guarded floor division.
+    *
+    * Plan/scale: ONE gram explode (x35's fiveGramsOf), the test side
+    * broadcast (eval suites are bounded by construction at any corpus
+    * scale), a distinct at (train doc, suite) grain, |sources|·3 output
+    * rows via a bounded cross of sources × suites. */
+  val contaminationBySuite = sql(
+    "x155_contamination_by_suite",
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+      |         THEN 'train' ELSE 'test' END AS split,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 2, 1) <= '4' THEN 'suiteA'
+      |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 2, 1) <= '9' THEN 'suiteB'
+      |         ELSE 'suiteC' END AS suite,
+      |    string_split(text, ' ') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, source, split, suite, array_to_string(t[i+1:i+5], ' ') AS g
+      |  FROM toks, UNNEST(range(greatest(len(t) - 4, 0))) AS u(i)),
+      |hits AS (
+      |  SELECT DISTINCT tr.doc_id, tr.source, te.suite
+      |  FROM grams tr JOIN grams te ON tr.g = te.g
+      |  WHERE tr.split = 'train' AND te.split = 'test'),
+      |trn AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_train
+      |  FROM toks WHERE split = 'train' GROUP BY source),
+      |suites AS (SELECT unnest(['suiteA', 'suiteB', 'suiteC']) AS suite),
+      |agg AS (SELECT suite, source, CAST(COUNT(*) AS BIGINT) AS n_hit
+      |  FROM hits GROUP BY suite, source)
+      |SELECT s.suite, t.source, t.n_train,
+      |  COALESCE(a.n_hit, 0) AS n_hit,
+      |  CAST(COALESCE(a.n_hit, 0) * 1000000 // t.n_train AS BIGINT) AS hit_ppm
+      |FROM trn t CROSS JOIN suites s
+      |LEFT JOIN agg a ON a.suite = s.suite AND a.source = t.source
+      |ORDER BY s.suite, t.source""".stripMargin) { (s, d) =>
+    contaminationBySuiteOf(docs(s, d)).orderBy("suite", "source")
+  }
+
+  /** x155's engine over any (doc_id, source, text) frame. */
+  def contaminationBySuiteOf(dd: DataFrame): DataFrame = {
+    val base = dd.select(col("doc_id"), col("source"),
+      when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "d", "train")
+        .otherwise("test").as("split"),
+      when(substring(md5(col("doc_id").cast("string")), 2, 1) <= "4", "suiteA")
+        .when(substring(md5(col("doc_id").cast("string")), 2, 1) <= "9", "suiteB")
+        .otherwise("suiteC").as("suite"),
+      col("text"))
+    val grams = fiveGramsOf(base.select("doc_id", "text"))
+      .join(base.select("doc_id", "source", "split", "suite"), Seq("doc_id"))
+    val hits = grams.filter(col("split") === "train")
+      .select(col("doc_id"), col("source"), col("g"))
+      .join(broadcast(grams.filter(col("split") === "test")
+        .select(col("g"), col("suite")).distinct()), Seq("g"))
+      .select("doc_id", "source", "suite").distinct()
+    val trn = base.filter(col("split") === "train")
+      .groupBy("source").agg(count(lit(1)).as("n_train"))
+    val suites = {
+      import dd.sparkSession.implicits._
+      Seq("suiteA", "suiteB", "suiteC").toDF("suite")
+    }
+    val agg = hits.groupBy("suite", "source").agg(count(lit(1)).as("n_hit"))
+    trn.crossJoin(broadcast(suites))
+      .join(agg, Seq("suite", "source"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("suite"), col("source"), col("n_train"), col("n_hit"),
+        guardedPpm("x155 hit_ppm", col("n_hit"), col("n_train")).as("hit_ppm"))
+  }
+
+  /** x156: dedup SURVIVORSHIP-BIAS datasheet — did dedup change each
+    * source's QUALITY MIX? Per source: the x64 gate pass rate over ALL
+    * docs vs over the x51 keep-min-id survivors, and the signed delta.
+    * The number the dedup-ablation literature reads (and x147 buckets by
+    * cluster size): delta > 0 = duplication concentrated in gate-failing
+    * boilerplate, dedup improved the source; delta < 0 = dedup is
+    * deleting good text (over-aggressive banding, or quality mass that
+    * happens to be duplicated) and survivor policy needs review (x107's
+    * keep-best instead of keep-min-id). A source with ZERO survivors
+    * (every doc clustered under another source's rep) pins
+    * pass_ppm_surv = 0 with delta = −pass_ppm_all — visible, not NULL.
+    *
+    * Exactness: the proven x51 chain + x64 integer verdicts; two
+    * floor-ppm divisions and an exact BIGINT difference of two already-
+    * floored ppms (no signed division anywhere).
+    *
+    * Plan/scale: the x51 chain (its exchanges, unchanged) + ONE
+    * doc-keyed join attaching (source, pass) from the gate's single
+    * corpus scan; survivors via a clusters-sized min + a semi join;
+    * |sources|-row rollups. */
+  val dedupSurvivorship = sql(
+    "x156_dedup_survivorship",
+    HashOracles.dedupSurvivorship(gatePassSql("toks"))) { (s, d) =>
+    val (_, labels) = sigsAndLabels(s, d)
+    val chain = docExactRep(docs(s, d))
+      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
+      .select("doc_id", "rep")
+    val gp = qualityGateOf(docs(s, d), keep = Seq("source"))
+      .select("doc_id", "source", "pass")
+    val cq = chain.join(gp, Seq("doc_id"))
+      .localCheckpoint(eager = false) // three consumers: surv, all, surv-agg
+    val surv = cq.groupBy("rep").agg(min("doc_id").as("doc_id"))
+    val allAgg = cq.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("pass").cast("long").as("n_pass"))
+    val svAgg = cq.join(surv, Seq("rep", "doc_id"), "left_semi")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_surv"), sum("pass").cast("long").as("n_surv_pass"))
+    allAgg.join(svAgg, Seq("source"), "left")
+      .na.fill(0L, Seq("n_surv", "n_surv_pass"))
+      .withColumn("pass_ppm_all",
+        guardedPpm("x156 pass_ppm_all", col("n_pass"), col("n_docs")))
+      .withColumn("pass_ppm_surv",
+        when(col("n_surv") === 0L, 0L)
+          .otherwise(guardedPpm("x156 pass_ppm_surv", col("n_surv_pass"), col("n_surv"))))
+      .withColumn("delta_ppm", col("pass_ppm_surv") - col("pass_ppm_all"))
+      .select("source", "n_docs", "n_pass", "n_surv", "n_surv_pass",
+        "pass_ppm_all", "pass_ppm_surv", "delta_ppm")
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -5752,5 +5966,6 @@ object TextQueries {
     vocabMigration, robustQuality, annealPackOrder,
     doremiWeights, normalizeFixpoint, truncationWaste, ngramNovelty,
     repeatDecay, dupQualityLink, scoreLengthBias, dsirImportance,
-    gateAblation, repeatBudgetSweep, sourceLmDivergence)
+    gateAblation, repeatBudgetSweep, sourceLmDivergence,
+    tokenAccounting, contaminationBySuite, dedupSurvivorship)
 }

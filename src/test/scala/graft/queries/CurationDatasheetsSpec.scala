@@ -203,6 +203,103 @@ class CurationDatasheetsSpec extends AnyFunSuite with Matchers with SparkTestBas
     spent19 should be > supplyTot * 19L / 10L - x146.size - 4L // floor slack
   }
 
+  test("x154 token accounting: masses reconcile with x105/x129; quotas and shift replay from the collected masses") {
+    // registry: x154_token_accounting / x105_bpe_compression / x129_gated_mixture
+    val d = "/root/testdata/sf0.001"
+    val got = TextQueries.tokenAccounting.run(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // cross-family mass reconciliation: the ws mass IS x129's n_tokens
+    // (same x112 count), the bpe mass IS x105's n_tokens (same kernel +
+    // merge table — x105 drops zero-token DOCS from n_docs but sums the
+    // same tokens)
+    val x129 = TextQueries.mixtureGated.run(spark, d).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens")).toMap
+    val x105 = TextQueries.bpeCompression.run(spark, d).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens")).toMap
+    got.view.mapValues(_._1).toMap shouldBe x129
+    got.view.mapValues(_._2).toMap shouldBe x105
+    // quota + shift arithmetic replays from the masses alone
+    val sws = got.values.toSeq.map(v => math.sqrt(v._1.toDouble)).sorted.sum
+    val sbpe = got.values.toSeq.map(v => math.sqrt(v._2.toDouble)).sorted.sum
+    got.foreach { case (src, (ws, bpe, fert, wsQ, bpeQ, shift)) =>
+      fert shouldBe bpe * 1000000L / ws
+      wsQ shouldBe math.floor(1e9 * math.sqrt(ws.toDouble) / sws).toLong
+      bpeQ shouldBe math.floor(1e9 * math.sqrt(bpe.toDouble) / sbpe).toLong
+      shift shouldBe (if (wsQ == 0) 0L else bpeQ * 1000000L / wsQ - 1000000L)
+    }
+    // non-vacuity: fertility differs across sources, so the unit choice
+    // moves SOME quota (the read the table exists for)
+    got.values.map(_._6).toSet.size should be > 1
+  }
+
+  test("x155 contamination by suite ≡ full driver replay (md5 split/suite ladders, 5-gram hits); every (suite, source) cell present") {
+    import spark.implicits._
+    // registry: x155_contamination_by_suite
+    val d = "/root/testdata/sf0.001"
+    val got = TextQueries.contaminationBySuite.run(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val raw = graft.Tables.documents(spark, d)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def suiteOf(c: Char): String =
+      if (c <= '4') "suiteA" else if (c <= '9') "suiteB" else "suiteC"
+    val meta = raw.toSeq.map { case (id, src, _) =>
+      val h = md5hex(id)
+      (id, src, if (h(0) <= 'd') "train" else "test", suiteOf(h(1)))
+    }
+    val grams = raw.toSeq.map { case (id, _, t) =>
+      val w = t.split(" ").toSeq
+      id -> w.sliding(5).filter(_.size == 5).map(_.mkString(" ")).toSet
+    }.toMap
+    val testGramsBySuite = meta.filter(_._3 == "test").groupBy(_._4)
+      .view.mapValues(_.flatMap(m => grams(m._1)).toSet).toMap
+    val suites = Seq("suiteA", "suiteB", "suiteC")
+    val expected = (for {
+      s <- suites
+      (src, ms) <- meta.filter(_._3 == "train").groupBy(_._2)
+    } yield {
+      val hits = ms.count(m => grams(m._1).exists(testGramsBySuite.getOrElse(s, Set()).contains))
+      (s, src) -> ((ms.size.toLong, hits.toLong, hits.toLong * 1000000L / ms.size))
+    }).toMap
+    got shouldBe expected
+    // every (suite, source) cell exists — zero rows are auditable
+    val nSources = meta.filter(_._3 == "train").map(_._2).distinct.size
+    got.size shouldBe 3 * nSources
+    // non-vacuity: the corpus has planted dups, so SOME cell is nonzero
+    got.values.map(_._2).sum should be > 0L
+  }
+
+  test("x156 dedup survivorship: counts reconcile with x119/x64; ppm arithmetic replays; survivors never exceed docs") {
+    // registry: x156_dedup_survivorship / x119_cluster_size_hist / x64_quality_gate
+    val d = "/root/testdata/sf0.001"
+    val got = TextQueries.dedupSurvivorship.run(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // Σ n_surv over sources = the chain's cluster count (x119's Σ n_clusters)
+    val nClusters = TextQueries.clusterSizeHist.run(spark, d).collect()
+      .map(_.getAs[Long]("n_clusters")).sum
+    got.map(_._4).sum shouldBe nClusters
+    // Σ n_pass = x64's corpus pass count (the x147 reconciliation)
+    val gatePass = TextQueries.qualityGateOf(
+      graft.Tables.documents(spark, d).select("doc_id", "text"))
+      .agg(org.apache.spark.sql.functions.sum("pass")).head().getLong(0)
+    got.map(_._3).sum shouldBe gatePass
+    got.foreach { case (_, nDocs, nPass, nSurv, nSurvPass, ppmAll, ppmSurv, delta) =>
+      nSurv should be <= nDocs
+      nSurvPass should be <= nPass
+      ppmAll shouldBe nPass * 1000000L / nDocs
+      ppmSurv shouldBe (if (nSurv == 0) 0L else nSurvPass * 1000000L / nSurv)
+      delta shouldBe ppmSurv - ppmAll
+    }
+    // non-vacuity: dedup removed SOMETHING somewhere
+    got.map(t => t._2 - t._4).sum should be > 0L
+  }
+
   test("x153 source-lm divergence: disjoint-vocab source diverges zero; skewed shared-context sources read apart") {
     import spark.implicits._
     // registry: x153_source_lm_divergence

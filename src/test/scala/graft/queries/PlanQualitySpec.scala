@@ -1068,6 +1068,34 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "Window"
   }
 
+  test("x154: one scan behind the checkpoint computes both masses; totals attach broadcast") {
+    // registry: x154_token_accounting
+    val plan = planOf(TextQueries.tokenAccounting)
+    // the per-source (ws, bpe) mass table is checkpointed — the final
+    // plan reads ONLY it; the Σ√ totals land as a broadcast 1-row frame
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 0
+    plan should include("ExistingRDD")
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("x155: the eval-suite gram side is broadcast; the sources×suites cross is a bounded broadcast") {
+    // registry: x155_contamination_by_suite
+    val plan = planOf(TextQueries.contaminationBySuite)
+    plan should include("BroadcastHashJoin")        // train grams ⋈ broadcast test grams
+    plan should include("BroadcastNestedLoopJoin")  // |sources| × 3 suites
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+  }
+
+  test("x156: the chain is checkpointed; survivors attach by equi-joins only") {
+    // registry: x156_dedup_survivorship
+    val plan = planOf(TextQueries.dedupSurvivorship)
+    plan should include("ExistingRDD") // the checkpointed (doc, rep, source, pass) frame
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin" // every join is keyed
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:
