@@ -143,14 +143,18 @@ object PressureZone {
     // flags, play context) re-attached by natural key. The label VALUES
     // come from the summary's own snap rows — summary supplies the
     // (keys, frameId) row set, the label projection supplies the columns
-    // the frame table no longer carries. dropDuplicates ENFORCES the
-    // documented (playId, gameId, nflId) output grain (r18 self-review:
-    // a tracking row duplicated at (keys, frameId) would otherwise fan
-    // the keyed join out d² — and labels are play-constant by grain, so
-    // collapsing duplicates picks identical values, never arbitrary ones).
+    // the frame table no longer carries. The snap row is picked
+    // DETERMINISTICALLY as min(frameId) per rusher-play (r18 advice: a
+    // play carrying two distinct ball_snap frames — the duplicated-snap
+    // case QbSetPoint documents — would otherwise hand dropDuplicates an
+    // arbitrary row if label values ever differed across those frames);
+    // the trailing dropDuplicates only ENFORCES the (playId, gameId,
+    // nflId) output grain against a tracking row duplicated at the SAME
+    // (keys, frameId), where the collapsed values are identical.
     scored.transform(naturalJoin(_,
       summary.filter(col("event") === "ball_snap")
-        .select("playId", "gameId", "nflId", "frameId")
+        .groupBy("playId", "gameId", "nflId")
+        .agg(min("frameId").as("frameId"))
         .join(labels, Seq("playId", "gameId", "nflId", "frameId"))
         .select("playId", "gameId", "nflId", "pff_positionLinedUp", "jerseyNumber",
           "team", "pff_hurry", "pff_sack", "pff_hit", "passResult", "playResult")

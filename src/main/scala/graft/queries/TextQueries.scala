@@ -922,16 +922,52 @@ object TextQueries {
     * alternative — re-attaching them by a doc-keyed join after the
     * rollup — would cost a second corpus-wide shuffle. x62 consumes it
     * with carry = ∅ (its lm_score double is the same sum_f/n_trans/1e6
-    * arithmetic as before the factoring); x135 carries lang. */
+    * arithmetic as before the factoring); x135 carries lang.
+    *
+    * Model-build shape (r19): ONE corpus-scale exchange — the (w1, w2)
+    * pair count, checkpointed — builds the whole model; the context
+    * count is a re-aggregation of that bigram-types-bounded table
+    * (c1 = Σ_w2 c2 exactly, so the arithmetic is unchanged), and the
+    * ctx attach rides [[guardedBroadcast]]. Before r19 cpair and cctx
+    * each re-ran the explode from the scan (x62's old trade); now the
+    * probe is the only second explode. */
   private def lmScoreCore(dd: DataFrame, carry: Seq[String]): DataFrame = {
     val bg = bigramsOf(dd, carry)
     val cpair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val cctx = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(eager = false)
+    val cctx = cpair.groupBy("w1").agg(sum("c2").as("c1"))
     bg.join(cpair, Seq("w1", "w2"))
-      .join(broadcast(cctx), Seq("w1"))
+      .join(guardedBroadcast(cctx), Seq("w1"))
       .withColumn("f", floor(col("c2").cast("double") / col("c1") * 1e6))
       .groupBy("doc_id", carry: _*)
       .agg(count(lit(1)).as("n_trans"), sum("f").as("sum_f"))
+  }
+
+  /** Counted broadcast guard (r18 verdict item 4 + the x155 advice): the
+    * x62-family context tables and x155's eval-gram side are BOUNDED BY
+    * TYPE COUNT, not corpus rows — fine to broadcast at every measured
+    * rung — but a 100 TB web corpus's unigram type inventory (typos,
+    * URLs, hashes) can reach 10⁸⁺ rows, and x155's hash-ladder "test
+    * split" grows linearly with the corpus by construction. Guessing is
+    * how those outgrow the 8 GB broadcast cap in production, so this
+    * COUNTS: the frame is checkpointed (the count can never re-run its
+    * corpus-scale lineage, and the join reuses the same partitions),
+    * broadcast at or under the threshold, left to the planner's shuffled
+    * strategies above it — same results either way, pinned by
+    * BroadcastGuardSpec in both regimes.
+    *
+    * Threshold math: at the ~40 B/row of a (token, BIGINT count) pair,
+    * the default 16M rows is ≲ 640 MB serialized — comfortably inside
+    * Spark's 8 GB broadcast cap and a 4 GB executor heap share, while
+    * 10⁸-type web vocabularies and corpus-derived eval splits fall to
+    * the shuffled path. Override via spark.graft.broadcastMaxRows
+    * (0 forces the shuffled regime — what the spec pins). */
+  private[queries] def guardedBroadcast(df: DataFrame): DataFrame = {
+    val max = df.sparkSession.conf
+      .getOption("spark.graft.broadcastMaxRows").map(_.toLong)
+      .getOrElse(16000000L)
+    val cp = df.localCheckpoint(eager = false)
+    if (cp.count() <= max) broadcast(cp) else cp
   }
 
   /** The shared bigram explode over (doc_id[, carry...], text): one row
@@ -4615,9 +4651,13 @@ object TextQueries {
       .select(explode(expr(
         "transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS w1, toks[i-1] AS w2))")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // one corpus-scale exchange; cctx re-aggregates the checkpointed pair
+    // table and attaches size-guarded (see guardedBroadcast) — r19, the
+    // same shape as lmScoreCore
     val cpair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val cctx = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    cpair.join(broadcast(cctx), Seq("w1"))
+      .localCheckpoint(eager = false)
+    val cctx = cpair.groupBy("w1").agg(sum("c2").as("c1"))
+    cpair.join(guardedBroadcast(cctx), Seq("w1"))
       .select(col("w1"), col("w2"),
         floor(col("c2").cast("double") / col("c1") * 1e6).as("f"))
   }
@@ -5473,13 +5513,15 @@ object TextQueries {
     * per-doc floor-div means, and the x145 +10⁶-offset trick for the
     * (possibly negative) mean gap — BIGINT end-to-end, both engines.
     *
-    * Plan/scale: the bigram explode (pass riding the rows — x137's carry
-    * argument) is re-run from the columnar scan by each of the four model
-    * aggregates and the probe rows (5 Generates — x62's accepted trade:
-    * re-exploding beats materializing token-grain rows), then pair-keyed
-    * joins back: corpus pair inner + ctx broadcast (x62's exact shape),
-    * target pair LEFT + target ctx broadcast LEFT. Everything after the
-    * doc rollup is |sources|-sized. */
+    * Plan/scale (r19 collapse — r18 verdict item 1): the bigram explode
+    * (pass riding the rows — x137's carry argument) runs exactly TWICE —
+    * once inside the checkpointed (w1, w2, c2, t2) pair-count build, once
+    * for the probe rows (re-exploding the probe beats materializing
+    * token-grain rows — x62's trade). Both models come from that ONE
+    * corpus-scale exchange: the context table is a vocab-bounded
+    * re-aggregation of the checkpointed pair table, attached via the
+    * counted [[guardedBroadcast]]. Everything after the doc rollup is
+    * |sources|-sized. */
   val dsirImportance = sql(
     "x149_dsir_importance",
     // s-interpolated (gatePassSql) ⇒ '\\s+' so DuckDB receives \s+
@@ -5517,17 +5559,25 @@ object TextQueries {
       keep = Seq("source", "n_tok", "text"))
       .select("doc_id", "source", "n_tok", "text", "pass")
     val bg = bigramsOf(flags, Seq("source", "n_tok", "pass"))
-    val cp = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val cc = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val tp = bg.filter(col("pass") === 1).groupBy("w1", "w2").agg(count(lit(1)).as("t2"))
-    val tc = bg.filter(col("pass") === 1).groupBy("w1").agg(count(lit(1)).as("t1"))
-    val px = bg.join(cp, Seq("w1", "w2"))
-      .join(broadcast(cc), Seq("w1"))
-      .join(tp, Seq("w1", "w2"), "left")
-      .join(broadcast(tc), Seq("w1"), "left")
+    // ONE corpus-scale exchange builds BOTH models (r18 verdict item 1 —
+    // this was a top-3 bench row from birth at 4 corpus-scale aggregates):
+    // the (w1, w2) group carries the corpus count AND the pass-split
+    // target count in the same pass; both context tables re-aggregate the
+    // checkpointed bigram-types-bounded pair table (c1 = Σ_w2 c2,
+    // t1 = Σ_w2 t2 — exactly the old per-explode counts). Target-model
+    // semantics preserved: a transition with no passing occurrence has
+    // t2 = 0 → ft = 0 (the old LEFT-join NULL→0 coalesce), and t1 = 0 can
+    // only co-occur with t2 = 0, guarded to ft = 0 rather than 0/0.
+    val pairs = bg.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c2"),
+        sum(when(col("pass") === 1, 1L).otherwise(0L)).as("t2"))
+      .localCheckpoint(eager = false)
+    val ctx = pairs.groupBy("w1").agg(sum("c2").as("c1"), sum("t2").as("t1"))
+    val px = bg.join(pairs, Seq("w1", "w2"))
+      .join(guardedBroadcast(ctx), Seq("w1"))
       .withColumn("fc", floor(col("c2").cast("double") / col("c1") * 1e6))
-      .withColumn("ft",
-        coalesce(floor(col("t2").cast("double") / col("t1") * 1e6), lit(0L)))
+      .withColumn("ft", when(col("t1") > 0,
+        floor(col("t2").cast("double") / col("t1") * 1e6)).otherwise(lit(0L)))
     val doc = px.groupBy("doc_id", "source", "n_tok")
       .agg(count(lit(1)).as("n_trans"), sum("ft").as("sft"), sum("fc").as("sfc"))
       .withColumn("gap", expr("sft div n_trans - sfc div n_trans"))
@@ -5560,13 +5610,16 @@ object TextQueries {
     * +10⁶-offset trick for the signed mean; |gap| mean is a plain
     * non-negative floor-div.
     *
-    * Plan/scale: the bigram explode (source riding — x137's carry
-    * argument) re-runs from the columnar scan per model aggregate (5
-    * Generates — the x62 trade, see x149); the corpus model is x62's
-    * pair-inner + ctx-broadcast joins; the source model aggregates keyed
-    * (source, w1[, w2]) — per-source models are disjoint row sets, so
-    * each bigram row shuffles once more, never a corpus self-join.
-    * Output is |sources| rows. */
+    * Plan/scale (r19 collapse — r18 verdict item 1): the bigram explode
+    * (source riding — x137's carry argument) runs exactly ONCE, into the
+    * checkpointed (source, w1, w2, s2) pair-count table; every model —
+    * corpus pair, corpus ctx, source ctx — is a re-aggregation of that
+    * bounded frame, and because the per-INSTANCE gap is a pure function
+    * of (source, w1, w2), the instance-weighted rollup is the s2-weighted
+    * rollup over the same table: Σ_inst gap ≡ Σ_key s2·gap, exactly. No
+    * probe join, no second corpus pass, never a corpus self-join; the
+    * corpus ctx attaches via the counted [[guardedBroadcast]]. Output is
+    * |sources| rows. */
   val sourceLmDivergence = sql(
     "x153_source_lm_divergence",
     """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
@@ -5591,21 +5644,24 @@ object TextQueries {
   /** x153's engine over any (doc_id, source, text) frame. */
   def sourceLmDivergenceOf(dd: DataFrame): DataFrame = {
     val bg = bigramsOf(dd.select("doc_id", "source", "text"), Seq("source"))
-    val cp = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val cc = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // the ONE corpus-scale exchange; every model and the final rollup are
+    // re-aggregations of this bounded table (see the plan note above)
     val sp = bg.groupBy("source", "w1", "w2").agg(count(lit(1)).as("s2"))
-    val sc = bg.groupBy("source", "w1").agg(count(lit(1)).as("s1"))
-    val px = bg.join(cp, Seq("w1", "w2"))
-      .join(broadcast(cc), Seq("w1"))
-      .join(sp, Seq("source", "w1", "w2"))
+      .localCheckpoint(eager = false)
+    val cp = sp.groupBy("w1", "w2").agg(sum("s2").as("c2"))
+    val cc = sp.groupBy("w1").agg(sum("s2").as("c1"))
+    val sc = sp.groupBy("source", "w1").agg(sum("s2").as("s1"))
+    val px = sp.join(cp, Seq("w1", "w2"))
+      .join(guardedBroadcast(cc), Seq("w1"))
       .join(sc, Seq("source", "w1"))
       .withColumn("gap",
         floor(col("s2").cast("double") / col("s1") * 1e6)
           - floor(col("c2").cast("double") / col("c1") * 1e6))
+    // instance-weighted ≡ s2-weighted: gap is constant per (source, w1, w2)
     px.groupBy("source").agg(
-        count(lit(1)).as("n_trans"),
-        sum(abs(col("gap"))).as("sa"),
-        sum(col("gap") + lit(1000000L)).as("sgo"))
+        sum("s2").as("n_trans"),
+        sum(abs(col("gap")) * col("s2")).as("sa"),
+        sum((col("gap") + lit(1000000L)) * col("s2")).as("sgo"))
       .select(col("source"), col("n_trans"),
         expr("sa div n_trans").as("mean_abs_gap_ppm"),
         expr("sgo div n_trans - CAST(1000000 AS BIGINT)").as("mean_gap_ppm"))
@@ -5830,9 +5886,14 @@ object TextQueries {
     * guarded floor division.
     *
     * Plan/scale: ONE gram explode (x35's fiveGramsOf), the test side
-    * broadcast (eval suites are bounded by construction at any corpus
-    * scale), a distinct at (train doc, suite) grain, |sources|·3 output
-    * rows via a bounded cross of sources × suites. */
+    * attached via the counted [[guardedBroadcast]] — a REAL eval suite is
+    * bounded and broadcasts, but this query's corpus-derived hash-ladder
+    * test split is ~12.5% OF THE CORPUS, so its distinct gram set grows
+    * linearly and must fall to the shuffled path past the guard (the r18
+    * advice item; the old unconditional hint was exactly the 8 GB
+    * broadcast-cap failure at 100 TB) — then a distinct at (train doc,
+    * suite) grain, |sources|·3 output rows via a bounded cross of
+    * sources × suites. */
   val contaminationBySuite = sql(
     "x155_contamination_by_suite",
     """WITH toks AS (
@@ -5878,7 +5939,7 @@ object TextQueries {
       .join(base.select("doc_id", "source", "split", "suite"), Seq("doc_id"))
     val hits = grams.filter(col("split") === "train")
       .select(col("doc_id"), col("source"), col("g"))
-      .join(broadcast(grams.filter(col("split") === "test")
+      .join(guardedBroadcast(grams.filter(col("split") === "test")
         .select(col("g"), col("suite")).distinct()), Seq("g"))
       .select("doc_id", "source", "suite").distinct()
     val trn = base.filter(col("split") === "train")

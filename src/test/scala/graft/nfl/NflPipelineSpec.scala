@@ -190,6 +190,29 @@ class NflPipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
       Set("Block Left", "Block Right")
   }
 
+  test("sample play plot feed: keyed label attach, slice order, 157 cap (MO:37-38, C9/K13)") {
+    // r18 advice: samplePlay was rewritten for the width prune (labels now
+    // re-attach by natural key, team filter after the join) but shipped
+    // unexercised. Drive it on the fixture and pin the pre-prune content.
+    val s = Rankings.samplePlay(pipeline.rusherFrames, pipeline.rusherLabels,
+      gameId = 1001L, playId = 101L, team = "DEF1").collect()
+    // both DEF1 rushers, every clamped frame (snap 3 .. end 18), in the
+    // deterministic (nflId, frameId) slice order — well under the 157 cap
+    s.map(r => (r.getAs[Number]("nflId").longValue,
+        r.getAs[Number]("frameId").longValue)).toSeq shouldBe
+      (for (n <- Seq(20L, 21L); f <- 3L to 18L) yield (n, f))
+    // the width prune moved team/jersey off the frame table — the plot
+    // feed must still carry them, from the keyed rusherLabels attach
+    s.map(_.getAs[String]("team")).distinct.toSeq shouldBe Seq("DEF1")
+    s.filter(_.getAs[Number]("nflId").longValue == 20L)
+      .map(_.getAs[Number]("jerseyNumber").intValue).distinct.toSeq shouldBe Seq(91)
+    s.filter(_.getAs[Number]("nflId").longValue == 21L)
+      .map(_.getAs[Number]("jerseyNumber").intValue).distinct.toSeq shouldBe Seq(95)
+    // the team filter really filters (the offense shares the play)
+    Rankings.samplePlay(pipeline.rusherFrames, pipeline.rusherLabels,
+      1001L, 101L, "OFF1").count() shouldBe 0L // labels carry rushers only
+  }
+
   test("histogram plot feed bins the metric (MB:153-156, K13)") {
     val h = Rankings.histogram(pipeline.rushersFinal,
       "Percent_to_Pressure_Zone_per_s", 0.5)

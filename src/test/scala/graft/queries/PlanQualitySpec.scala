@@ -1014,15 +1014,16 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "CartesianProduct"
   }
 
-  test("x149: one bigram explode; target model joins are LEFT with the ctx side broadcast") {
+  test("x149: both models come from the ONE checkpointed pair table; only the probe re-explodes") {
     // registry: x149_dsir_importance
     val plan = planOf(TextQueries.dsirImportance)
-    // x62's accepted trade: each model aggregate re-runs the explode from
-    // the columnar scan (5 Generates: 4 models + the probe rows) rather
-    // than materializing token-grain rows; both ctx tables attach
-    // broadcast, the pair joins shuffle — never a cartesian
-    "Generate explode".r.findAllIn(plan).size shouldBe 5
-    "BroadcastHashJoin".r.findAllIn(plan).size should be >= 2
+    // r19 collapse (r18 verdict item 1): the corpus+target pair counts are
+    // ONE checkpointed exchange (ExistingRDD here); the probe rows are the
+    // only explode left in the final plan; the merged ctx table attaches
+    // via the counted guardedBroadcast — never a cartesian
+    "Generate explode".r.findAllIn(plan).size shouldBe 1
+    plan should include("ExistingRDD")
+    plan should include("BroadcastHashJoin")
     plan should not include "CartesianProduct"
   }
 
@@ -1057,13 +1058,17 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "CartesianProduct"
   }
 
-  test("x153: the source model re-aggregates the one exploded bigram set — no corpus self-join") {
+  test("x153: every model AND the rollup run on the one checkpointed pair table — zero explodes downstream") {
     // registry: x153_source_lm_divergence
     val plan = planOf(TextQueries.sourceLmDivergence)
-    // the x62 re-explode trade (see x149's pin): 5 Generates = 4 model
-    // aggregates + the probe rows, no materialized token-grain table
-    "Generate explode".r.findAllIn(plan).size shouldBe 5
-    plan should include("BroadcastHashJoin") // the ctx attach
+    // r19 collapse (r18 verdict item 1): the (source, w1, w2) pair count is
+    // the ONE corpus-scale exchange; the instance-weighted rollup is the
+    // s2-weighted rollup over that bounded table, so the final plan holds
+    // NO Generate at all — the explode lives entirely inside the
+    // checkpoint subtree
+    "Generate explode".r.findAllIn(plan).size shouldBe 0
+    plan should include("ExistingRDD")
+    plan should include("BroadcastHashJoin") // the guarded ctx attach
     plan should not include "CartesianProduct"
     plan should not include "Window"
   }
@@ -1079,10 +1084,15 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "CartesianProduct"
   }
 
-  test("x155: the eval-suite gram side is broadcast; the sources×suites cross is a bounded broadcast") {
+  test("x155: the eval-suite gram side rides the counted guard; the sources×suites cross is a bounded broadcast") {
     // registry: x155_contamination_by_suite
     val plan = planOf(TextQueries.contaminationBySuite)
-    plan should include("BroadcastHashJoin")        // train grams ⋈ broadcast test grams
+    // the test-gram side goes through guardedBroadcast (r18 advice: the
+    // hash-ladder split grows with the corpus, so the hint is COUNTED, not
+    // unconditional) — under the threshold at fixture scale it broadcasts,
+    // and the checkpointed frame shows up as ExistingRDD
+    plan should include("BroadcastHashJoin")        // train grams ⋈ guarded test grams
+    plan should include("ExistingRDD")
     plan should include("BroadcastNestedLoopJoin")  // |sources| × 3 suites
     plan should not include "CartesianProduct"
     plan should not include "Window"

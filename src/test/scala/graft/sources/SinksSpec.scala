@@ -161,6 +161,33 @@ class SinksSpec extends AnyFunSuite with Matchers with SparkTestBase {
     ledger(4L) shouldBe Map("a" -> 40L, "b" -> 9L, "c" -> 5L)
   }
 
+  test("compactEpochLedger refuses a wider ledger, and detects a MIXED-schema ledger deterministically") {
+    import spark.implicits._
+    // uniformly wider: every file carries the extra column
+    val wide = java.nio.file.Files.createTempDirectory("ledger-wide").toString + "/state"
+    graft.streaming.EventStream.writeEpoch(
+      Seq(("a", 10L, "x")).toDF("source", "consumed_tokens", "extra"), 0L, wide)
+    val e1 = intercept[IllegalArgumentException] {
+      Sinks.compactEpochLedger(spark, wide, upTo = 0L, "source", "consumed_tokens")
+    }
+    e1.getMessage should include("extra")
+    // MIXED schema — the r18 advice case: only ONE epoch carries the extra
+    // column, so a single-footer schema resolution would pass or refuse
+    // depending on which file got sampled; the mergeSchema validation read
+    // must see the union and refuse EVERY time
+    val mixed = java.nio.file.Files.createTempDirectory("ledger-mixed").toString + "/state"
+    graft.streaming.EventStream.writeEpoch(
+      Seq(("a", 10L)).toDF("source", "consumed_tokens"), 0L, mixed)
+    graft.streaming.EventStream.writeEpoch(
+      Seq(("a", 20L, "y")).toDF("source", "consumed_tokens", "stray"), 1L, mixed)
+    (1 to 3).foreach { _ =>
+      val e2 = intercept[IllegalArgumentException] {
+        Sinks.compactEpochLedger(spark, mixed, upTo = 1L, "source", "consumed_tokens")
+      }
+      e2.getMessage should include("stray")
+    }
+  }
+
   test("dropEpochsBefore: append-artifact retention deletes only strictly-older epoch directories") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("retain").toString + "/hits"
