@@ -925,19 +925,27 @@ object TextQueries {
     * arithmetic as before the factoring); x135 carries lang.
     *
     * Model-build shape (r19): ONE corpus-scale exchange — the (w1, w2)
-    * pair count, checkpointed — builds the whole model; the context
-    * count is a re-aggregation of that bigram-types-bounded table
-    * (c1 = Σ_w2 c2 exactly, so the arithmetic is unchanged), and the
-    * ctx attach rides [[guardedBroadcast]]. Before r19 cpair and cctx
-    * each re-ran the explode from the scan (x62's old trade); now the
-    * probe is the only second explode. */
+    * pair count — builds the whole model; the context count re-aggregates
+    * it (c1 = Σ_w2 c2 exactly, so the arithmetic is unchanged). The ctx
+    * attach deliberately carries NO broadcast hint: this is the
+    * zero-extra-job form of the r18 verdict's counted guard — Catalyst
+    * broadcasts it statically while the size ESTIMATE is small, and past
+    * that AQE re-decides from the aggregate's ACTUAL shuffle size at
+    * runtime, so a 10⁸-type web vocabulary degrades to a shuffled join by
+    * the engine's own count instead of OOMing a forced broadcast. The
+    * explicit [[guardedBroadcast]] is reserved for sides already behind a
+    * checkpoint (x149/x153/x155), where its count() is amortized and
+    * where the opaque checkpoint RDD would otherwise pin the ESTIMATE at
+    * "huge" and lose the broadcast forever; measured here, the
+    * checkpoint+count variant cost x66 (two consumers of one lmScoreCore)
+    * 2.1 s → 4.2 s by breaking exchange reuse, while this unhinted form
+    * matches the hinted original within noise. */
   private def lmScoreCore(dd: DataFrame, carry: Seq[String]): DataFrame = {
     val bg = bigramsOf(dd, carry)
     val cpair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      .localCheckpoint(eager = false)
     val cctx = cpair.groupBy("w1").agg(sum("c2").as("c1"))
     bg.join(cpair, Seq("w1", "w2"))
-      .join(guardedBroadcast(cctx), Seq("w1"))
+      .join(cctx, Seq("w1"))
       .withColumn("f", floor(col("c2").cast("double") / col("c1") * 1e6))
       .groupBy("doc_id", carry: _*)
       .agg(count(lit(1)).as("n_trans"), sum("f").as("sum_f"))
@@ -961,7 +969,18 @@ object TextQueries {
     * Spark's 8 GB broadcast cap and a 4 GB executor heap share, while
     * 10⁸-type web vocabularies and corpus-derived eval splits fall to
     * the shuffled path. Override via spark.graft.broadcastMaxRows
-    * (0 forces the shuffled regime — what the spec pins). */
+    * (0 forces the shuffled regime — what the spec pins).
+    *
+    * WHEN TO USE WHICH guard: this explicit counted form is for sides
+    * that sit behind (or become) a checkpoint — there the count() is
+    * amortized by the materialization the plan needs anyway, and the
+    * opaque checkpoint RDD's "huge" size estimate would otherwise deny
+    * the broadcast statically forever. For a side that lives INSIDE a
+    * one-job multi-consumer plan (lmScoreCore's ctx), use NO hint at
+    * all: Catalyst's static estimate + AQE's runtime shuffle-size
+    * re-decision implement the same bounded-broadcast policy with zero
+    * extra jobs, and a checkpoint there breaks exchange reuse (measured:
+    * x66 2.1 s → 4.2 s). */
   private[queries] def guardedBroadcast(df: DataFrame): DataFrame = {
     val max = df.sparkSession.conf
       .getOption("spark.graft.broadcastMaxRows").map(_.toLong)
