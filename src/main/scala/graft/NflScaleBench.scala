@@ -17,23 +17,15 @@ object NflScaleBench {
     val playsPerGame = if (args.length > 1) args(1).toInt else 60
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
-    val spark = SparkSession.builder()
+    // the cluster posture lives in ONE place — NflPipeline.scaleConf —
+    // shared by this bench and any real deployment (r18 verdict item 5);
+    // each setting's rationale is documented there
+    val builder = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // the ScaleLadder lesson (r14, PLANS.md): an N×-scale shuffle into a
-      // 1×-sized partition count concentrates per-task window/aggregate
-      // state until it OOMs — let AQE size reduce stages by bytes, so the
-      // 1000× rung keeps enough partitions while small runs coalesce back
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 16 * cpus.toInt)
-      // r18: the 1000× rung is DISK-bound on this host (shuffle spill +
-      // the persisted frame tables exceed the ~75 GiB free even after the
-      // width prune) — trade CPU for disk exactly as a disk-tight cluster
-      // would: zstd for shuffle/spill streams (~1.5-2× denser than the
-      // lz4 default) and compressed serialized RDD cache blocks
-      .config("spark.io.compression.codec", "zstd")
-      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
+    val spark = NflPipeline.scaleConf(cpus.toInt)
+      .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

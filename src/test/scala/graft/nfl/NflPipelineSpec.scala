@@ -213,6 +213,17 @@ class NflPipelineSpec extends AnyFunSuite with Matchers with SparkTestBase {
       1001L, 101L, "OFF1").count() shouldBe 0L // labels carry rushers only
   }
 
+  test("scaleConf is the one cluster posture the scale bench and deployments share") {
+    // r18 verdict item 5: the knobs the 1000× rung needed live as code,
+    // not prose — NflScaleBench folds exactly this map into its builder
+    val c = NflPipeline.scaleConf(32)
+    c("spark.sql.shuffle.partitions") shouldBe "32"
+    c("spark.sql.adaptive.coalescePartitions.initialPartitionNum") shouldBe "512"
+    c("spark.io.compression.codec") shouldBe "zstd"   // spill density: the disk-bound rung's fix
+    c("spark.rdd.compress") shouldBe "true"
+    c.size shouldBe 4
+  }
+
   test("histogram plot feed bins the metric (MB:153-156, K13)") {
     val h = Rankings.histogram(pipeline.rushersFinal,
       "Percent_to_Pressure_Zone_per_s", 0.5)

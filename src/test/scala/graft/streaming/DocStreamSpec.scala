@@ -427,6 +427,61 @@ class DocStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     meltGot.filter(t => t._1 == "books").map(_._3).sum shouldBe 0L
   }
 
+  test("gate-ablation restart-from-checkpoint: the 16-sum state survives a stop and keeps folding") {
+    import spark.implicits._
+    // r18 verdict item 3: the fold ≡ batch test above proves the BATCH
+    // semantics, but never stops a live gateAblationUpdates and restarts
+    // it from its checkpoint — the lifecycle edge where the state store,
+    // not the spec harness, must carry the widest (16-sum) state across
+    // process generations. The memory sink cannot recover from a
+    // checkpoint, so the stream lands in an epoch-ledger parquet via
+    // foreachBatch (the admission tests' posture).
+    def good(p: String): String = "the a " + (1 to 38).map(i => f"$p${i}%04d").mkString(" ")
+    val b1 = Seq(
+      (1L, "web", good("w")),
+      (2L, "web", "the a zz"),                          // fails len only
+      (3L, "wiki", good("k")))
+    val b2 = Seq(
+      (4L, "web", (1 to 30).map(i => f"v${i}%04d").mkString(" ")), // fails stop only
+      (5L, "books", good("b")))
+    val base = java.nio.file.Files.createTempDirectory("ga-restart").toString
+    val out = s"$base/led"
+    val input = MemoryStream[(Long, String, String)]
+    def start() = DocStream.gateAblationUpdates(
+        input.toDF.toDF("doc_id", "source", "text"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], e: Long) =>
+        EventStream.writeEpoch(b.toDF(), e, out)
+      }
+      .start()
+    val q1 = start()
+    try { input.addData(b1); q1.processAllAvailable() } finally q1.stop()
+    // restart from the SAME checkpoint in a fresh query: batch 2's web
+    // emission must fold ON TOP of batch 1's restored state
+    val q2 = start()
+    try { input.addData(b2); q2.processAllAvailable() } finally q2.stop()
+    val batchTwin = DocStream.gateAblationUpdates(
+      (b1 ++ b2).toDF("doc_id", "source", "text"))
+    val sumCols = batchTwin.columns.filterNot(_ == "source").toSeq
+    val led = spark.read.parquet(out)
+      .select(org.apache.spark.sql.functions.col("source") +:
+        org.apache.spark.sql.functions.col("__epoch") +: sumCols.map(org.apache.spark.sql.functions.col): _*)
+      .collect()
+    val latest = led.groupBy(_.getString(0)).map { case (src, rs) =>
+      src -> rs.maxBy(_.getAs[Number]("__epoch").longValue)
+    }
+    // web re-emitted in epoch 1 (its state changed) and that row carries
+    // BOTH failure classes — len from before the stop, stop from after:
+    // a state store lost at restart would zero the len counts
+    latest("web").getAs[Number]("__epoch").longValue shouldBe 1L
+    val expected = batchTwin.collect()
+      .map(r => r.getString(0) -> sumCols.map(c => r.getAs[Long](c))).toMap
+    latest.view.mapValues(r => sumCols.map(c => r.getAs[Long](c))).toMap shouldBe expected
+    // and the books row (first seen post-restart) landed too
+    latest.keySet shouldBe Set("web", "wiki", "books")
+  }
+
   test("streaming fertility fold ≡ batch per-lang stats on the union (x123 twin)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.broadcast

@@ -627,6 +627,61 @@ class EventStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize restart-from-checkpoint: per-user state survives a stop; converges with an uninterrupted mirror") {
+    import spark.implicits._
+    // r18 verdict item 3: the cross-micro-batch test above never stops a
+    // live query — this drives the flatMapGroupsWithState state store
+    // across a real stop/restart. The distinguishing probe: user 1's
+    // post-restart event at 10:30 is > gap after the pre-stop 10:05, so a
+    // RESTORED state assigns session 2 — a lost state store would restart
+    // the counter and also read session 1, which the pre-restart events
+    // already used (the memory sink can't recover, so rows land in an
+    // epoch ledger via foreachBatch).
+    val base = java.nio.file.Files.createTempDirectory("sess-restart").toString
+    val out = s"$base/led"
+    val input = MemoryStream[EventStream.SessionInput]
+    def start() = EventStream.sessionize(input.toDS(), gapSeconds = 600)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStream.SessionAssignment], e: Long) =>
+        EventStream.writeEpoch(b.toDF(), e, out)
+      }
+      .start()
+    val b1 = Seq(
+      EventStream.SessionInput(1L, 1L, ts(0)),
+      EventStream.SessionInput(2L, 1L, ts(5)))
+    val b2 = Seq(
+      EventStream.SessionInput(3L, 1L, ts(8)),   // < gap after 10:05 → still session 1
+      EventStream.SessionInput(4L, 1L, ts(30)),  // > gap after 10:08 → session 2
+      EventStream.SessionInput(5L, 2L, ts(9)))   // new user post-restart
+    val q1 = start()
+    try { input.addData(b1); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { input.addData(b2); q2.processAllAvailable() } finally q2.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_id"))).toSet
+    got shouldBe Set(
+      (1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L), (4L, 1L, 2L), (5L, 2L, 1L))
+    // mirror: the same five events through an UNINTERRUPTED query agree
+    val m = java.nio.file.Files.createTempDirectory("sess-mirror").toString
+    val input2 = MemoryStream[EventStream.SessionInput]
+    val qm = EventStream.sessionize(input2.toDS(), gapSeconds = 600)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$m/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStream.SessionAssignment], e: Long) =>
+        EventStream.writeEpoch(b.toDF(), e, s"$m/led")
+      }
+      .start()
+    try {
+      input2.addData(b1); qm.processAllAvailable()
+      input2.addData(b2); qm.processAllAvailable()
+    } finally qm.stop()
+    spark.read.parquet(s"$m/led").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_id"))).toSet shouldBe got
+  }
+
   test("session state expires once the watermark passes the gap horizon") {
     import spark.implicits._
     def at(hour: Int, minute: Int): Timestamp =
