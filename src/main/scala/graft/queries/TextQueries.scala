@@ -781,7 +781,15 @@ object TextQueries {
       |FROM grams tr JOIN grams te ON tr.g = te.g
       |WHERE tr.split = 'train' AND te.split = 'test'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    val grams = fiveGramsOf(docs(s, d))
+    textDecontaminateOf(docs(s, d)).orderBy("train_id", "test_id")
+  }
+
+  /** x35's engine over any (doc_id, text) frame (factored in r19 so
+    * ContaminationReconciliationSpec can pin the four contamination
+    * tables — x35 doc-level, x125 pack-level, x136 halo, x155 per-suite —
+    * to one measurement on one engineered frame). */
+  def textDecontaminateOf(dd: DataFrame): DataFrame = {
+    val grams = fiveGramsOf(dd)
       .withColumn("split",
         when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "d", "train")
           .otherwise("test"))
@@ -790,7 +798,6 @@ object TextQueries {
     train.join(broadcast(test), "g")
       .groupBy("train_id", "test_id")
       .agg(count(lit(1)).as("n_shared"), min("g").as("sample_gram"))
-      .orderBy("train_id", "test_id")
   }
 
   /** Per-group quota sampling: keep at most N documents per language,
