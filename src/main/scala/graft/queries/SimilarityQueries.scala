@@ -1593,8 +1593,127 @@ FROM embeddings ORDER BY vec_id""") { (s, d) =>
       .join(broadcast(lcos), Seq("label")) // |labels| rows — never SMJ
   }
 
+  private val x159Oracle: String =
+    """WITH k AS (SELECT unnest(range(1, 65)) AS dim),
+      |v AS (SELECT e.vec_id, e.label, k.dim,
+      |    CAST(ROUND(CAST(e.embedding[k.dim] AS DOUBLE) * 1000000, 0) AS BIGINT) AS vp
+      |  FROM embeddings e CROSS JOIN k),
+      |n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label),
+      |cent AS (SELECT v.label, v.dim, CAST(CAST(SUM(v.vp) AS BIGINT) // n.n_vecs AS BIGINT) AS c
+      |  FROM v JOIN n USING (label) GROUP BY v.label, v.dim, n.n_vecs),
+      |cn AS (SELECT label, CAST(SUM(c * c) AS BIGINT) AS n2c FROM cent GROUP BY label),
+      |allc AS (SELECT v.vec_id, v.label, c.label AS clabel,
+      |    CAST(SUM(v.vp * c.c) AS BIGINT) AS dot,
+      |    CAST(SUM(v.vp * v.vp) AS BIGINT) AS n2v
+      |  FROM v JOIN cent c USING (dim) GROUP BY 1, 2, 3),
+      |cosd AS (SELECT a.vec_id, a.label, a.clabel,
+      |    CAST(ROUND(CAST(a.dot AS DOUBLE)
+      |      / (sqrt(CAST(a.n2v AS DOUBLE)) * sqrt(CAST(cn.n2c AS DOUBLE)))
+      |      * 1000000.0, 0) AS BIGINT) AS cos_ppm
+      |  FROM allc a JOIN cn ON cn.label = a.clabel),
+      |win AS (SELECT vec_id, label, clabel AS win_label FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY cos_ppm DESC, (clabel = label) DESC, clabel ASC) AS rn
+      |    FROM cosd) q WHERE rn = 1),
+      |ms AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_miss
+      |  FROM win WHERE win_label <> label GROUP BY label),
+      |mc AS (SELECT label, win_label, COUNT(*) AS m
+      |  FROM win WHERE win_label <> label GROUP BY label, win_label),
+      |top AS (SELECT label, win_label FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+      |      ORDER BY m DESC, win_label ASC) AS rn FROM mc) q WHERE rn = 1)
+      |SELECT n.label, n.n_vecs,
+      |  COALESCE(ms.n_miss, 0) AS n_miss,
+      |  CAST(COALESCE(ms.n_miss, 0) * 1000000 // n.n_vecs AS BIGINT) AS miss_ppm,
+      |  COALESCE(top.win_label, -1) AS top_confused_label
+      |FROM n LEFT JOIN ms USING (label) LEFT JOIN top USING (label)
+      |ORDER BY n.label""".stripMargin
+
+  /** x159: nearest-centroid label CONFUSION census — the label-quality
+    * audit x150 stops short of: x150 says how tight each cluster is; this
+    * says whether the labels are mutually SEPARABLE, by running the
+    * cheapest possible classifier (assign every vector to its most-cosine-
+    * similar label centroid) and reporting, per label, how many of its own
+    * members it loses and to whom. A label whose members systematically
+    * win under another centroid is mislabeled, duplicated, or not a real
+    * class — the thing to know before spending a training run on the
+    * labels, and the target list for x67's semantic dedup / relabeling.
+    *
+    * Exactness: x150's conventions verbatim — ppm-quantize FIRST (exact
+    * BIGINT centroid sums in any order), cosines ROUND to ppm BIGINTs
+    * (IEEE round-half-even both engines), and the winner is an integer
+    * argmax with a pinned tie rule: higher cos_ppm, then the OWN label
+    * wins, then the smaller label id. The misassignment mode breaks count
+    * ties toward the smaller label; a label losing nothing reports
+    * top_confused_label = −1, never NULL.
+    *
+    * Plan/scale: one posexplode (the quantized vector table) feeds the
+    * centroid build and the all-centroids probe; the probe joins the
+    * BROADCAST (|labels|·64)-row centroid table per dim — the fan-out is
+    * |vecs|·|labels| grouped rows (bounded by label count, the documented
+    * cost of an exact all-centroids argmax; an IVF shortlist would cap it
+    * at nprobe for open-set label spaces). Everything after the per-
+    * (vec, clabel) rollup is |vecs|- then |labels|-sized; vectors never
+    * join vectors. */
+  val labelConfusionCensus = sql("x159_label_confusion_census", x159Oracle) { (s, d) =>
+    labelConfusionCensusOf(Tables.embeddings(s, d)).orderBy("label")
+  }
+
+  /** x159's engine over any (vec_id, embedding, label) frame. */
+  def labelConfusionCensusOf(emb: DataFrame): DataFrame = {
+    val v = emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "xv")))
+      .withColumn("vp", round(col("xv").cast("double") * lit(1e6), 0).cast("long"))
+      .drop("xv")
+    val n = emb.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      .localCheckpoint(eager = false) // |labels| rows; centroid div + output
+    val cent = v.groupBy("label", "dim").agg(sum("vp").as("sv"))
+      .join(broadcast(n), Seq("label"))
+      .select(col("label"), col("dim"), expr("sv div n_vecs").as("c"))
+      .localCheckpoint(eager = false) // |labels|·64 rows; probe + norms
+    val cn = cent.groupBy("label").agg(sum(col("c") * col("c")).as("n2c"))
+    // zero-norm guard — x150's discipline: NaN must raise identically on
+    // both engines, never silently order the argmax
+    def normGuard(n2: Column, cos: Column): Column =
+      when(n2 === 0L, raise_error(lit(
+        "x159 cosine: zero-norm operand — an all-zero ppm vector/centroid " +
+          "has no cosine; clean zero-norm embeddings upstream (see x10)")).cast("long"))
+        .otherwise(cos)
+    val allc = v
+      .join(broadcast(cent.select(col("label").as("clabel"), col("dim"), col("c"))),
+        Seq("dim"))
+      .groupBy("vec_id", "label", "clabel")
+      .agg(sum(col("vp") * col("c")).as("dot"), sum(col("vp") * col("vp")).as("n2v"))
+      .join(broadcast(cn.select(col("label").as("clabel"), col("n2c"))), Seq("clabel"))
+      .withColumn("cos_ppm",
+        normGuard(col("n2v"), normGuard(col("n2c"),
+          round(col("dot").cast("double")
+            / (sqrt(col("n2v").cast("double")) * sqrt(col("n2c").cast("double")))
+            * lit(1e6), 0).cast("long"))))
+    val win = allc.groupBy("vec_id", "label")
+      .agg(max(struct(col("cos_ppm"),
+        (col("clabel") === col("label")).cast("int").as("own"),
+        (-col("clabel")).as("negc"))).as("w"))
+      .select(col("vec_id"), col("label"), (-col("w.negc")).as("win_label"))
+    val miss = win.filter(col("win_label") =!= col("label"))
+      .localCheckpoint(eager = false) // ≤|vecs| rows; count + mode consumers
+    val ms = miss.groupBy("label").agg(count(lit(1)).as("n_miss"))
+    val top = miss.groupBy("label", "win_label").agg(count(lit(1)).as("m"))
+      .groupBy("label")
+      .agg(max(struct(col("m"), (-col("win_label")).as("negw"))).as("t"))
+      .select(col("label"), (-col("t.negw")).as("top_confused_label"))
+    n.join(broadcast(ms), Seq("label"), "left")
+      .join(broadcast(top), Seq("label"), "left")
+      .na.fill(0L, Seq("n_miss"))
+      .na.fill(-1, Seq("top_confused_label"))
+      .select(col("label"), col("n_vecs"), col("n_miss"),
+        TextQueries.guardedPpm("x159 miss_ppm", col("n_miss"), col("n_vecs"))
+          .as("miss_ppm"),
+        col("top_confused_label"))
+  }
+
   val all: Seq[QueryDef] = Seq(embNorm, embPairCosine, simBruteTopk, simLshTopk, simIvfTopk,
     simIvfCells, simPqTopk, dedupEmbedding, dedupEmbLsh, embQuantize, simContamination,
     semanticDedup, embRandomProjection, embLabelDrift, annRecallSweep, annOperatingPoint,
-    annOutlierCensus, labelCentroidCensus)
+    annOutlierCensus, labelCentroidCensus, labelConfusionCensus)
 }

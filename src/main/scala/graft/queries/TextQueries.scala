@@ -6032,6 +6032,210 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** The 6 unordered pairs of x64's four gate rules, in the fixed
+    * (len, wlen, rep, stop) order — shared by x157's engine and oracle so
+    * the pair enumeration cannot drift. */
+  private val gateRulePairs: Seq[(String, String)] = {
+    val rs = Seq("len", "wlen", "rep", "stop")
+    for (i <- rs.indices; j <- (i + 1) until rs.size) yield (rs(i), rs(j))
+  }
+
+  /** x157: gate-rule AGREEMENT matrix — x151 prices each rule's marginal
+    * effect (n_only / cascade attribution); this prices their REDUNDANCY:
+    * for every pair of x64's four rules, the joint verdict counts, the
+    * raw agreement rate, and Cohen's κ (agreement corrected for chance —
+    * the number that says whether two rules measure the same thing or
+    * merely both pass most docs). A pair with κ ≈ 1 is one rule wearing
+    * two names (drop one, x151 will show n_only ≈ 0 too); κ ≈ 0 pairs are
+    * independent signals; κ < 0 pairs disagree more than chance — the
+    * fingerprint of a threshold aimed at the wrong population. The rule-
+    * correlation table quality-filter ablations (Gopher table A6 class)
+    * publish next to the waterfall.
+    *
+    * Exactness: integer joint counts from one pass; agreement and the κ
+    * ingredients are floor-ppm BIGINTs. κ's convention (documented, both
+    * engines): chance agreement p_e is computed FROM the floored ppm
+    * marginals (exactly replicable; ≤ 2ppm from the real rational), and
+    * κ_ppm = (agree−pe)·10⁶ div (10⁶−pe) with MAGNITUDE floor-div and the
+    * sign attached (Spark `div` truncates toward zero where DuckDB `//`
+    * floors — on the split-sign form both engines see only non-negative
+    * operands, so the results are bit-identical). pe = 10⁶ (a constant
+    * verdict pair) pins κ = 0, never a 0/0.
+    *
+    * Plan/scale: qualityGateOf's row-local verdicts → ONE partial-final
+    * corpus aggregate carrying all 4 marginals and 12 joint cells → a
+    * 6-projection union over the checkpointed 1-row frame (x137's
+    * bounded-union stance). No join, no window, no second scan. */
+  val gateRuleAgreement = sql(
+    "x157_gate_rule_agreement", {
+      val joint = gateRulePairs.map { case (a, b) =>
+        s"    CAST(SUM(r_$a * r_$b) AS BIGINT) AS bp_${a}_$b,\n" +
+          s"    CAST(SUM((1 - r_$a) * (1 - r_$b)) AS BIGINT) AS bf_${a}_$b"
+      }.mkString(",\n")
+      val marginals = Seq("len", "wlen", "rep", "stop")
+        .map(r => s"    CAST(SUM(r_$r) AS BIGINT) AS p_$r").mkString(",\n")
+      val branches = gateRulePairs.map { case (a, b) =>
+        s"  SELECT '$a' AS rule_a, '$b' AS rule_b, n_docs, p_$a AS pass_a," +
+          s" p_$b AS pass_b, bp_${a}_$b AS both_pass, bf_${a}_$b AS both_fail FROM a"
+      }.mkString("\n  UNION ALL\n")
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(toks) BETWEEN 25 AND 5000 AS INTEGER) AS r_len,
+        |    CAST(CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+        |         / len(toks) BETWEEN 4.0 AND 5.0 AS INTEGER) AS r_wlen,
+        |    CAST((CASE WHEN len(toks) < 2 THEN CAST(0.0 AS DOUBLE) ELSE
+        |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |        i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)))) AS DOUBLE)
+        |        / (len(toks) - 1) END) <= CAST(0.08 AS DOUBLE) AS INTEGER) AS r_rep,
+        |    CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) >= 2 AS INTEGER) AS r_stop
+        |  FROM w),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |""".stripMargin + marginals + ",\n" + joint + "\n  FROM s),\nu AS (\n" +
+        branches + """
+        |),
+        |m AS (SELECT *,
+        |    (both_pass + both_fail) * 1000000 // n_docs AS agree_ppm,
+        |    ((pass_a * 1000000 // n_docs) * (pass_b * 1000000 // n_docs)
+        |     + ((n_docs - pass_a) * 1000000 // n_docs)
+        |       * ((n_docs - pass_b) * 1000000 // n_docs)) // 1000000 AS pe_ppm
+        |  FROM u)
+        |SELECT rule_a, rule_b, n_docs, pass_a, pass_b, both_pass, both_fail,
+        |  CAST(agree_ppm AS BIGINT) AS agree_ppm, CAST(pe_ppm AS BIGINT) AS pe_ppm,
+        |  CAST(CASE WHEN pe_ppm = 1000000 THEN 0
+        |       WHEN agree_ppm >= pe_ppm
+        |         THEN (agree_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
+        |       ELSE -((pe_ppm - agree_ppm) * 1000000 // (1000000 - pe_ppm))
+        |  END AS BIGINT) AS kappa_ppm
+        |FROM m ORDER BY rule_a, rule_b""".stripMargin
+    }) { (s, d) =>
+    gateRuleAgreementOf(docs(s, d)).orderBy("rule_a", "rule_b")
+  }
+
+  /** x157's engine over any (doc_id, text) frame. */
+  def gateRuleAgreementOf(dd: DataFrame): DataFrame = {
+    val g = qualityGateOf(dd).select("doc_id", "r_len", "r_wlen", "r_rep", "r_stop")
+    val marginals = Seq("len", "wlen", "rep", "stop")
+      .map(r => sum(col(s"r_$r")).cast("long").as(s"p_$r"))
+    val joint = gateRulePairs.flatMap { case (a, b) => Seq(
+      sum(col(s"r_$a") * col(s"r_$b")).cast("long").as(s"bp_${a}_$b"),
+      sum((lit(1) - col(s"r_$a")) * (lit(1) - col(s"r_$b"))).cast("long").as(s"bf_${a}_$b"))
+    }
+    val aggs = marginals ++ joint
+    val one = g.agg(count(lit(1)).as("n_docs"), aggs: _*)
+      .localCheckpoint(eager = false) // 1 row; 6 projection consumers
+    val rows = gateRulePairs.map { case (a, b) =>
+      one.select(lit(a).as("rule_a"), lit(b).as("rule_b"), col("n_docs"),
+        col(s"p_$a").as("pass_a"), col(s"p_$b").as("pass_b"),
+        col(s"bp_${a}_$b").as("both_pass"), col(s"bf_${a}_$b").as("both_fail"))
+    }.reduce(_ unionAll _)
+    rows
+      .withColumn("agree_ppm",
+        guardedPpm("x157 agree_ppm", col("both_pass") + col("both_fail"), col("n_docs")))
+      .withColumn("pe_ppm", call_function("div",
+        guardedPpm("x157 pa", col("pass_a"), col("n_docs"))
+          * guardedPpm("x157 pb", col("pass_b"), col("n_docs"))
+          + guardedPpm("x157 qa", col("n_docs") - col("pass_a"), col("n_docs"))
+          * guardedPpm("x157 qb", col("n_docs") - col("pass_b"), col("n_docs")),
+        lit(1000000L)))
+      .withColumn("kappa_ppm",
+        when(col("pe_ppm") === 1000000L, lit(0L))
+          .when(col("agree_ppm") >= col("pe_ppm"), call_function("div",
+            (col("agree_ppm") - col("pe_ppm")) * lit(1000000L),
+            lit(1000000L) - col("pe_ppm")))
+          .otherwise(-call_function("div",
+            (col("pe_ppm") - col("agree_ppm")) * lit(1000000L),
+            lit(1000000L) - col("pe_ppm"))))
+  }
+
+  /** x158: DECON-adjusted mixture SHIFT — the contamination×mixture
+    * interaction (the same class as x156's dedup×gate survivorship): x35's
+    * purge removes train docs that share eval 5-grams, and because
+    * contamination is never uniform across feeds, the x128 √-flattened
+    * mixture computed AFTER the purge differs from the one computed
+    * before. Per source over the TRAIN split (x31's md5 ladder): docs,
+    * purged docs, raw vs clean token mass, and the √-flattened weight
+    * (x128's w_i ∝ √mass_i convention, 10⁹-budget ppb) before vs after,
+    * with the signed shift — the table that says which sources were
+    * silently buying mixture weight with leaked eval text. Recompute the
+    * recipe AFTER decon, or the published weights are wrong by exactly
+    * this column.
+    *
+    * Exactness: integer masses; the Σ√ reductions sum ARRAY-SORTED lists
+    * on both engines (x128's order-free move); weights floor to ppb
+    * BIGINTs; a fully-purged source pins w_clean = 0 (x129's zero-branch
+    * convention), and shift is an exact BIGINT difference of two already-
+    * floored ppbs. Gram rule and split are x35's verbatim (fiveGramsOf /
+    * textDecontaminateOf — the reconciliation spec pins the family).
+    *
+    * Plan/scale: x35's gram equi-join marks flagged docs (work ∝ true
+    * overlap, eval side DISTINCT); ONE |sources|-group aggregate carries
+    * both masses; the two Σ√ totals attach as a broadcast 1-row frame
+    * over the checkpointed per-source table — never a second corpus
+    * scan. */
+  val deconMixtureShift = sql(
+    "x158_decon_mixture_shift",
+    """WITH d AS (SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1,
+      |    string_split(text, ' ') AS st
+      |  FROM documents),
+      |gr AS (SELECT DISTINCT doc_id, h1, array_to_string(st[i+1:i+5], ' ') AS g
+      |  FROM d, UNNEST(range(greatest(len(st) - 4, 0))) AS u(i)),
+      |fl AS (SELECT DISTINCT tr.doc_id FROM gr tr JOIN gr te ON tr.g = te.g
+      |  WHERE tr.h1 <= 'd' AND te.h1 > 'd'),
+      |per AS (SELECT source,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+      |    CAST(SUM(d.n_tok) AS BIGINT) AS tokens_raw,
+      |    CAST(SUM(CASE WHEN fl.doc_id IS NULL THEN d.n_tok ELSE 0 END) AS BIGINT) AS tokens_clean
+      |  FROM d LEFT JOIN fl ON d.doc_id = fl.doc_id
+      |  WHERE d.h1 <= 'd' GROUP BY source),
+      |tot AS (SELECT
+      |    list_sum(list_sort(list(sqrt(CAST(tokens_raw AS DOUBLE))))) AS sr,
+      |    list_sum(list_sort(list(sqrt(CAST(tokens_clean AS DOUBLE))))) AS sc
+      |  FROM per),
+      |m AS (SELECT p.source, p.n_docs, p.n_purged, p.tokens_raw, p.tokens_clean,
+      |    CAST(FLOOR(1000000000 * sqrt(CAST(p.tokens_raw AS DOUBLE)) / t.sr) AS BIGINT) AS w_raw_ppb,
+      |    CAST(CASE WHEN p.tokens_clean = 0 THEN 0 ELSE
+      |      FLOOR(1000000000 * sqrt(CAST(p.tokens_clean AS DOUBLE)) / t.sc) END AS BIGINT) AS w_clean_ppb
+      |  FROM per p CROSS JOIN tot t)
+      |SELECT *, w_clean_ppb - w_raw_ppb AS shift_ppb
+      |FROM m ORDER BY source""".stripMargin) { (s, d) =>
+    deconMixtureShiftOf(docs(s, d)).orderBy("source")
+  }
+
+  /** x158's engine over any (source, doc_id, text) frame. */
+  def deconMixtureShiftOf(dd: DataFrame): DataFrame = {
+    val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val train = dd.filter(h1 <= "d").select(col("source"), col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val flagged = textDecontaminateOf(dd)
+      .select(col("train_id").as("doc_id")).distinct()
+      .withColumn("hit", lit(1))
+    val per = train.join(flagged, Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("hit") === 1, 1L).otherwise(0L)).as("n_purged"),
+        sum("n_tok").as("tokens_raw"),
+        sum(when(col("hit").isNull, col("n_tok")).otherwise(0L)).as("tokens_clean"))
+      .localCheckpoint(eager = false) // |sources| rows; totals + output
+    val tot = per.agg(
+      aggregate(array_sort(collect_list(sqrt(col("tokens_raw").cast("double")))),
+        lit(0.0), (a, x) => a + x).as("sr"),
+      aggregate(array_sort(collect_list(sqrt(col("tokens_clean").cast("double")))),
+        lit(0.0), (a, x) => a + x).as("sc"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_purged"),
+        col("tokens_raw"), col("tokens_clean"),
+        floor(lit(1000000000L) * sqrt(col("tokens_raw").cast("double")) / col("sr"))
+          .cast("long").as("w_raw_ppb"),
+        when(col("tokens_clean") === 0L, 0L)
+          .otherwise(floor(lit(1000000000L)
+            * sqrt(col("tokens_clean").cast("double")) / col("sc")).cast("long"))
+          .as("w_clean_ppb"))
+      .withColumn("shift_ppb", col("w_clean_ppb") - col("w_raw_ppb"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupBow, dedupMinhash, dedupSimhash, dedupNgram,
     textTokens, textQuality, textLangid, textFingerprint, dedupChunks,
@@ -6054,5 +6258,6 @@ object TextQueries {
     doremiWeights, normalizeFixpoint, truncationWaste, ngramNovelty,
     repeatDecay, dupQualityLink, scoreLengthBias, dsirImportance,
     gateAblation, repeatBudgetSweep, sourceLmDivergence,
-    tokenAccounting, contaminationBySuite, dedupSurvivorship)
+    tokenAccounting, contaminationBySuite, dedupSurvivorship,
+    gateRuleAgreement, deconMixtureShift)
 }

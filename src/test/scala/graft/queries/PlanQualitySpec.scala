@@ -1106,6 +1106,47 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "BroadcastNestedLoopJoin" // every join is keyed
   }
 
+  test("x157: one corpus aggregate; the κ table is a bounded union over the checkpointed 1-row frame") {
+    // registry: x157_gate_rule_agreement
+    val plan = planOf(TextQueries.gateRuleAgreement)
+    // all 4 marginals + 12 joint cells ride ONE partial-final aggregate
+    // (inside the checkpoint); the 6 pair rows are projections over the
+    // 1-row ExistingRDD — no join, no window, no second corpus scan
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 0
+    plan should include("ExistingRDD")
+    plan should include("Union")
+    plan should not include "Join"
+    plan should not include "Window"
+  }
+
+  test("x158: flagged docs via the x35 gram join; weights run on the checkpointed |sources| table") {
+    // registry: x158_decon_mixture_shift
+    val plan = planOf(TextQueries.deconMixtureShift)
+    // the final plan reads ONLY the per-source checkpoint plus its own
+    // 1-row Σ√ totals (broadcast nested loop); the corpus-scale gram work
+    // lives inside the checkpoint subtree
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 0
+    plan should include("ExistingRDD")
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("x159: vectors never join vectors — every centroid table attaches broadcast") {
+    // registry: x159_label_confusion_census
+    val plan = planOf(SimilarityQueries.labelConfusionCensus)
+    // the all-centroids probe joins the BROADCAST (|labels|·64)-row
+    // centroid frame (the documented |vecs|·|labels| fan-out) INSIDE the
+    // miss-table checkpoint; the final plan reads only the checkpointed
+    // RDDs and re-attaches the |labels|-row rollups broadcast — no SMJ,
+    // no second embeddings scan
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 0
+    plan should include("ExistingRDD")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("x87: the fact is scanned once; encoding math runs on the cells table") {
     val plan = planOf(CoreQueries.x87)
     // the localCheckpoint splits the three cells consumers off the fact:
