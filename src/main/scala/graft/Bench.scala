@@ -220,7 +220,7 @@ object Bench {
     * CORRECTNESS_local_r{N}_sf*.json artifacts (cut by diffcheck --json at
     * final gates; RepoHygieneSpec pins them fresh and all-green against
     * the live registry). Renders the NEWEST round's files as
-    * "r19:181/181@sf0.01,181/181@sf0.1" — green = rows+schema+hash all
+    * "r19:184/184@sf0.01,184/184@sf0.1" — green = rows+schema+hash all
     * true with a null err, the same predicate RepoHygieneSpec enforces.
     * None (field omitted) when no artifact is readable: the bench must
     * never die on attestation, and a missing field is itself legible. */

@@ -12,8 +12,12 @@ object TimeQ {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val prefixes = args.drop(1)
+    // honor SPARK_GRAFT_CPUS exactly as Bench does — timings from this
+    // harness pre-screen Bench rows, so the parallelism must match
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder().withExtensions(new GraftExtensions)
-      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("OFF")
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()

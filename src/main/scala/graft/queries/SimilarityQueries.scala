@@ -1534,16 +1534,43 @@ FROM embeddings ORDER BY vec_id""") { (s, d) =>
   }
 
   /** x150's engine over any (vec_id, embedding, label) frame. */
-  def labelCentroidCensusOf(emb: DataFrame): DataFrame = {
-    val v = emb.select(col("vec_id"), col("label"),
+  /** The x150/x159 exactness core, stated ONCE (r19 self-review — two
+    * verbatim copies of the quantize-first convention could drift): each
+    * vector dimension quantized to a BIGINT ppm FIRST, so every
+    * downstream centroid is a floor-div of EXACT integer sums and no
+    * float summation order can differ between engines. */
+  private def ppmVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("dim", "xv")))
       .withColumn("vp", round(col("xv").cast("double") * lit(1e6), 0).cast("long"))
       .drop("xv")
-    val n = emb.groupBy("label").agg(count(lit(1)).as("n_vecs"))
-    val nAll = emb.agg(count(lit(1)).as("n_all"))
-    val cent = v.groupBy("label", "dim").agg(sum("vp").as("sv"))
+
+  /** Per-label floor-div centroid table (label, dim, c) over [[ppmVectors]]
+    * rows — the one definition x150 and x159 share. `n` = (label, n_vecs). */
+  private def labelCentroids(v: DataFrame, n: DataFrame): DataFrame =
+    v.groupBy("label", "dim").agg(sum("vp").as("sv"))
       .join(broadcast(n), Seq("label"))
       .select(col("label"), col("dim"), expr("sv div n_vecs").as("c"))
+
+  /** Zero-norm guard, shared by x150/x159: an all-zero vector (a failed
+    * encode — exactly the junk these censuses exist to expose) or a label
+    * whose ppm sums cancel to a zero centroid would make cos 0/0 = NaN,
+    * which non-ANSI Spark casts to a SILENT 0 while the DuckDB oracle
+    * errors on CAST(NaN AS BIGINT). Raise the same named DOMAIN error in
+    * both regimes instead (the x137/guardedPpm discipline): zero-norm
+    * rows must be cleaned upstream (x10's embNorm read), not averaged in
+    * or argmax'd over. */
+  private def zeroNormGuard(site: String, n2: Column, cos: Column): Column =
+    when(n2 === 0L, raise_error(lit(
+      s"$site: zero-norm operand — an all-zero ppm vector/centroid " +
+        "has no cosine; clean zero-norm embeddings upstream (see x10)")).cast("long"))
+      .otherwise(cos)
+
+  def labelCentroidCensusOf(emb: DataFrame): DataFrame = {
+    val v = ppmVectors(emb)
+    val n = emb.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    val nAll = emb.agg(count(lit(1)).as("n_all"))
+    val cent = labelCentroids(v, n)
       .localCheckpoint(eager = false) // bounded (|labels|·64 rows); 3 consumers
     val gcent = v.groupBy("dim").agg(sum("vp").as("sg"))
       .crossJoin(broadcast(nAll))
@@ -1551,18 +1578,8 @@ FROM embeddings ORDER BY vec_id""") { (s, d) =>
       .localCheckpoint(eager = false) // 64 rows; 2 consumers
     val cn = cent.groupBy("label").agg(sum(col("c") * col("c")).as("n2c"))
       .localCheckpoint(eager = false) // |labels| rows; 2 consumers
-    // Zero-norm guard (r18 self-review): an all-zero vector (a failed
-    // encode — exactly the junk this census exists to expose) or a label
-    // whose ppm sums cancel to a zero centroid would make cos 0/0 = NaN,
-    // which non-ANSI Spark casts to a SILENT 0 while the DuckDB oracle
-    // errors on CAST(NaN AS BIGINT). Raise the same named DOMAIN error in
-    // both regimes instead (the x137/guardedPpm discipline): zero-norm
-    // rows must be cleaned upstream (x10's embNorm read), not averaged in.
     def normGuard(site: String, n2: Column, cos: Column): Column =
-      when(n2 === 0L, raise_error(concat(
-        lit(s"x150 $site: zero-norm operand — an all-zero ppm vector/centroid " +
-          "has no cosine; clean zero-norm embeddings upstream (see x10)"))).cast("long"))
-        .otherwise(cos)
+      zeroNormGuard(s"x150 $site", n2, cos) // shared guard, x150-sited errors
     val own = v.join(broadcast(cent), Seq("label", "dim"))
       .groupBy("vec_id", "label")
       .agg(sum(col("vp") * col("c")).as("dot"), sum(col("vp") * col("vp")).as("n2v"))
@@ -1661,24 +1678,14 @@ FROM embeddings ORDER BY vec_id""") { (s, d) =>
 
   /** x159's engine over any (vec_id, embedding, label) frame. */
   def labelConfusionCensusOf(emb: DataFrame): DataFrame = {
-    val v = emb.select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("dim", "xv")))
-      .withColumn("vp", round(col("xv").cast("double") * lit(1e6), 0).cast("long"))
-      .drop("xv")
+    val v = ppmVectors(emb) // the shared x150 exactness core
     val n = emb.groupBy("label").agg(count(lit(1)).as("n_vecs"))
       .localCheckpoint(eager = false) // |labels| rows; centroid div + output
-    val cent = v.groupBy("label", "dim").agg(sum("vp").as("sv"))
-      .join(broadcast(n), Seq("label"))
-      .select(col("label"), col("dim"), expr("sv div n_vecs").as("c"))
+    val cent = labelCentroids(v, n)
       .localCheckpoint(eager = false) // |labels|·64 rows; probe + norms
     val cn = cent.groupBy("label").agg(sum(col("c") * col("c")).as("n2c"))
-    // zero-norm guard — x150's discipline: NaN must raise identically on
-    // both engines, never silently order the argmax
     def normGuard(n2: Column, cos: Column): Column =
-      when(n2 === 0L, raise_error(lit(
-        "x159 cosine: zero-norm operand — an all-zero ppm vector/centroid " +
-          "has no cosine; clean zero-norm embeddings upstream (see x10)")).cast("long"))
-        .otherwise(cos)
+      zeroNormGuard("x159 cosine", n2, cos)
     val allc = v
       .join(broadcast(cent.select(col("label").as("clabel"), col("dim"), col("c"))),
         Seq("dim"))

@@ -990,7 +990,9 @@ object TextQueries {
     * x66 2.1 s → 4.2 s). */
   private[queries] def guardedBroadcast(df: DataFrame): DataFrame = {
     val max = df.sparkSession.conf
-      .getOption("spark.graft.broadcastMaxRows").map(_.toLong)
+      .getOption("spark.graft.broadcastMaxRows")
+      .map(v => v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"spark.graft.broadcastMaxRows must be a row-count integer, got '$v'")))
       .getOrElse(16000000L)
     val cp = df.localCheckpoint(eager = false)
     if (cp.count() <= max) broadcast(cp) else cp
@@ -6057,9 +6059,14 @@ object TextQueries {
     * engines): chance agreement p_e is computed FROM the floored ppm
     * marginals (exactly replicable; ≤ 2ppm from the real rational), and
     * κ_ppm = (agree−pe)·10⁶ div (10⁶−pe) with MAGNITUDE floor-div and the
-    * sign attached (Spark `div` truncates toward zero where DuckDB `//`
-    * floors — on the split-sign form both engines see only non-negative
-    * operands, so the results are bit-identical). pe = 10⁶ (a constant
+    * sign attached: on the split-sign form both engines see only
+    * NON-NEGATIVE operands, where integral division is unambiguous, so
+    * the convention never has to depend on either engine's
+    * negative-division choice. (Empirically the two already agree —
+    * x150's signed centroid floor-divs hash-match on hundreds of negative
+    * non-divisible cells — so this is convention pinning, not a bug
+    * dodge; r19 self-review corrected an earlier claim here that DuckDB
+    * `//` floors where Spark `div` truncates.) pe = 10⁶ (a constant
     * verdict pair) pins κ = 0, never a 0/0.
     *
     * Plan/scale: qualityGateOf's row-local verdicts → ONE partial-final

@@ -90,17 +90,18 @@ object Sinks {
   def compactEpochLedger(spark: org.apache.spark.sql.SparkSession, path: String,
       upTo: Long, key: String, value: String): Unit = {
     import org.apache.spark.sql.functions.{col, lit, max, struct}
-    val ledger = spark.read.parquet(path)
     // The fold below projects to exactly (key, value, __epoch). A wider
     // ledger would silently lose its extra columns in the base write —
     // and a crash between the base write and the delete would then leave
-    // MIXED-schema partitions that spark.read.parquet resolves from one
-    // sampled file (r17 advice). Refuse wider ledgers up front — and
-    // detect them DETERMINISTICALLY: the validation read merges every
-    // file's footer (r18 advice: without mergeSchema, a ledger already in
-    // the mixed state resolves its schema from whichever file gets
-    // sampled, so the require itself would pass or fail by luck).
-    val cols = spark.read.option("mergeSchema", "true").parquet(path).columns.toSet
+    // MIXED-schema partitions that a plain spark.read.parquet resolves
+    // from one sampled file (r17 advice). Refuse wider ledgers up front —
+    // and detect them DETERMINISTICALLY: ONE mergeSchema read serves both
+    // the validation and the fold (r18 advice + r19 self-review: without
+    // mergeSchema the require would pass or fail by footer-sampling luck,
+    // and a second plain read would re-resolve a schema the require never
+    // validated).
+    val ledger = spark.read.option("mergeSchema", "true").parquet(path)
+    val cols = ledger.columns.toSet
     require(cols == Set(key, value, "__epoch"),
       s"compactEpochLedger: ledger at $path has columns ${cols.toSeq.sorted.mkString("(", ", ", ")")}; " +
         s"this fold preserves exactly ($key, $value, __epoch) — compacting a wider " +
