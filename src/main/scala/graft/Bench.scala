@@ -223,7 +223,16 @@ object Bench {
     * "r19:184/184@sf0.01,184/184@sf0.1" — green = rows+schema+hash all
     * true with a null err, the same predicate RepoHygieneSpec enforces.
     * None (field omitted) when no artifact is readable: the bench must
-    * never die on attestation, and a missing field is itself legible. */
+    * never die on attestation, and a missing field is itself legible.
+    *
+    * Staleness cross-check (r19 advice): the artifacts attest a PAST
+    * gate run, so an artifact whose entry set no longer equals the live
+    * registry (a query added or renamed since the cut) must not render
+    * as a clean green count — such a file gets a "(stale)" suffix on its
+    * fraction, computed against SparkEntry.defs at attestation time.
+    * RepoHygieneSpec separately FAILS the build on the same drift; the
+    * suffix makes the bench line self-describing even when the bench is
+    * run outside the test gate. */
   def correctnessAttestation(dir: String = "."): Option[String] = try {
     val rx = "^CORRECTNESS_local_r(\\d+)_(sf[0-9.]+)\\.json$".r
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
@@ -236,6 +245,7 @@ object Bench {
       val round = files.map(_._1).max
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       import scala.jdk.CollectionConverters._
+      val registry = SparkEntry.defs.map(_.name).toSet
       val per = files.filter(_._1 == round).sortBy(_._2).map { case (_, sf, f) =>
         val root = mapper.readTree(f)
         val entries = root.fieldNames().asScala.toSeq
@@ -245,7 +255,8 @@ object Bench {
             e.has(k) && e.get(k).asBoolean(false)) &&
             (!e.has("err") || e.get("err").isNull)
         }
-        s"$green/${entries.size}@$sf"
+        val stale = if (entries.toSet == registry) "" else "(stale)"
+        s"$green/${entries.size}@$sf$stale"
       }
       Some(s"r$round:" + per.mkString(","))
     }

@@ -971,6 +971,20 @@ object TextQueries {
     * strategies above it — same results either way, pinned by
     * BroadcastGuardSpec in both regimes.
     *
+    * Over-threshold branch (r19 advice): the ORIGINAL frame is returned,
+    * not the probe checkpoint. localCheckpoint truncates lineage and pins
+    * its blocks on executors, which is exactly wrong for a near-corpus-
+    * scale side in the regime the guard exists for — one lost executor
+    * would kill the job (no lineage to recompute from) and the pinned
+    * MEMORY_AND_DISK copy doubles the footprint of the largest frame in
+    * the plan. Returning `df` lets the shuffled join STREAM the side with
+    * full lineage: executor loss recomputes from source, and nothing is
+    * pinned for the life of the downstream job. The price is that the
+    * decision count's materialized probe blocks are discarded (reclaimed
+    * by the ContextCleaner once the probe frame is unreferenced) — paid
+    * only in the rare over-threshold regime, where one throwaway scan is
+    * cheap next to an unrecoverable job.
+    *
     * Threshold math: at the ~40 B/row of a (token, BIGINT count) pair,
     * the default 16M rows is ≲ 640 MB serialized — comfortably inside
     * Spark's 8 GB broadcast cap and a 4 GB executor heap share, while
@@ -995,7 +1009,7 @@ object TextQueries {
         s"spark.graft.broadcastMaxRows must be a row-count integer, got '$v'")))
       .getOrElse(16000000L)
     val cp = df.localCheckpoint(eager = false)
-    if (cp.count() <= max) broadcast(cp) else cp
+    if (cp.count() <= max) broadcast(cp) else df
   }
 
   /** The shared bigram explode over (doc_id[, carry...], text): one row
@@ -1494,32 +1508,60 @@ object TextQueries {
     * divergence risk); rule flags are INTs so the hash oracle sees
     * identical types. */
   val textQualityGate = sql(
-    "x64_quality_gate",
-    """WITH w AS (
-      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-      |), s AS (
-      |  SELECT doc_id,
-      |    CAST(len(toks) AS INTEGER) AS n_words,
-      |    CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
-      |          / len(toks) AS mean_wlen,
-      |    CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS INTEGER) AS stop_hits,
-      |    CASE WHEN len(toks) < 2 THEN CAST(0.0 AS DOUBLE) ELSE
-      |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
-      |        i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)))) AS DOUBLE)
-      |        / (len(toks) - 1)
-      |    END AS dup_bigram_frac
-      |  FROM w
-      |)
-      |SELECT doc_id, n_words, mean_wlen, dup_bigram_frac, stop_hits,
-      |  CAST(n_words BETWEEN 25 AND 5000 AS INTEGER) AS r_len,
-      |  CAST(mean_wlen BETWEEN 4.0 AND 5.0 AS INTEGER) AS r_wlen,
-      |  CAST(dup_bigram_frac <= CAST(0.08 AS DOUBLE) AS INTEGER) AS r_rep,
-      |  CAST(stop_hits >= 2 AS INTEGER) AS r_stop,
-      |  CAST(n_words BETWEEN 25 AND 5000 AND mean_wlen BETWEEN 4.0 AND 5.0
-      |       AND dup_bigram_frac <= CAST(0.08 AS DOUBLE) AND stop_hits >= 2
-      |       AS INTEGER) AS pass
-      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    "x64_quality_gate", {
+      // rule flags + composite pass composed from the ONE per-rule
+      // spelling (gateRulePredSql) — the measure columns stay spelled
+      // out because they ARE the cross-engine reference of the measures
+      val flags = gateRules.map(r =>
+        s"  CAST(${gateRulePredSql(r, "toks")} AS INTEGER) AS r_$r").mkString(",\n")
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, toks,
+        |    CAST(len(toks) AS INTEGER) AS n_words,
+        |    CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+        |          / len(toks) AS mean_wlen,
+        |    CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS INTEGER) AS stop_hits,
+        |    CASE WHEN len(toks) < 2 THEN CAST(0.0 AS DOUBLE) ELSE
+        |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |        i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)))) AS DOUBLE)
+        |        / (len(toks) - 1)
+        |    END AS dup_bigram_frac
+        |  FROM w
+        |)
+        |SELECT doc_id, n_words, mean_wlen, dup_bigram_frac, stop_hits,
+        |""".stripMargin + flags + ",\n  " + gatePassSql("toks") + """ AS pass
+        |FROM s ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
     qualityGateOf(docs(s, d)).orderBy("doc_id")
+  }
+
+  /** x64's rule names in their fixed order — also the cascade order (a doc
+    * attributes to the FIRST rule that rejects it, x151). A def, not a
+    * val: registration vals both above and below this point consume it,
+    * and a val would be null during the object-init of earlier ones. */
+  private def gateRules = Seq("len", "wlen", "rep", "stop")
+
+  /** Each of x64's four gate rules as its own oracle-SQL BOOLEAN predicate
+    * over a `toks` list column — the SINGLE spelling of every threshold
+    * and of the dup-bigram rule expression. [[gatePassSql]] conjoins them,
+    * x64's oracle emits them (cast 0/1 INTEGER) next to the raw measures,
+    * and x157's agreement matrix reads them per-rule — so a threshold edit
+    * lands in every oracle at once (r19 advice: x157 had grown a second
+    * hand-inlined copy of all four spellings, the same drift class the r15
+    * review fixed by factoring the composite gatePassSql). */
+  private def gateRulePredSql(rule: String, toks: String): String = rule match {
+    case "len" => s"len($toks) BETWEEN 25 AND 5000"
+    case "wlen" =>
+      s"CAST(list_aggregate(list_transform($toks, t -> length(t)), 'sum') AS DOUBLE)" +
+        s" / len($toks) BETWEEN 4.0 AND 5.0"
+    case "rep" =>
+      s"(CASE WHEN len($toks) < 2 THEN CAST(0.0 AS DOUBLE) ELSE" +
+        s" 1.0 - CAST(len(list_distinct(list_transform(range(1, len($toks))," +
+        s" i -> list_extract($toks, i) || ' ' || list_extract($toks, i + 1)))) AS DOUBLE)" +
+        s" / (len($toks) - 1) END) <= CAST(0.08 AS DOUBLE)"
+    case "stop" => s"len(list_filter($toks, t -> t = 'the' OR t = 'a')) >= 2"
+    case other => throw new IllegalArgumentException(s"unknown gate rule '$other'")
   }
 
   /** x64's composite gate as ONE oracle-SQL boolean (0/1 INTEGER) over a
@@ -1529,14 +1571,7 @@ object TextQueries {
     * qualityGateOf is the Spark source of truth; x64's own oracle also
     * emits the per-rule columns and stays the cross-engine reference. */
   private def gatePassSql(toks: String): String =
-    s"CAST(len($toks) BETWEEN 25 AND 5000" +
-      s" AND CAST(list_aggregate(list_transform($toks, t -> length(t)), 'sum') AS DOUBLE)" +
-      s" / len($toks) BETWEEN 4.0 AND 5.0" +
-      s" AND (CASE WHEN len($toks) < 2 THEN CAST(0.0 AS DOUBLE) ELSE" +
-      s" 1.0 - CAST(len(list_distinct(list_transform(range(1, len($toks))," +
-      s" i -> list_extract($toks, i) || ' ' || list_extract($toks, i + 1)))) AS DOUBLE)" +
-      s" / (len($toks) - 1) END) <= CAST(0.08 AS DOUBLE)" +
-      s" AND len(list_filter($toks, t -> t = 'the' OR t = 'a')) >= 2 AS INTEGER)"
+    "CAST(" + gateRules.map(gateRulePredSql(_, toks)).mkString(" AND ") + " AS INTEGER)"
 
   /** x64's body over any (doc_id, text) frame — x66 composes it; `keep`
     * carries extra input columns through (x129 keeps `source`) without
@@ -5765,8 +5800,6 @@ object TextQueries {
     gateAblationOf(docs(s, d)).orderBy("source", "rule")
   }
 
-  private val gateRules = Seq("len", "wlen", "rep", "stop")
-
   /** x151's WIDE per-source aggregate — one groupBy of 16 integer-sum
     * monoids, factored out so the streaming twin
     * ([[graft.streaming.DocStream.gateAblationUpdates]]) can run it as a
@@ -6037,10 +6070,9 @@ object TextQueries {
   /** The 6 unordered pairs of x64's four gate rules, in the fixed
     * (len, wlen, rep, stop) order — shared by x157's engine and oracle so
     * the pair enumeration cannot drift. */
-  private val gateRulePairs: Seq[(String, String)] = {
-    val rs = Seq("len", "wlen", "rep", "stop")
-    for (i <- rs.indices; j <- (i + 1) until rs.size) yield (rs(i), rs(j))
-  }
+  private val gateRulePairs: Seq[(String, String)] =
+    for (i <- gateRules.indices; j <- (i + 1) until gateRules.size)
+      yield (gateRules(i), gateRules(j))
 
   /** x157: gate-rule AGREEMENT matrix — x151 prices each rule's marginal
     * effect (n_only / cascade attribution); this prices their REDUNDANCY:
@@ -6079,22 +6111,19 @@ object TextQueries {
         s"    CAST(SUM(r_$a * r_$b) AS BIGINT) AS bp_${a}_$b,\n" +
           s"    CAST(SUM((1 - r_$a) * (1 - r_$b)) AS BIGINT) AS bf_${a}_$b"
       }.mkString(",\n")
-      val marginals = Seq("len", "wlen", "rep", "stop")
+      val marginals = gateRules
         .map(r => s"    CAST(SUM(r_$r) AS BIGINT) AS p_$r").mkString(",\n")
       val branches = gateRulePairs.map { case (a, b) =>
         s"  SELECT '$a' AS rule_a, '$b' AS rule_b, n_docs, p_$a AS pass_a," +
           s" p_$b AS pass_b, bp_${a}_$b AS both_pass, bf_${a}_$b AS both_fail FROM a"
       }.mkString("\n  UNION ALL\n")
+      // per-rule verdicts from the ONE shared spelling (gateRulePredSql) —
+      // r19 advice: this block was a hand-inlined second copy of all four
+      val ruleCols = gateRules.map(r =>
+        s"    CAST(${gateRulePredSql(r, "toks")} AS INTEGER) AS r_$r").mkString(",\n")
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id,
-        |    CAST(len(toks) BETWEEN 25 AND 5000 AS INTEGER) AS r_len,
-        |    CAST(CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
-        |         / len(toks) BETWEEN 4.0 AND 5.0 AS INTEGER) AS r_wlen,
-        |    CAST((CASE WHEN len(toks) < 2 THEN CAST(0.0 AS DOUBLE) ELSE
-        |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
-        |        i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)))) AS DOUBLE)
-        |        / (len(toks) - 1) END) <= CAST(0.08 AS DOUBLE) AS INTEGER) AS r_rep,
-        |    CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) >= 2 AS INTEGER) AS r_stop
+        |""".stripMargin + ruleCols + """
         |  FROM w),
         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         |""".stripMargin + marginals + ",\n" + joint + "\n  FROM s),\nu AS (\n" +

@@ -210,6 +210,34 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
       .getBytes("UTF-8").length should be < 1880
   }
 
+  test("attestation marks an artifact whose entries drifted from the registry as (stale)") {
+    // r19 advice: the attestation reads committed artifacts, not the run
+    // itself — so an artifact cut against an older registry must not
+    // render as a clean green count. Entry-set equality with the live
+    // SparkEntry.defs is checked at attestation time.
+    val dir = java.nio.file.Files.createTempDirectory("attest").toFile
+    try {
+      val green = """{"rows_match":true,"schema_match":true,"hash_match":true,"err":null}"""
+      // (a) an artifact missing a registry query (and carrying a ghost)
+      val drifted = """{"q01_ghost_query":""" + green + "}"
+      java.nio.file.Files.write(
+        new java.io.File(dir, "CORRECTNESS_local_r99_sf0.01.json").toPath,
+        drifted.getBytes("UTF-8"))
+      // (b) an artifact matching the registry exactly, all green
+      val full = SparkEntry.defs.map(d => s""""${d.name}":$green""")
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        new java.io.File(dir, "CORRECTNESS_local_r99_sf0.1.json").toPath,
+        full.getBytes("UTF-8"))
+      val a = Bench.correctnessAttestation(dir.getPath).get
+      a should include("1/1@sf0.01(stale)")
+      a should include(s"${SparkEntry.defs.size}/${SparkEntry.defs.size}@sf0.1")
+      a should not include "sf0.1(stale)"
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("a contended row surfaces its max in hot_max; calm rows stay min-only") {
     val samples = Seq(
       "q01_calm" -> Seq(0.5, 0.4, 0.6),           // max/min = 1.5 → calm

@@ -12,7 +12,10 @@ import graft.SparkTestBase
   * type count" (the x62-family ctx tables) and "bounded by construction"
   * (x155's corpus-derived test split: actually ~12.5% OF THE CORPUS) are
   * claims a 100 TB web corpus breaks. Both regimes must be value-identical;
-  * these tests pin that on real sf0.001 data.
+  * these tests pin that on real sf0.001 data. In the over-threshold regime
+  * the guard returns the ORIGINAL lineage-bearing frame (r19 advice), so
+  * the shuffled join streams the side and an executor loss recomputes from
+  * source — the value pins below run through that exact path.
   *
   * Plan-flip pin subtlety: at fixture scale Catalyst AUTO-broadcasts the
   * small checkpointed ctx even without the hint (the materialized
