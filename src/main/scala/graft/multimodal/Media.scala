@@ -210,6 +210,72 @@ object Media {
       }(enc)
   }
 
+  /** Streaming image-dedup ADMISSION over a DURABLE aHash index — the
+    * media twin of [[graft.streaming.DocStream.nearDupAdmission]]'s
+    * no-state-store posture: each arriving micro-batch fingerprints its
+    * images ([[imageHashes]], the exact batch transform), admits exactly
+    * one representative per previously-unseen aHash (smallest media_id in
+    * the batch wins — deterministic), lands the admitted (media_id, ahash)
+    * rows through the idempotent epoch sink, and appends them to the index
+    * so the NEXT batch dedups against the grown population — across
+    * process generations, because the index is a parquet artifact the
+    * checkpoint's commit log coordinates with, not a state store.
+    *
+    * Replay discipline (foreachBatch is at-least-once; the index append is
+    * NOT transactional with the checkpoint): (a) index rows carrying this
+    * batch's OWN media_ids are ignored when computing verdicts, so an
+    * epoch replayed after a crash-between-append-and-commit re-admits the
+    * same rows instead of rejecting them against their half-committed
+    * hashes, and the epoch sink overwrites its own partition; (b) the
+    * append skips hashes already present (materialized BEFORE the write so
+    * nothing reads the index path mid-append) — a replay appends nothing
+    * and the index converges.
+    *
+    * Exact-fingerprint semantics by design: the ingest gate kills
+    * re-encodes and byte-identical re-crawls (same thumbnail ⇒ same 64
+    * bits); NEAR-dup pairs (hamming ≤ τ) remain a refresh-time audit over
+    * the admitted index via [[phashNearDupPairsMih]] — a pigeonhole
+    * equi-join, deliberately NOT an admission rule, because a per-batch
+    * hamming probe without precomputed MIH tables would be batch×index
+    * all-pairs. */
+  def hashDedupAdmission(media: DataFrame, indexPath: String,
+      admittedPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+        hashAdmitBatch(batch.toDF(), epoch, indexPath, admittedPath)
+      }
+      .start()
+
+  /** One [[hashDedupAdmission]] micro-batch: verdicts + epoch write +
+    * converging index append. Factored so the spec can replay an epoch
+    * directly (the nearDupAdmission test pattern). */
+  private[graft] def hashAdmitBatch(batch: DataFrame, epoch: Long,
+      indexPath: String, admittedPath: String): Unit = {
+    val hashes = imageHashes(batch) // (media_id, ahash)
+    val index = batch.sparkSession.read.parquet(indexPath)
+    // (a) replay hygiene: verdicts ignore the batch's own half-committed rows
+    val foreign = index.join(hashes.select("media_id"), Seq("media_id"), "left_anti")
+    // intra-batch winner per hash, then the durable-index verdict
+    val reps = hashes.groupBy("ahash").agg(min("media_id").as("media_id"))
+    val admitted = reps
+      .join(foreign.select("ahash"), Seq("ahash"), "left_anti")
+      .select("media_id", "ahash")
+    graft.streaming.EventStream.writeEpoch(admitted, epoch, admittedPath)
+    // (b) converging append, materialized before it writes its own source
+    val novel = admitted.join(index.select("ahash"), Seq("ahash"), "left_anti")
+      .localCheckpoint()
+    if (!novel.isEmpty) novel.write.mode("append").parquet(indexPath)
+  }
+
+  /** Seeds an EMPTY (media_id, ahash) index at `path` — the artifact
+    * [[hashDedupAdmission]] probes and grows. */
+  def initHashIndex(spark: SparkSession, path: String): Unit =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("media_id", LongType, nullable = false),
+        StructField("ahash", LongType, nullable = false))))
+      .write.mode("overwrite").parquet(path)
+
   /** `syntheticMedia` plus PLANTED image near-duplicates: every 15th base
     * id (an image row) gets a twin at id 1000+i whose payload carries +50
     * (mod 251) on its first 8 bytes — a localized edit that keeps most

@@ -100,4 +100,55 @@ class EmbStreamSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // second emission with the same or lower min)
     updates.groupBy(_.getInt(0)).values.count(_.size >= 2) should be > 0
   }
+
+  test("outlier-census restart-from-checkpoint: the per-cell (count, sum, min) state survives a stop") {
+    import spark.implicits._
+    // r19 verdict item 2: the two-batch test above proves the fold, but
+    // never stops a live query — this drives the streaming-aggregation
+    // state store across a real stop/restart. Distinguishing probe: cells
+    // fed in BOTH epochs must emit post-restart counts LARGER than a
+    // fresh fold of batch 2 alone — a lost state store would reset them
+    // (and could not carry batch 1's min). Memory sinks can't recover a
+    // checkpoint, so rows land via foreachBatch + the epoch ledger.
+    val sf = "/root/testdata/sf0.01"
+    val rows = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = rows.splitAt(300)
+    val base = java.nio.file.Files.createTempDirectory("emb-restart").toString
+    val out = s"$base/led"
+    val input = MemoryStream[(Long, Seq[Float])]
+    def start() = EmbStream.outlierCensusUpdates(input.toDF.toDF("vec_id", "embedding"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], e: Long) =>
+        EventStream.writeEpoch(b.toDF(), e, out)
+      }
+      .start()
+    val q1 = start()
+    try { input.addData(b1.toSeq); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try { input.addData(b2.toSeq); q2.processAllAvailable() } finally q2.stop()
+    val led = spark.read.parquet(out).collect()
+    // n_vecs is monotone per cell → max-epoch emission is the final state,
+    // and it must equal the batch fold on the UNION of both arrivals
+    val latest = led.groupBy(_.getAs[Int]("cell")).map { case (c, rs) =>
+      val r = rs.maxBy(_.getAs[Number]("__epoch").longValue)
+      c -> ((r.getAs[Long]("n_vecs"), r.getAs[Long]("sum_off"),
+        r.getAs[Long]("min_cos_ppm"), r.getAs[Long]("n_outliers")))
+    }
+    val batch = SimilarityQueries.outlierStatsOf(
+      rows.toSeq.toDF("vec_id", "embedding")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    latest shouldBe batch
+    // the probe: some post-restart emission outgrew batch 2's own fold
+    val b2Only = SimilarityQueries.outlierStatsOf(
+      b2.toSeq.toDF("vec_id", "embedding")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val epoch1 = led.filter(_.getAs[Number]("__epoch").longValue == 1L)
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n_vecs"))
+    epoch1 should not be empty
+    epoch1.exists { case (c, n) => n > b2Only.getOrElse(c, 0L) } shouldBe true
+  }
 }
