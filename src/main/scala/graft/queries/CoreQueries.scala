@@ -464,8 +464,11 @@ object CoreQueries {
       |UNION ALL SELECT 'o_totalprice', CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT o_totalprice) FROM orders
       |ORDER BY col_name""".stripMargin) { (s, d) =>
     // exact pinned: the oracle's COUNT(DISTINCT) is exact, so the query
-    // must not ride the profiler's size-based exact→approx auto-dispatch
-    graft.operators.Profiler.profile(Tables.orders(s, d), exactHint = Some(true))
+    // must not ride the profiler's size-based exact→approx auto-dispatch.
+    // withMinMax = false (r20): this query drops min/max anyway, and their
+    // string buffers forced the whole Expand aggregate into SortAggregate
+    graft.operators.Profiler.profile(Tables.orders(s, d), exactHint = Some(true),
+        withMinMax = false)
       .select(col("column").as("col_name"), col("n_nulls"), col("n_distinct"))
       .orderBy("col_name")
   }

@@ -505,13 +505,19 @@ object TextQueries {
       val nbrRep = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .select(col("dst").as("doc_id"), col("rep"))
-      val updated = labels.union(nbrRep)
-        .groupBy("doc_id").agg(min("rep").as("rep"))
+      // r20 OPTIMIZATION (guide §2.4): the convergence check used to be a
+      // SECOND join of the new labels against the old (one extra full
+      // shuffle of the label table per round). `labels` holds exactly one
+      // row per doc_id, so its previous rep can RIDE the same union/groupBy
+      // as a max-of-one-non-null column, and `changed` is a plain filter
+      // over the aggregate the round materializes anyway. Values unchanged:
+      // rep is the same min over the same multiset.
+      val updated = labels.withColumn("own", col("rep"))
+        .unionByName(nbrRep.withColumn("own", lit(null).cast(nbrRep.schema("rep").dataType)))
+        .groupBy("doc_id").agg(min("rep").as("rep"), max("own").as("prev"))
         .localCheckpoint(eager = false)
-      changed = updated
-        .join(labels.withColumnRenamed("rep", "prev"), Seq("doc_id"))
-        .filter(col("rep") < col("prev")).count()
-      labels = updated
+      changed = updated.filter(col("rep") < col("prev")).count()
+      labels = updated.select("doc_id", "rep")
     }
     nodes.select("doc_id").join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
@@ -1577,18 +1583,35 @@ object TextQueries {
     * carries extra input columns through (x129 keeps `source`) without
     * touching x64's pinned output contract. */
   def qualityGateOf(dd: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    // r20 OPTIMIZATION (guide §4/§2.3): every measure must stay cheap even
+    // when a downstream `filter(pass === 1)` is pushed through this
+    // projection — Catalyst substitutes the alias chain into the predicate,
+    // and HOF lambdas get no cross-boundary subexpression elimination, so
+    // the OLD spelling (element_at(w, i) inside a transform over indices)
+    // re-evaluated the split PER ELEMENT once `w` was inlined: O(n²·len)
+    // per row, measured 0.34 s → 3.16 s on the x134-shape gate+filter at
+    // sf0.1. The fixes keep every VALUE bit-identical (oracles unchanged):
+    //  - mean_wlen: Σ len(tokens) ≡ length(text) − (n_words − 1) — split on
+    //    a single space partitions the text, so token chars + separators
+    //    reconstruct it exactly (holds for empty/leading/trailing tokens);
+    //    the aggregate-HOF is replaced by O(1) arithmetic on the same ints.
+    //  - dup_bigram: zip_with over two slices builds the same
+    //    "tᵢ SPACE tᵢ₊₁" strings with lambdas that touch ONLY their
+    //    elements — inlining `w` costs a handful of O(n) splits per row,
+    //    never O(n²).
     val base = dd
       .withColumn("w", tokens)
       .withColumn("n_words", size(col("w")))
       .withColumn("mean_wlen",
-        expr("aggregate(w, 0L, (a, t) -> a + length(t))").cast("double")
+        (length(col("text")).cast("long") - col("n_words") + 1).cast("double")
           / col("n_words"))
       .withColumn("stop_hits",
         size(filter(col("w"), t => t === "the" || t === "a")))
-      // sequence(1, 0) DESCENDS in Spark — guard the 1-word doc explicitly
       .withColumn("dup_bigram_frac", when(col("n_words") < 2, lit(0.0)).otherwise(
-        lit(1.0) - size(array_distinct(expr(
-          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")))
+        lit(1.0) - size(array_distinct(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (x, y) => concat(x, lit(" "), y))))
           .cast("double") / (col("n_words") - 1)))
     val rLen = col("n_words").between(25, 5000)
     val rWlen = col("mean_wlen").between(4.0, 5.0)
