@@ -81,15 +81,27 @@ object Quantiles {
       ps: Seq[Double], rowsPerGroupHint: Option[Long] = None): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must be in [0, 1], got $ps")
-    val maxRows = rowsPerGroupHint.getOrElse {
-      val r = df.filter(col(valueCol).isNotNull)
-        .agg(count(lit(1)), approx_count_distinct(groupCol)).head()
-      val total = r.getLong(0)
-      val groups = math.max(r.getLong(1), 1L)
-      if (total <= builtinMaxRowsPerGroup) total // max ≤ total: builtin safe
-      else if (total / groups > builtinMaxRowsPerGroup) total // avg over cap: parallel
-      else largestGroupRows(df, groupCol, valueCol) // ambiguous: measure the max
-    }
+    // r20 OPTIMIZATION (guide §1.2/§5): the un-hinted probe was an EAGER
+    // scalar-aggregate job on every call — even when the optimizer's size
+    // estimate already proves the builtin safe (worst case, the WHOLE
+    // input is one group: est/16 B-per-row ≤ builtinMaxRowsPerGroup ⇒ the
+    // largest group fits the builtin's task buffer). The zero-job
+    // [[singleGroupQuantiles]] dispatch applies verbatim; sentinel-sized
+    // estimates (unmeasured sources) are huge and fall through to the
+    // probe, the safe direction. Saves one full input scan per call at
+    // every scale below the cap; both paths stay bit-identical.
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxRows =
+      if (rowsPerGroupHint.isEmpty && est <= BigInt(builtinMaxBytesSingleGroup)) 0L
+      else rowsPerGroupHint.getOrElse {
+        val r = df.filter(col(valueCol).isNotNull)
+          .agg(count(lit(1)), approx_count_distinct(groupCol)).head()
+        val total = r.getLong(0)
+        val groups = math.max(r.getLong(1), 1L)
+        if (total <= builtinMaxRowsPerGroup) total // max ≤ total: builtin safe
+        else if (total / groups > builtinMaxRowsPerGroup) total // avg over cap: parallel
+        else largestGroupRows(df, groupCol, valueCol) // ambiguous: measure the max
+      }
     if (maxRows > builtinMaxRowsPerGroup) parallelQuantiles(df, groupCol, valueCol, ps)
     else builtinQuantiles(df, groupCol, valueCol, ps)
   }

@@ -344,6 +344,50 @@ class BenchSanitySpec extends AnyFunSuite with Matchers {
     root.get("regressed").fieldNames().asScala.toSeq shouldBe Seq("q10")
   }
 
+  test("load-robust re-time: only inflated rows inside a contention-marked stretch flag (r19 verdict item 2)") {
+    val prev = Some(Bench.PrevBench(19, Map(
+      "x01" -> 0.4, "x02" -> 0.4, "x03" -> 0.4, "x04" -> 0.1), noise = 1.0))
+    // calibration: sample 0 calm (brackets queries 0-15), sample 1 HOT
+    // (brackets 16-31), sample 2 calm
+    val calib = Seq(0.2, 1.4, 0.2)
+    def mk(i: Int, name: String, t: Double) = (i, name -> Seq(t, t, t))
+    // 20 filler rows so indices 16+ sit in the hot stretch
+    val filler = (0 until 16).map(i => f"f$i%02d_filler" -> Seq(0.3, 0.3, 0.3))
+    val samples = filler ++ Seq(
+      "x01_inflated_hot" -> Seq(1.2, 1.3, 1.2),  // 3× prev, hot stretch → flags
+      "x02_calm_value" -> Seq(0.5, 0.5, 0.5),    // 1.25× prev → no flag
+      "x03_small" -> Seq(0.45, 0.45, 0.45),      // under 0.5 s floor → no flag
+      "x04_tiny_prev" -> Seq(0.45, 0.45, 0.45))  // quantized prev + floor → no flag
+    val flagged = Bench.retimeCandidates(samples, prev, calib)
+    flagged shouldBe Seq(16) // exactly the inflated row in the hot stretch
+    // the same row inside a CALM stretch never flags (host honesty: a real
+    // regression must stay visible in `regressed`, not be re-timed away —
+    // a calm-stretch inflation IS the regression signal)
+    Bench.retimeCandidates(samples, prev, Seq(0.2, 0.3, 0.2)) shouldBe Seq.empty
+    // appending the re-time sample can only improve the min: the shipped
+    // value for a re-timed row is min(sweep samples ++ re-time)
+    val merged = Seq(1.2, 1.3, 1.2) ++ Seq(0.4)
+    merged.min shouldBe 0.4 +- 1e-9
+  }
+
+  test("load field: stamped when supplied, omitted when not; survives the packed rung") {
+    val line = Bench.renderJson(Seq("q01_x" -> Seq(0.3, 0.3, 0.3)),
+      calibration = Seq(0.2, 0.2), ivfTrain = 1.0, probeOnly = 0.5,
+      sfDir = "/root/testdata/sf0.1", None, None, load = Some(1.23))
+    mapper.readTree(line).get("load").asDouble() shouldBe 1.2 +- 1e-9
+    val none = Bench.renderJson(Seq("q01_x" -> Seq(0.3, 0.3, 0.3)),
+      calibration = Seq(0.2, 0.2), ivfTrain = 1.0, probeOnly = 0.5,
+      sfDir = "/root/testdata/sf0.1")
+    mapper.readTree(none).get("load") shouldBe null
+    // scalar tail: the field survives the last-resort packed rung
+    val rungs = Bench.renderRungs(Seq("q01_x" -> Seq(0.3, 0.3, 0.3)),
+      calibration = Seq(0.2, 0.2), ivfTrain = 1.0, probeOnly = 0.5,
+      sfDir = "/root/testdata/sf0.1", None, None, load = Some(2.0))
+    val packed = mapper.readTree(rungs.last)
+    packed.get("queries_packed") should not be null
+    packed.get("load").asDouble() shouldBe 2.0 +- 1e-9
+  }
+
   test("a failed query reports -1, is excluded from the total, and never marks hot") {
     val samples = Seq("q01_ok" -> Seq(0.5, 0.4, 0.6), "x02_bad" -> Seq(-1.0))
     val root = mapper.readTree(render(samples))
