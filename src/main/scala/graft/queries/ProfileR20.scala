@@ -117,6 +117,28 @@ object ProfileR20 {
       docs.select(col("doc_id"),
         size(filter(split(col("text"), " "), t => t === "the" || t === "a")).as("sh")))
 
+    // ---- raw dedup chain (x26/x51/x58/x59/x104/x125/x136/x147/x156) ----
+    time(spark, "chain.1 exactReps (x01 shape)")(
+      TextQueries.dedupExact.run(spark, sfDir))
+    def rsigs = TextQueries.minhashSignaturesOf(docs)
+    time(spark, "chain.2 sigs raw")(rsigs)
+    val rsC = rsigs.localCheckpoint(false)
+    time(spark, "chain.3 bandCandidates (ckpt sigs)")(TextQueries.bandCandidates(rsC))
+    time(spark, "chain.4 pairs verify (ckpt sigs)")(TextQueries.minhashPairs(rsC))
+    val rpC = TextQueries.minhashPairs(rsC).select("doc_a", "doc_b").localCheckpoint(false)
+    time(spark, "chain.5 CC (ckpt pairs)")(
+      TextQueries.connectedReps(rsC.select("doc_id"), rpC))
+    time(spark, "x26 FULL")(TextQueries.dedupClusters.run(spark, sfDir))
+    time(spark, "x58 FULL")(graft.SparkEntry.defs.find(_.name.startsWith("x58")).get.run(spark, sfDir))
+    time(spark, "x104 FULL")(graft.SparkEntry.defs.find(_.name.startsWith("x104")).get.run(spark, sfDir))
+    time(spark, "x156 FULL")(graft.SparkEntry.defs.find(_.name.startsWith("x156")).get.run(spark, sfDir))
+    time(spark, "x125 FULL")(graft.SparkEntry.defs.find(_.name.startsWith("x125")).get.run(spark, sfDir))
+    time(spark, "x136 FULL")(graft.SparkEntry.defs.find(_.name.startsWith("x136")).get.run(spark, sfDir))
+    time(spark, "x61 FULL")(graft.SparkEntry.defs.find(_.name.startsWith("x61")).get.run(spark, sfDir))
+    time(spark, "x73 FULL")(graft.SparkEntry.defs.find(_.name.startsWith("x73")).get.run(spark, sfDir))
+    time(spark, "x68 FULL")(graft.SparkEntry.defs.find(_.name.startsWith("x68")).get.run(spark, sfDir))
+    time(spark, "x48 FULL")(graft.SparkEntry.defs.find(_.name.startsWith("x48")).get.run(spark, sfDir))
+
     // ---- x34 decomposition ----
     val orders = graft.Tables.orders(spark, sfDir)
     time(spark, "x34 FULL (profile exact)")(

@@ -497,8 +497,17 @@ object TextQueries {
     // (near-dup-dense) subgraph only and union the singletons back at the
     // end. On a mostly-unique corpus this shrinks every iteration's
     // join+groupBy from |corpus| to |dup-graph| rows.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("rep"))
+    // r20 OPTIMIZATION (guide §1.2 step 1): initialize each node at its
+    // CLOSED-NEIGHBORHOOD min instead of itself — one groupBy over the
+    // (symmetric) edge list, the same single aggregate the old
+    // distinct-node init paid, but it IS the first hash-min round, so the
+    // loop converges one full join+groupBy+count round earlier. Fixpoint
+    // unchanged: init values are component-member ids, updates are the
+    // same monotone min recurrence, and the component min still labels
+    // every member (ClusterDedupSpec/x26 oracle pin the values).
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min("dst").as("mn"))
+      .select(col("doc_id"), least(col("doc_id"), col("mn")).as("rep"))
       .localCheckpoint(eager = false)
     var changed = 1L
     while (changed > 0) {
