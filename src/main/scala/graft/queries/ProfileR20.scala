@@ -139,6 +139,35 @@ object ProfileR20 {
     time(spark, "x68 FULL")(graft.SparkEntry.defs.find(_.name.startsWith("x68")).get.run(spark, sfDir))
     time(spark, "x48 FULL")(graft.SparkEntry.defs.find(_.name.startsWith("x48")).get.run(spark, sfDir))
 
+    // ---- x61 decomposition ----
+    {
+      val base = docs.select(col("doc_id"), col("text"))
+      def toks = base
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "tk")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tk"))
+      def wins = base
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n"),
+          posexplode(expr("graft_shingle_pos(text, 8)")).as(Seq("k0", "h")))
+      time(spark, "x61.1 wins explode")(wins)
+      def owners = wins.groupBy("h").agg(min("doc_id").as("owner"))
+      time(spark, "x61.2 owners")(owners)
+      def cut = wins.join(owners, Seq("h"))
+        .filter(col("owner") < col("doc_id"))
+        .select(col("doc_id"),
+          explode(sequence(col("k0") + 1, least(col("k0") + lit(8), col("n")))).as("p"))
+        .distinct()
+      time(spark, "x61.3 cut positions (distinct)")(cut)
+      val cutC = cut.localCheckpoint(false)
+      def kept = toks.join(cutC,
+        toks("doc_id") === cutC("doc_id") && toks("pos") === cutC("p"), "left_anti")
+      time(spark, "x61.4 anti-join kept (ckpt cut)")(kept)
+      time(spark, "x61.5 reassemble (ckpt cut)")(
+        kept.groupBy("doc_id").agg(
+          count(lit(1)).as("n_kept"),
+          expr("array_join(transform(array_sort(collect_list(struct(pos, tk))), s -> s.tk), ' ')")
+            .as("kept_text")))
+    }
+
     // ---- x34 decomposition ----
     val orders = graft.Tables.orders(spark, sfDir)
     time(spark, "x34 FULL (profile exact)")(

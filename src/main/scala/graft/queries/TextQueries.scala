@@ -2135,6 +2135,9 @@ object TextQueries {
 
   /** x60's body over any (doc_id, text) frame — DedupSoak scales it. */
   def substringDupOf(dd: DataFrame): DataFrame = {
+    // r20 note: pinning this explode (x61-style) was MEASURED SLOWER here
+    // (0.65 → 0.87 s) — the subtree is one cheap fused codegen pass and
+    // recomputing it twice beats materializing 3M thin rows; left as-is
     val win = dd
       .select(col("doc_id"), explode(expr("graft_shingles(text, 8)")).as("h"))
     val holders = win.groupBy("h").agg(count(lit(1)).as("nd"))
@@ -2166,32 +2169,51 @@ object TextQueries {
     substringCutOf(docs(s, d))
   }
 
-  /** x61's body over any (doc_id, text) frame — DedupSoak scales it. */
+  /** x61's body over any (doc_id, text) frame — DedupSoak scales it.
+    *
+    * r20 OPTIMIZATION (guide §8: decide with small rows, move big rows
+    * once / §2.3-2.4): the old plan posexploded EVERY token of EVERY doc
+    * (3M rows at sf0.1) into an anti-join against the cut-position set and
+    * re-collected them with a per-doc collect_list+array_sort — two full
+    * token-table exchanges whose payload was the corpus itself. But the
+    * cut DECISION only needs the foreign-owned window STARTS, which are
+    * doc-bounded and small: aggregate those into one per-doc array (the
+    * only shuffle that remains beyond the owner groupBy), join it back at
+    * DOC grain, and do the cut + reassembly row-locally — positions =
+    * array_except(sequence(1, n), window-cover flatten) keeps O(n)
+    * set-membership semantics (duplicate covers are harmless, so the old
+    * position-level DISTINCT exchange disappears too), and element_at(w,p)
+    * reads the already-materialized token array (w is referenced several
+    // times, so CollapseProject keeps the split materialized — the gate
+    // lesson does not bite here).
+    * Values identical (same tokens, same 1-based window cover, same
+    * ascending reassembly order); oracle + DedupSpec pin it. Measured
+    * 2.5 s → ~1.1 s at sf0.1; at 100 TB the win is structural — the two
+    * token-level exchanges (anti-join + re-collect) are gone. */
   def substringCutOf(dd: DataFrame): DataFrame = {
     val base = dd.select(col("doc_id"), col("text"))
-    val toks = base
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "tk")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tk"))
     val wins = base
       .select(col("doc_id"), size(split(col("text"), " ")).as("n"),
         posexplode(expr("graft_shingle_pos(text, 8)")).as(Seq("k0", "h")))
+      .localCheckpoint(eager = false) // owner agg + ownership join: one pass
     val owners = wins.groupBy("h").agg(min("doc_id").as("owner"))
-    val cut = wins.join(owners, Seq("h"))
+    val cutStarts = wins.join(owners, Seq("h"))
       .filter(col("owner") < col("doc_id"))
-      .select(col("doc_id"),
-        explode(sequence(col("k0") + 1, least(col("k0") + lit(8), col("n")))).as("p"))
-      .distinct()
-    val kept = toks.join(cut,
-      toks("doc_id") === cut("doc_id") && toks("pos") === cut("p"), "left_anti")
-    val ka = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      expr("array_join(transform(array_sort(collect_list(struct(pos, tk))), s -> s.tk), ' ')")
-        .as("kept_text"))
-    base.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .join(ka, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
-        coalesce(col("kept_text"), lit("")).as("text_kept"))
+      .groupBy("doc_id").agg(collect_list("k0").as("starts"))
+    base
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n", size(col("w")))
+      .join(cutStarts, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("starts").isNull, col("w")).otherwise(
+          transform(
+            array_except(sequence(lit(1), col("n")),
+              flatten(transform(col("starts"),
+                s => sequence(s + 1, least(s + lit(8), col("n")))))),
+            p => element_at(col("w"), p))))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        (col("n") - size(col("kept"))).cast("long").as("n_cut"),
+        array_join(col("kept"), " ").as("text_kept"))
       .orderBy("doc_id")
   }
 
