@@ -147,13 +147,18 @@ object TextQueries {
     val withSets = bandCandidates(sigTable)
       .join(sigTable.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sigTable.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    // r20 OPTIMIZATION (guide §2.4: an orderBy used only for presentation):
+    // the pair sort moved OUT to the registry surfaces (x03, the probe
+    // steady state) — every CHAIN consumer (CC labels, x26/x59/x134's
+    // closures, streaming intra-batch pairs) was paying a full range
+    // exchange + sort of the pair table for an order nothing downstream
+    // reads. At 100 TB the pair table is corpus-scale: that sort is real.
     withSets
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b")))
           .cast("double") / size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** The BLOCKING stage alone: distinct candidate pairs (doc_a < doc_b)
@@ -174,7 +179,7 @@ object TextQueries {
   /** Probe-only MinHash dedup from a durable signature artifact: every
     * session after the first skips shingling and signing entirely. */
   def dedupMinhashFromIndex(s: SparkSession, indexPath: String): DataFrame =
-    minhashPairs(s.read.parquet(indexPath))
+    minhashPairs(s.read.parquet(indexPath)).orderBy("doc_a", "doc_b") // x03's output contract
 
   /** APPEND admitted documents to a durable [[saveMinhashIndex]] artifact —
     * the missing third verb of the index lifecycle (build → probe →
@@ -279,6 +284,7 @@ object TextQueries {
     // so losing an executor mid-query fails the job instead of recomputing —
     // the durable artifact is the production form of this same boundary.
     minhashPairs(minhashSignatures(s, d).localCheckpoint(eager = false))
+      .orderBy("doc_a", "doc_b") // x03's declared output order (moved from minhashPairs)
   }
 
   /** SimHash near-dup pairs: 64-bit per-doc signature (sign of per-bit vote
@@ -962,7 +968,9 @@ object TextQueries {
     * checkpoint+count variant cost x66 (two consumers of one lmScoreCore)
     * 2.1 s → 4.2 s by breaking exchange reuse, while this unhinted form
     * matches the hinted original within noise. */
-  private def lmScoreCore(dd: DataFrame, carry: Seq[String]): DataFrame = {
+  // private[queries] (was private) so BroadcastGuardSpec can pin the
+  // carry-bearing chain's join strategy at sf0.1 sizes (r19 verdict item 3)
+  private[queries] def lmScoreCore(dd: DataFrame, carry: Seq[String]): DataFrame = {
     val bg = bigramsOf(dd, carry)
     val cpair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val cctx = cpair.groupBy("w1").agg(sum("c2").as("c1"))

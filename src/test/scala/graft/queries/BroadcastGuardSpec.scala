@@ -75,6 +75,33 @@ class BroadcastGuardSpec extends AnyFunSuite with Matchers with SparkTestBase {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("x135's carry-bearing ctx attach is BHJ at sf0.1 sizes (r19 verdict item 3)") {
+    // registry: x135_ppl_buckets — its score table is lmScoreCore(carry =
+    // lang) BEHIND a localCheckpoint, so the outer plan can't show the
+    // attach; pin the chain itself at BENCH scale with real sf0.1
+    // statistics. The ctx side (unigram types) must broadcast by the
+    // ENGINE's own decision (no hint survives — the zero-job guard form);
+    // the pair attach on (w1, w2) may legitimately shuffle at this scale,
+    // so the assertion targets the single-key ctx join specifically.
+    val dd = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+    val sco = TextQueries.lmScoreCore(dd, Seq("lang"))
+    sco.queryExecution.analyzed.toString should not include "UnresolvedHint"
+    sco.queryExecution.optimizedPlan.toString should not include "ResolvedHint"
+    sco.write.format("noop").mode("overwrite").save() // final adaptive plan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val root = sco.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bhjKeyArities = root.collectWithSubqueries {
+      case b: BroadcastHashJoinExec => b.leftKeys.size
+    }
+    withClue(s"executed plan:\n$root\n") {
+      bhjKeyArities should contain(1) // the w1-keyed ctx attach broadcasts
+    }
+  }
+
   test("x153: divergence identical across regimes (the guarded corpus-ctx attach)") {
     // registry: x153_source_lm_divergence
     val (default, hint, hintPlan, shuffled, shPlan) = threeRegimes(TextQueries.sourceLmDivergence)
