@@ -11,6 +11,9 @@ class RepoHygieneSpec extends AnyFunSuite with Matchers {
   private val allowed = List(
     "\\..*",                 // dotfiles: .git, .bsp, .scalafmt.conf, …
     "project", "src", "target",
+    "plans",                 // r20+: committed explain("formatted") dumps
+                             // (plans/r{N}/<query>_{before,after}.txt) —
+                             // the optimization rounds' plan evidence
     "build\\.sbt",
     "[A-Za-z0-9_.-]+\\.md",  // SURVEY.md, PLANS.md, …
     "[A-Za-z0-9_.-]+\\.json",// BASELINE/BENCH_r*/CORRECTNESS_r*/…
