@@ -90,7 +90,10 @@ object Quantiles {
     // estimates (unmeasured sources) are huge and fall through to the
     // probe, the safe direction. Saves one full input scan per call at
     // every scale below the cap; both paths stay bit-identical.
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // r21 (r20 ADVICE): file-source estimates are COMPRESSED on-disk bytes
+    // and get charged [[fileSourceCompressionSlack]] before the compare —
+    // see [[estimatedBytesForDispatch]].
+    val est = estimatedBytesForDispatch(df)
     val maxRows =
       if (rowsPerGroupHint.isEmpty && est <= BigInt(builtinMaxBytesSingleGroup)) 0L
       else rowsPerGroupHint.getOrElse {
@@ -114,6 +117,34 @@ object Quantiles {
     * scale). */
   val builtinMaxBytesSingleGroup: Long = builtinMaxRowsPerGroup * 16L
 
+  /** Compressed-on-disk → 16 B/row slack charged to FILE-SOURCE-backed
+    * size estimates (r20 ADVICE): for a parquet/ORC scan,
+    * optimizedPlan.stats.sizeInBytes is compressed bytes, and
+    * dictionary/RLE/delta encodings can pack far more than est/16 rows
+    * into est bytes (a sorted all-distinct BIGINT column delta-encodes to
+    * ~2 bytes/row) — so a raw `est ≤ cap` does NOT bound rows for the
+    * builtin's single-task buffer. 8× covers every codec ratio the shipped
+    * corpora measure (zstd parquet ≈ 2-4× on these tables) with margin;
+    * in-memory/derived estimates keep the raw compare (Catalyst's own
+    * row-width arithmetic, already conservative at 16 B/row), and
+    * unmeasured sources still report the huge sentinel and fall through
+    * to the probe/parallel path. */
+  val fileSourceCompressionSlack: Int = 8
+
+  /** The dispatch estimate: optimizer sizeInBytes, × [[fileSourceCompressionSlack]]
+    * when the plan reads any file-backed relation (v1 or v2). */
+  private[graft] def estimatedBytesForDispatch(df: DataFrame): BigInt = {
+    val plan = df.queryExecution.optimizedPlan
+    val fileBacked = plan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if r.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] => r
+      case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => v2
+    }.isDefined
+    val est = plan.stats.sizeInBytes
+    if (fileBacked) est * fileSourceCompressionSlack else est
+  }
+
   /** Exact quantiles of `valueCol` over a frame the CALLER constructed as
     * one group (q21/x50's synthetic `__g = lit(1)` shape). Knowing the
     * group count is 1 leaves a single dispatch question — does the one
@@ -131,7 +162,7 @@ object Quantiles {
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must be in [0, 1], got $ps")
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val est = estimatedBytesForDispatch(df)
     if (est <= BigInt(builtinMaxBytesSingleGroup))
       builtinQuantiles(df, groupCol, valueCol, ps)
     else parallelQuantiles(df, groupCol, valueCol, ps)

@@ -320,11 +320,28 @@ object SimilarityQueries {
       struct((lit(cNormSq) - lit(2.0) * dot(e, typedLit(c))).as("d"), lit(i).as("cell"))
     }: _*)), 1, n)("cell")
 
+  /** The k=1 cell assignment as a NON-NULLABLE column — for use as an
+    * equi-join key. r21 OPTIMIZATION (the r20 gate-pushdown class, guide
+    * §7.2): `element_at` is nullable in the type system (though never null
+    * here — the centroid array is a non-empty literal, so the slice always
+    * holds one struct whose `cell` field is a literal int), and an inner
+    * join on `cell` therefore infers IsNotNull(cell), which
+    * PushDownPredicates inlines into the scan filter — evaluating the whole
+    * literal-centroid argmin TWICE per corpus row (visible in the r20 x68
+    * plan: the scan Filter carries the full 16-centroid sort_array).
+    * `coalesce` with a literal fallback makes the expression non-nullable
+    * by construction, so the inferred null filter constant-folds away and
+    * the argmin runs ONCE. The -1 branch is dead code — values are
+    * unchanged for every input (incl. a null embedding, where the argmin
+    * still yields the ties-first literal cell, not null). */
+  private def nearestCellBy(centroids: Seq[Seq[Double]])(e: Column): Column =
+    coalesce(element_at(nearestCellsBy(centroids)(e, 1), 1), lit(-1))
+
   def ivfTopkOf(emb: DataFrame, centroids: Seq[Seq[Double]], nProbe: Int,
       isQuery: Column, k: Int = 5): DataFrame = {
     val nearestCells = nearestCellsBy(centroids) _
 
-    val corpus = emb.withColumn("cell", element_at(nearestCells(col("embedding"), 1), 1))
+    val corpus = emb.withColumn("cell", nearestCellBy(centroids)(col("embedding")))
     val queries = emb.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         explode(nearestCells(col("embedding"), nProbe)).as("cell"))
@@ -457,8 +474,7 @@ object SimilarityQueries {
     * batch census and its streaming twin (EmbStream.cellCensusUpdates), so
     * the live dashboard cannot drift from the audited batch semantics. */
   def assignPinnedCell(emb: DataFrame): DataFrame =
-    emb.withColumn("cell",
-      element_at(nearestCellsBy(IvfPinned.centroids)(col("embedding"), 1), 1))
+    emb.withColumn("cell", nearestCellBy(IvfPinned.centroids)(col("embedding")))
 
   /** The (cell, label) count fold over pinned-cell assignments — a pure
     * mergeable monoid (≤ nCells×|labels| groups), usable identically as a
@@ -933,8 +949,7 @@ object SimilarityQueries {
     * compressed index. [[savePqIndex]] persists exactly this frame; the
     * x68 query computes it inline so the two can never drift. */
   def pqCorpusCodes(emb: DataFrame): DataFrame = emb
-    .withColumn("cell",
-      element_at(nearestCellsBy(IvfPinned.centroids)(col("embedding"), 1), 1))
+    .withColumn("cell", nearestCellBy(IvfPinned.centroids)(col("embedding")))
     .withColumn("codes", array((0 until PqPinned.nSub).map(s0 =>
       pqCodeOf(PqPinned.codebooks(s0), s0)(col("embedding"))): _*))
     .select("vec_id", "cell", "codes")
@@ -1089,7 +1104,7 @@ object SimilarityQueries {
   val semanticDedup = sql("x67_semantic_dedup", x67Oracle) { (s, d) =>
     semanticDedupOf(
       Tables.embeddings(s, d).withColumn("cell",
-        element_at(nearestCellsBy(IvfPinned.centroids)(col("embedding"), 1), 1)),
+        nearestCellBy(IvfPinned.centroids)(col("embedding"))),
       x67Tau)
       .orderBy("vec_id")
   }
@@ -1336,7 +1351,7 @@ FROM embeddings ORDER BY vec_id""") { (s, d) =>
     * recall@5 vs exact brute force, nprobe ∈ {1,2,4,8}. */
   def recallSweepOf(emb: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
     val nearestCells = nearestCellsBy(centroids) _
-    val corpus = emb.withColumn("cell", element_at(nearestCells(col("embedding"), 1), 1))
+    val corpus = emb.withColumn("cell", nearestCellBy(centroids)(col("embedding")))
     val queriesBase = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val probes = queriesBase

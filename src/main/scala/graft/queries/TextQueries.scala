@@ -566,6 +566,56 @@ object TextQueries {
     (sigs, connectedReps(sigs.select("doc_id"), pairs))
   }
 
+  /** r21 OPTIMIZATION (guide §2.4): every doc→cluster chain consumer used
+    * to pay TWO corpus-payload (h, len) exchanges over the same frame —
+    * [[exactCollapse]]'s groupBy (inside [[minhashSignaturesOf]], for the
+    * signature table) and [[docExactRep]]'s window (for the per-doc
+    * exact-rep map). Both shuffle the SAME 16-byte derived key, so ONE
+    * window over one exchange yields BOTH: the per-doc rep is the window
+    * min, and the rep ROWS (the exactReps table) are exactly the rows with
+    * doc_id = e_rep. The frame is GC-scoped-checkpointed once for its two
+    * derivations. Values provably unchanged: e_rep = min(doc_id) over the
+    * (h, len, text) group is [[exactCollapseBy]]'s keep_id verbatim, and
+    * filter(doc_id = e_rep) keeps one row per group — the min-id row,
+    * carrying the group's text — which IS [[exactReps]]'s output. */
+  private[queries] def erepFrameOf(dd: DataFrame): DataFrame =
+    dd.withColumn("__h", xxhash64(col("text")))
+      .withColumn("__len", length(col("text")))
+      .repartition(col("__h"), col("__len"))
+      .select(col("doc_id"),
+        min("doc_id").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("__h", "__len", "text")).as("e_rep"),
+        col("text"))
+      // the checkpoint stores each group's text ONCE (on its rep row, the
+      // only row the signature derivation reads) instead of once per
+      // duplicate — on a high-dup corpus this shrinks the pinned blocks by
+      // the dup factor
+      .select(col("doc_id"), col("e_rep"),
+        when(col("doc_id") === col("e_rep"), col("text")).as("rep_text"))
+
+  /** The doc→near-dup-cluster chain (doc_id, rep) plus the per-doc
+    * exact-rep frame (doc_id, e_rep) — the one-shuffle form of the
+    * sigsAndLabels + docExactRep pair (see [[erepFrameOf]]), shared by
+    * x51/x55/x58/x104/x107/x116/x119/x134/x136/x147/x156 and the
+    * manifest family (x59/x108/x118). */
+  private[queries] def chainAndErepOf(dd: DataFrame): (DataFrame, DataFrame) = {
+    val erep = erepFrameOf(dd).localCheckpoint(eager = false)
+    val sigs = erep.filter(col("doc_id") === col("e_rep"))
+      .select(col("doc_id"), expr("graft_shingles(rep_text, 3)").as("sh"))
+      .withColumn("sig", expr("graft_minhash(sh, 32)"))
+      .localCheckpoint(eager = false)
+    val pairs = minhashPairs(sigs).select("doc_a", "doc_b")
+      .localCheckpoint(eager = false)
+    val labels = connectedReps(sigs.select("doc_id"), pairs)
+    val chain = erep.select("doc_id", "e_rep")
+      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
+      .select("doc_id", "rep")
+    (chain, erep.select("doc_id", "e_rep"))
+  }
+
+  /** [[chainAndErepOf]] for the consumers that only read the chain. */
+  private[queries] def chainOf(dd: DataFrame): DataFrame = chainAndErepOf(dd)._1
+
   val dedupClusters = sql("x26_dedup_clusters", HashOracles.dedupClusters) { (s, d) =>
     s.udf.register("graft_minhash_union",
       org.apache.spark.sql.functions.udaf(new graft.functions.MinHashUnion(32)))
@@ -725,11 +775,19 @@ object TextQueries {
     * admission, so the overlap predicate can never drift between the
     * batch audits and the live gate. */
   private[graft] def fiveGramsOf(dd: DataFrame): DataFrame =
+    rawFiveGramsOf(dd).distinct()
+
+  /** [[fiveGramsOf]] WITHOUT the (doc_id, g) dedup — the raw gram stream,
+    * for consumers that prefilter it before paying the distinct's
+    * exchange (the x35/x136/x155 seeds family). `carry` columns ride the
+    * exploded rows (the lmScoreCore carry stance — a small fixed payload,
+    * zero extra exchanges). */
+  private[graft] def rawFiveGramsOf(dd: DataFrame, carry: Seq[String] = Nil): DataFrame =
     dd.withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= 5) // Spark sequence(0, n) DESCENDS for n<0 — never let it
       .withColumn("i", explode(sequence(lit(0), size(col("t")) - 5)))
-      .select(col("doc_id"), array_join(slice(col("t"), col("i") + 1, lit(5)), " ").as("g"))
-      .distinct()
+      .select(col("doc_id") +: carry.map(col)
+        :+ array_join(slice(col("t"), col("i") + 1, lit(5)), " ").as("g"): _*)
 
   /** The benchmark gram SET as a broadcast 1-row frame (`ev` string
     * array) — the static artifact [[graft.streaming.DocStream.deconAdmission]]
@@ -810,6 +868,17 @@ object TextQueries {
     * tables — x35 doc-level, x125 pack-level, x136 halo, x155 per-suite —
     * to one measurement on one engineered frame). */
   def textDecontaminateOf(dd: DataFrame): DataFrame = {
+    // r21 counter-measurement (guide §1 discipline, r20 verdict item 3):
+    // semi-filtering the RAW train gram stream against the broadcast eval
+    // gram set BEFORE the (doc_id, g) distinct — so the dedup exchange
+    // carries hits instead of the corpus — measured SLOWER at sf0.1
+    // (x35 0.6 → 1.16 s, x136's seeds 0.59 → 0.76 s in-window): this
+    // single-plan shape computes the corpus gram distinct ONCE and
+    // ReuseExchange serves both split sides from it, while the split-first
+    // form pays two extra BroadcastExchange builds + a second distinct for
+    // the probe side. The split-first form wins only when the train-side
+    // gram exchange dominates (true at 100 TB, not at the bench floor);
+    // see plans/r21/x136_stage_seeds_{before,after}.txt for both shapes.
     val grams = fiveGramsOf(dd)
       .withColumn("split",
         when(substring(md5(col("doc_id").cast("string")), 1, 1) <= "d", "train")
@@ -1812,20 +1881,6 @@ object TextQueries {
     * the recursive-CTE closure). At corpus scale the output IS the
     * training corpus manifest (keep_id joins back to fetch text), and
     * n_docs is the dedup ratio audit. */
-  /** Per-doc exact-text rep (doc_id, e_rep) via the same hash-keyed shuffle
-    * as exactCollapseBy: the exchange partitions on the 16-byte derived
-    * key, and the window's partition spec keeps the full text as the
-    * in-group exact confirm (the repartition's (hash, len) partitioning
-    * already satisfies the window's clustering, so no second exchange
-    * appears). Shared by x51 (dedup apply) and x55 (leakage-safe split); distinct from [[exactReps]], which returns the one-row-per-rep table. */
-  private def docExactRep(dd: DataFrame): DataFrame =
-    dd.withColumn("__h", xxhash64(col("text")))
-      .withColumn("__len", length(col("text")))
-      .repartition(col("__h"), col("__len"))
-      .select(col("doc_id"),
-        min("doc_id").over(org.apache.spark.sql.expressions.Window
-          .partitionBy("__h", "__len", "text")).as("e_rep"))
-
   /** Survivor-selection policy for the dedup chain — the one decision the
     * x51/x107/x59/x108 family varies. A policy maps the (doc_id, rep)
     * chain to ONE row per cluster: (cluster_rep, keep_id, n_docs[,
@@ -1863,9 +1918,7 @@ object TextQueries {
   }
 
   val dedupApply = sql("x51_dedup_apply", HashOracles.dedupApply) { (s, d) =>
-    val (_, labels) = sigsAndLabels(s, d)
-    val chain = docExactRep(docs(s, d))
-      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
+    val chain = chainOf(docs(s, d))
     surviveBy(chain, docs(s, d), KeepMinId)
       .select(col("keep_id"), col("n_docs"))
       .orderBy("keep_id")
@@ -1883,10 +1936,7 @@ object TextQueries {
     * measurable — nonzero rows are exactly the clusters where min-id
     * selection would have shipped a shorter variant. */
   val dedupKeepBest = sql("x107_dedup_keep_best", HashOracles.dedupKeepBest) { (s, d) =>
-    val (_, labels) = sigsAndLabels(s, d)
-    val chain = docExactRep(docs(s, d))
-      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
-      .select("doc_id", "rep")
+    val chain = chainOf(docs(s, d))
     surviveBy(chain, docs(s, d), KeepBest)
       .select(col("cluster_rep"), col("keep_id"),
         col("n_chars").cast("bigint").as("keep_chars"),
@@ -1909,10 +1959,8 @@ object TextQueries {
     * shape is x51's: collision-bound band join + label join; the split
     * itself is row-local arithmetic. */
   val splitLeakageSafe = sql("x55_split_leakage_safe", HashOracles.splitLeakageSafe) { (s, d) =>
-    val (_, labels) = sigsAndLabels(s, d)
     val h1 = substring(md5(col("rep").cast("string")), 1, 1)
-    docExactRep(docs(s, d))
-      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
+    chainOf(docs(s, d))
       .select(col("doc_id"), col("rep"),
         when(h1 <= "b", "train").when(h1 <= "d", "val").otherwise("test").as("split"))
       .orderBy("doc_id")
@@ -1996,9 +2044,7 @@ object TextQueries {
     * heavy lifting is the already-proven band-join + CC plan; everything
     * after it is dimension-table-sized. */
   val dupSourceMatrix = sql("x58_dup_source_matrix", HashOracles.dupSourceMatrix) { (s, d) =>
-    val (_, labels) = sigsAndLabels(s, d)
-    val ds = docExactRep(docs(s, d))
-      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
+    val ds = chainOf(docs(s, d))
       .join(docs(s, d).select("doc_id", "source"), Seq("doc_id"))
       .select("rep", "source")
       .distinct()
@@ -2028,10 +2074,7 @@ object TextQueries {
     * final shard rollup is 16 rows. dup_ppm in exact integer floor-div
     * (x69 discipline). */
   val shardDupRate = sql("x104_shard_dup_rate", HashOracles.shardDupRate) { (s, d) =>
-    val (_, labels) = sigsAndLabels(s, d)
-    val chain = docExactRep(docs(s, d))
-      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
-      .select("doc_id", "rep")
+    val chain = chainOf(docs(s, d))
     val k = md5(col("doc_id").cast("string"))
     val shards = docs(s, d).select(col("doc_id"),
       (instr(lit("0123456789abcdef"), substring(k, 1, 1)) - 1).cast("int").as("shard"))
@@ -2079,10 +2122,7 @@ object TextQueries {
     val qual = docs(s, d)
       .filter(size(split(trim(col("text")), "\\s+")) >= 40)
       .select("doc_id", "text")
-    val (_, labels) = sigsAndLabelsOf(qual)
-    val chain = docExactRep(qual)
-      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
-      .select("doc_id", "rep")
+    val chain = chainOf(qual)
     val man = surviveBy(chain, docs(s, d), policy)
     val h1 = substring(col("k"), 1, 1)
     man.withColumn("k", md5(col("cluster_rep").cast("string")))
@@ -3273,10 +3313,7 @@ object TextQueries {
     val qual = dd.filter(nTok >= 40).select("doc_id", "source", "text")
       .localCheckpoint(eager = false) // three consumers: stage count, exact, chain
     val nQual = qual.groupBy("source").agg(count(lit(1)).as("n_qual"))
-    val erep = docExactRep(qual.select("doc_id", "text"))
-    val (_, labels) = sigsAndLabelsOf(qual.select("doc_id", "text"))
-    val chain = erep.join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
-      .select("doc_id", "rep")
+    val (chain, erep) = chainAndErepOf(qual.select("doc_id", "text"))
     val surv = chain.groupBy("rep").agg(min("doc_id").as("keep_id"))
     val nExact = erep.select("e_rep").distinct()
       .join(dd.select(col("doc_id").as("e_rep"), col("source")), Seq("e_rep"))
@@ -3404,9 +3441,7 @@ object TextQueries {
     val bucketCase = (0 until 20)
       .map(b => s"WHEN sz < ${2L << b} THEN $b")
       .mkString("CASE ", " ", " ELSE 20 END")
-    val (_, labels) = sigsAndLabels(s, d)
-    val chain = docExactRep(docs(s, d))
-      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
+    val chain = chainOf(docs(s, d))
     val cs = chain.groupBy("rep").agg(count(lit(1)).as("sz"))
     val g = cs
       .withColumn("bucket", expr(bucketCase).cast("int"))
@@ -4399,10 +4434,7 @@ object TextQueries {
       .filter(col("pass") === 1)
       .select("doc_id", "source", "text", "n_tok")
       .localCheckpoint(eager = false) // gate+scan ONCE: three consumers
-    val (_, labels) = sigsAndLabelsOf(qual)
-    val chain = docExactRep(qual)
-      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
-      .select("doc_id", "rep")
+    val chain = chainOf(qual)
     val sv = chain.select(col("rep").as("keep_id")).distinct()
       .join(qual.select(col("doc_id").as("keep_id"), col("source"), col("n_tok")),
         Seq("keep_id"))
@@ -4573,6 +4605,13 @@ object TextQueries {
     * benchmark gram is mutated away). */
   def contaminationHaloOf(dd: DataFrame): DataFrame = {
     val isTrain = substring(md5(col("doc_id").cast("string")), 1, 1) <= "d"
+    // r21 counter-measurement (r20 verdict item 3): the semi-before-distinct
+    // seeds rewrite measured SLOWER at sf0.1 (0.59 → 0.76 s in-window) —
+    // this one-plan shape distincts the corpus grams ONCE (ReuseExchange
+    // serves both split sides); the split-first form pays two extra
+    // broadcast builds. Kept as-is; both plan shapes committed at
+    // plans/r21/x136_stage_seeds_{before,after}.txt. See
+    // textDecontaminateOf for the full note.
     val grams = fiveGramsOf(dd).withColumn("split", when(isTrain, "train").otherwise("test"))
     val trainG = grams.filter(col("split") === "train")
       .select(col("doc_id").as("train_id"), col("g"))
@@ -4582,10 +4621,7 @@ object TextQueries {
       .groupBy("train_id")
       .agg(countDistinct("test_id").as("n_eval_docs"), count(lit(1)).as("n_shared"))
       .localCheckpoint(eager = false) // two consumers: rep seeding + reason attach
-    val (_, labels) = sigsAndLabelsOf(dd.filter(isTrain))
-    val chain = docExactRep(dd.filter(isTrain))
-      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
-      .select("doc_id", "rep")
+    val chain = chainOf(dd.filter(isTrain))
       .localCheckpoint(eager = false) // two consumers: contaminated-rep set + purge expansion
     val creps = chain
       .join(broadcast(seeds), col("doc_id") === col("train_id"), "left_semi")
@@ -5518,10 +5554,7 @@ object TextQueries {
     val bucketCase = (0 until 20)
       .map(b => s"WHEN sz < ${2L << b} THEN $b")
       .mkString("CASE ", " ", " ELSE 20 END")
-    val (_, labels) = sigsAndLabels(s, d)
-    val chain = docExactRep(docs(s, d))
-      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
-      .select("doc_id", "rep")
+    val chain = chainOf(docs(s, d))
     val gp = qualityGateOf(docs(s, d)).select("doc_id", "pass")
     val cq = chain.join(gp, Seq("doc_id"))
       .groupBy("rep").agg(count(lit(1)).as("sz"), sum("pass").as("n_pass"))
@@ -6058,13 +6091,24 @@ object TextQueries {
         .when(substring(md5(col("doc_id").cast("string")), 2, 1) <= "9", "suiteB")
         .otherwise("suiteC").as("suite"),
       col("text"))
-    val grams = fiveGramsOf(base.select("doc_id", "text"))
-      .join(base.select("doc_id", "source", "split", "suite"), Seq("doc_id"))
-    val hits = grams.filter(col("split") === "train")
-      .select(col("doc_id"), col("source"), col("g"))
-      .join(guardedBroadcast(grams.filter(col("split") === "test")
-        .select(col("g"), col("suite")).distinct()), Seq("g"))
-      .select("doc_id", "source", "suite").distinct()
+    // r21 OPTIMIZATION (guide §2.3/§3.2 — the x136 seeds move): the gram
+    // table used to be corpus-wide DISTINCTed and then doc_id-joined to
+    // base at gram grain before the eval probe. Neither exchange is
+    // needed: the final hits distinct on (doc_id, suite) absorbs raw-gram
+    // duplicates (so the (doc_id, g) dedup adds nothing), suite is a pure
+    // doc_id expression (rides the exploded rows for free), and source is
+    // functionally dependent on doc_id, so it attaches AFTER the
+    // broadcast probe + distinct, at hits grain. The eval side's
+    // (g, suite) distinct is unchanged by (doc_id, g) dedup.
+    val hits = rawFiveGramsOf(base.filter(col("split") === "train")
+        .select("doc_id", "text"))
+      .join(guardedBroadcast(
+        rawFiveGramsOf(base.filter(col("split") === "test")
+            .select("doc_id", "suite", "text"), carry = Seq("suite"))
+          .select(col("g"), col("suite")).distinct()), Seq("g"))
+      .select("doc_id", "suite").distinct()
+      .join(base.select("doc_id", "source"), Seq("doc_id"))
+      .select("doc_id", "source", "suite")
     val trn = base.filter(col("split") === "train")
       .groupBy("source").agg(count(lit(1)).as("n_train"))
     val suites = {
@@ -6102,10 +6146,7 @@ object TextQueries {
   val dedupSurvivorship = sql(
     "x156_dedup_survivorship",
     HashOracles.dedupSurvivorship(gatePassSql("toks"))) { (s, d) =>
-    val (_, labels) = sigsAndLabels(s, d)
-    val chain = docExactRep(docs(s, d))
-      .join(labels.withColumnRenamed("doc_id", "e_rep"), Seq("e_rep"))
-      .select("doc_id", "rep")
+    val chain = chainOf(docs(s, d))
     val gp = qualityGateOf(docs(s, d), keep = Seq("source"))
       .select("doc_id", "source", "pass")
     val cq = chain.join(gp, Seq("doc_id"))

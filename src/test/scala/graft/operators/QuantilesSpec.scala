@@ -112,4 +112,34 @@ class QuantilesSpec extends AnyFunSuite with Matchers with SparkTestBase {
     forced.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap shouldBe
       viaEstimate.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
   }
+
+  test("file-source estimates are charged the compression slack (r20 advice)") {
+    import spark.implicits._
+    // in-memory/derived frame: raw Catalyst estimate, no slack
+    val local = (0 until 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val rawEst = local.queryExecution.optimizedPlan.stats.sizeInBytes
+    Quantiles.estimatedBytesForDispatch(local) shouldBe rawEst
+    // file-backed frame: the same stats estimate is compressed on-disk
+    // bytes and must be multiplied by the slack before the cap compare
+    val dir = java.nio.file.Files.createTempDirectory("qslack").toFile
+    try {
+      val p = new java.io.File(dir, "t.parquet").getAbsolutePath
+      local.write.mode("overwrite").parquet(p)
+      val onDisk = spark.read.parquet(p)
+      val fileEst = onDisk.queryExecution.optimizedPlan.stats.sizeInBytes
+      Quantiles.estimatedBytesForDispatch(onDisk) shouldBe
+        fileEst * Quantiles.fileSourceCompressionSlack
+      // ...and a frame DERIVED from the scan keeps the slack (the scan is
+      // still in the plan, so the estimate is still compression-based)
+      val derived = onDisk.filter(col("v") >= 0.0)
+      val dEst = derived.queryExecution.optimizedPlan.stats.sizeInBytes
+      Quantiles.estimatedBytesForDispatch(derived) shouldBe
+        dEst * Quantiles.fileSourceCompressionSlack
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }

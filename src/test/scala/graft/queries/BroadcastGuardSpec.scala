@@ -87,16 +87,27 @@ class BroadcastGuardSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val sco = TextQueries.lmScoreCore(dd, Seq("lang"))
     sco.queryExecution.analyzed.toString should not include "UnresolvedHint"
     sco.queryExecution.optimizedPlan.toString should not include "ResolvedHint"
-    sco.write.format("noop").mode("overwrite").save() // final adaptive plan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // r21 (r20 ADVICE): execute THIS Dataset's own QueryExecution — a
+    // DataFrameWriter wraps the plan in a separate write command, so a
+    // noop save would leave sco's AdaptiveSparkPlanExec un-executed and
+    // the inspection below would read the INITIAL static plan, not the
+    // final adaptive one.
+    sco.collect() // finalizes the adaptive plan on sco's own QE
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val root = sco.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val bhjKeyArities = root.collectWithSubqueries {
-      case b: BroadcastHashJoinExec => b.leftKeys.size
-    }
+    // the finalized adaptive plan nests operators inside QueryStageExec
+    // LEAVES, which collect/collectWithSubqueries do not descend into —
+    // recurse through each stage's wrapped plan
+    def bhjArities(p: SparkPlan): Seq[Int] =
+      p.collectWithSubqueries { case b: BroadcastHashJoinExec => b.leftKeys.size } ++
+        p.collectWithSubqueries { case s: QueryStageExec => s }
+          .flatMap(s => bhjArities(s.plan))
+    val bhjKeyArities = bhjArities(root)
     withClue(s"executed plan:\n$root\n") {
       bhjKeyArities should contain(1) // the w1-keyed ctx attach broadcasts
     }
