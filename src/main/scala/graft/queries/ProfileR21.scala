@@ -243,6 +243,123 @@ object ProfileR21 {
       dumpPlan(plansDir, "x118_stage_asis", x118Of(g118))
     }
 
+    // ---- x137: 4-column carry through the bigram exchanges vs doc-keyed
+    //      attach after the rollup (§2.3 — the carry rides EVERY bigram row)
+    {
+      def flags = TextQueries.qualityGateOf(
+        docs.withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long")),
+        keep = Seq("lang", "source", "n_tok", "text"))
+        .select("doc_id", "lang", "source", "n_tok", "text", "pass")
+      def scoCarry = TextQueries.lmScoreCore(flags, Seq("lang", "source", "n_tok", "pass"))
+        .withColumn("score_ppm", expr("sum_f div n_trans"))
+      def scoJoin = TextQueries.lmScoreCore(docs, Nil)
+        .join(flags.select("doc_id", "lang", "source", "n_tok", "pass"), Seq("doc_id"))
+        .withColumn("score_ppm", expr("sum_f div n_trans"))
+      time(spark, "x137 sco CARRY (4 cols on bigrams)")(scoCarry)
+      time(spark, "x137 sco JOIN (doc-keyed attach)")(scoJoin)
+      dumpPlan(plansDir, "x137_stage_sco_carry", scoCarry)
+      dumpPlan(plansDir, "x137_stage_sco_join", scoJoin)
+    }
+
+    // ---- x125: per-position STRING gram probe vs token-ARRAY probe
+    //      (build the string only for hits)
+    {
+      val L = 2048
+      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      def evalToks = docs.filter(h1 > "d")
+        .withColumn("t", split(trim(col("text")), "\\s+"))
+        .filter(size(col("t")) >= 5)
+        .withColumn("i", explode(sequence(lit(0), size(col("t")) - 5)))
+      def dd125 = docs.filter(h1 <= "d")
+        .select(col("source"), col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+      def packs = graft.operators.PrefixQuota.runningBefore(
+        dd125, "source",
+        orderKey = md5(col("doc_id").cast("string")), tie = col("doc_id"),
+        value = col("n_tok"))
+        .withColumn("pack_id",
+          explode(sequence(expr(s"cum_before div $L"),
+            expr(s"(cum_before + n_tok - 1) div $L"))))
+        .withColumn("span_start",
+          greatest(col("cum_before"), col("pack_id") * L) - col("pack_id") * L)
+        .withColumn("doc_off",
+          greatest(col("cum_before"), col("pack_id") * L) - col("cum_before"))
+        .withColumn("span_len",
+          least(col("cum_before") + col("n_tok"), (col("pack_id") + 1) * L)
+            - greatest(col("cum_before"), col("pack_id") * L))
+        .select(col("source"), col("pack_id"), col("span_start"),
+          expr("slice(toks, CAST(doc_off + 1 AS INT), CAST(span_len AS INT))")
+            .as("span_toks"))
+        .groupBy("source", "pack_id")
+        .agg(expr("array_sort(collect_list(struct(span_start, span_toks)))").as("sp"))
+        .select(col("source"), col("pack_id"),
+          expr("flatten(transform(sp, x -> x.span_toks))").as("body"),
+          expr("filter(transform(sp, x -> x.span_start), b -> b > 0)").as("bnds"))
+      def viaString = {
+        val evalGrams = evalToks
+          .select(array_join(expr("slice(t, i + 1, 5)"), " ").as("g")).distinct()
+        packs.filter(size(col("body")) >= 5)
+          .withColumn("i", explode(sequence(lit(0), size(col("body")) - 5)))
+          .select(col("source"), col("pack_id"),
+            array_join(expr("slice(body, i + 1, 5)"), " ").as("g"),
+            expr("exists(bnds, b -> b > i AND b <= i + 4)").as("crossing"))
+          .join(broadcast(evalGrams), "g")
+          .groupBy("source", "pack_id")
+          .agg(count(lit(1)).as("n_hits"),
+            sum(when(col("crossing"), 1L).otherwise(0L)).as("n_boundary_hits"),
+            min("g").as("sample_gram"))
+      }
+      def viaArray = {
+        val evalArr = evalToks
+          .select(expr("slice(t, i + 1, 5)").as("garr")).distinct()
+        packs.filter(size(col("body")) >= 5)
+          .withColumn("i", explode(sequence(lit(0), size(col("body")) - 5)))
+          .select(col("source"), col("pack_id"),
+            expr("slice(body, i + 1, 5)").as("garr"),
+            expr("exists(bnds, b -> b > i AND b <= i + 4)").as("crossing"))
+          .join(broadcast(evalArr), "garr")
+          .groupBy("source", "pack_id")
+          .agg(count(lit(1)).as("n_hits"),
+            sum(when(col("crossing"), 1L).otherwise(0L)).as("n_boundary_hits"),
+            min(array_join(col("garr"), " ")).as("sample_gram"))
+      }
+      time(spark, "x125 probe on STRING grams (current)")(viaString)
+      time(spark, "x125 probe on token ARRAYS")(viaArray)
+      dumpPlan(plansDir, "x125_stage_probe_string", viaString)
+      dumpPlan(plansDir, "x125_stage_probe_array", viaArray)
+    }
+
+    // ---- the other lmScoreCore carries (x135 lang, x139 source,
+    //      x141 source+n_tok): carry vs doc-keyed attach
+    {
+      def sco135c = TextQueries.lmScoreCore(docs, Seq("lang"))
+        .withColumn("score_ppm", expr("sum_f div n_trans"))
+      def sco135j = TextQueries.lmScoreCore(docs, Nil)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .withColumn("score_ppm", expr("sum_f div n_trans"))
+      time(spark, "x135 sco CARRY (lang)")(sco135c)
+      time(spark, "x135 sco JOIN")(sco135j)
+      def sco139c = TextQueries.lmScoreCore(docs, Seq("source"))
+        .withColumn("score_ppm", expr("sum_f div n_trans"))
+        .groupBy("source", "score_ppm").agg(count(lit(1)).as("n"))
+      def sco139j = TextQueries.lmScoreCore(docs, Nil)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .withColumn("score_ppm", expr("sum_f div n_trans"))
+        .groupBy("source", "score_ppm").agg(count(lit(1)).as("n"))
+      time(spark, "x139 sc CARRY (source)")(sco139c)
+      time(spark, "x139 sc JOIN")(sco139j)
+      def sco141c = TextQueries.lmScoreCore(
+          docs.withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long")),
+          Seq("source", "n_tok"))
+        .withColumn("score_ppm", expr("sum_f div n_trans"))
+      def sco141j = TextQueries.lmScoreCore(docs, Nil)
+        .join(docs.select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok")), Seq("doc_id"))
+        .withColumn("score_ppm", expr("sum_f div n_trans"))
+      time(spark, "x141 sco CARRY (source+n_tok)")(sco141c)
+      time(spark, "x141 sco JOIN")(sco141j)
+    }
+
     spark.stop()
   }
 }

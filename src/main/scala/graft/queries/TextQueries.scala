@@ -3420,6 +3420,11 @@ object TextQueries {
       count(lit(1)).as("n_clusters"),
       sum("n_docs").as("n_docs_rep"),
       sum("n_tok").as("n_tokens"))
+      // r21 (r20 verdict item 6): pin the 16-row rollup so its own grand
+      // total cannot recompute the manifest tail (x132's documented
+      // pattern; ProfileR21 A/B: as-is swings 0.89-1.29 s with load,
+      // pinned reads a stable 0.91-0.95 s)
+      .localCheckpoint(eager = false)
     g.crossJoin(broadcast(g.agg(sum("n_tokens").as("tot"))))
       .select(col("shard"), col("n_clusters"), col("n_docs_rep"), col("n_tokens"),
         expr("(n_tokens * 1000000) div tot").as("tok_share_ppm"),
@@ -3449,6 +3454,8 @@ object TextQueries {
         count(lit(1)).as("n_clusters"),
         sum("sz").as("n_docs"),
         max("sz").as("max_size"))
+      // r21 (r20 verdict item 6): pin the ≤21-row rollup — x118's note
+      .localCheckpoint(eager = false)
     g.crossJoin(broadcast(g.agg(sum("n_docs").as("tot"))))
       .select(col("bucket"),
         expr("CAST(POWER(2, bucket) AS BIGINT)").as("floor_size"),
@@ -4547,7 +4554,12 @@ object TextQueries {
   /** x135's engine over any (doc_id, lang, text) frame (factored so the
     * edge spec can hand-build boundary-tie and empty-middle cases). */
   def pplBucketsOf(dd: DataFrame): DataFrame = {
-    val sco = lmScoreCore(dd, Seq("lang"))
+    // r21 OPTIMIZATION (guide §2.3, ProfileR21 A/B: 0.91 → 0.76 s): attach
+    // lang by ONE doc-keyed join after the rollup instead of carrying it
+    // on every bigram row through the chain's exchanges — lang is
+    // functionally dependent on doc_id, so the values are identical.
+    val sco = lmScoreCore(dd, Nil)
+      .join(dd.select("doc_id", "lang"), Seq("doc_id"))
       .withColumn("score_ppm", expr("sum_f div n_trans"))
       .localCheckpoint(eager = false) // two consumers (threshold table +
     // bucket rollup) — without the pin the whole bigram chain runs twice
@@ -4993,7 +5005,16 @@ object TextQueries {
     val tot = per.agg(
       aggregate(array_sort(collect_list(sqrt(col("gated").cast("double")))),
         lit(0.0), (a, x) => a + x).as("sum_sqrt"))
-    val sco = lmScoreCore(flags, Seq("lang", "source", "n_tok", "pass"))
+    // r21 OPTIMIZATION (guide §2.3, measured in ProfileR21): the 4-column
+    // carry (lang, source, n_tok, pass) used to ride EVERY bigram row
+    // through the chain's two corpus-scale exchanges; attaching the
+    // doc-level attributes by ONE doc_id join after the rollup shuffles
+    // doc-count rows instead of bigram-count bytes — in-window A/B:
+    // sco 1.00 → 0.73 s at sf0.1. Values identical: the carry columns are
+    // functionally dependent on doc_id, so groupBy(doc_id, carry…) ≡
+    // groupBy(doc_id) ⋈ doc-attrs (same row set: docs with ≥ 1 bigram).
+    val sco = lmScoreCore(dd, Nil)
+      .join(flags.select("doc_id", "lang", "source", "n_tok", "pass"), Seq("doc_id"))
       .withColumn("score_ppm", expr("sum_f div n_trans"))
       .localCheckpoint(eager = false) // two consumers: thresholds + eligibility
     val th = langTertileThresholds(sco)
@@ -5085,9 +5106,13 @@ object TextQueries {
 
   /** x141's engine over any (doc_id, source, text) frame. */
   def doremiWeightsOf(dd: DataFrame): DataFrame = {
-    val sco = lmScoreCore(
-      dd.withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast("long")),
-      Seq("source", "n_tok"))
+    // r21 OPTIMIZATION (guide §2.3, ProfileR21 A/B: 0.97 → 0.86 s): the
+    // (source, n_tok) attributes attach by ONE doc-keyed join after the
+    // rollup instead of riding every bigram row (same values — both are
+    // functions of the doc row).
+    val sco = lmScoreCore(dd, Nil)
+      .join(dd.select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok")), Seq("doc_id"))
       .withColumn("score_ppm", expr("sum_f div n_trans"))
     val per = sco.groupBy("source").agg(
       count(lit(1)).as("n_docs"),

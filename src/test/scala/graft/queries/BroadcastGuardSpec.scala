@@ -84,7 +84,10 @@ class BroadcastGuardSpec extends AnyFunSuite with Matchers with SparkTestBase {
     // the pair attach on (w1, w2) may legitimately shuffle at this scale,
     // so the assertion targets the single-key ctx join specifically.
     val dd = graft.Tables.documents(spark, "/root/testdata/sf0.1")
-    val sco = TextQueries.lmScoreCore(dd, Seq("lang"))
+    // r21: x135 now attaches lang by a doc-keyed join after the rollup
+    // (ProfileR21 A/B) — pin the chain x135 actually checkpoints
+    val sco = TextQueries.lmScoreCore(dd, Nil)
+      .join(dd.select("doc_id", "lang"), Seq("doc_id"))
     sco.queryExecution.analyzed.toString should not include "UnresolvedHint"
     sco.queryExecution.optimizedPlan.toString should not include "ResolvedHint"
     // r21 (r20 ADVICE): execute THIS Dataset's own QueryExecution — a
