@@ -996,10 +996,17 @@ class PlanQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     val plan = planOf(TextQueries.dupQualityLink)
     plan should include("ExistingRDD") // the x51 chain's checkpointed labels
     plan should not include "CartesianProduct"
-    // the exact-rep window keys on the (hash, len) shuffle — dup-group
-    // bounded, never an unpartitioned corpus window
-    plan should include("windowspecdefinition(__h")
     "HashAggregate".r.findAllIn(plan).size should be >= 2
+    // r21: the exact-rep window moved behind the fused erep checkpoint
+    // (chainAndErepOf), so the registry plan can no longer show it — pin
+    // the stage frame directly: ONE (hash, len)-keyed exchange, and the
+    // window keys on it (dup-group bounded, never an unpartitioned
+    // corpus window)
+    val erep = TextQueries.erepFrameOf(
+      spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+    val erepPlan = erep.queryExecution.executedPlan.toString
+    erepPlan should include("windowspecdefinition(__h")
+    "Exchange hashpartitioning\\(__h".r.findAllIn(erepPlan).size shouldBe 1
   }
 
   test("x148: both statistics run on the bounded (bucket, score) count table") {
