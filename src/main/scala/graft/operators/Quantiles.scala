@@ -77,10 +77,17 @@ object Quantiles {
     * when the caller knows the shape. Both paths interpolate
     * BIT-identically (QuantilesSpec), so the choice never changes
     * results. */
-  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+  def groupQuantiles(df0: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double], rowsPerGroupHint: Option[Long] = None): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must be in [0, 1], got $ps")
+    // r21 (guide §2.3 "project before"): quantiles read exactly two
+    // columns — project them FIRST so (a) the dispatch estimate below
+    // prices the two columns instead of the caller's whole frame (a
+    // full-width parquet frame × the r21 compression slack was flipping
+    // q10 back to the probe), and (b) neither plan ever scans or
+    // shuffles unused columns. Value-identical by definition.
+    val df = df0.select(col(groupCol), col(valueCol))
     // r20 OPTIMIZATION (guide §1.2/§5): the un-hinted probe was an EAGER
     // scalar-aggregate job on every call — even when the optimizer's size
     // estimate already proves the builtin safe (worst case, the WHOLE
@@ -158,10 +165,11 @@ object Quantiles {
     * parallel plan, which degrades in speed, never in memory safety.
     * Both paths interpolate bit-identically (QuantilesSpec), so the
     * dispatch never changes results. */
-  def singleGroupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+  def singleGroupQuantiles(df0: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must be in [0, 1], got $ps")
+    val df = df0.select(col(groupCol), col(valueCol)) // see groupQuantiles
     val est = estimatedBytesForDispatch(df)
     if (est <= BigInt(builtinMaxBytesSingleGroup))
       builtinQuantiles(df, groupCol, valueCol, ps)

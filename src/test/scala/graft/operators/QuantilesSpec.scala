@@ -113,6 +113,19 @@ class QuantilesSpec extends AnyFunSuite with Matchers with SparkTestBase {
       viaEstimate.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
   }
 
+  test("q10 regime: a WIDE parquet frame keeps the zero-job builtin dispatch via the entry projection") {
+    // without the entry projection, the dispatch estimate prices the whole
+    // 16-column lineitem file (compressed bytes × slack > cap) and q10
+    // falls back to the probe/parallel path; the projection prices the two
+    // columns quantiles actually read
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val q = Quantiles.groupQuantiles(li, "l_returnflag", "l_extendedprice", Seq(0.5))
+    q.queryExecution.analyzed.toString should include("percentile") // builtin, zero probe jobs
+    // and the wide frame WITHOUT projection would NOT pass the slacked cap
+    Quantiles.estimatedBytesForDispatch(li) should be >
+      BigInt(Quantiles.builtinMaxBytesSingleGroup)
+  }
+
   test("file-source estimates are charged the compression slack (r20 advice)") {
     import spark.implicits._
     // in-memory/derived frame: raw Catalyst estimate, no slack
